@@ -1,0 +1,52 @@
+"""Shared column helpers for oracle-checkable queries.
+
+See the determinism rules in ``registry.py``: money-like doubles are cast
+to ``decimal(12,2)`` (rates to ``decimal(6,4)``) before any aggregation so
+Spark's shuffle-order-dependent double addition can't diverge from the
+DuckDB oracle; final aggregates are cast back to double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def money(col: str | Column) -> Column:
+    """Money-ish double → exact decimal(12,2) for order-independent sums."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(12,2)")
+
+
+def rate(col: str | Column) -> Column:
+    """Unit-interval rate (discount/tax) → decimal(6,4)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(6,4)")
+
+
+def dsum(col: Column) -> Column:
+    """Exact decimal sum, emitted as double."""
+    return F.sum(col).cast("double")
+
+
+def davg(col: Column) -> Column:
+    """Deterministic average: exact decimal sum / count, divided in double.
+
+    (Spark's and DuckDB's AVG over decimals pick different result scales;
+    a double division of exact operands is bit-identical in both.)
+    """
+    return F.sum(col).cast("double") / F.count(F.lit(1))
+
+
+# SQL-side equivalents (DuckDB), kept textually adjacent so the two
+# formulations stay in sync.
+SQL_MONEY = "CAST({c} AS DECIMAL(12,2))"
+SQL_RATE = "CAST({c} AS DECIMAL(6,4))"
+
+
+def sql_money(c: str) -> str:
+    return SQL_MONEY.format(c=c)
+
+
+def sql_rate(c: str) -> str:
+    return SQL_RATE.format(c=c)

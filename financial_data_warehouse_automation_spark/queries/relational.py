@@ -1,0 +1,483 @@
+"""Relational core: scans, filters, joins, aggregations, set ops, sorts.
+
+Covers SURVEY.md §2.1 (scans), §2.2 (filters/predicates), §2.3 (join
+matrix incl. the reference's disguised anti-join P6), §2.4 (aggregations)
+and the §2.10 additions (rollup/cube, distinct counts, set ops, pivot,
+top-k). All pure DataFrame API — Catalyst handles pushdown/pruning; small
+dimensions are broadcast explicitly (the GS version's glMap probe,
+Code.gs:147-166, *is* a broadcast hash join — SURVEY §2.3 J1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financial_data_warehouse_automation_spark.queries._helpers import (
+    davg,
+    dsum,
+    money,
+    rate,
+    sql_money,
+    sql_rate,
+)
+from financial_data_warehouse_automation_spark.registry import query
+from financial_data_warehouse_automation_spark.tables import load_table
+
+M_PRICE = sql_money("l_extendedprice")
+M_QTY = sql_money("l_quantity")
+R_DISC = sql_rate("l_discount")
+R_TAX = sql_rate("l_tax")
+
+
+# ---------------------------------------------------------------------------
+# Group-by aggregation over a filtered scan (TPC-H Q1 shape). The income
+# statement's TOTAL REVENUES/TOTAL EXPENSES footer rows are exactly this
+# operator (SURVEY §2.4: GROUP BY dept, category → SUM(amount)).
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    headline=True,
+    tags=("agg", "filter", "scan"),
+    oracle=f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM({M_QTY}) AS DOUBLE) AS sum_qty,
+  CAST(SUM({M_PRICE}) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({M_PRICE} * (CAST(1.0 AS DECIMAL(2,1)) - {R_DISC})) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(({M_PRICE} * (CAST(1.0 AS DECIMAL(2,1)) - {R_DISC})) * (CAST(1.0 AS DECIMAL(2,1)) + {R_TAX})) AS DOUBLE) AS sum_charge,
+  CAST(SUM({M_QTY}) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM({M_PRICE}) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM({R_DISC}) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered scan → hash aggregate; filter + projection push to parquet."""
+    l = load_table(spark, sf_dir, "lineitem")
+    one = F.lit("1.0").cast("decimal(2,1)")
+    disc_price = money("l_extendedprice") * (one - rate("l_discount"))
+    charge = disc_price * (one + rate("l_tax"))
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(money("l_quantity")).alias("sum_qty"),
+            dsum(money("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(money("l_quantity")).alias("avg_qty"),
+            davg(money("l_extendedprice")).alias("avg_price"),
+            davg(rate("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# The flagship: "monthly department totals" — the query the reference
+# warehouse exists to serve (SURVEY §7 minimum slice). mktsegment plays
+# the department role, (year, month) the reporting period.
+# ---------------------------------------------------------------------------
+@query(
+    "monthly_segment_totals",
+    headline=True,
+    tags=("join", "agg", "date"),
+    oracle=f"""
+SELECT
+  EXTRACT(YEAR FROM o.o_orderdate) AS year,
+  EXTRACT(MONTH FROM o.o_orderdate) AS month,
+  c.c_mktsegment AS segment,
+  CAST(SUM({sql_money('l.l_extendedprice')} * (CAST(1.0 AS DECIMAL(2,1)) - {sql_rate('l.l_discount')})) AS DOUBLE) AS revenue,
+  COUNT(DISTINCT o.o_orderkey) AS n_orders
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""",
+)
+def monthly_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact × dim enrichment join + period aggregation (SURVEY §2.4 A2's
+    read side; the reference's (Year, Month, Department) grain)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    one = F.lit("1.0").cast("decimal(2,1)")
+    revenue = money("l_extendedprice") * (one - rate("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("year"),
+            F.month("o_orderdate").cast("long").alias("month"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            dsum(revenue).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy("year", "month", "segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way star join through two broadcast dims (region ← nation ← customer).
+# ---------------------------------------------------------------------------
+@query(
+    "region_revenue",
+    headline=True,
+    tags=("join", "broadcast", "agg"),
+    oracle=f"""
+SELECT
+  r.r_name AS region,
+  EXTRACT(YEAR FROM o.o_orderdate) AS year,
+  CAST(SUM({sql_money('l.l_extendedprice')} * (CAST(1.0 AS DECIMAL(2,1)) - {sql_rate('l.l_discount')})) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join; tiny dims broadcast so the only shuffle is the
+    fact-side lineitem⋈orders (at 100 TB: bucket both on orderkey)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    one = F.lit("1.0").cast("decimal(2,1)")
+    revenue = money("l_extendedprice") * (one - rate("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").cast("long").alias("year"),
+        )
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy("region", "year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join matrix: semi / anti / full outer. The anti-join is the reference's
+# missing-GL QA semantic in disguise (SURVEY §2.3: P6 ≡ LEFT ANTI JOIN).
+# ---------------------------------------------------------------------------
+@query(
+    "customers_with_big_orders_semi",
+    tags=("join", "semi"),
+    oracle="""
+SELECT c.c_custkey AS custkey, c.c_name AS name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0
+)
+ORDER BY custkey
+""",
+)
+def customers_with_big_orders_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — existence probe without row duplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 200000.0)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "customers_without_orders_anti",
+    tags=("join", "anti", "qa"),
+    oracle="""
+SELECT c.c_custkey AS custkey, c.c_name AS name, c.c_mktsegment AS segment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+ORDER BY custkey
+""",
+)
+def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join — the missing-dim QA filter (reference
+    build_warehouse.py:203 / Code.gs:296) generalized."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "customer_order_full_outer",
+    tags=("join", "outer"),
+    oracle=f"""
+WITH per_cust AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM({sql_money('o_totalprice')}) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT
+  COALESCE(c.c_custkey, p.o_custkey) AS custkey,
+  c.c_name AS name,
+  COALESCE(p.n_orders, 0) AS n_orders,
+  COALESCE(p.total_spend, 0.0) AS total_spend
+FROM customer c
+FULL OUTER JOIN per_cust p ON c.c_custkey = p.o_custkey
+ORDER BY custkey
+""",
+)
+def customer_order_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of a dim against a pre-aggregated fact — catches
+    both unmatched dim rows and orphan fact keys in one pass."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(money("o_totalprice")).alias("total_spend"),
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "full_outer")
+        .select(
+            F.coalesce(c.c_custkey, per_cust.o_custkey).alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical subtotals — the balance sheet's TOTAL CASH / TOTAL CURRENT
+# ASSETS / TOTAL ASSETS rows are a ROLLUP (SURVEY §2.4 commentary).
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_flag_status",
+    tags=("agg", "rollup"),
+    oracle=f"""
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(l_linestatus, 'ALL') AS linestatus,
+  CAST(SUM({M_PRICE}) AS DOUBLE) AS total_price,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+)
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — grand total + per-flag subtotals + leaf groups, one shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum(money("l_extendedprice")).alias("total_price"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "total_price",
+            "n_rows",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "cube_brand_size",
+    tags=("agg", "cube"),
+    oracle=f"""
+SELECT
+  COALESCE(p_brand, 'ALL') AS brand,
+  COALESCE(CAST(p_size % 5 AS VARCHAR), 'ALL') AS size_mod,
+  CAST(SUM({sql_money('p_retailprice')}) AS DOUBLE) AS total_retail,
+  COUNT(*) AS n_parts
+FROM part
+GROUP BY CUBE (p_brand, p_size % 5)
+ORDER BY brand, size_mod
+""",
+)
+def cube_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^k grouping-set combinations in one pass."""
+    p = load_table(spark, sf_dir, "part").withColumn(
+        "size_mod_raw", (F.col("p_size") % 5).cast("string")
+    )
+    return (
+        p.cube("p_brand", "size_mod_raw")
+        .agg(dsum(money("p_retailprice")).alias("total_retail"),
+             F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce("size_mod_raw", F.lit("ALL")).alias("size_mod"),
+            "total_retail",
+            "n_parts",
+        )
+        .orderBy("brand", "size_mod")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct / approx-distinct (SURVEY §2.10).
+# ---------------------------------------------------------------------------
+@query(
+    "distinct_counts_per_segment",
+    tags=("agg", "distinct"),
+    oracle="""
+SELECT
+  c_mktsegment AS segment,
+  COUNT(DISTINCT c_nationkey) AS n_nations,
+  COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY segment
+""",
+)
+def distinct_counts_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — expands to a two-stage partial agg in Spark."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query("approx_distinct_parts", tags=("agg", "approx"))
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx distinct — sketch-merge, no exact-distinct shuffle.
+    No SQL oracle (engine-specific sketch); driver does a rows-only check.
+    At 100 TB this replaces exact distinct wherever ±2% is tolerable."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.8 target additions).
+# ---------------------------------------------------------------------------
+@query(
+    "set_intersect_buyers",
+    tags=("setop",),
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+ORDER BY custkey
+""",
+)
+def set_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two filtered projections."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    y96 = o.where(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    return y95.intersect(y96).orderBy("custkey")
+
+
+@query(
+    "set_except_churned",
+    tags=("setop",),
+    oracle="""
+SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+ORDER BY custkey
+""",
+)
+def set_except_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — 1995 buyers who placed nothing in 1996."""
+    o = load_table(spark, sf_dir, "orders")
+    y95 = o.where(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
+    y96 = o.where(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    return y95.exceptAll(y96.distinct()).distinct().orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# Global sort + limit (SURVEY §2.7 O1/O3).
+# ---------------------------------------------------------------------------
+@query(
+    "top10_orders_global",
+    tags=("sort", "limit"),
+    oracle="""
+SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_totalprice AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+)
+def top10_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge, no full sort at any scale. Tie-break on key
+    keeps it deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (long → wide; the reference's month-name columns in reports).
+# ---------------------------------------------------------------------------
+@query(
+    "pivot_returnflag_by_year",
+    tags=("pivot", "agg"),
+    oracle=f"""
+SELECT
+  EXTRACT(YEAR FROM o.o_orderdate) AS year,
+  CAST(SUM(CASE WHEN l.l_returnflag = 'A' THEN {sql_money('l.l_extendedprice')} END) AS DOUBLE) AS flag_a,
+  CAST(SUM(CASE WHEN l.l_returnflag = 'N' THEN {sql_money('l.l_extendedprice')} END) AS DOUBLE) AS flag_n,
+  CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN {sql_money('l.l_extendedprice')} END) AS DOUBLE) AS flag_r
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+ORDER BY year
+""",
+)
+def pivot_returnflag_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct-values job)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("year"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum(money("l_extendedprice")))
+        .select(
+            "year",
+            F.col("A").alias("flag_a"),
+            F.col("N").alias("flag_n"),
+            F.col("R").alias("flag_r"),
+        )
+        .orderBy("year")
+    )

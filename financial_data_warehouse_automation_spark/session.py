@@ -1,0 +1,52 @@
+"""SparkSession factory tuned for this harness and for scale-out.
+
+Local harness: one JVM, ``local[$SPARK_GRAFT_CPUS]`` threads. The same
+configs are the right defaults on a real cluster: AQE for runtime
+re-planning (partition coalescing, skew-join splitting, join-strategy
+switch), Arrow for any pandas exchange, UTC session time so parquet
+timestamps compare deterministically against external oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def get_spark(app_name: str = "financial_data_warehouse_automation_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    ``spark.sql.shuffle.partitions`` is sized to the executor-thread
+    count: at 100 TB on a 1000-executor cluster this knob is instead
+    left to AQE (``coalescePartitions``) with a high initial value; on
+    local[N] a small fixed value avoids tiny-partition overhead.
+    """
+    n = cpu_count()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
