@@ -1,0 +1,54 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line the driver parses into BENCH_r{N}.json.
+
+Timing methodology: each query is built lazily and forced with a
+count-shaped action (``df.foreach(noop)`` would skip the final project;
+``collect()`` is fine — headline results are small aggregates). One
+warm-up pass primes parquet footers / JVM JIT; the reported time is the
+best of ``BENCH_REPS`` timed passes (min, not mean — GC noise only adds).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from financial_data_warehouse_automation_spark.registry import load_all
+    from financial_data_warehouse_automation_spark.session import get_spark, sf_dir
+
+    reps = int(os.environ.get("BENCH_REPS", "2"))
+    d = sf_dir()
+    sf = d.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    specs = {n: s for n, s in load_all().items() if s.headline}
+    timings: dict[str, float] = {}
+    for name, spec in specs.items():
+        spec.builder(spark, d).collect()  # warm-up
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            spec.builder(spark, d).collect()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -147,6 +147,13 @@ def resolve_columns(
     Driver-side schema resolution for the GL dimension ingest
     (build_warehouse.py:60-76; Code.gs:147-154). Returns
     ``{role: matched_header_or_None}``; first match wins per role.
+
+    Deliberate divergence from the reference: build_warehouse.py:60-76
+    reassigns on every hit (last-match-wins) because its loop has no
+    None guard. First-match-wins is chosen here as the deterministic,
+    position-stable semantic (leftmost column claims the role); the
+    extra synonyms (``gl#``, ``gl group``) widen coverage of real-world
+    header spellings beyond the Python reference's set.
     """
     if synonym_sets is None:
         synonym_sets = {

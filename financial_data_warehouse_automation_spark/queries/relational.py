@@ -46,7 +46,7 @@ SELECT
   CAST(SUM({M_QTY}) AS DOUBLE) AS sum_qty,
   CAST(SUM({M_PRICE}) AS DOUBLE) AS sum_base_price,
   CAST(SUM({M_PRICE} * (CAST(1.0 AS DECIMAL(2,1)) - {R_DISC})) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(({M_PRICE} * (CAST(1.0 AS DECIMAL(2,1)) - {R_DISC})) * (CAST(1.0 AS DECIMAL(2,1)) + {R_TAX})) AS DOUBLE) AS sum_charge,
+  CAST(ROUND(SUM(({M_PRICE} * (CAST(1.0 AS DECIMAL(2,1)) - {R_DISC})) * (CAST(1.0 AS DECIMAL(2,1)) + {R_TAX})), 2) AS DOUBLE) AS sum_charge,
   CAST(SUM({M_QTY}) AS DOUBLE) / COUNT(*) AS avg_qty,
   CAST(SUM({M_PRICE}) AS DOUBLE) / COUNT(*) AS avg_price,
   CAST(SUM({R_DISC}) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -70,7 +70,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(money("l_quantity")).alias("sum_qty"),
             dsum(money("l_extendedprice")).alias("sum_base_price"),
             dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
+            # ROUND the scale-10 decimal sum to scale 2 before the double
+            # cast: both engines round half-away-from-zero in ROUND, and a
+            # scale-2 decimal converts to double exactly — the r1 1-ulp
+            # divergence came from DuckDB's inexact scale-10→double path
+            # (and a plain decimal downcast won't do: DuckDB truncates it).
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             davg(money("l_quantity")).alias("avg_qty"),
             davg(money("l_extendedprice")).alias("avg_price"),
             davg(rate("l_discount")).alias("avg_disc"),
@@ -113,7 +118,9 @@ def monthly_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = money("l_extendedprice") * (one - rate("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # no broadcast hint on customer: multi-GB at 100 TB scale; AQE
+        # picks broadcast at small SFs on its own (VERDICT r1 #6).
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.year("o_orderdate").cast("long").alias("year"),
             F.month("o_orderdate").cast("long").alias("month"),
@@ -160,7 +167,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = money("l_extendedprice") * (one - rate("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # AQE decides; not broadcastable at 100 TB
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(
@@ -206,15 +213,20 @@ def customers_with_big_orders_semi(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
 SELECT c.c_custkey AS custkey, c.c_name AS name, c.c_mktsegment AS segment
 FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND EXTRACT(YEAR FROM o.o_orderdate) = 1995
+)
 ORDER BY custkey
 """,
 )
 def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join — the missing-dim QA filter (reference
-    build_warehouse.py:203 / Code.gs:296) generalized."""
+    build_warehouse.py:203 / Code.gs:296) generalized. Probes against
+    the 1995 order subset so the expected result is non-empty (every
+    customer has *some* order in this data — VERDICT r1 #5)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(F.year("o_orderdate") == 1995)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select(
@@ -415,7 +427,7 @@ def set_except_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     y95 = o.where(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
     y96 = o.where(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
-    return y95.exceptAll(y96.distinct()).distinct().orderBy("custkey")
+    return y95.subtract(y96).orderBy("custkey")
 
 
 # ---------------------------------------------------------------------------

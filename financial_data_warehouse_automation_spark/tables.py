@@ -14,10 +14,11 @@ TABLE_NAMES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-# Dimensions small enough to broadcast at any scale factor the harness
-# uses; at 100 TB `customer`/`part`/`supplier` stop being broadcastable
-# and AQE's sort-merge→broadcast switch plus bucketing take over.
-SMALL_DIMS = ("region", "nation", "supplier", "part", "customer")
+# Dimensions small enough to broadcast at ANY scale (region/nation are
+# bounded-cardinality). customer/part/supplier grow with SF — multi-GB
+# at 100 TB — so they get NO forced hint; AQE's sort-merge→broadcast
+# switch handles them when they happen to be small.
+SMALL_DIMS = ("region", "nation")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
