@@ -1,0 +1,300 @@
+"""Window/analytic operators (SURVEY.md §2.6 W4/W5, §2.10 ranking band).
+
+The reference's keep-last upsert is a window in disguise
+(build_warehouse.py:167 ``keep="last"`` ≡ W4 row_number-by-recency), and
+the sample warehouse's ``YTD`` column (Final!L) is a cumulative window
+sum (W5). Everything here is native ``Window`` spec — one shuffle on the
+partition key, no Python. At 100 TB the partition keys (custkey,
+segment, year) are high-cardinality or low-skew, so the shuffle scales;
+none of these windows are unpartitioned (a global ORDER BY window would
+serialize on one task — deliberately avoided).
+
+Determinism: ORDER BY keys always extend to a unique tie-break
+(orderkey) so ROWS frames agree between engines; sums run over exact
+decimals (see registry.py rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from financial_data_warehouse_automation_spark.queries._helpers import money, sql_money
+from financial_data_warehouse_automation_spark.registry import query
+from financial_data_warehouse_automation_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# W5 — YTD running total: the sample warehouse's Final!L column
+# (cumulative Amount within (GL, Dept, Year) by month) re-expressed over
+# the driver tables as revenue per (custkey, year) cumulative by month.
+# ---------------------------------------------------------------------------
+@query(
+    "ytd_running_total",
+    tags=("window", "ytd"),
+    oracle=f"""
+WITH monthly AS (
+  SELECT o_custkey AS custkey,
+         EXTRACT(YEAR FROM o_orderdate) AS year,
+         EXTRACT(MONTH FROM o_orderdate) AS month,
+         CAST(SUM({sql_money('o_totalprice')}) AS DOUBLE) AS month_spend
+  FROM orders
+  GROUP BY 1, 2, 3
+)
+SELECT custkey, year, month, month_spend,
+       CAST(SUM(month_spend) OVER (
+         PARTITION BY custkey, year ORDER BY month
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS ytd_spend
+FROM monthly
+WHERE custkey % 100 = 0
+ORDER BY custkey, year, month
+""",
+)
+def ytd_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: pre-aggregate to (custkey, year, month) grain, then cumulative
+    sum — the pre-agg makes every window row unique so the ROWS frame is
+    deterministic. (Double addition over the already-exact month sums is
+    order-defined by the frame, hence engine-stable.)"""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.year("o_orderdate").cast("long").alias("year"),
+            F.month("o_orderdate").cast("long").alias("month"),
+        )
+        .agg(F.sum(money("o_totalprice")).cast("double").alias("month_spend"))
+    )
+    w = (
+        Window.partitionBy("custkey", "year")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        monthly.withColumn("ytd_spend", F.sum("month_spend").over(w).cast("double"))
+        .where(F.col("custkey") % 100 == 0)
+        .orderBy("custkey", "year", "month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking trio — row_number / rank / dense_rank per customer.
+# ---------------------------------------------------------------------------
+@query(
+    "rank_orders_per_customer",
+    tags=("window", "rank"),
+    oracle="""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk
+FROM orders
+WHERE o_custkey % 200 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY custkey, rn
+""",
+)
+def rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank share one window spec → one shuffle +
+    one sort; the orderkey tie-break makes row_number deterministic."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 200 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .orderBy("custkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lag / lead — month-over-month revenue deltas per segment.
+# ---------------------------------------------------------------------------
+@query(
+    "lag_lead_segment_revenue",
+    tags=("window", "lag"),
+    oracle=f"""
+WITH monthly AS (
+  SELECT c.c_mktsegment AS segment,
+         EXTRACT(YEAR FROM o.o_orderdate) AS year,
+         EXTRACT(MONTH FROM o.o_orderdate) AS month,
+         CAST(SUM({sql_money('o.o_totalprice')}) AS DOUBLE) AS revenue
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT segment, year, month, revenue,
+       LAG(revenue) OVER w AS prev_revenue,
+       LEAD(revenue) OVER w AS next_revenue,
+       revenue - COALESCE(LAG(revenue) OVER w, 0.0) AS mom_delta
+FROM monthly
+WINDOW w AS (PARTITION BY segment ORDER BY year, month)
+ORDER BY segment, year, month
+""",
+)
+def lag_lead_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over a pre-aggregated monthly series (unique rows per
+    partition+order key → deterministic offsets)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("long").alias("year"),
+            F.month("o_orderdate").cast("long").alias("month"),
+        )
+        .agg(F.sum(money("o_totalprice")).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("segment").orderBy("year", "month")
+    return (
+        monthly.select(
+            "segment", "year", "month", "revenue",
+            F.lag("revenue").over(w).alias("prev_revenue"),
+            F.lead("revenue").over(w).alias("next_revenue"),
+            (F.col("revenue") - F.coalesce(F.lag("revenue").over(w), F.lit(0.0))).alias("mom_delta"),
+        )
+        .orderBy("segment", "year", "month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Moving average — trailing 3-month window per segment.
+# ---------------------------------------------------------------------------
+@query(
+    "moving_avg_3m_segment",
+    tags=("window", "movavg"),
+    oracle=f"""
+WITH monthly AS (
+  SELECT c.c_mktsegment AS segment,
+         EXTRACT(YEAR FROM o.o_orderdate) AS year,
+         EXTRACT(MONTH FROM o.o_orderdate) AS month,
+         SUM({sql_money('o.o_totalprice')}) AS revenue_dec
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2, 3
+)
+SELECT segment, year, month,
+       CAST(revenue_dec AS DOUBLE) AS revenue,
+       CAST(SUM(revenue_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_3m
+FROM monthly
+WINDOW w AS (PARTITION BY segment ORDER BY year, month
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY segment, year, month
+""",
+)
+def moving_avg_3m_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 3-row mean, computed as exact-decimal window SUM divided
+    by window COUNT in double (AVG result scales differ between engines;
+    the sum/count split is bit-stable — registry.py rules)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").cast("long").alias("year"),
+            F.month("o_orderdate").cast("long").alias("month"),
+        )
+        .agg(F.sum(money("o_totalprice")).alias("revenue_dec"))
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("year", "month")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        monthly.select(
+            "segment", "year", "month",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            (F.sum("revenue_dec").over(w).cast("double")
+             / F.count(F.lit(1)).over(w)).alias("avg_3m"),
+        )
+        .orderBy("segment", "year", "month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group — §2.10's per-group variant of O3.
+# ---------------------------------------------------------------------------
+@query(
+    "top3_orders_per_segment",
+    tags=("window", "topk"),
+    oracle="""
+SELECT segment, orderkey, totalprice, rn
+FROM (
+  SELECT c.c_mktsegment AS segment, o.o_orderkey AS orderkey,
+         o.o_totalprice AS totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+WHERE rn <= 3
+ORDER BY segment, rn
+""",
+)
+def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number ≤ k per group. Spark pushes a per-partition rank limit
+    (WindowGroupLimit) below the shuffle, so each map task only keeps k
+    rows per group — the 100 TB-safe formulation of per-group top-k."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("segment", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — keep-last-per-key as a window: the reference's upsert dedupe
+# (build_warehouse.py:167, Code.gs:271-273) in its oracle-checkable form.
+# ---------------------------------------------------------------------------
+@query(
+    "latest_order_per_customer",
+    tags=("window", "keep-last", "w4"),
+    oracle="""
+SELECT custkey, orderkey, orderdate, totalprice
+FROM (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+         CAST(o_orderdate AS DATE) AS orderdate, o_totalprice AS totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+WHERE rn = 1
+ORDER BY custkey
+""",
+)
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 keep-last: row_number by recency (orderkey desc tie-break) = 1.
+    This exact shape is the A2 upsert's dedupe step (warehouse module)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("custkey")
+    )
