@@ -18,5 +18,6 @@ Each module covers one band of the SURVEY.md §2 inventory:
 
 from financial_data_warehouse_automation_spark.queries import (  # noqa: F401
     relational,
+    warehouse,
     windows,
 )

@@ -1,0 +1,164 @@
+"""Warehouse-semantics queries: the reference's A1/A2/A3 operators
+instantiated over the driver tables for the oracle harness.
+
+The operator implementations live in ``operators/warehouse.py``; these
+queries bind them to orders/customer/part data so the driver can
+hash-check them against DuckDB. The run-twice idempotency fixed point
+(SURVEY §2.11 D4) is asserted in ``tests/test_warehouse_ops.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financial_data_warehouse_automation_spark.operators.warehouse import (
+    dedupe_keep_first,
+    qa_ledger_merge,
+    upsert_keep_last,
+)
+from financial_data_warehouse_automation_spark.queries._helpers import money, sql_money
+from financial_data_warehouse_automation_spark.registry import query
+from financial_data_warehouse_automation_spark.tables import load_table
+
+
+def _monthly_spend(o: DataFrame, src: str) -> DataFrame:
+    return o.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").cast("long").alias("year"),
+        F.month("o_orderdate").cast("long").alias("month"),
+    ).agg(
+        F.sum(money("o_totalprice")).cast("double").alias("amount"),
+        F.lit(src).alias("src"),
+    )
+
+
+_MONTHLY_SQL = """
+  SELECT o_custkey AS custkey,
+         EXTRACT(YEAR FROM o_orderdate) AS year,
+         EXTRACT(MONTH FROM o_orderdate) AS month,
+         CAST(SUM({money}) AS DOUBLE) AS amount,
+         '{src}' AS src
+  FROM orders WHERE {pred}
+  GROUP BY 1, 2, 3
+""".strip()
+
+
+@query(
+    "upsert_keep_last",
+    tags=("warehouse", "upsert", "a2"),
+    oracle=f"""
+WITH existing AS (
+  {_MONTHLY_SQL.format(money=sql_money('o_totalprice'), src='old',
+                       pred="o_orderdate < TIMESTAMP '1996-01-01'")}
+), updates AS (
+  {_MONTHLY_SQL.format(money=sql_money('o_totalprice'), src='new',
+                       pred="EXTRACT(YEAR FROM o_orderdate) >= 1995")}
+), unioned AS (
+  SELECT *, 0 AS pri FROM existing
+  UNION ALL
+  SELECT *, 1 AS pri FROM updates
+)
+SELECT custkey, year, month, amount, src
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey, year, month
+                               ORDER BY pri DESC) AS rn
+  FROM unioned
+)
+WHERE rn = 1
+ORDER BY custkey, year, month
+""",
+)
+def upsert_keep_last_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: 'existing' warehouse (loads through 1995) upserted with a
+    re-delivered 1995+ batch — overlapping keys (year 1995) must come
+    out with src='new', proving last-write-wins; the src column is in
+    the hash so a wrong survivor fails loudly."""
+    o = load_table(spark, sf_dir, "orders")
+    existing = _monthly_spend(
+        o.where(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")), "old"
+    )
+    updates = _monthly_spend(o.where(F.year("o_orderdate") >= 1995), "new")
+    merged = upsert_keep_last(existing, updates, ["custkey", "year", "month"])
+    return merged.orderBy("custkey", "year", "month")
+
+
+@query(
+    "dim_dedupe_first",
+    tags=("warehouse", "dedupe", "a1"),
+    oracle="""
+SELECT brand, container, partkey, name
+FROM (
+  SELECT p_brand AS brand, p_type AS container,
+         p_partkey AS partkey, p_name AS name,
+         ROW_NUMBER() OVER (PARTITION BY p_brand, p_type
+                            ORDER BY p_partkey) AS rn
+  FROM part
+)
+WHERE rn = 1
+ORDER BY brand, container
+""",
+)
+def dim_dedupe_first_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: deterministic keep-first dedupe of a dirty dimension —
+    (brand, container) plays the GL-code key, lowest partkey is 'first'
+    (the reference's file order made explicit; §2.11 D5)."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("container"),
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_name").alias("name"),
+    )
+    return dedupe_keep_first(
+        p, ["brand", "container"], [F.asc("partkey")]
+    ).orderBy("brand", "container")
+
+
+@query(
+    "qa_ledger_transitions",
+    tags=("warehouse", "qa", "a3", "stateful"),
+    oracle="""
+WITH ledger AS (
+  SELECT c_custkey AS custkey, 'Open' AS status, DATE '1996-01-01' AS last_seen
+  FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND EXTRACT(YEAR FROM o.o_orderdate) = 1995)
+), misses AS (
+  SELECT c_custkey AS custkey FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND EXTRACT(YEAR FROM o.o_orderdate) = 1996)
+)
+SELECT COALESCE(m.custkey, l.custkey) AS custkey,
+       CASE WHEN m.custkey IS NOT NULL THEN 'Open' ELSE 'Resolved' END AS status,
+       CASE WHEN m.custkey IS NOT NULL THEN DATE '1997-01-01'
+            ELSE l.last_seen END AS last_seen
+FROM misses m FULL OUTER JOIN ledger l ON m.custkey = l.custkey
+ORDER BY custkey
+""",
+)
+def qa_ledger_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: Open/Resolved lifecycle. Ledger = customers inactive in 1995
+    (the 'missing GL codes' of the driver schema); current misses =
+    customers inactive in 1996. Keys present only in the ledger flip to
+    Resolved and keep their old last_seen; active misses stamp the new
+    run date — exactly Code.gs:283-317's transitions."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    def inactive_in(year: int) -> DataFrame:
+        yr = o.where(F.year("o_orderdate") == year)
+        return c.join(yr, c.c_custkey == yr.o_custkey, "left_anti").select(
+            F.col("c_custkey").alias("custkey")
+        )
+
+    ledger = inactive_in(1995).select(
+        "custkey",
+        F.lit("Open").alias("status"),
+        F.lit("1996-01-01").cast("date").alias("last_seen"),
+    )
+    misses = inactive_in(1996)
+    merged = qa_ledger_merge(
+        ledger, misses, ["custkey"],
+        seen_col=F.lit("1997-01-01").cast("date"),
+    )
+    return merged.orderBy("custkey")
