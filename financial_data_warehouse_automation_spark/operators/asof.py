@@ -1,0 +1,77 @@
+"""As-of (most-recent-match) join — a SURVEY §2.10 target operator the
+reference lacks and Spark has no built-in for.
+
+Implemented as the *merge* formulation, not join-then-filter:
+
+    union(left probes, right quotes) sorted by (key, ts)
+    → last(right payload IGNORE NULLS) over a running window
+    → keep probe rows
+
+One shuffle on the key, no row explosion: the naive
+``join ON key AND r.ts <= l.ts`` + ``row_number`` produces |L|×|matching R|
+intermediate rows (quadratic for hot keys) — at 100 TB the merge form is
+the difference between a linear sort-merge pass and an OOM. Equal
+timestamps: the right row sorts *before* the probe (ties-include
+semantics, ``ts_right <= ts_left``), matching SQL ASOF / DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_TS = "_asof_ts"
+_SIDE = "_asof_side"       # 0 = right (quote), 1 = left (probe)
+_PAYLOAD = "_asof_payload"
+
+
+def asof_join_last(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: Column,
+    right_ts: Column,
+    right_cols: Sequence[str],
+    right_tie_break: Sequence[Column] = (),
+) -> DataFrame:
+    """For each left row, attach ``right_cols`` from the latest right row
+    of the same ``on`` key with ``right_ts <= left_ts`` (NULLs when no
+    such row — left-outer semantics).
+
+    ``right_tie_break``: ordering among right rows sharing (key, ts);
+    the *last* under this ordering wins (pass e.g. ``[F.asc("id")]`` to
+    make the max-id row win deterministically). The payload travels as
+    one struct so all columns come from the same winning row.
+    """
+    lcols = left.columns
+    l_side = left.select(
+        *lcols,
+        left_ts.alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.lit(None).cast(
+            right.select(F.struct(*right_cols).alias(_PAYLOAD)).schema[_PAYLOAD].dataType
+        ).alias(_PAYLOAD),
+    )
+    r_side = right.select(
+        *[F.col(k) for k in on],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        right_ts.alias(_TS),
+        F.lit(0).alias(_SIDE),
+        F.struct(*right_cols).alias(_PAYLOAD),
+    ).select(*lcols, _TS, _SIDE, _PAYLOAD)
+
+    unioned = l_side.unionByName(r_side)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.asc(_TS), F.asc(_SIDE), *right_tie_break)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        _PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w)
+    )
+    return (
+        matched.where(F.col(_SIDE) == 1)
+        .select(*lcols, *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in right_cols])
+    )

@@ -1,0 +1,260 @@
+"""Event-stream queries: date/time functions, JSON extraction, tumbling
+windows, sessionization, as-of join (SURVEY §2.10 date/JSON/window band).
+
+The ``events`` table (event_id, ts, user_id, event_type, value, props)
+is the driver's stand-in for a stream; everything here is the *batch*
+form of the streaming wrapper in ``streaming/`` (same expressions run
+under ``readStream`` — tumbling windows via ``F.window`` are
+watermark-compatible as-is).
+
+Determinism: timestamps never appear raw in final schemas — bucketed
+epochs (BIGINT) and DATE columns only (registry.py rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from financial_data_warehouse_automation_spark.operators.asof import asof_join_last
+from financial_data_warehouse_automation_spark.queries._helpers import money, sql_money
+from financial_data_warehouse_automation_spark.registry import query
+from financial_data_warehouse_automation_spark.tables import load_table
+
+
+@query(
+    "events_daily_stats",
+    tags=("events", "date", "agg"),
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+""",
+)
+def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc to day grain + per-type counts/distincts/sums — the
+    'daily dashboard' aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+@query(
+    "events_json_extract",
+    tags=("events", "json"),
+    oracle="""
+SELECT event_type,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS max_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the props JSON-string column (SURVEY §2.10);
+    integer aggregation keeps the hash exact."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.min(k).cast("long").alias("min_k"),
+            F.max(k).cast("long").alias("max_k"),
+            F.sum(k).cast("long").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_tumbling_15min",
+    tags=("events", "window", "tumbling"),
+    oracle="""
+SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts)) AS BIGINT) AS bucket_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1
+ORDER BY bucket_start
+""",
+)
+def events_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window via F.window — the exact expression a
+    streaming job uses after withWatermark; emitted as epoch seconds
+    (both engines align 15-min buckets to the epoch grid)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("bucket_start")
+    )
+
+
+@query(
+    "events_sessionization_30min",
+    tags=("events", "window", "session"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       epoch_us(MIN(ts)) AS session_start,
+       epoch_us(MAX(ts)) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def events_sessionization_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → new-session
+    flag → running sum = session id. The batch equivalent of
+    session_window(ts, '30 minutes'); expressed via plain windows so the
+    DuckDB oracle can replicate it bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("session_start"),
+            F.max(F.unix_micros("ts")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "events_asof_last_order",
+    tags=("events", "asof", "join", "interval"),
+    oracle="""
+WITH probes AS (
+  SELECT event_id, user_id, ts - INTERVAL 30 YEAR AS probe_ts
+  FROM events WHERE event_type = 'purchase'
+), quotes AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ots, MAX(o_orderkey) AS last_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id,
+       epoch_us(p.probe_ts) AS probe_epoch,
+       q.last_orderkey,
+       CAST(q.ots AS DATE) AS last_orderdate
+FROM probes p ASOF LEFT JOIN quotes q
+  ON p.user_id = q.user_id AND p.probe_ts >= q.ots
+ORDER BY event_id
+""",
+)
+def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (merge formulation, operators/asof.py): each purchase
+    event — shifted 30 years back into the orders era (interval
+    arithmetic) — picks up the user's most recent order at that instant.
+    Right side pre-deduped per (key, ts) so ties are well-defined in
+    both engines."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    probes = e.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 30 YEARS")).alias("probe_ts"),
+    )
+    quotes = o.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ots"),
+    ).agg(F.max("o_orderkey").alias("last_orderkey"))
+    joined = asof_join_last(
+        probes,
+        quotes.withColumn("last_orderdate", F.col("ots").cast("date")),
+        on=["user_id"],
+        left_ts=F.col("probe_ts"),
+        right_ts=F.col("ots"),
+        right_cols=["last_orderkey", "last_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("probe_ts").alias("probe_epoch"),
+        "last_orderkey",
+        "last_orderdate",
+    ).orderBy("event_id")
+
+
+@query(
+    "order_date_parts",
+    tags=("date", "functions"),
+    oracle="""
+SELECT EXTRACT(YEAR FROM o_orderdate) AS year,
+       EXTRACT(QUARTER FROM o_orderdate) AS quarter,
+       EXTRACT(DOW FROM o_orderdate) AS dow,
+       COUNT(*) AS n_orders,
+       CAST(MIN(CAST(o_orderdate AS DATE) + 90) AS DATE) AS min_due,
+       CAST(MAX(date_trunc('month', o_orderdate)) AS DATE) AS max_month_start
+FROM orders
+GROUP BY 1, 2, 3
+ORDER BY year, quarter, dow
+""",
+)
+def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function breadth: extract year/quarter/day-of-week, date
+    arithmetic (+90 days), month truncation. Spark's dayofweek is
+    1=Sunday vs DuckDB DOW 0=Sunday — normalized here."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("year"),
+            F.quarter("o_orderdate").cast("long").alias("quarter"),
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min(F.date_add(F.col("o_orderdate").cast("date"), 90)).alias("min_due"),
+            F.max(F.date_trunc("month", "o_orderdate").cast("date")).alias("max_month_start"),
+        )
+        .orderBy("year", "quarter", "dow")
+    )
