@@ -1,0 +1,195 @@
+"""Text-analysis / dedup operators for LLM data pipelines (SURVEY §2.10).
+
+Everything is built from native column expressions and higher-order
+functions — tokenization, shingling, MinHash, SimHash and fingerprints
+all run inside whole-stage codegen / vectorized exec with zero Python in
+the row path, so the same code scales from the 500-doc harness table to
+a 100 TB corpus (the only shuffles are the documented groupBys/joins).
+
+Dedup strategy ladder (cheapest first):
+  1. exact       — md5 of normalized text, groupBy key          (1 shuffle)
+  2. fingerprint — rolling-hash (winnowing-lite) key, groupBy   (1 shuffle)
+  3. MinHash+LSH — banded signature join: only same-bucket pairs
+     are compared, never all-pairs                              (2 shuffles)
+  4. SimHash     — 64-bit near-dup sketch, bucket by band       (1 shuffle)
+Brute-force token-set Jaccard exists as the small-scale correctness
+anchor for 3 (oracle-checked at sf0.01) — it is O(n²) and must never
+run on a full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small english function-word set for quality / language heuristics.
+EN_STOPWORDS = (
+    "the", "a", "an", "of", "and", "to", "in", "is", "on", "for",
+    "with", "as", "by", "at", "or", "be", "this", "that", "it", "are",
+)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (already-normalized corpora)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def norm_text(col: Column | str) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, strip
+    non-alphanumerics (the canonical key for exact dedup)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token counting with a BPE-ish regex: word pieces, digits, and
+    stray symbols each count once — a cheap LLM-token estimator."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"), 0))
+
+
+def stopword_ratio(toks: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are function words — the core of both the
+    quality score and the language heuristic."""
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_len(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def word_shingles(toks: Column, n: int) -> Column:
+    """Word n-gram shingles: ``transform(sequence(...))`` over the token
+    array — no explode needed until the caller wants one row per
+    shingle. Docs shorter than ``n`` tokens yield a single shingle of
+    whatever is there (so they still participate in dedup)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# Deterministic permutation parameters: odd multipliers + offsets over
+# a 31-bit fold of xxhash64. Operands are bounded (a < 2^8, h' < 2^31,
+# b < 2^60) so the expression can never overflow int64 — ANSI mode
+# (Spark 4 default) turns silent wrap-around into a job-killing error.
+def _perm(h: Column, i: int) -> Column:
+    h31 = F.pmod(h, F.lit(1 << 31))
+    return h31 * F.lit(2 * i + 1) + F.lit((0x9E3779B97F4A7C15 * (i + 1)) % (1 << 60))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, shingle_arr: Column, k: int = 64
+) -> DataFrame:
+    """doc → k-wide MinHash signature (array<long>).
+
+    Explodes shingles once, then one hash-aggregate computes all k mins
+    map-side-combined — the shuffle carries k longs per doc, not the
+    shingle set.
+    """
+    ex = df.select(F.col(id_col), F.explode(shingle_arr).alias("_sh"))
+    h = F.xxhash64("_sh")
+    mins = [F.min(_perm(h, i)).alias(f"_m{i}") for i in range(k)]
+    agg = ex.groupBy(id_col).agg(*mins)
+    return agg.select(
+        F.col(id_col), F.array(*[f"_m{i}" for i in range(k)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Banded LSH: hash each r-row slice of the signature; docs agreeing
+    on any band become a candidate pair. Self-join runs per
+    (band_idx, band_hash) bucket — never all-pairs. Returns distinct
+    (id_a, id_b) with id_a < id_b."""
+    b = sig_df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(",", *[
+                            F.element_at("signature", i * rows + j + 1)
+                            for j in range(rows)
+                        ])
+                    ).alias("band_hash"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    left = b.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    right = b.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(tok_a: Column, tok_b: Column) -> Column:
+    """Exact token-set Jaccard via array HOFs (distinct semantics)."""
+    inter = F.size(F.array_intersect(tok_a, tok_b))
+    union = F.size(F.array_union(tok_a, tok_b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(toks: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over token xxhash64s, pure expressions: per bit,
+    majority vote of the token-hash bits. (Rows-only check — hash
+    algorithms are engine-specific.)"""
+    def bit_vote(i: int) -> Column:
+        votes = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1)
+               .otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1)).otherwise(F.lit(0))
+
+    out = F.lit(0).cast("long")
+    for i in range(bits - 1):  # top bit left clear: stay in signed range
+        out = out + F.shiftleft(bit_vote(i).cast("long"), i)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fingerprints
+# ---------------------------------------------------------------------------
+
+
+def rolling_min_fingerprint(col: Column | str, window: int = 16, stride: int = 4) -> Column:
+    """Winnowing-lite document fingerprint: lexicographic min of md5 over
+    sliding character windows. md5 (not xxhash64) so external engines
+    can replicate it bit-for-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_win = F.greatest(
+        ((F.length(c) - window) / stride).cast("int") + 1, F.lit(1)
+    )
+    idx = F.sequence(F.lit(0), n_win - 1)
+    return F.array_min(
+        F.transform(idx, lambda i: F.md5(c.substr(i * stride + 1, F.lit(window))))
+    )

@@ -1,0 +1,357 @@
+"""Text-analysis + dedup queries over ``documents`` (SURVEY §2.10 text
+band; operators in operators/text.py).
+
+The dedup ladder: exact (md5 key) → fingerprint (rolling hash) →
+MinHash-LSH (banded, never all-pairs) → SimHash sketch. Brute-force
+Jaccard runs on a 100-doc subset ONLY, as the oracle-checked anchor for
+LSH recall — the full-corpus path is always the banded join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from financial_data_warehouse_automation_spark.operators.text import (
+    EN_STOPWORDS,
+    bpe_ish_token_count,
+    jaccard,
+    lsh_candidate_pairs,
+    mean_token_len,
+    minhash_signatures,
+    norm_text,
+    rolling_min_fingerprint,
+    simhash64,
+    stopword_ratio,
+    tokens,
+    word_shingles,
+)
+from financial_data_warehouse_automation_spark.registry import query
+from financial_data_warehouse_automation_spark.tables import load_table
+
+_SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
+_SQL_SW = "[" + ", ".join(f"'{s}'" for s in EN_STOPWORDS) + "]"
+
+
+@query(
+    "doc_token_stats",
+    tags=("text", "tokens", "agg"),
+    oracle=f"""
+WITH t AS (
+  SELECT source, {_SQL_TOKS} AS toks, n_chars FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(list_distinct(toks))) AS BIGINT) AS total_unique_tokens,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM t GROUP BY source ORDER BY source
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize + per-source corpus stats (integer sums → exact hash)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return (
+        d.select(
+            "source",
+            F.size(toks).alias("nt"),
+            F.size(F.array_distinct(toks)).alias("nu"),
+            "n_chars",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum("nu").alias("total_unique_tokens"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "doc_top_bigrams",
+    tags=("text", "ngram", "topk"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), bg AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) u
+  WHERE len(toks) >= 2
+)
+SELECT bigram, COUNT(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+)
+def doc_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram frequency, global top-20 (count-desc, bigram tie-break
+    → deterministic). Shingling stays an array op until one explode."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return (
+        d.where(F.size(toks) >= 2)
+        .select(F.explode(word_shingles(toks, 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "doc_quality_scores",
+    tags=("text", "quality"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars, {_SQL_TOKS} AS toks FROM documents
+  WHERE doc_id % 10 = 0
+), m AS (
+  SELECT doc_id, n_chars,
+         len(toks) AS n_tokens,
+         CAST(len(list_filter(toks, x -> list_contains({_SQL_SW}, x))) AS DOUBLE)
+           / greatest(len(toks), 1) AS stop_ratio,
+         CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+           / greatest(len(toks), 1) AS mean_tok_len
+  FROM t
+)
+SELECT doc_id, n_chars, n_tokens, stop_ratio, mean_tok_len,
+       CASE WHEN n_tokens >= 30 AND stop_ratio >= 0.02 THEN 'keep'
+            WHEN n_tokens >= 10 THEN 'review'
+            ELSE 'drop' END AS bucket
+FROM m ORDER BY doc_id
+""",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality signals (length, stopword ratio, mean token
+    length) + keep/review/drop bucketing — each value is one exact
+    integer division, so doubles hash identically across engines."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    toks = tokens("text")
+    m = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        stopword_ratio(toks).alias("stop_ratio"),
+        mean_token_len(toks).alias("mean_tok_len"),
+    )
+    return m.select(
+        "*",
+        F.when((F.col("n_tokens") >= 30) & (F.col("stop_ratio") >= 0.02), "keep")
+        .when(F.col("n_tokens") >= 10, "review")
+        .otherwise("drop")
+        .alias("bucket"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_lang_id_agreement",
+    tags=("text", "langid"),
+    oracle=f"""
+WITH t AS (
+  SELECT lang, {_SQL_TOKS} AS toks FROM documents
+), g AS (
+  SELECT lang,
+         CASE WHEN CAST(len(list_filter(toks, x -> list_contains({_SQL_SW}, x))) AS DOUBLE)
+                   / greatest(len(toks), 1) >= 0.02
+              THEN 'en' ELSE 'und' END AS guess
+  FROM t
+)
+SELECT lang, guess, COUNT(*) AS n
+FROM g GROUP BY lang, guess ORDER BY lang, guess
+""",
+)
+def doc_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language heuristic vs the labeled ``lang``
+    column — confusion-matrix counts. (The synthetic corpus shares one
+    vocabulary across labels, so the heuristic's 'en' bias is itself the
+    tested behavior.)"""
+    d = load_table(spark, sf_dir, "documents")
+    guess = F.when(stopword_ratio(tokens("text")) >= 0.02, "en").otherwise("und")
+    return (
+        d.select("lang", guess.alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "guess")
+    )
+
+
+@query(
+    "doc_exact_dedup",
+    tags=("text", "dedup", "exact"),
+    oracle=r"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS dedup_key
+  FROM documents
+)
+SELECT doc_id, source, dedup_key
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY dedup_key ORDER BY doc_id) AS rn
+  FROM keyed
+)
+WHERE rn = 1
+ORDER BY doc_id
+""",
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 over normalized text, deterministic keep-lowest
+    doc_id per key (the A1 dedupe applied to a corpus). One shuffle on
+    the 128-bit key — the 100 TB workhorse."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "source", F.md5(norm_text("text")).alias("dedup_key")
+    )
+    w = Window.partitionBy("dedup_key").orderBy("doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_fingerprint_dedup",
+    tags=("text", "dedup", "fingerprint"),
+    oracle=r"""
+WITH fp AS (
+  SELECT doc_id,
+         list_min(list_transform(
+           generate_series(0, greatest(CAST((len(text) - 16) / 4 AS INTEGER) + 1, 1) - 1),
+           i -> md5(substring(text, i * 4 + 1, 16)))) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint, COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM fp
+GROUP BY fingerprint
+HAVING COUNT(*) > 1
+ORDER BY fingerprint
+""",
+)
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing-lite) fingerprint groups: docs sharing a
+    minimal sliding-window md5 — catches shared passages that exact
+    dedup misses; md5 keeps it engine-replicable."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        rolling_min_fingerprint("text", window=16, stride=4).alias("fingerprint"),
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+@query(
+    "doc_jaccard_pairs_brute",
+    tags=("text", "dedup", "jaccard", "brute"),
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, list_distinct({_SQL_TOKS}) AS toks FROM documents WHERE doc_id < 100
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+         / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1) AS jac
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+        / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def doc_jaccard_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force n-gram(1) Jaccard on a 100-doc subset — the
+    correctness anchor for the LSH path. All-pairs is O(n²): NEVER run
+    un-subsetted at scale (doc_jaccard LSH query is the scale path)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    t = d.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    jac = jaccard(F.col("ta"), F.col("tb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jac"))
+        .where(F.col("jac") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("doc_minhash_lsh_pairs", tags=("text", "dedup", "minhash", "lsh"))
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=64) + banded LSH (16 bands × 4 rows ⇒ ~0.5 Jaccard
+    threshold), candidates verified with exact Jaccard — the full-corpus
+    fuzzy-dedup path: shingle→signature (one agg) → band join (bucketed,
+    never all-pairs) → verify only candidates. Rows-only check (hash
+    permutations are engine-specific); recall is anchored by
+    doc_jaccard_pairs_brute."""
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", tokens("text").alias("toks"))
+    shingled = docs.select("doc_id", word_shingles(F.col("toks"), 3).alias("sh"))
+    sigs = minhash_signatures(shingled, "doc_id", F.col("sh"), k=64)
+    cands = lsh_candidate_pairs(sigs, "doc_id", bands=16, rows=4)
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    verified = (
+        cands.join(ta, "id_a").join(tb, "id_b")
+        .select(
+            "id_a", "id_b",
+            jaccard(F.array_distinct("ta"), F.array_distinct("tb")).alias("jac"),
+        )
+        .where(F.col("jac") >= 0.5)
+    )
+    return verified.orderBy("id_a", "id_b")
+
+
+@query("doc_simhash_sketch", tags=("text", "dedup", "simhash"))
+def doc_simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash sketch per doc (subset) — near-dup docs land within
+    small Hamming distance; bucketing by the sketch is the single-pass
+    alternative to MinHash when memory per doc must be 8 bytes.
+    Rows-only (xxhash64 is engine-specific)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return (
+        d.select("doc_id", simhash64(tokens("text"), bits=32).alias("simhash"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_bpe_token_counts",
+    tags=("text", "tokens", "bpe"),
+    oracle=r"""
+SELECT source,
+       CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))) AS BIGINT)
+         AS total_bpe_tokens,
+       CAST(MAX(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))) AS BIGINT)
+         AS max_bpe_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+""",
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (word pieces + digits + symbols) — the
+    cheap LLM-token estimator, aggregated per source."""
+    d = load_table(spark, sf_dir, "documents")
+    n = bpe_ish_token_count("text")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(n).alias("total_bpe_tokens"),
+            F.max(n).alias("max_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
