@@ -1,0 +1,87 @@
+"""Vector/embedding operators: cosine similarity, brute-force top-k,
+random-hyperplane LSH, IVF-style cell search (SURVEY §2.10 similarity).
+
+All arithmetic is array higher-order functions on ``array<float>``
+columns cast element-wise to double, folded LEFT-TO-RIGHT
+(``F.aggregate``) — the same fold an external engine can replicate
+exactly (DuckDB ``list_reduce``), which is what makes brute-force
+cosine top-k hash-checkable across engines.
+
+Scale ladder:
+  * brute-force — |Q|×|C| cosines via join; correct, O(n²): only for
+    small query sets or as the verification anchor.
+  * RHP-LSH     — L hash tables × b sign-bits; candidates share a
+    bucket in ≥1 table. Join is bucketed: cost ∝ bucket sizes, not n².
+  * IVF         — coarse cells (here: per-label centroids); probe the
+    nprobe nearest cells only. The centroid build is one groupBy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _d(c: Column) -> Column:
+    return c.cast("double")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product — deterministic, engine-replicable."""
+    prods = F.zip_with(a, b, lambda x, y: _d(x) * _d(y))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def rademacher_signs(n_planes: int, dim: int, seed: str = "rhp") -> list[list[float]]:
+    """Deterministic ±1 hyperplane matrix from md5 — no RNG state, same
+    planes on every run/cluster."""
+    planes: list[list[float]] = []
+    for i in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = hashlib.md5(f"{seed}:{i}:{j}".encode()).digest()[0]
+            row.append(1.0 if h & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def rhp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Bucket id = sign-bit pattern of the vector against each
+    hyperplane (b planes → 2^b buckets), pure expressions."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        signs = F.array(*[F.lit(s) for s in plane])
+        bit = F.when(dot(vec, signs) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def brute_force_topk(
+    probes: DataFrame, corpus: DataFrame, k: int,
+    probe_id: str = "qid", corpus_id: str = "vec_id",
+    probe_vec: str = "qvec", corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per probe: join (broadcast probes — the
+    small side), cosine, windowed rank. Output (qid, rank, vec_id, cos)."""
+    joined = corpus.crossJoin(F.broadcast(probes)).where(
+        F.col(probe_id) != F.col(corpus_id)
+    )
+    scored = joined.select(
+        probe_id, corpus_id,
+        cosine(F.col(probe_vec), F.col(corpus_vec)).alias("cos"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("cos"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

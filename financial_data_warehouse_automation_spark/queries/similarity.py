@@ -1,0 +1,183 @@
+"""Similarity-search queries over ``embeddings`` (SURVEY §2.10).
+
+Brute-force cosine top-k is the oracle-checked anchor (deterministic
+left-fold arithmetic — see operators/vectors.py); RHP-LSH and IVF are
+the sublinear scale paths, rows-only checked with recall anchored by
+the brute-force variant (tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from financial_data_warehouse_automation_spark.operators.vectors import (
+    brute_force_topk,
+    cosine,
+    l2_norm,
+    rademacher_signs,
+    rhp_bucket,
+)
+from financial_data_warehouse_automation_spark.registry import query
+from financial_data_warehouse_automation_spark.tables import load_table
+
+# Deterministic left-fold SQL fragments (DuckDB): list_reduce folds
+# left-to-right, matching Spark's F.aggregate.
+_SQL_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return _SQL_DOT.format(a=a, b=b)
+
+
+def _sql_norm(a: str) -> str:
+    return f"sqrt({_sql_dot(a, a)})"
+
+
+@query(
+    "embedding_norms",
+    tags=("similarity", "vectors"),
+    oracle=f"""
+SELECT vec_id, label,
+       len(embedding) AS dim,
+       {_sql_norm('embedding')} AS l2
+FROM embeddings
+WHERE vec_id % 25 = 0
+ORDER BY vec_id
+""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm via fold — proves the cross-engine-exact
+    vector arithmetic on which the ANN oracle rests."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 25 == 0)
+    return e.select(
+        "vec_id", "label",
+        F.size("embedding").alias("dim"),
+        l2_norm(F.col("embedding")).alias("l2"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "ann_cosine_topk_brute",
+    tags=("similarity", "ann", "brute"),
+    oracle=f"""
+WITH probes AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0
+), scored AS (
+  SELECT p.qid, e.vec_id,
+         {_sql_dot('p.qvec', 'e.embedding')}
+           / ({_sql_norm('p.qvec')} * {_sql_norm('e.embedding')}) AS cos
+  FROM embeddings e CROSS JOIN probes p
+  WHERE p.qid != e.vec_id
+)
+SELECT qid, rank, vec_id, cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+ORDER BY qid, rank
+""",
+)
+def ann_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for a probe subset: broadcast probes over the
+    corpus scan, windowed rank. The O(|Q|·n) correctness baseline —
+    at 100 TB this shape is for small Q (reranking, eval); bulk ANN goes
+    through the LSH/IVF paths."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return brute_force_topk(probes, e, k=5).select(
+        "qid", "rank", "vec_id", "cos"
+    ).orderBy("qid", "rank")
+
+
+@query("ann_cosine_topk_rhp", tags=("similarity", "ann", "lsh"))
+def ann_cosine_topk_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: 8 tables × 4 sign-bits; candidate =
+    shares a bucket with the probe in any table; exact cosine + rank
+    only over candidates. The join is per (table, bucket) — cost follows
+    bucket occupancy, never |Q|×n. Rows-only; recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    tables = [rademacher_signs(4, 64, seed=f"rhp{t}") for t in range(8)]
+
+    def with_buckets(df: DataFrame, vec: str, id_alias: str, vec_alias: str) -> DataFrame:
+        buckets = F.array(*[rhp_bucket(F.col(vec), planes) for planes in tables])
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.col(vec).alias(vec_alias),
+            F.posexplode(buckets).alias("table_idx", "bucket"),
+        )
+
+    probes = with_buckets(e.where(F.col("vec_id") % 50 == 0), "embedding", "qid", "qvec")
+    corpus = with_buckets(e, "embedding", "vec_id", "cvec")
+    cands = (
+        probes.join(corpus, ["table_idx", "bucket"])
+        .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", "qvec", "vec_id", "cvec")
+        .dropDuplicates(["qid", "vec_id"])
+    )
+    scored = cands.select(
+        "qid", "vec_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    )
+
+
+@query("ann_cosine_topk_ivf", tags=("similarity", "ann", "ivf"))
+def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse cells = per-label mean centroids (one
+    groupBy build); each probe ranks cells by centroid cosine, searches
+    the top-3 cells only (nprobe=3). Scan cost = nprobe/ncells of the
+    corpus. Rows-only (centroid doubles are reduction-order dependent)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    centroids = (
+        dims.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell"), "centroid")
+    )
+    probes = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cell_rank = Window.partitionBy("qid").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    probe_cells = (
+        probes.crossJoin(F.broadcast(centroids))
+        .select(
+            "qid", "qvec", "cell",
+            cosine(F.col("qvec"), F.col("centroid")).alias("cell_cos"),
+        )
+        .withColumn("cell_rn", F.row_number().over(cell_rank))
+        .where(F.col("cell_rn") <= 3)
+        .select("qid", "qvec", "cell")
+    )
+    cands = probe_cells.join(
+        e.select(F.col("vec_id"), F.col("label").alias("cell"), F.col("embedding")),
+        "cell",
+    ).where(F.col("qid") != F.col("vec_id"))
+    scored = cands.select(
+        "qid", "vec_id", cosine(F.col("qvec"), F.col("embedding")).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    )
