@@ -1,0 +1,374 @@
+"""End-to-end reference-shaped ingest queries (SURVEY §2.1 S8, §2.2,
+§2.6 W1–W3, §2.4 A1/A2, §3.1's whole DAG).
+
+These run on the deterministic FIXTURES.md §A tables — the identical
+literal rows are inlined into each DuckDB oracle as VALUES, so the
+driver hash-checks the *entire parse pipeline* (header discovery,
+forward-fill, state machine, currency parse, zero-pad, dim resolution,
+upsert, YTD) against an independent SQL implementation.
+
+``sf_dir`` is accepted but unused: statement parsing is input-shaped,
+not scale-factor-shaped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from financial_data_warehouse_automation_spark.functions.scalars import (
+    month_name,
+    normalize_gl_code,
+    resolve_columns,
+)
+from financial_data_warehouse_automation_spark.ingest.fixtures import spark_df, sql_values
+from financial_data_warehouse_automation_spark.operators.ingest import (
+    parse_balance_sheet,
+    parse_income_statement,
+)
+from financial_data_warehouse_automation_spark.operators.warehouse import dedupe_keep_first
+from financial_data_warehouse_automation_spark.registry import query
+
+# --- shared SQL fragments -------------------------------------------------
+
+_SQL_GL_SYNS = "('gl', 'gl code', 'glcode', 'gl#', 'number', 'account', 'account number', 'account#', 'account #')"
+_SQL_DESC_SYNS = "('description', 'account description', 'gl description', 'name')"
+_SQL_GRP_SYNS = "('group', 'gl group', 'account group')"
+_SQL_NORM_HDR = r"lower(trim(regexp_replace({c}, '\s+', ' ', 'g')))"
+
+
+def _sql_hdr_match(col: str, syns: str) -> str:
+    return f"{_SQL_NORM_HDR.format(c=col)} IN {syns}"
+
+
+_SQL_GL_NORM = (
+    r"CASE WHEN regexp_matches(trim({c}), '^\d{{1,4}}(\.0+)?$') "
+    r"THEN lpad(regexp_extract(trim({c}), '^(\d{{1,4}})(\.0+)?$', 1), 4, '0') END"
+)
+_SQL_AMOUNT = (
+    r"CASE WHEN regexp_matches(trim(replace(replace({c}, '$', ''), ',', '')), '^\(.*\)$') "
+    r"THEN -TRY_CAST(trim(regexp_replace(trim(replace(replace({c}, '$', ''), ',', '')), '^\((.*)\)$', '\1')) AS DECIMAL(18,2)) "
+    r"ELSE TRY_CAST(trim(replace(replace({c}, '$', ''), ',', '')) AS DECIMAL(18,2)) END"
+)
+_SQL_DEPT = r"regexp_extract(trim(sheet_name), '^DEPARTMENT\s+(\d+)[-–—]F$', 1)"
+_SQL_PERIOD_M = r"TRY_CAST(regexp_extract(file_name, '(\d{2})\.(\d{4})', 1) AS INTEGER)"
+_SQL_PERIOD_Y = r"TRY_CAST(regexp_extract(file_name, '(\d{2})\.(\d{4})', 2) AS INTEGER)"
+
+# GL dim resolution + dedupe, reused by the dim query and the build query.
+_SQL_GL_DIM = f"""
+hdr AS (SELECT * FROM gl_lines WHERE row_idx = 1),
+colmap AS (
+  SELECT
+    CASE WHEN {_sql_hdr_match('c1', _SQL_GL_SYNS)} THEN 1
+         WHEN {_sql_hdr_match('c2', _SQL_GL_SYNS)} THEN 2
+         WHEN {_sql_hdr_match('c3', _SQL_GL_SYNS)} THEN 3 END AS gl_col,
+    CASE WHEN {_sql_hdr_match('c1', _SQL_DESC_SYNS)} THEN 1
+         WHEN {_sql_hdr_match('c2', _SQL_DESC_SYNS)} THEN 2
+         WHEN {_sql_hdr_match('c3', _SQL_DESC_SYNS)} THEN 3 END AS desc_col,
+    CASE WHEN {_sql_hdr_match('c1', _SQL_GRP_SYNS)} THEN 1
+         WHEN {_sql_hdr_match('c2', _SQL_GRP_SYNS)} THEN 2
+         WHEN {_sql_hdr_match('c3', _SQL_GRP_SYNS)} THEN 3 END AS grp_col
+  FROM hdr
+),
+gl_sel AS (
+  SELECT l.row_idx,
+         {_SQL_GL_NORM.format(c="CASE m.gl_col WHEN 1 THEN l.c1 WHEN 2 THEN l.c2 WHEN 3 THEN l.c3 END")} AS gl_code,
+         trim(CASE m.desc_col WHEN 1 THEN l.c1 WHEN 2 THEN l.c2 WHEN 3 THEN l.c3 END) AS description,
+         trim(CASE m.grp_col WHEN 1 THEN l.c1 WHEN 2 THEN l.c2 WHEN 3 THEN l.c3 END) AS grp
+  FROM gl_lines l, colmap m WHERE l.row_idx > 1
+),
+gl_dim AS (
+  SELECT gl_code, description, grp FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY gl_code ORDER BY row_idx) AS rn
+    FROM gl_sel WHERE gl_code IS NOT NULL
+  ) WHERE rn = 1
+)
+""".strip()
+
+# Income parse (W2 header discovery → W1 forward-fill → filters → casts).
+_SQL_INCOME_FACT = f"""
+with_hdr AS (
+  SELECT *, MIN(CASE WHEN upper(trim(col_a)) = 'NUMBER'
+                      AND upper(trim(col_b)) = 'DESCRIPTION'
+                     THEN row_idx END)
+            OVER (PARTITION BY file_name, sheet_name) AS hdr_idx
+  FROM income_lines
+),
+body AS (
+  SELECT * FROM with_hdr WHERE hdr_idx IS NOT NULL AND row_idx > hdr_idx
+),
+cat AS (
+  SELECT *, last_value(CASE WHEN upper(trim(col_a)) = 'REVENUES' THEN 'Revenue'
+                            WHEN upper(trim(col_a)) = 'EXPENSES' THEN 'Expenses' END
+                       IGNORE NULLS)
+            OVER (PARTITION BY file_name, sheet_name ORDER BY row_idx
+                  ROWS UNBOUNDED PRECEDING) AS category
+  FROM body
+),
+income_fact AS (
+  SELECT {_SQL_GL_NORM.format(c='col_a')} AS gl_code,
+         trim(col_b) AS description_raw,
+         category,
+         {_SQL_PERIOD_Y} AS year,
+         {_SQL_PERIOD_M} AS month,
+         {_SQL_DEPT} AS department,
+         {_SQL_AMOUNT.format(c='col_c')} AS amount
+  FROM cat
+  WHERE {_SQL_DEPT} <> ''
+    AND {_SQL_GL_NORM.format(c='col_a')} IS NOT NULL
+    AND {_SQL_AMOUNT.format(c='col_c')} IS NOT NULL
+)
+""".strip()
+
+# Balance parse (W3 section state machine → P5 subtotal skip → casts).
+_SQL_BALANCE_FACT = f"""
+sectioned AS (
+  SELECT *, SUM(CASE WHEN upper(trim(col_c)) IN ('TOTAL ASSETS', 'TOTAL LIABILITIES')
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY file_name, sheet_name ORDER BY row_idx
+                  ROWS UNBOUNDED PRECEDING) AS n_bounds
+  FROM balance_lines
+),
+balance_fact AS (
+  SELECT {_SQL_GL_NORM.format(c='col_b')} AS gl_code,
+         trim(col_c) AS description_raw,
+         CASE n_bounds WHEN 0 THEN 'Assets' WHEN 1 THEN 'Liability' ELSE 'Equity' END AS category,
+         {_SQL_PERIOD_Y} AS year,
+         {_SQL_PERIOD_M} AS month,
+         '' AS department,
+         {_SQL_AMOUNT.format(c='col_e')} AS amount
+  FROM sectioned
+  WHERE trim(col_c) IS NOT NULL AND trim(col_c) <> ''
+    AND NOT upper(trim(col_c)) LIKE 'TOTAL %'
+    AND {_SQL_GL_NORM.format(c='col_b')} IS NOT NULL
+    AND {_SQL_AMOUNT.format(c='col_e')} IS NOT NULL
+)
+""".strip()
+
+
+# --- queries --------------------------------------------------------------
+
+
+@query(
+    "ingest_gl_dim",
+    tags=("ingest", "s8", "dim"),
+    oracle=f"""
+WITH gl_lines{sql_values('gl_lines')},
+{_SQL_GL_DIM}
+SELECT gl_code, description, grp FROM gl_dim ORDER BY gl_code
+""",
+)
+def ingest_gl_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 + A1: header-synonym column resolution (driver-side, on the
+    embedded header row) then keep-first dedupe — the GL dimension load
+    of build_warehouse.py:60-83 / Code.gs:147-166."""
+    lines = spark_df(spark, "gl_lines")
+    hdr = lines.where(F.col("row_idx") == 1).first()
+    headers = {c: hdr[c] for c in ("c1", "c2", "c3")}
+    matched = resolve_columns(headers.values())
+    colmap = {
+        role: next(p for p, h in headers.items() if h == m)
+        for role, m in matched.items()
+        if m is not None
+    }
+    sel = lines.where(F.col("row_idx") > 1).select(
+        "row_idx",
+        normalize_gl_code(colmap["gl_code"]).alias("gl_code"),
+        F.trim(colmap["description"]).alias("description"),
+        (F.trim(colmap["group"]) if "group" in colmap else F.lit(None)).alias("grp"),
+    ).where(F.col("gl_code").isNotNull())
+    return (
+        dedupe_keep_first(sel, ["gl_code"], [F.asc("row_idx")])
+        .drop("row_idx")
+        .orderBy("gl_code")
+    )
+
+
+@query(
+    "ingest_income_statement",
+    tags=("ingest", "w1", "w2", "parse"),
+    oracle=f"""
+WITH income_lines{sql_values('income_lines')},
+{_SQL_INCOME_FACT}
+SELECT gl_code, description_raw, category, year, month, department,
+       CAST(amount AS DOUBLE) AS amount
+FROM income_fact
+ORDER BY year, month, department, gl_code
+""",
+)
+def ingest_income_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Income-statement parse end to end: header-row discovery at
+    varying depth, sentinel forward-fill, dept-sheet regex (en-dash
+    tolerant), zero-padded GL codes, currency/negative/junk amounts."""
+    facts = parse_income_statement(spark_df(spark, "income_lines"))
+    return facts.withColumn("amount", F.col("amount").cast("double")).orderBy(
+        "year", "month", "department", "gl_code"
+    )
+
+
+@query(
+    "ingest_balance_sheet",
+    tags=("ingest", "w3", "parse"),
+    oracle=f"""
+WITH balance_lines{sql_values('balance_lines')},
+{_SQL_BALANCE_FACT}
+SELECT gl_code, description_raw, category, year, month, department,
+       CAST(amount AS DOUBLE) AS amount
+FROM balance_fact
+ORDER BY gl_code
+""",
+)
+def ingest_balance_sheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance-sheet parse: Assets→Liability→Equity section state
+    machine with subtotal-row skipping."""
+    facts = parse_balance_sheet(spark_df(spark, "balance_lines"))
+    return facts.withColumn("amount", F.col("amount").cast("double")).orderBy(
+        "gl_code"
+    )
+
+
+@query(
+    "ingest_warehouse_build",
+    tags=("ingest", "a2", "j1", "w4", "w5", "e2e"),
+    oracle=f"""
+WITH gl_lines{sql_values('gl_lines')},
+income_lines{sql_values('income_lines')},
+balance_lines{sql_values('balance_lines')},
+{_SQL_GL_DIM},
+{_SQL_INCOME_FACT},
+{_SQL_BALANCE_FACT},
+all_facts AS (
+  SELECT *, 'Income' AS statement FROM income_fact
+  UNION ALL
+  SELECT *, 'Income' AS statement FROM income_fact  -- duplicate delivery
+  UNION ALL
+  SELECT *, 'Balance' AS statement FROM balance_fact
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY gl_code, year, month, department, category
+                                 ORDER BY amount) AS rn
+    FROM all_facts
+  ) WHERE rn = 1
+),
+enriched AS (
+  SELECT d.gl_code, g.description, d.category, g.grp, d.year, d.month,
+         strftime(make_date(d.year, d.month, 1), '%B') AS month_name,
+         d.department, CAST(d.amount AS DOUBLE) AS amount,
+         'Actual' AS type, d.statement,
+         (g.gl_code IS NULL) AS missing_in_reference
+  FROM deduped d LEFT JOIN gl_dim g ON d.gl_code = g.gl_code
+)
+SELECT *,
+       CAST(SUM(amount) OVER (PARTITION BY gl_code, department, year ORDER BY month
+                              ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ytd
+FROM enriched
+ORDER BY gl_code, year, month, department, category
+""",
+)
+def ingest_warehouse_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's whole DAG (SURVEY §3.1): parse income (delivered
+    twice — the keyed dedupe collapses it, proving idempotent loads) +
+    balance, left-join the resolved GL dim with missing flag (J1/J2),
+    keep-one upsert on the 5-column natural key (A2/W4), then the
+    derived warehouse columns the sample sheet carries but the
+    reference never computes: month_name, type, statement, YTD (W5)."""
+    income = parse_income_statement(spark_df(spark, "income_lines")).withColumn(
+        "statement", F.lit("Income")
+    )
+    balance = parse_balance_sheet(spark_df(spark, "balance_lines")).withColumn(
+        "statement", F.lit("Balance")
+    )
+    all_facts = income.unionByName(income).unionByName(balance)
+    key = ["gl_code", "year", "month", "department", "category"]
+    deduped = dedupe_keep_first(all_facts, key, [F.asc("amount")])
+
+    dim = ingest_gl_dim(spark, sf_dir).withColumnRenamed("gl_code", "g_gl_code")
+    enriched = (
+        deduped.join(
+            F.broadcast(dim), deduped.gl_code == dim.g_gl_code, "left"
+        )
+        .select(
+            "gl_code",
+            "description",
+            "category",
+            "grp",
+            "year",
+            "month",
+            month_name("month").alias("month_name"),
+            "department",
+            F.col("amount").cast("double").alias("amount"),
+            F.lit("Actual").alias("type"),
+            "statement",
+            F.col("g_gl_code").isNull().alias("missing_in_reference"),
+        )
+    )
+    w = (
+        Window.partitionBy("gl_code", "department", "year")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return enriched.withColumn(
+        "ytd", F.sum("amount").over(w).cast("double")
+    ).orderBy("gl_code", "year", "month", "department", "category")
+
+
+@query(
+    "ingest_missing_gl_qa",
+    tags=("ingest", "a3", "qa"),
+    oracle=f"""
+WITH gl_lines{sql_values('gl_lines')},
+income_lines{sql_values('income_lines')},
+{_SQL_GL_DIM},
+{_SQL_INCOME_FACT},
+p1_miss AS (
+  SELECT DISTINCT f.gl_code FROM income_fact f
+  LEFT JOIN gl_dim g ON f.gl_code = g.gl_code
+  WHERE g.gl_code IS NULL AND f.month = 1
+),
+dim_v2 AS (
+  SELECT gl_code FROM gl_dim
+  UNION ALL SELECT '2999'   -- period-2 reference update maps 2999
+),
+p2_miss AS (
+  SELECT DISTINCT f.gl_code FROM income_fact f
+  LEFT JOIN dim_v2 g ON f.gl_code = g.gl_code
+  WHERE g.gl_code IS NULL AND f.month = 2
+)
+SELECT COALESCE(m.gl_code, l.gl_code) AS gl_code,
+       CASE WHEN m.gl_code IS NOT NULL THEN 'Open' ELSE 'Resolved' END AS status,
+       CASE WHEN m.gl_code IS NOT NULL THEN DATE '2024-02-15'
+            ELSE DATE '2024-01-15' END AS last_seen
+FROM p2_miss m FULL OUTER JOIN p1_miss l ON m.gl_code = l.gl_code
+ORDER BY gl_code
+""",
+)
+def ingest_missing_gl_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 over the fixture timeline: period-1 unmapped GLs open QA rows;
+    the period-2 reference update maps 2999, so its row flips to
+    Resolved (keeping its old last_seen) while still-unmapped codes
+    stay Open with a bumped timestamp — Code.gs:283-317's lifecycle."""
+    from financial_data_warehouse_automation_spark.operators.warehouse import qa_ledger_merge
+
+    income = parse_income_statement(spark_df(spark, "income_lines"))
+    dim = ingest_gl_dim(spark, sf_dir).select("gl_code")
+    dim_v2 = dim.unionByName(
+        spark.createDataFrame([("2999",)], "gl_code string")
+    )
+
+    def misses(month: int, against: DataFrame) -> DataFrame:
+        m = income.where(F.col("month") == month).select("gl_code").distinct()
+        return m.join(against, "gl_code", "left_anti")
+
+    ledger = misses(1, dim).select(
+        "gl_code",
+        F.lit("Open").alias("status"),
+        F.lit("2024-01-15").cast("date").alias("last_seen"),
+    )
+    merged = qa_ledger_merge(
+        ledger,
+        misses(2, dim_v2),
+        ["gl_code"],
+        seen_col=F.lit("2024-02-15").cast("date"),
+    )
+    return merged.orderBy("gl_code")
