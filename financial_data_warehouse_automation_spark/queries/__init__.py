@@ -19,6 +19,7 @@ Each module covers one band of the SURVEY.md §2 inventory:
 from financial_data_warehouse_automation_spark.queries import (  # noqa: F401
     events,
     ingest_demo,
+    multimodal,
     relational,
     similarity,
     text,

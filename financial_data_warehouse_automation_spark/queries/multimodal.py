@@ -1,0 +1,130 @@
+"""Multimodal queries (SURVEY §2.10): binary payload + typed-metadata
+plumbing over a deterministic media table derived from ``documents``.
+
+Because the payload is the documents' utf-8 bytes, even the
+pandas-UDF outputs (md5 digests, frame slices) have exact DuckDB
+oracles — the Arrow plumbing is verified end to end, not just
+rows-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financial_data_warehouse_automation_spark.operators.multimodal import (
+    decode_features,
+    sample_frames,
+    synth_media_table,
+)
+from financial_data_warehouse_automation_spark.registry import query
+from financial_data_warehouse_automation_spark.tables import load_table
+
+
+@query(
+    "media_metadata_stats",
+    tags=("multimodal", "binary", "agg"),
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+         strlen(text) AS n_bytes,
+         CAST(64 + (doc_id % 8) * 16 AS INTEGER) AS width,
+         CAST(48 + (doc_id % 5) * 16 AS INTEGER) AS height
+  FROM documents
+)
+SELECT media_type,
+       COUNT(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MAX(width) AS BIGINT) AS max_width,
+       CAST(MIN(height) AS BIGINT) AS min_height
+FROM media GROUP BY media_type ORDER BY media_type
+""",
+)
+def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payloads flow through scan→agg untouched; stats come from
+    the payload length and the typed metadata struct."""
+    d = load_table(spark, sf_dir, "documents")
+    m = synth_media_table(d)
+    return (
+        m.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.max("meta.width").cast("long").alias("max_width"),
+            F.min("meta.height").cast("long").alias("min_height"),
+        )
+        .orderBy("media_type")
+    )
+
+
+@query(
+    "media_decode_checksums",
+    tags=("multimodal", "pandas-udf", "mapInPandas"),
+    oracle="""
+SELECT doc_id AS media_id,
+       strlen(text) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+WHERE doc_id % 10 = 0
+ORDER BY media_id
+""",
+)
+def media_decode_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode path (Arrow batches → python → Arrow),
+    hash-checked externally: md5-over-payload must equal DuckDB's
+    md5-over-text since the payload IS the utf-8 text."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    m = synth_media_table(d)
+    return (
+        decode_features(m)
+        .select("media_id", "n_bytes", "checksum")
+        .orderBy("media_id")
+    )
+
+
+@query("media_feature_histograms", tags=("multimodal", "features", "pandas-udf"))
+def media_feature_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram features (16-bin, L1-normalized) per payload via
+    mapInPandas — the feature-extraction UDF shape (decode → vector)
+    with a deterministic fake extractor. Rows-only; exactness is
+    asserted against a pure-python recompute in tests."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    feats = decode_features(synth_media_table(d))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_l1"
+        ),
+        F.size("features").alias("n_bins"),
+    ).orderBy("media_id")
+
+
+@query(
+    "media_frame_samples",
+    tags=("multimodal", "frames", "pandas-udf"),
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, text FROM documents
+  WHERE ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] = 'video'
+    AND doc_id % 10 = 0
+), frames AS (
+  SELECT media_id,
+         CAST(i AS INTEGER) AS frame_idx,
+         md5(substring(text, i * 256 + 1, 256)) AS frame_md5
+  FROM media, LATERAL (
+    SELECT unnest(generate_series(0, greatest(strlen(text) - 1, 0) // 256)) AS i
+  ) u
+)
+SELECT media_id, frame_idx, frame_md5 FROM frames
+ORDER BY media_id, frame_idx
+""",
+)
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling of 'video' payloads: fixed 256-byte frames, one
+    row per frame with digest, via mapInPandas — digests hash-checked
+    against DuckDB slicing the same bytes."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    m = synth_media_table(d).where(F.col("media_type") == "video")
+    return sample_frames(m, frame_bytes=256).orderBy("media_id", "frame_idx")
