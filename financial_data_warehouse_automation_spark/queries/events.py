@@ -120,6 +120,7 @@ def events_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_sessionization_30min",
+    headline=True,
     tags=("events", "window", "session"),
     oracle="""
 WITH flagged AS (
@@ -173,6 +174,7 @@ def events_sessionization_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_asof_last_order",
+    headline=True,
     tags=("events", "asof", "join", "interval"),
     oracle="""
 WITH probes AS (

@@ -62,6 +62,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ann_cosine_topk_brute",
+    headline=True,
     tags=("similarity", "ann", "brute"),
     oracle=f"""
 WITH probes AS (

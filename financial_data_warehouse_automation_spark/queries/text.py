@@ -181,6 +181,7 @@ def doc_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_exact_dedup",
+    headline=True,
     tags=("text", "dedup", "exact"),
     oracle=r"""
 WITH keyed AS (
@@ -289,7 +290,7 @@ def doc_jaccard_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("doc_minhash_lsh_pairs", tags=("text", "dedup", "minhash", "lsh"))
+@query("doc_minhash_lsh_pairs", headline=True, tags=("text", "dedup", "minhash", "lsh"))
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=64) + banded LSH (16 bands × 4 rows ⇒ ~0.5 Jaccard
     threshold), candidates verified with exact Jaccard — the full-corpus

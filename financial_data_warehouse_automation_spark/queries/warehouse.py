@@ -46,6 +46,7 @@ _MONTHLY_SQL = """
 
 @query(
     "upsert_keep_last",
+    headline=True,
     tags=("warehouse", "upsert", "a2"),
     oracle=f"""
 WITH existing AS (

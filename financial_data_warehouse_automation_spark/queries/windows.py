@@ -31,6 +31,7 @@ from financial_data_warehouse_automation_spark.tables import load_table
 # ---------------------------------------------------------------------------
 @query(
     "ytd_running_total",
+    headline=True,
     tags=("window", "ytd"),
     oracle=f"""
 WITH monthly AS (
@@ -223,6 +224,7 @@ def moving_avg_3m_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "top3_orders_per_segment",
+    headline=True,
     tags=("window", "topk"),
     oracle="""
 SELECT segment, orderkey, totalprice, rn
