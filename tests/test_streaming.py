@@ -1,0 +1,106 @@
+"""Streaming wrapper tests (SURVEY §2.9): file-arrival ingest with
+exactly-once + idempotent upsert, and watermarked window aggregation
+equal to its batch twin."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from financial_data_warehouse_automation_spark.ingest.fixtures import INCOME_LINES
+from financial_data_warehouse_automation_spark.streaming.pipeline import (
+    event_window_counts_stream,
+    run_statement_ingest,
+)
+
+_COLS = ["file_name", "sheet_name", "row_idx", "col_a", "col_b", "col_c"]
+
+
+def _write_drop_file(drop_dir: str, name: str, rows) -> None:
+    os.makedirs(drop_dir, exist_ok=True)
+    with open(os.path.join(drop_dir, name), "w") as f:
+        for r in rows:
+            rec = dict(zip(_COLS, r))
+            # excel.LINE_SCHEMA carries col_d/col_e; income fixtures don't
+            rec["col_d"] = None
+            rec["col_e"] = None
+            f.write(json.dumps(rec) + "\n")
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return (
+        str(tmp_path / "drop"),
+        str(tmp_path / "warehouse"),
+        str(tmp_path / "ckpt"),
+    )
+
+
+def test_stream_ingest_exactly_once_and_idempotent(spark, dirs):
+    drop, wh, ckpt = dirs
+    f1 = [r for r in INCOME_LINES if r[0].startswith("01.")]
+    f2 = [r for r in INCOME_LINES if r[0].startswith("02.")]
+    _write_drop_file(drop, "f1.json", f1)
+
+    q = run_statement_ingest(spark, drop, wh, ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(wh)
+    n1 = first.count()
+    assert n1 == 7  # period-1 parsed facts (dept 123: 5, dept 124: 2)
+
+    # second run: f1 already consumed (checkpoint), f2 new, f1 also
+    # re-dropped under a new name — the upsert collapses the re-delivery
+    _write_drop_file(drop, "f1_redelivered.json", f1)
+    _write_drop_file(drop, "f2.json", f2)
+    q = run_statement_ingest(spark, drop, wh, ckpt)
+    q.awaitTermination()
+    final = spark.read.parquet(wh)
+    assert final.count() == 10  # 7 + 3 period-2 facts, no dup keys
+    key = ["gl_code", "year", "month", "department", "category"]
+    assert final.select(*key).distinct().count() == 10
+
+
+def test_event_stream_window_equals_batch(spark, sf_dir, tmp_path):
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    batch_events = load_table(spark, sf_dir, "events")
+    # materialize a small slice as the streaming source
+    src = str(tmp_path / "events_src")
+    batch_events.where(F.col("event_id") < 500).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch_events.schema).parquet(src)
+    )
+    out = (
+        event_window_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ewc")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination()
+    got = {
+        (r.bucket_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM ewc").collect()
+    }
+    expected_df = (
+        batch_events.where(F.col("event_id") < 500)
+        .groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+    expected = {
+        (r.bucket_start, r.event_type): (r.n_events, r.total_value)
+        for r in expected_df.collect()
+    }
+    assert got == expected
