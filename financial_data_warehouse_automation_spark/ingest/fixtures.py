@@ -109,11 +109,27 @@ BALANCE_SCHEMA = (
     "col_b string, col_c string, col_e string"
 )
 
+# (file_name, mtime) — the drop-folder inventory for S4/S5/S6/P8/O2/O3:
+# valid monthly workbooks out of order, the warehouse file itself, a
+# non-xlsx temp file, and period-less / bad-month names to reject.
+FILE_LISTING = [
+    ("02.2024 Depts Income Statement.xlsx", 1900),
+    ("01.2024 Depts Income Statement.xlsx", 2000),  # newest mtime, older period
+    ("12.2023 Depts Income Statement.xlsx", 1700),
+    ("13.2023 Depts Income Statement.xlsx", 1650),  # month 13 → invalid
+    ("Example_Company Data Warehouse.xlsx", 1600),  # the warehouse itself
+    ("notes about 01.2024.txt", 1500),              # not a workbook
+    ("Depts Income Statement draft.xlsx", 1400),    # no MM.YYYY period
+    ("01.2024 Company Name Balance Sheet.xlsx", 1300),
+]
+FILE_LISTING_SCHEMA = "file_name string, mtime int"
+
 _FIXTURES = {
     "gl_lines": (GL_LINES, GL_SCHEMA),
     "dept_codes": (DEPT_CODES, DEPT_SCHEMA),
     "income_lines": (INCOME_LINES, INCOME_SCHEMA),
     "balance_lines": (BALANCE_LINES, BALANCE_SCHEMA),
+    "file_listing": (FILE_LISTING, FILE_LISTING_SCHEMA),
 }
 
 

@@ -1,0 +1,54 @@
+"""Sink / DDL operators (SURVEY §2.1 S9–S13).
+
+The reference's workbook rewrites map onto independent per-table writes:
+
+* ``overwrite_table``  — S10/S11: clear-and-write one table; sibling
+  tables are separate paths, so 'preserve other sheets' is free.
+* ``read_table_or_empty`` — S9: read own output, tolerating first-run
+  absence (build_warehouse.py:147-156 returns an empty frame).
+* ``ensure_table`` — S13: CREATE-IF-NOT-EXISTS as an empty typed write.
+
+At scale, pass ``partition_by=("year", "month")`` so monthly loads
+rewrite only their periods (with
+``spark.sql.sources.partitionOverwriteMode=dynamic``) — the Parquet
+equivalent of the reference's in-place keyed upsert.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def overwrite_table(
+    df: DataFrame, path: str, partition_by: Sequence[str] = ()
+) -> None:
+    """S10/S11: atomic clear-and-write of one table path."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by).option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    writer.parquet(path)
+
+
+def read_table_or_empty(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """S9: re-scan own output; absent table ⇒ empty frame with the
+    declared schema (never a crash on first run)."""
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
+def ensure_table(spark: SparkSession, path: str, schema: StructType) -> None:
+    """S13: create the table with its schema if it doesn't exist;
+    leave existing data untouched."""
+    try:
+        spark.read.parquet(path).limit(0).collect()
+    except Exception:
+        spark.createDataFrame([], schema).write.mode("ignore").parquet(path)

@@ -178,7 +178,7 @@ def events_sessionization_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("events", "asof", "join", "interval"),
     oracle="""
 WITH probes AS (
-  SELECT event_id, user_id, ts - INTERVAL 30 YEAR AS probe_ts
+  SELECT event_id, user_id, ts - INTERVAL 28 YEAR AS probe_ts
   FROM events WHERE event_type = 'purchase'
 ), quotes AS (
   SELECT o_custkey AS user_id, o_orderdate AS ots, MAX(o_orderkey) AS last_orderkey
@@ -195,7 +195,7 @@ ORDER BY event_id
 )
 def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (merge formulation, operators/asof.py): each purchase
-    event — shifted 30 years back into the orders era (interval
+    event — shifted 28 years back into the orders era (interval
     arithmetic) — picks up the user's most recent order at that instant.
     Right side pre-deduped per (key, ts) so ties are well-defined in
     both engines."""
@@ -204,7 +204,7 @@ def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.where(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",
-        (F.col("ts") - F.expr("INTERVAL 30 YEARS")).alias("probe_ts"),
+        (F.col("ts") - F.expr("INTERVAL 28 YEARS")).alias("probe_ts"),
     )
     quotes = o.groupBy(
         F.col("o_custkey").alias("user_id"),
@@ -259,4 +259,66 @@ def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.date_trunc("month", "o_orderdate").cast("date")).alias("max_month_start"),
         )
         .orderBy("year", "quarter", "dow")
+    )
+
+
+@query(
+    "events_range_join_quarters",
+    tags=("events", "range-join", "interval"),
+    oracle="""
+WITH periods AS (
+  SELECT DISTINCT EXTRACT(YEAR FROM o_orderdate) AS year,
+         EXTRACT(QUARTER FROM o_orderdate) AS quarter,
+         CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q_start,
+         CAST(date_trunc('quarter', o_orderdate) AS DATE) + INTERVAL 3 MONTH AS q_end
+  FROM orders
+), probes AS (
+  SELECT event_id, ts - INTERVAL 28 YEAR AS probe_ts, value
+  FROM events WHERE event_type = 'view'
+)
+SELECT p2.year, p2.quarter,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM probes p JOIN periods p2
+  ON p.probe_ts >= p2.q_start AND p.probe_ts < p2.q_end
+GROUP BY 1, 2
+ORDER BY year, quarter
+""",
+)
+def events_range_join_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: probe timestamps against quarter
+    [start, end) intervals. The period side is bounded (a few dozen
+    rows at any scale) and broadcast, so the non-equi join is a
+    broadcast nested-loop over a tiny build side — never a shuffle of
+    the big side."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    periods = (
+        o.select(
+            F.year("o_orderdate").cast("long").alias("year"),
+            F.quarter("o_orderdate").cast("long").alias("quarter"),
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias("q_start"),
+            F.add_months(
+                F.date_trunc("quarter", "o_orderdate").cast("date"), 3
+            ).alias("q_end"),
+        )
+        .distinct()
+    )
+    probes = e.where(F.col("event_type") == "view").select(
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 28 YEARS")).alias("probe_ts"),
+        "value",
+    )
+    return (
+        probes.join(
+            F.broadcast(periods),
+            (F.col("probe_ts") >= F.col("q_start").cast("timestamp"))
+            & (F.col("probe_ts") < F.col("q_end").cast("timestamp")),
+        )
+        .groupBy("year", "quarter")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("year", "quarter")
     )

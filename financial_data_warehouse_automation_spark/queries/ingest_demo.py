@@ -372,3 +372,87 @@ def ingest_missing_gl_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         seen_col=F.lit("2024-02-15").cast("date"),
     )
     return merged.orderBy("gl_code")
+
+
+@query(
+    "ingest_file_listing",
+    tags=("ingest", "s4", "s5", "s6", "p8", "o2"),
+    oracle=f"""
+WITH file_listing{sql_values('file_listing')},
+parsed AS (
+  SELECT file_name, mtime,
+         TRY_CAST(regexp_extract(file_name, '(\\d{{2}})\\.(\\d{{4}})', 1) AS INTEGER) AS month,
+         TRY_CAST(regexp_extract(file_name, '(\\d{{2}})\\.(\\d{{4}})', 2) AS INTEGER) AS year
+  FROM file_listing
+  WHERE file_name LIKE '%.xlsx'
+    AND NOT contains(lower(file_name), 'data warehouse')
+),
+eligible AS (
+  SELECT * FROM parsed WHERE month BETWEEN 1 AND 12 AND year IS NOT NULL
+)
+SELECT file_name, year, month, mtime,
+       mtime = MAX(mtime) OVER () AS is_newest
+FROM eligible
+ORDER BY year, month, file_name
+""",
+)
+def ingest_file_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/S5/P8/O2/S6 in one pass: drop-folder inventory filtered by
+    suffix + warehouse-file exclusion + valid MM.YYYY period, sorted
+    chronologically (the GS processing order, Code.gs:99-106), with the
+    Python reference's newest-by-mtime selection as a flag
+    (build_warehouse.py:190-198)."""
+    from financial_data_warehouse_automation_spark.functions.scalars import period_from_filename
+
+    listing = spark_df(spark, "file_listing")
+    month, year = period_from_filename("file_name")
+    eligible = (
+        listing.where(
+            F.col("file_name").endswith(".xlsx")
+            & ~F.lower("file_name").contains("data warehouse")
+        )
+        .withColumn("month", month)
+        .withColumn("year", year)
+        .where(F.col("month").isNotNull() & F.col("year").isNotNull())
+    )
+    w = Window.partitionBy()
+    return (
+        eligible.select(
+            "file_name", "year", "month", "mtime",
+            (F.col("mtime") == F.max("mtime").over(w)).alias("is_newest"),
+        )
+        .orderBy("year", "month", "file_name")
+    )
+
+
+@query(
+    "ingest_dept_enrichment",
+    tags=("ingest", "j3", "join"),
+    oracle=f"""
+WITH income_lines{sql_values('income_lines')},
+dept_codes{sql_values('dept_codes')},
+{_SQL_INCOME_FACT}
+SELECT f.gl_code, f.year, f.month, f.department,
+       d.name AS dept_name,
+       (d.dept IS NULL) AS dept_unmapped,
+       CAST(f.amount AS DOUBLE) AS amount
+FROM income_fact f LEFT JOIN dept_codes d ON f.department = d.dept
+ORDER BY f.year, f.month, f.department, f.gl_code
+""",
+)
+def ingest_dept_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — the latent DeptCodes dimension join the reference ships data
+    for but never wires (SURVEY §2.3): broadcast left join + unmapped
+    flag, same pattern as the GL enrichment."""
+    facts = parse_income_statement(spark_df(spark, "income_lines"))
+    depts = spark_df(spark, "dept_codes")
+    return (
+        facts.join(F.broadcast(depts), facts.department == depts.dept, "left")
+        .select(
+            "gl_code", "year", "month", "department",
+            F.col("name").alias("dept_name"),
+            F.col("dept").isNull().alias("dept_unmapped"),
+            F.col("amount").cast("double").alias("amount"),
+        )
+        .orderBy("year", "month", "department", "gl_code")
+    )
