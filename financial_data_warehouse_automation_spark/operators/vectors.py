@@ -72,8 +72,12 @@ def brute_force_topk(
     probe_vec: str = "qvec", corpus_vec: str = "embedding",
 ) -> DataFrame:
     """Exact top-k neighbors per probe: join (broadcast probes — the
-    small side), cosine, windowed rank. Output (qid, rank, vec_id, cos)."""
-    joined = corpus.crossJoin(F.broadcast(probes)).where(
+    small side), cosine, windowed rank. Output (qid, rank, vec_id, cos).
+
+    The corpus is repartitioned so the |Q|×n cosine work parallelizes
+    even when the source is a single small parquet file."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    joined = corpus.repartition(par).crossJoin(F.broadcast(probes)).where(
         F.col(probe_id) != F.col(corpus_id)
     )
     scored = joined.select(
