@@ -128,3 +128,62 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     m = synth_media_table(d).where(F.col("media_type") == "video")
     return sample_frames(m, frame_bytes=256).orderBy("media_id", "frame_idx")
+
+
+@query(
+    "media_grouped_stats_udaf",
+    tags=("multimodal", "udaf", "applyInPandas"),
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+         strlen(text) AS n_bytes,
+         md5(text) AS checksum
+  FROM documents
+)
+SELECT media_type,
+       COUNT(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       COUNT(DISTINCT checksum) AS n_distinct_payloads
+FROM media GROUP BY media_type ORDER BY media_type
+""",
+)
+def media_grouped_stats_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF escape hatch (SURVEY §2.10): a custom grouped aggregation
+    via applyInPandas — each media_type's rows arrive as one pandas
+    DataFrame (Arrow), python computes the aggregate, Arrow returns it.
+    Integer outputs keep it exactly oracle-checkable. At scale: the
+    shuffle groups by media_type; skewed groups bound worker memory, so
+    real pipelines pre-aggregate or salt before a pandas UDAF — noted
+    here because this is the one operator family where Spark can't
+    partial-aggregate for you."""
+    import hashlib
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    m = synth_media_table(d)
+
+    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        checks = {hashlib.md5(p).hexdigest() for p in pdf["payload"]}
+        return pd.DataFrame(
+            [
+                {
+                    "media_type": pdf["media_type"].iloc[0],
+                    "n_items": len(pdf),
+                    "total_bytes": int(pdf["payload"].map(len).sum()),
+                    "n_distinct_payloads": len(checks),
+                }
+            ]
+        )
+
+    schema = (
+        "media_type string, n_items bigint, total_bytes bigint, "
+        "n_distinct_payloads bigint"
+    )
+    return (
+        m.select("media_type", "payload")
+        .groupBy("media_type")
+        .applyInPandas(agg, schema)
+        .orderBy("media_type")
+    )

@@ -1,0 +1,99 @@
+"""Property tests for the scalar parsers (SURVEY §5.2 item 3):
+round-trips and algebraic identities that hold for *any* input, driven
+by hypothesis. Each property evaluates a whole batch of generated
+values in one Spark job to keep runtime sane."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from financial_data_warehouse_automation_spark.functions.scalars import (
+    clean_amount,
+    currency_string,
+    month_name,
+    month_num_from_name,
+    normalize_gl_code,
+)
+
+_SETTINGS = dict(max_examples=12, deadline=None)
+
+amounts = st.decimals(
+    min_value=Decimal("-9999999.99"),
+    max_value=Decimal("9999999.99"),
+    places=2,
+    allow_nan=False,
+    allow_infinity=False,
+)
+
+
+def _one_col(spark, values, schema, expr):
+    df = spark.createDataFrame([(v,) for v in values], schema)
+    return [r.out for r in df.select(expr.alias("out")).collect()]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(amounts, min_size=1, max_size=30))
+def test_amount_render_parse_roundtrip(spark, xs):
+    """clean_amount(currency_string(x)) == x — the F1 inverse pair
+    (render as $1,234.56 / ($1,234.56), parse back)."""
+    out = _one_col(
+        spark, [str(x) for x in xs], "v string",
+        clean_amount(currency_string(F.col("v").cast("decimal(18,2)"))),
+    )
+    assert out == list(xs)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(amounts.filter(lambda d: d > 0), min_size=1, max_size=30))
+def test_parenthesized_amount_is_negation(spark, xs):
+    """clean_amount('(x)') == -clean_amount('x') (build_warehouse.py:44-47)."""
+    pos = _one_col(spark, [str(x) for x in xs], "v string", clean_amount("v"))
+    neg = _one_col(
+        spark, [f"({x})" for x in xs], "v string", clean_amount("v")
+    )
+    assert neg == [-p for p in pos]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=1, max_value=12), min_size=1, max_size=24))
+def test_month_name_num_inverse(spark, ms):
+    """month_num_from_name(month_name(m)) == m (F5 inverse pair)."""
+    out = _one_col(
+        spark, ms, "v int", month_num_from_name(month_name(F.col("v")))
+    )
+    assert out == ms
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=9999), min_size=1, max_size=30))
+def test_gl_pad_idempotent(spark, codes):
+    """normalize_gl_code is idempotent: pad(pad(x)) == pad(x), and the
+    result is always exactly 4 digits (Code.gs:251-256)."""
+    once = _one_col(
+        spark, [str(c) for c in codes], "v string", normalize_gl_code("v")
+    )
+    twice = _one_col(spark, once, "v string", normalize_gl_code("v"))
+    assert twice == once
+    assert all(len(c) == 4 and c.isdigit() for c in once)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Zs")),
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_non_codes_never_pass_gl_filter(spark, junk):
+    """Alphabetic/whitespace junk never normalizes to a GL code."""
+    out = _one_col(spark, junk, "v string", normalize_gl_code("v"))
+    assert all(
+        o is None for o, j in zip(out, junk) if not j.strip().isdigit()
+    )
