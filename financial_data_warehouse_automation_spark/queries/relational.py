@@ -493,3 +493,49 @@ def pivot_returnflag_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL API surface: the same engine through spark.sql over registered views
+# (TPC-H Q3 shape). The reference has no query language; this engine gets
+# one for free — worth one registered proof.
+# ---------------------------------------------------------------------------
+@query(
+    "sql_shipping_priority",
+    tags=("sql", "join", "agg", "topk"),
+    oracle=f"""
+SELECT l.l_orderkey AS orderkey,
+       CAST(SUM({sql_money('l.l_extendedprice')} * (CAST(1.0 AS DECIMAL(2,1)) - {sql_rate('l.l_discount')})) AS DOUBLE) AS revenue,
+       CAST(o.o_orderdate AS DATE) AS orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, orderkey
+LIMIT 10
+""",
+)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: identical semantics expressed as a spark.sql
+    string over temp views — proves the engine's second API surface
+    compiles to the same Catalyst plans as the DataFrame queries."""
+    from financial_data_warehouse_automation_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("customer", "orders", "lineitem"))
+    return spark.sql(f"""
+        SELECT l.l_orderkey AS orderkey,
+               CAST(SUM({sql_money('l.l_extendedprice')} * (CAST(1.0 AS DECIMAL(2,1)) - {sql_rate('l.l_discount')})) AS DOUBLE) AS revenue,
+               CAST(o.o_orderdate AS DATE) AS orderdate
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, orderkey
+        LIMIT 10
+    """)

@@ -182,3 +182,37 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "vec_id", "cos")
         .orderBy("qid", "rank")
     )
+
+
+@query(
+    "embedding_near_dup_pairs",
+    tags=("similarity", "dedup", "threshold"),
+    oracle=f"""
+WITH t AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_sql_dot('a.embedding', 'b.embedding')}
+           / ({_sql_norm('a.embedding')} * {_sql_norm('b.embedding')}) AS cos
+  FROM t a JOIN t b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.35
+ORDER BY id_a, id_b
+""",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: all pairs above a cosine
+    threshold (subset-bounded here; the full-corpus path buckets by RHP
+    signature first — ann_cosine_topk_rhp's join — so thresholding never
+    goes all-pairs). This synthetic corpus has no true dups (max pair
+    cosine ≈ 0.44), so the 0.35 threshold exercises the operator on its
+    closest pairs."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= 0.35)
+        .orderBy("id_a", "id_b")
+    )
