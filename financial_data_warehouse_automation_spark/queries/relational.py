@@ -539,3 +539,34 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC, orderkey
         LIMIT 10
     """)
+
+
+@query(
+    "grouping_sets_flag_year",
+    tags=("agg", "grouping-sets", "sql"),
+    oracle=f"""
+SELECT
+  COALESCE(l_returnflag, 'ALL') AS returnflag,
+  COALESCE(CAST(EXTRACT(YEAR FROM l_shipdate) AS VARCHAR), 'ALL') AS shipyear,
+  CAST(SUM({M_PRICE}) AS DOUBLE) AS total_price,
+  COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (EXTRACT(YEAR FROM l_shipdate)))
+ORDER BY returnflag, shipyear
+""",
+)
+def grouping_sets_flag_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube): per-flag
+    totals and per-shipyear totals in one shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("lineitem")
+    return spark.sql(f"""
+        SELECT
+          COALESCE(l_returnflag, 'ALL') AS returnflag,
+          COALESCE(CAST(YEAR(l_shipdate) AS STRING), 'ALL') AS shipyear,
+          CAST(SUM({M_PRICE}) AS DOUBLE) AS total_price,
+          COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (YEAR(l_shipdate)))
+        ORDER BY returnflag, shipyear
+    """)

@@ -37,3 +37,23 @@ def test_ensure_table_idempotent(spark, tmp_path):
     spark.createDataFrame([(5, "y")], schema).write.mode("append").parquet(path)
     ensure_table(spark, path, schema)  # must not clobber existing data
     assert spark.read.parquet(path).count() == 1
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """The 100 TB posture: warehouse partitioned by (year, month) —
+    a period-scoped read must scan only that partition's files."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice",
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+    )
+    path = str(tmp_path / "wh")
+    overwrite_table(o, path, partition_by=("year", "month"))
+    pruned = spark.read.parquet(path).where((F.col("year") == 1996) & (F.col("month") == 2))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition filters land in the scan, not a post-filter
+    assert "PartitionFilters: [isnotnull(year" in plan
+    expected = o.where((F.col("year") == 1996) & (F.col("month") == 2)).count()
+    assert pruned.count() == expected
