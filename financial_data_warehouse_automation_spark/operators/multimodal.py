@@ -133,3 +133,34 @@ def sample_frames(df: DataFrame, frame_bytes: int = 256) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "payload").mapInPandas(run, schema)
+
+
+def resize_media(df: DataFrame, factor: int = 2) -> DataFrame:
+    """'Resize' = deterministic downsample: keep every ``factor``-th byte
+    of the payload and scale the metadata dims — the shape of a real
+    image-resize UDF (payload in, smaller payload + new dims out)
+    without a codec. Arrow-batched; payload stays bytes end to end."""
+    schema = (
+        "media_id bigint, payload binary, "
+        "new_width int, new_height int, n_bytes bigint"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, row in b.iterrows():
+                resized = row["payload"][::factor]
+                rows.append(
+                    {
+                        "media_id": row["media_id"],
+                        "payload": resized,
+                        "new_width": row["width"] // factor,
+                        "new_height": row["height"] // factor,
+                        "n_bytes": len(resized),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(
+        "media_id", "payload", "meta.width", "meta.height"
+    ).mapInPandas(run, schema)

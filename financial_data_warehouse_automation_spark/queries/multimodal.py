@@ -187,3 +187,42 @@ def media_grouped_stats_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(agg, schema)
         .orderBy("media_type")
     )
+
+
+@query(
+    "media_resize",
+    tags=("multimodal", "resize", "pandas-udf"),
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, text,
+         CAST(64 + (doc_id % 8) * 16 AS INTEGER) AS width,
+         CAST(48 + (doc_id % 5) * 16 AS INTEGER) AS height
+  FROM documents WHERE doc_id % 20 = 0
+)
+SELECT media_id,
+       width // 2 AS new_width,
+       height // 2 AS new_height,
+       CAST((strlen(text) + 1) // 2 AS BIGINT) AS n_bytes,
+       md5(array_to_string(list_transform(
+         generate_series(1, strlen(text), 2),
+         i -> substring(text, CAST(i AS INTEGER), 1)), '')) AS resized_md5
+FROM media ORDER BY media_id
+""",
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize via mapInPandas: every-2nd-byte downsample + halved dims —
+    the resize-UDF plumbing with the codec faked deterministically, so
+    even the resized payload digest is hash-checked against DuckDB
+    slicing the same characters."""
+    import hashlib
+
+    from financial_data_warehouse_automation_spark.operators.multimodal import resize_media
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 20 == 0)
+    m = synth_media_table(d)
+    resized = resize_media(m, factor=2)
+    digest = F.md5(F.col("payload"))
+    return resized.select(
+        "media_id", "new_width", "new_height", "n_bytes",
+        digest.alias("resized_md5"),
+    ).orderBy("media_id")
