@@ -456,3 +456,55 @@ def ingest_dept_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year", "month", "department", "gl_code")
     )
+
+
+@query(
+    "ingest_quarantine",
+    tags=("ingest", "quarantine", "p3"),
+    oracle=f"""
+WITH income_lines{sql_values('income_lines')},
+with_hdr AS (
+  SELECT *, MIN(CASE WHEN upper(trim(col_a)) = 'NUMBER'
+                      AND upper(trim(col_b)) = 'DESCRIPTION'
+                     THEN row_idx END)
+            OVER (PARTITION BY file_name, sheet_name) AS hdr_idx
+  FROM income_lines
+),
+body AS (
+  SELECT * FROM with_hdr WHERE hdr_idx IS NOT NULL AND row_idx > hdr_idx
+)
+SELECT file_name, sheet_name, row_idx,
+       {_SQL_GL_NORM.format(c='col_a')} AS gl_code,
+       col_c AS raw_amount
+FROM body
+WHERE {_SQL_DEPT} <> ''
+  AND {_SQL_GL_NORM.format(c='col_a')} IS NOT NULL
+  AND {_SQL_AMOUNT.format(c='col_c')} IS NULL
+ORDER BY file_name, sheet_name, row_idx
+""",
+)
+def ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quarantine branch of P3 (SURVEY §1.4): GL rows whose amount
+    failed to parse are captured with full provenance instead of being
+    silently dropped — the reference drops them (build_warehouse.py:98);
+    this engine routes them to a reviewable table."""
+    from financial_data_warehouse_automation_spark.functions.scalars import (
+        clean_amount,
+        dept_from_sheet_name,
+    )
+    from financial_data_warehouse_automation_spark.operators.ingest import discover_header_rows
+
+    lines = spark_df(spark, "income_lines")
+    body = discover_header_rows(lines)
+    return (
+        body.withColumn("department", dept_from_sheet_name("sheet_name"))
+        .where(F.col("department").isNotNull())
+        .withColumn("gl_code", normalize_gl_code("col_a"))
+        .where(F.col("gl_code").isNotNull())
+        .where(clean_amount("col_c").isNull())
+        .select(
+            "file_name", "sheet_name", "row_idx", "gl_code",
+            F.col("col_c").alias("raw_amount"),
+        )
+        .orderBy("file_name", "sheet_name", "row_idx")
+    )

@@ -570,3 +570,116 @@ def grouping_sets_flag_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (YEAR(l_shipdate)))
         ORDER BY returnflag, shipyear
     """)
+
+
+@query(
+    "set_except_all_lineitems",
+    tags=("setop", "except-all"),
+    oracle="""
+SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'
+EXCEPT ALL
+SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
+ORDER BY partkey
+""",
+)
+def set_except_all_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics, exceptAll) — each right occurrence
+    cancels one left occurrence; the multiplicity-aware complement of
+    set_except_churned's EXCEPT DISTINCT."""
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.where(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("partkey"))
+    r = l.where(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("partkey"))
+    return a.exceptAll(r).orderBy("partkey")
+
+
+@query(
+    "minmax_by_order_per_segment",
+    tags=("agg", "min_by", "max_by"),
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       max_by(o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(12,2)) * 10000000000 + o.o_orderkey) AS biggest_order,
+       min_by(o.o_orderkey, CAST(o.o_totalprice AS DECIMAL(12,2)) * 10000000000 + o.o_orderkey) AS smallest_order,
+       MAX(o.o_totalprice) AS max_price,
+       MIN(o.o_totalprice) AS min_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY segment
+""",
+)
+def minmax_by_order_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax/argmin aggregates). The ordering key is an
+    exact decimal composite (price scaled + orderkey) so price ties
+    break deterministically and identically in both engines (DuckDB's
+    max_by takes scalar orderings only)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    key = money("o_totalprice") * F.lit(10000000000) + F.col("o_orderkey")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.max_by("o_orderkey", key).alias("biggest_order"),
+            F.min_by("o_orderkey", key).alias("smallest_order"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_totalprice").alias("min_price"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "price_percentiles_per_status",
+    tags=("agg", "percentile"),
+    oracle="""
+SELECT o_orderstatus AS status,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       COUNT(*) AS n
+FROM orders GROUP BY 1 ORDER BY status
+""",
+)
+def price_percentiles_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles: Spark's percentile() and DuckDB's
+    quantile_cont use the same sorted-linear-interpolation rule, so the
+    doubles agree bit-for-bit (verified at sf0.01)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("status")
+    )
+
+
+@query(
+    "part_name_similarity",
+    tags=("string", "levenshtein", "topk"),
+    oracle="""
+WITH p AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < 200)
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY key_a, key_b
+""",
+)
+def part_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance string matching (dirty-dimension reconciliation —
+    the fuzzy cousin of the header-synonym resolution), subset-bounded
+    like every all-pairs anchor."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a", "key_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .where(F.col("dist") <= 2)
+        .orderBy("key_a", "key_b")
+    )
