@@ -57,16 +57,39 @@ def _upsert_batch(warehouse_path: str):
         facts = parse_income_statement(batch)
         try:
             existing = spark.read.parquet(warehouse_path)
+            have_warehouse = True
         except Exception:  # first batch: no warehouse yet
             existing = spark.createDataFrame([], facts.schema)
+            have_warehouse = False
+
+        # Partition-scoped merge: only the (year, month) periods present
+        # in this batch are read back, merged, and rewritten — untouched
+        # periods' files are never opened. This is the plain-parquet
+        # equivalent of Delta MERGE for the monthly-load case; at 100 TB
+        # a batch touches one partition out of hundreds.
+        periods = [
+            (r.year, r.month)
+            for r in facts.select("year", "month").distinct().collect()
+        ]
+        if not periods:
+            return
+        period_pred = None
+        for y, m in periods:
+            p = (F.col("year") == y) & (F.col("month") == m)
+            period_pred = p if period_pred is None else (period_pred | p)
+
         merged = upsert_keep_last(
-            existing, facts, list(WAREHOUSE_KEY), [F.asc("amount")]
+            existing.where(period_pred) if have_warehouse else existing,
+            facts,
+            list(WAREHOUSE_KEY),
+            [F.asc("amount")],
         )
-        # Plain parquet needs a full rewrite (read→merge→overwrite is
-        # safe inside foreachBatch's epoch lock); with Delta this whole
-        # function is one MERGE INTO and with a (year, month)-partitioned
-        # table only touched periods rewrite.
-        merged.write.mode("overwrite").parquet(warehouse_path)
+        writer = (
+            merged.write.mode("overwrite")
+            .partitionBy("year", "month")
+            .option("partitionOverwriteMode", "dynamic")
+        )
+        writer.parquet(warehouse_path)
 
     return apply
 

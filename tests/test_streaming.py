@@ -53,7 +53,14 @@ def test_stream_ingest_exactly_once_and_idempotent(spark, dirs):
 
     # second run: f1 already consumed (checkpoint), f2 new, f1 also
     # re-dropped under a new name — the upsert collapses the re-delivery
-    _write_drop_file(drop, "f1_redelivered.json", f1)
+    # capture period-1 partition files before run 2 (which only adds f2)
+    p1_dir = os.path.join(wh, "year=2024", "month=1")
+    assert os.path.isdir(p1_dir)  # (year, month)-partitioned layout
+    p1_before = {
+        f: os.path.getmtime(os.path.join(p1_dir, f))
+        for f in os.listdir(p1_dir)
+    }
+
     _write_drop_file(drop, "f2.json", f2)
     q = run_statement_ingest(spark, drop, wh, ckpt)
     q.awaitTermination()
@@ -61,6 +68,20 @@ def test_stream_ingest_exactly_once_and_idempotent(spark, dirs):
     assert final.count() == 10  # 7 + 3 period-2 facts, no dup keys
     key = ["gl_code", "year", "month", "department", "category"]
     assert final.select(*key).distinct().count() == 10
+    # partition-scoped merge: period 1 untouched by the period-2 batch
+    p1_after = {
+        f: os.path.getmtime(os.path.join(p1_dir, f))
+        for f in os.listdir(p1_dir)
+    }
+    assert p1_after == p1_before
+
+    # re-delivery of f1 (same data, new file) is an idempotent no-op
+    _write_drop_file(drop, "f1_redelivered.json", f1)
+    q = run_statement_ingest(spark, drop, wh, ckpt)
+    q.awaitTermination()
+    final2 = spark.read.parquet(wh)
+    assert final2.count() == 10
+    assert final2.select(*key).distinct().count() == 10
 
 
 def test_event_stream_window_equals_batch(spark, sf_dir, tmp_path):
