@@ -216,3 +216,49 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos") >= 0.35)
         .orderBy("id_a", "id_b")
     )
+
+
+@query("ann_cosine_topk_ivf_kmeans", tags=("similarity", "ann", "ivf", "mllib"))
+def ann_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with *learned* cells: MLlib KMeans (k=8, fixed seed) builds
+    the coarse quantizer instead of trusting the label column; probes
+    search their top-2 cells by centroid cosine. The production IVF
+    shape — train once, assign in one pass, search nprobe/k of the
+    corpus. Rows-only (cluster assignments are model-dependent)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
+    km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    probes = assigned.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cell_rank = Window.partitionBy("qid").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    probe_cells = (
+        probes.crossJoin(F.broadcast(centroids))
+        .select(
+            "qid", "qvec", "cell",
+            cosine(F.col("qvec"), F.col("centroid")).alias("cell_cos"),
+        )
+        .withColumn("cell_rn", F.row_number().over(cell_rank))
+        .where(F.col("cell_rn") <= 2)
+        .select("qid", "qvec", "cell")
+    )
+    cands = probe_cells.join(assigned, "cell").where(F.col("qid") != F.col("vec_id"))
+    scored = cands.select(
+        "qid", "vec_id", cosine(F.col("qvec"), F.col("embedding")).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    )

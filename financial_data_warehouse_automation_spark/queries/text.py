@@ -356,3 +356,32 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query("doc_minhash_mllib", tags=("text", "dedup", "minhash", "mllib"))
+def doc_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib formulation of fuzzy dedup (SURVEY §2.10 names
+    MinHashLSH as the library alternative): HashingTF binary token
+    vectors → MinHashLSH(8 tables, fixed seed) → approxSimilarityJoin
+    at Jaccard distance ≤ 0.5. Same contract as the hand-rolled
+    doc_minhash_lsh_pairs (which exists to show the algorithm is
+    expressible in pure DataFrame ops); rows-only check."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select("doc_id", tokens("text").alias("toks"))
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(docs)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        joined.select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )

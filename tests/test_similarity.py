@@ -32,3 +32,10 @@ def test_ivf_recall(topk_pairs):
     ivf = topk_pairs("ann_cosine_topk_ivf")
     assert brute, "brute-force anchor returned nothing"
     assert len(brute & ivf) / len(brute) >= 0.2
+
+
+def test_kmeans_ivf_recall(topk_pairs):
+    brute = topk_pairs("ann_cosine_topk_brute")
+    km = topk_pairs("ann_cosine_topk_ivf_kmeans")
+    assert brute
+    assert len(brute & km) / len(brute) >= 0.2
