@@ -66,3 +66,40 @@ def test_warehouse_build_fixed_point(spark):
     flags = {r.gl_code: r.missing_in_reference for r in df.collect()}
     assert flags["2999"] is True and flags["3999"] is True
     assert flags["1111"] is False
+
+
+def test_income_parse_scales_across_many_files(spark):
+    """The order-dependent windows (W1/W2) partition by (file, sheet):
+    fan the fixture out to 100 synthetic periods and verify per-period
+    results are byte-identical to the single-period parse — the
+    multi-file distribution property the GS loop has (Code.gs:34-50)."""
+    lines = spark_df(spark, "income_lines")
+    base = {
+        ((r.gl_code, r.department, r.category), float(r.amount))
+        for r in parse_income_statement(
+            lines.where(F.col("file_name").startswith("01.2024"))
+        ).collect()
+    }
+    periods = spark.createDataFrame(
+        [(m, y) for y in range(2000, 2010) for m in range(1, 11)],
+        "m int, y int",
+    )
+    fan = (
+        lines.where(F.col("file_name").startswith("01.2024"))
+        .crossJoin(periods)
+        .withColumn(
+            "file_name",
+            F.format_string("%02d.%04d Depts Income Statement.xlsx", "m", "y"),
+        )
+        .drop("m", "y")
+    )
+    facts = parse_income_statement(fan)
+    assert facts.count() == 100 * len(base)
+    # spot-check one fanned period equals the base parse exactly
+    one = {
+        ((r.gl_code, r.department, r.category), float(r.amount))
+        for r in facts.where(
+            (F.col("year") == 2005) & (F.col("month") == 7)
+        ).collect()
+    }
+    assert one == base
