@@ -694,3 +694,69 @@ def part_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= 2)
         .orderBy("key_a", "key_b")
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey, t.o_totalprice AS totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_custkey % 100 = 0
+ORDER BY custkey, totalprice DESC, orderkey
+"""
+
+
+@query(
+    "lateral_top2_orders",
+    tags=("sql", "lateral", "topk"),
+    oracle=_LATERAL_SQL,
+)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT — the other
+    formulation of per-group top-k (Catalyst rewrites it to a
+    DomainJoin + window; identical SQL runs on both engines)."""
+    from financial_data_warehouse_automation_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "null_safe_join_semantics",
+    tags=("join", "null-safe"),
+    oracle="""
+WITH keyed AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+              ELSE o_orderpriority END AS prio_key
+  FROM orders
+), dim(prio_key, label) AS (
+  VALUES ('2-HIGH', 'high'), ('3-MEDIUM', 'medium'), (NULL, 'unprioritized')
+)
+SELECT COALESCE(d.label, 'other') AS label, COUNT(*) AS n
+FROM keyed k LEFT JOIN dim d ON k.prio_key IS NOT DISTINCT FROM d.prio_key
+GROUP BY 1 ORDER BY label
+""",
+)
+def null_safe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics a plain equi-join silently drops
+    (and the reference's blank-GL rows would hit)."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio_key"),
+    )
+    dim = spark.createDataFrame(
+        [("2-HIGH", "high"), ("3-MEDIUM", "medium"), (None, "unprioritized")],
+        "prio_key string, label string",
+    )
+    return (
+        keyed.join(F.broadcast(dim), keyed.prio_key.eqNullSafe(dim.prio_key), "left")
+        .groupBy(F.coalesce("label", F.lit("other")).alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label")
+    )
