@@ -186,8 +186,12 @@ def rolling_min_fingerprint(col: Column | str, window: int = 16, stride: int = 4
     sliding character windows. md5 (not xxhash64) so external engines
     can replicate it bit-for-bit."""
     c = F.col(col) if isinstance(col, str) else col
+    # floor division, NOT a plain int cast: Spark's cast truncates the
+    # double quotient while DuckDB's rounds — for lengths where
+    # (len - window) % stride >= stride/2 the window counts diverged
+    # (caught by the sf0.1 oracle sweep).
     n_win = F.greatest(
-        ((F.length(c) - window) / stride).cast("int") + 1, F.lit(1)
+        F.floor((F.length(c) - window) / stride).cast("int") + 1, F.lit(1)
     )
     idx = F.sequence(F.lit(0), n_win - 1)
     return F.array_min(

@@ -223,7 +223,7 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH fp AS (
   SELECT doc_id,
          list_min(list_transform(
-           generate_series(0, greatest(CAST((len(text) - 16) / 4 AS INTEGER) + 1, 1) - 1),
+           generate_series(0, greatest((len(text) - 16) // 4 + 1, 1) - 1),
            i -> md5(substring(text, i * 4 + 1, 16)))) AS fingerprint
   FROM documents
 )

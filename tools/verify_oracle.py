@@ -56,11 +56,17 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = SF_DIR
-    for i, a in enumerate(sys.argv):
-        if a == "--sf-dir":
-            sf_dir = sys.argv[i + 1]
+    args: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--sf-dir":
+            sf_dir = argv[i + 1]
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
 
     from financial_data_warehouse_automation_spark.registry import load_all
     from financial_data_warehouse_automation_spark.session import get_spark
