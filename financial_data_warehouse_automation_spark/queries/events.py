@@ -322,3 +322,48 @@ def events_range_join_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year", "quarter")
     )
+
+
+@query(
+    "events_sliding_30m_15m",
+    tags=("events", "window", "sliding"),
+    oracle="""
+WITH b AS (
+  SELECT event_type, value,
+         unnest([time_bucket(INTERVAL '15 minutes', ts),
+                 time_bucket(INTERVAL '15 minutes', ts) - INTERVAL 15 MINUTES]) AS bucket_start
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+)
+SELECT CAST(epoch(bucket_start) AS BIGINT) AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM b
+GROUP BY 1, 2
+ORDER BY bucket_start, event_type
+""",
+)
+def events_sliding_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (30-min length, 15-min slide): every
+    event lands in two overlapping buckets. Spark's F.window handles the
+    duplication natively; the oracle unnests the two bucket starts
+    explicitly. (epoch() on a 15-min-aligned bucket is integral, so the
+    BIGINT cast is exact here.)"""
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return (
+        e.groupBy(
+            F.window("ts", "30 minutes", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "event_type", "n_events", "total_value",
+        )
+        .orderBy("bucket_start", "event_type")
+    )

@@ -760,3 +760,22 @@ def null_safe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("label")
     )
+
+
+@query(
+    "set_intersect_all_parts",
+    tags=("setop", "intersect-all"),
+    oracle="""
+SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'A'
+INTERSECT ALL
+SELECT l_partkey AS partkey FROM lineitem WHERE l_returnflag = 'R'
+ORDER BY partkey
+""",
+)
+def set_intersect_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each partkey appears
+    min(count_A, count_R) times — completes the set-op matrix."""
+    l = load_table(spark, sf_dir, "lineitem")
+    a = l.where(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("partkey"))
+    r = l.where(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("partkey"))
+    return a.intersectAll(r).orderBy("partkey")
