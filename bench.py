@@ -24,7 +24,7 @@ def main() -> None:
     from financial_data_warehouse_automation_spark.registry import load_all
     from financial_data_warehouse_automation_spark.session import get_spark, sf_dir
 
-    reps = int(os.environ.get("BENCH_REPS", "2"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
     d = sf_dir()
     sf = d.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")

@@ -88,6 +88,7 @@ def qa_ledger_merge(
     current_misses: DataFrame,
     key: Sequence[str],
     seen_col: Column | None = None,
+    resolve_backfill: DataFrame | None = None,
 ) -> DataFrame:
     """A3: stateful QA ledger transition (Code.gs:283-317).
 
@@ -99,6 +100,12 @@ def qa_ledger_merge(
       in both        → Open, last_seen := now   (Code.gs:295-299)
       ledger only    → Resolved, last_seen kept (Code.gs:301-310)
       misses only    → Open, last_seen := now   (new issue)
+
+    ``resolve_backfill``: the *current* dimension (key + payload
+    columns, e.g. description/group). When given, it is left-joined on
+    the key so rows whose code now exists in the reference — exactly
+    the Resolved ones — come back enriched, matching the GS back-fill
+    at Code.gs:301-310.
 
     ``seen_col`` defaults to ``current_timestamp()``; pass a literal for
     reproducible tests/oracles.
@@ -116,7 +123,7 @@ def qa_ledger_merge(
         cond = c if cond is None else (cond & c)
     joined = current_misses.join(led, cond, "full_outer")
     in_miss = current_misses[key[0]].isNotNull()
-    return joined.select(
+    merged = joined.select(
         *[
             F.coalesce(current_misses[k], F.col(a)).alias(k)
             for k, a in zip(key, lkey)
@@ -124,3 +131,6 @@ def qa_ledger_merge(
         F.when(in_miss, F.lit("Open")).otherwise(F.lit("Resolved")).alias("status"),
         F.when(in_miss, now).otherwise(F.col("_l_last_seen")).alias("last_seen"),
     )
+    if resolve_backfill is not None:
+        merged = merged.join(F.broadcast(resolve_backfill), list(key), "left")
+    return merged

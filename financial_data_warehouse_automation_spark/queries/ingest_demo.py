@@ -327,40 +327,46 @@ p1_miss AS (
   WHERE g.gl_code IS NULL AND f.month = 1
 ),
 dim_v2 AS (
-  SELECT gl_code FROM gl_dim
-  UNION ALL SELECT '2999'   -- period-2 reference update maps 2999
+  SELECT gl_code, description FROM gl_dim
+  UNION ALL SELECT '2999', 'Mystery Expense'   -- period-2 reference update
 ),
 p2_miss AS (
   SELECT DISTINCT f.gl_code FROM income_fact f
   LEFT JOIN dim_v2 g ON f.gl_code = g.gl_code
   WHERE g.gl_code IS NULL AND f.month = 2
+),
+merged AS (
+  SELECT COALESCE(m.gl_code, l.gl_code) AS gl_code,
+         CASE WHEN m.gl_code IS NOT NULL THEN 'Open' ELSE 'Resolved' END AS status,
+         CASE WHEN m.gl_code IS NOT NULL THEN DATE '2024-02-15'
+              ELSE DATE '2024-01-15' END AS last_seen
+  FROM p2_miss m FULL OUTER JOIN p1_miss l ON m.gl_code = l.gl_code
 )
-SELECT COALESCE(m.gl_code, l.gl_code) AS gl_code,
-       CASE WHEN m.gl_code IS NOT NULL THEN 'Open' ELSE 'Resolved' END AS status,
-       CASE WHEN m.gl_code IS NOT NULL THEN DATE '2024-02-15'
-            ELSE DATE '2024-01-15' END AS last_seen
-FROM p2_miss m FULL OUTER JOIN p1_miss l ON m.gl_code = l.gl_code
-ORDER BY gl_code
+SELECT x.gl_code AS gl_code, x.status, x.last_seen, d.description
+FROM merged x LEFT JOIN dim_v2 d ON x.gl_code = d.gl_code
+ORDER BY x.gl_code
 """,
 )
 def ingest_missing_gl_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 over the fixture timeline: period-1 unmapped GLs open QA rows;
     the period-2 reference update maps 2999, so its row flips to
     Resolved (keeping its old last_seen) while still-unmapped codes
-    stay Open with a bumped timestamp — Code.gs:283-317's lifecycle."""
+    stay Open with a bumped timestamp — Code.gs:283-317's lifecycle,
+    including the description back-fill on resolve (Code.gs:301-310)."""
     from financial_data_warehouse_automation_spark.operators.warehouse import qa_ledger_merge
 
     income = parse_income_statement(spark_df(spark, "income_lines"))
-    dim = ingest_gl_dim(spark, sf_dir).select("gl_code")
-    dim_v2 = dim.unionByName(
-        spark.createDataFrame([("2999",)], "gl_code string")
+    dim_v2 = ingest_gl_dim(spark, sf_dir).select("gl_code", "description").unionByName(
+        spark.createDataFrame(
+            [("2999", "Mystery Expense")], "gl_code string, description string"
+        )
     )
 
     def misses(month: int, against: DataFrame) -> DataFrame:
         m = income.where(F.col("month") == month).select("gl_code").distinct()
-        return m.join(against, "gl_code", "left_anti")
+        return m.join(against.select("gl_code"), "gl_code", "left_anti")
 
-    ledger = misses(1, dim).select(
+    ledger = misses(1, dim_v2.where(F.col("gl_code") != "2999")).select(
         "gl_code",
         F.lit("Open").alias("status"),
         F.lit("2024-01-15").cast("date").alias("last_seen"),
@@ -370,6 +376,7 @@ def ingest_missing_gl_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         misses(2, dim_v2),
         ["gl_code"],
         seen_col=F.lit("2024-02-15").cast("date"),
+        resolve_backfill=dim_v2,
     )
     return merged.orderBy("gl_code")
 

@@ -88,3 +88,21 @@ def test_qa_ledger_reopen_resolved(spark):
     )
     rows = {r.gl: (r.status, str(r.last_seen)) for r in out.collect()}
     assert rows == {"k1": ("Open", "2024-03-01")}
+
+
+def test_qa_ledger_resolve_backfill(spark):
+    # Resolved rows come back enriched from the current dim
+    # (Code.gs:301-310 back-fill); Open rows stay unenriched.
+    ledger = spark.createDataFrame(
+        [("k1", "Open", "2024-01-01"), ("k2", "Open", "2024-01-01")],
+        "gl string, status string, last_seen string",
+    ).withColumn("last_seen", F.col("last_seen").cast("date"))
+    misses = spark.createDataFrame([("k2",)], "gl string")
+    dim = spark.createDataFrame([("k1", "now mapped")], "gl string, description string")
+    out = qa_ledger_merge(
+        ledger, misses, ["gl"],
+        seen_col=F.lit("2024-02-01").cast("date"),
+        resolve_backfill=dim,
+    )
+    rows = {r.gl: (r.status, r.description) for r in out.collect()}
+    assert rows == {"k1": ("Resolved", "now mapped"), "k2": ("Open", None)}
