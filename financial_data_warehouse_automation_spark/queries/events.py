@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from financial_data_warehouse_automation_spark.operators.asof import asof_join_last
-from financial_data_warehouse_automation_spark.queries._helpers import money, sql_money
+from financial_data_warehouse_automation_spark.queries._helpers import money
 from financial_data_warehouse_automation_spark.registry import query
 from financial_data_warehouse_automation_spark.tables import load_table
 

@@ -226,7 +226,7 @@ def ann_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape — train once, assign in one pass, search nprobe/k of the
     corpus. Rows-only (cluster assignments are model-dependent)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))

@@ -6,8 +6,6 @@ stay correct."""
 
 from __future__ import annotations
 
-import pytest
-
 from financial_data_warehouse_automation_spark.registry import load_all
 
 
