@@ -229,6 +229,7 @@ def ingest_balance_sheet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ingest_warehouse_build",
+    headline=True,
     tags=("ingest", "a2", "j1", "w4", "w5", "e2e"),
     oracle=f"""
 WITH gl_lines{sql_values('gl_lines')},

@@ -779,3 +779,36 @@ def set_intersect_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = l.where(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("partkey"))
     r = l.where(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("partkey"))
     return a.intersectAll(r).orderBy("partkey")
+
+
+@query(
+    "profile_customer_table",
+    tags=("profile", "quality", "agg"),
+    oracle="""
+SELECT 'c_custkey' AS col_name, COUNT(*) - COUNT(c_custkey) AS n_nulls,
+       COUNT(DISTINCT c_custkey) AS n_distinct,
+       MIN(CAST(c_custkey AS VARCHAR)) AS min_str, MAX(CAST(c_custkey AS VARCHAR)) AS max_str
+FROM customer
+UNION ALL
+SELECT 'c_mktsegment', COUNT(*) - COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment),
+       MIN(CAST(c_mktsegment AS VARCHAR)), MAX(CAST(c_mktsegment AS VARCHAR))
+FROM customer
+UNION ALL
+SELECT 'c_nationkey', COUNT(*) - COUNT(c_nationkey), COUNT(DISTINCT c_nationkey),
+       MIN(CAST(c_nationkey AS VARCHAR)), MAX(CAST(c_nationkey AS VARCHAR))
+FROM customer
+ORDER BY col_name
+""",
+)
+def profile_customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style profile (operators/profile.py): per-column null /
+    distinct / min / max in ONE aggregation pass (the oracle unions
+    three passes — same answer, our plan reads the table once)."""
+    from financial_data_warehouse_automation_spark.operators.profile import profile_table
+
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        profile_table(c, ["c_custkey", "c_mktsegment", "c_nationkey"])
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name")
+    )
