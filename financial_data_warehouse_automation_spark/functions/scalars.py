@@ -180,3 +180,40 @@ def gl_missing_flag(description_col: Column | str) -> Column:
     (build_warehouse.py:133)."""
     c = F.col(description_col) if isinstance(description_col, str) else description_col
     return c.isNull()
+
+
+# ---------------------------------------------------------------------------
+# F8 — numeric cast with error raise; F9 — composite key construction
+# ---------------------------------------------------------------------------
+
+
+def checked_cast(col: Column | str, dtype: str) -> Column:
+    """F8: cast that *fails the job* when a non-null value doesn't parse
+    (``pd.to_numeric(errors="raise")``, build_warehouse.py:163-164) —
+    for columns where silent NULLs would corrupt the warehouse key.
+    NULL input stays NULL; junk input raises. The quarantine pattern
+    (try_cast + capture, SURVEY §1.4) is preferred on 100 TB inputs;
+    this is the strict variant for trusted-but-critical columns."""
+    c = F.col(col) if isinstance(col, str) else col
+    casted = c.try_cast(dtype)
+    return F.when(
+        c.isNotNull() & casted.isNull(),
+        F.raise_error(
+            F.concat(F.lit(f"checked_cast({dtype}) failed for value: "), c.cast("string"))
+        ).cast(dtype),
+    ).otherwise(casted)
+
+
+def composite_key(*cols: Column | str, sep: str = "|") -> Column:
+    """F9: serialized composite key (``fields.join("|")``, Code.gs:268).
+    Spark operators should PARTITION BY the columns directly (no
+    serialization needed — SURVEY §2.5 F9); this exists for parity and
+    for sinks that want a single-string key, with NULLs rendered
+    explicitly so k1|NULL ≠ k1|''."""
+    rendered = [
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"), F.lit("NULL")
+        )
+        for c in cols
+    ]
+    return F.concat_ws(sep, *rendered)

@@ -113,3 +113,31 @@ def test_header_resolution():
     assert roles == {"gl_code": "GL#", "description": "Account Description", "group": "GROUP"}
     roles = resolve_columns(["nothing", "useful"])
     assert roles["gl_code"] is None and roles["description"] is None
+
+
+def test_checked_cast_passes_and_raises(spark):
+    from financial_data_warehouse_automation_spark.functions.scalars import checked_cast
+
+    ok = spark.createDataFrame([("12",), (None,)], "v string").select(
+        checked_cast("v", "int").alias("out")
+    )
+    assert [r.out for r in ok.collect()] == [12, None]
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    bad = spark.createDataFrame([("June",)], "v string").select(
+        checked_cast("v", "int").alias("out")
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException)):
+        bad.collect()
+
+
+def test_composite_key_null_disambiguation(spark):
+    from financial_data_warehouse_automation_spark.functions.scalars import composite_key
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", ""), ("a", "x")], "k1 string, k2 string"
+    ).select(composite_key("k1", "k2").alias("key"))
+    assert [r.key for r in df.collect()] == ["a|NULL", "a|", "a|x"]
