@@ -86,6 +86,92 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_from_json_struct",
+    tags=("events", "json", "struct"),
+    oracle="""
+WITH parsed AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+         value
+  FROM events
+)
+SELECT event_type,
+       k // 10 AS k_decade,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM parsed
+GROUP BY 1, 2
+ORDER BY event_type, k_decade
+""",
+)
+def events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing via from_json with an explicit schema (vs the
+    path-at-a-time get_json_object in events_json_extract): parse once
+    into a struct, then project fields. At scale one from_json per row
+    beats N get_json_object calls — the JSON is tokenized once."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        "value",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return (
+        parsed.groupBy(
+            "event_type",
+            F.floor(F.col("p.k") / 10).alias("k_decade"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type", "k_decade")
+    )
+
+
+@query(
+    "order_interval_math",
+    tags=("date", "interval", "functions"),
+    oracle="""
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(date_diff('day', o_orderdate, DATE '1998-08-02')) AS DOUBLE)
+         / COUNT(*) AS avg_days_to_anchor,
+       date_diff('month', MIN(o_orderdate), MAX(o_orderdate)) AS months_span,
+       CAST(MAX(o_orderdate) + INTERVAL 6 MONTH AS DATE) AS max_plus_6m,
+       CAST(MIN(o_orderdate) - INTERVAL 1 WEEK AS DATE) AS min_minus_1w
+FROM orders
+GROUP BY 1
+ORDER BY priority
+""",
+)
+def order_interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-arithmetic breadth: day diffs to an anchor date,
+    whole-month span via month-boundary counting (months_between over
+    truncated dates ≡ DuckDB date_diff('month', ...)), add_months with
+    end-of-month clamping, week subtraction. Integer day-sums divide in
+    double so the average is bit-identical across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = F.lit("1998-08-02").cast("date")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.datediff(anchor, "o_orderdate")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_days_to_anchor"),
+            F.months_between(
+                F.trunc(F.max("o_orderdate"), "MM"),
+                F.trunc(F.min("o_orderdate"), "MM"),
+            ).cast("long").alias("months_span"),
+            F.add_months(F.max("o_orderdate"), 6).alias("max_plus_6m"),
+            F.date_sub(F.min("o_orderdate").cast("date"), 7).alias("min_minus_1w"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
     "events_tumbling_15min",
     tags=("events", "window", "tumbling"),
     oracle="""

@@ -812,3 +812,83 @@ def profile_customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("column", "col_name")
         .orderBy("col_name")
     )
+
+
+@query(
+    "conditional_agg_filter",
+    tags=("agg", "conditional"),
+    oracle=f"""
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+       CAST(COALESCE(SUM({sql_money('o_totalprice')})
+              FILTER (WHERE o_orderpriority = '1-URGENT'), 0) AS DOUBLE)
+         AS urgent_total
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+ORDER BY segment
+""",
+)
+def conditional_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — SQL FILTER-clause semantics via
+    count_if / sum(when): several differently-predicated aggregates in
+    ONE pass over the joined input (vs one scan per predicate). The
+    map-side partial agg means the join output never materializes."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.count_if(F.col("o_totalprice") > 150000).alias("n_big"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("o_orderpriority") == "1-URGENT",
+                        money("o_totalprice"),
+                    )
+                ),
+                F.lit(0).cast("decimal(12,2)"),
+            ).cast("double").alias("urgent_total"),
+        )
+        .orderBy("segment")
+    )
+
+
+@query(
+    "unpivot_revenue_by_flag",
+    tags=("unpivot", "reshape"),
+    oracle=f"""
+WITH wide_axis AS (
+  SELECT DISTINCT EXTRACT(YEAR FROM l_shipdate) AS year FROM lineitem
+), flags AS (
+  SELECT unnest(['A', 'N', 'R']) AS returnflag
+), agg AS (
+  SELECT EXTRACT(YEAR FROM l_shipdate) AS year, l_returnflag AS returnflag,
+         CAST(SUM({sql_money('l_extendedprice')}) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT w.year AS year, f.returnflag AS returnflag, a.revenue AS revenue
+FROM wide_axis w CROSS JOIN flags f
+LEFT JOIN agg a ON a.year = w.year AND a.returnflag = f.returnflag
+ORDER BY w.year, f.returnflag
+""",
+)
+def unpivot_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round trip (wide↔long reshape): revenue per year
+    pivoted to one column per returnflag, then melted back with
+    DataFrame.unpivot. Absent (year, flag) cells survive as NULL rows —
+    the oracle reproduces that with an explicit axis cross join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy(F.year("l_shipdate").cast("long").alias("year"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(money("l_extendedprice")).cast("double"))
+    )
+    return (
+        wide.unpivot(["year"], ["A", "N", "R"], "returnflag", "revenue")
+        .orderBy("year", "returnflag")
+    )

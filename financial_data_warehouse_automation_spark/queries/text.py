@@ -385,3 +385,48 @@ def doc_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "doc_train_test_split",
+    tags=("text", "sampling", "split"),
+    oracle="""
+WITH tagged AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0', '1', '2', '3')
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents
+)
+SELECT split, lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM tagged
+GROUP BY 1, 2
+ORDER BY split, lang
+""",
+)
+def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed train/test split: the first hex
+    nibble of md5(doc_id) buckets each doc (4/16 = 25% test) — stable
+    across runs, engines, partitionings and cluster sizes, unlike
+    seeded random sampling whose draw order is partition-dependent.
+    This is the standard leak-proof split for training-data pipelines:
+    membership is a pure function of the key, so re-ingesting or
+    re-sharding the corpus never migrates a document across the split."""
+    d = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    split = F.when(nibble.isin("0", "1", "2", "3"), "test").otherwise("train")
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split", "lang")
+    )

@@ -300,3 +300,132 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .orderBy("custkey")
     )
+
+
+@query(
+    "ntile_acctbal_quartiles",
+    tags=("window", "ntile", "distribution"),
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment AS segment,
+         c_acctbal,
+         ntile(4) OVER w AS quartile,
+         percent_rank() OVER w AS prank,
+         cume_dist() OVER w AS cdist
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+)
+SELECT segment, quartile,
+       COUNT(*) AS n,
+       CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_bal,
+       CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal,
+       MAX(prank) AS max_prank,
+       MAX(cdist) AS max_cdist
+FROM ranked
+GROUP BY 1, 2
+ORDER BY segment, quartile
+""",
+)
+def ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile quartile assignment + percent_rank +
+    cume_dist per segment, summarized to quartile boundary stats. ORDER
+    BY extends to custkey so ties are broken identically in both
+    engines; the rank ratios are integer divisions in double (exact)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    ranked = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+    return (
+        ranked.groupBy("segment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(money("c_acctbal")).cast("double").alias("min_bal"),
+            F.max(money("c_acctbal")).cast("double").alias("max_bal"),
+            F.max("prank").alias("max_prank"),
+            F.max("cdist").alias("max_cdist"),
+        )
+        .orderBy("segment", "quartile")
+    )
+
+
+@query(
+    "gap_fill_pending_revenue",
+    tags=("window", "gap-fill", "ffill", "spine"),
+    oracle=f"""
+WITH bounds AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+         date_trunc('month', MAX(o_orderdate)) AS hi
+  FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month
+  FROM bounds
+), prios AS (
+  SELECT DISTINCT o_orderpriority AS priority FROM orders
+), monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         o_orderpriority AS priority,
+         CAST(SUM({sql_money('o_totalprice')}) AS DOUBLE) AS revenue_raw
+  FROM orders
+  WHERE o_orderstatus = 'P'
+  GROUP BY 1, 2
+)
+SELECT s.month AS month, p.priority AS priority,
+       m.revenue_raw AS revenue_raw,
+       COALESCE(last_value(m.revenue_raw IGNORE NULLS) OVER (
+         PARTITION BY p.priority ORDER BY s.month
+         ROWS UNBOUNDED PRECEDING), 0.0) AS revenue_ffill,
+       CAST(m.revenue_raw IS NULL AS BOOLEAN) AS is_gap
+FROM spine s CROSS JOIN prios p
+LEFT JOIN monthly m ON m.month = s.month AND m.priority = p.priority
+ORDER BY s.month, p.priority
+""",
+)
+def gap_fill_pending_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: a generated month spine (sequence + explode)
+    cross-joined with the priority axis, left-joined against sparse
+    monthly revenue (status 'P' orders exist only in a narrow band, so
+    most months are gaps), then forward-filled with last(ignorenulls) —
+    the reference's W1 sentinel forward-fill re-expressed on a time
+    axis. The spine grows with calendar time, not data volume, so the
+    cross join stays tiny at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("month")
+    )
+    prios = o.select(F.col("o_orderpriority").alias("priority")).distinct()
+    monthly = (
+        o.where(F.col("o_orderstatus") == "P")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.sum(money("o_totalprice")).cast("double").alias("revenue_raw"))
+    )
+    axis = spine.crossJoin(F.broadcast(prios))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        axis.join(monthly, ["month", "priority"], "left")
+        .select(
+            "month",
+            "priority",
+            "revenue_raw",
+            F.coalesce(
+                F.last("revenue_raw", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("revenue_ffill"),
+            F.col("revenue_raw").isNull().alias("is_gap"),
+        )
+        .orderBy("month", "priority")
+    )
