@@ -128,3 +128,70 @@ def event_window_counts_stream(events: DataFrame) -> DataFrame:
             "total_value",
         )
     )
+
+
+SESSION_OUT_SCHEMA = (
+    "user_id BIGINT, session_start BIGINT, session_end BIGINT, "
+    "n_events BIGINT, closed BOOLEAN"
+)
+SESSION_STATE_SCHEMA = "session_start BIGINT, session_end BIGINT, n_events BIGINT"
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: the
+    streaming twin of the batch ``events_sessionization_30min`` query.
+
+    Per-user state holds the one open session (start/end/count in epoch
+    micros). Each micro-batch merges its events into that state with the
+    same gap rule as the batch lag+cumsum formulation, emits sessions
+    closed by an observed gap (``closed=true``) plus a snapshot of the
+    still-open session (``closed=false``) — update-mode semantics, so a
+    live dashboard always sees the current open session. Because the
+    incremental merge is exactly the batch recurrence spread over
+    batches, closed sessions are bit-identical to the batch query's.
+
+    Scale: state is one 24-byte tuple per active user (not per event);
+    the shuffle is on user_id, same key as the batch window. A
+    production tail would add ``withWatermark`` + EventTimeTimeout to
+    evict idle users; with bounded replay (availableNow) the final
+    open-session snapshots serve that role.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        new_ts: list[int] = []
+        for pdf in pdf_iter:
+            # ns-resolution pandas timestamps → epoch micros
+            new_ts.extend(int(v) // 1000 for v in pdf["ts"].astype("int64"))
+        new_ts.sort()
+
+        cur = state.get if state.exists else None  # (start, end, n)
+        out = []
+        for t in new_ts:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_us:
+                out.append((user_id, cur[0], cur[1], cur[2], True))
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            out.append((user_id, cur[0], cur[1], cur[2], False))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "session_start", "session_end", "n_events", "closed"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

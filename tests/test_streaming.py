@@ -125,3 +125,78 @@ def test_event_stream_window_equals_batch(spark, sf_dir, tmp_path):
         for r in expected_df.collect()
     }
     assert got == expected
+
+
+def test_stateful_sessionize_stream_equals_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer vs the batch lag+cumsum query:
+    state carries open sessions across micro-batches, so the final
+    (closed ∪ last-open-snapshot) set must equal batch sessionization
+    run over all the data at once."""
+    from pyspark.sql import Window
+
+    from financial_data_warehouse_automation_spark.streaming.pipeline import sessionize_stream
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    # two chronological files → two micro-batches splitting sessions
+    cut = events.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)")
+    ).collect()[0][0]
+    src = str(tmp_path / "events_src")
+    events.where(F.unix_micros("ts") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    events.where(F.unix_micros("ts") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    emitted = spark.sql("SELECT * FROM sess")
+    # closed sessions, plus the final snapshot of each still-open one
+    # (an open session re-emitted in a later batch supersedes earlier
+    # snapshots — same (user, start), larger n_events)
+    w = Window.partitionBy("user_id", "session_start").orderBy(
+        F.desc("n_events"), F.desc("closed")
+    )
+    final = (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+    wb = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(wb)
+    is_new = F.when(
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    batch = (
+        events.withColumn("is_new", is_new)
+        .withColumn("sid", F.sum("is_new").over(wrun))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("session_start"),
+            F.max(F.unix_micros("ts")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    got = {tuple(r) for r in final.collect()}
+    expected = {tuple(r) for r in batch.collect()}
+    assert got == expected
