@@ -430,3 +430,81 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "doc_pack_chunks",
+    tags=("text", "packing", "llm-pipeline"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, doc_id % 32 AS shard,
+         GREATEST(1, n_chars // 4) AS tok
+  FROM documents
+), cums AS (
+  SELECT shard, doc_id, tok,
+         CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM toks
+), spanned AS (
+  SELECT shard, doc_id, tok, cum,
+         unnest(generate_series((cum - tok) // 1024, (cum - 1) // 1024))
+           AS chunk_id
+  FROM cums
+)
+SELECT shard, chunk_id,
+       COUNT(*) AS n_docs,
+       SUM(LEAST((chunk_id + 1) * 1024, cum)
+           - GREATEST(chunk_id * 1024, cum - tok)) AS chunk_tokens
+FROM spanned
+GROUP BY 1, 2
+ORDER BY shard, chunk_id
+""",
+)
+def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py): docs
+    concatenated per deterministic shard and cut into 1024-token
+    chunks; every chunk but a shard's last holds exactly the budget.
+    Pure window algebra — prefix sum, integer div, interval explode —
+    so the whole pipeline is JVM-side and hash-checkable."""
+    from financial_data_warehouse_automation_spark.operators.packing import chunk_assignments
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        chunk_assignments(d, budget=1024, n_shards=32)
+        .groupBy("shard", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_in_chunk").alias("chunk_tokens"),
+        )
+        .orderBy("shard", "chunk_id")
+    )
+
+
+@query(
+    "doc_pack_greedy_bins",
+    tags=("text", "packing", "llm-pipeline", "udf"),
+)
+def doc_pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy whole-document bin packing via grouped applyInPandas
+    (operators/packing.py) — the no-splitting variant for instruction
+    tuning. The bin recurrence isn't window algebra, so this is the
+    sanctioned Arrow-batched escape hatch; invariants (budget respected,
+    no doc lost) are pytest-checked, occupancy summarized per shard."""
+    from financial_data_warehouse_automation_spark.operators.packing import greedy_pack
+
+    d = load_table(spark, sf_dir, "documents")
+    bins = greedy_pack(d, budget=1024, n_shards=32)
+    return (
+        bins.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+            F.max("max_doc_tokens").alias("max_doc_tokens"),
+            (
+                F.sum("total_tokens").cast("double")
+                / (F.count(F.lit(1)) * 1024)
+            ).alias("utilization"),
+        )
+        .orderBy("shard")
+    )
