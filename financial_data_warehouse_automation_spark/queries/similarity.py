@@ -262,3 +262,43 @@ def ann_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "vec_id", "cos")
         .orderBy("qid", "rank")
     )
+
+
+@query(
+    "embedding_hof_breadth",
+    tags=("similarity", "vectors", "hof"),
+    oracle="""
+SELECT vec_id, label,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       len(list_filter(embedding, x -> x > 2)) > 0 AS any_gt2,
+       CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs,
+       list_reduce(list_transform(generate_series(1, len(embedding)),
+         i -> CAST(embedding[i] AS DOUBLE)
+              * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)),
+         (x, y) -> x + y) AS rev_dot
+FROM embeddings
+WHERE vec_id % 20 = 0
+ORDER BY vec_id
+""",
+)
+def embedding_hof_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function breadth over array columns: filter (count
+    positives), exists (threshold test), transform+array_max (abs peak),
+    zip_with+aggregate (dot with the reversed self). All JVM-side
+    lambda expressions — no Python in the loop; products widen float32 →
+    double before multiplying so both engines fold identical values."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 20 == 0)
+    c = F.col("embedding")
+    rev_dot = F.aggregate(
+        F.zip_with(c, F.reverse(c), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(F.filter(c, lambda x: x > 0)).alias("n_pos"),
+        F.exists(c, lambda x: x > 2).alias("any_gt2"),
+        F.array_max(F.transform(c, lambda x: F.abs(x))).cast("double").alias("max_abs"),
+        rev_dot.alias("rev_dot"),
+    ).orderBy("vec_id")
