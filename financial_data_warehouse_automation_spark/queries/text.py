@@ -434,6 +434,7 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_pack_chunks",
+    headline=True,
     tags=("text", "packing", "llm-pipeline"),
     oracle="""
 WITH toks AS (
