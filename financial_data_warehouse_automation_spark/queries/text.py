@@ -509,3 +509,51 @@ def doc_pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@query(
+    "doc_vocab_df",
+    tags=("text", "vocab", "llm-pipeline"),
+    oracle="""
+WITH per_doc AS (
+  SELECT doc_id, t.tok AS token, COUNT(*) AS tf
+  FROM documents,
+       unnest(string_split_regex(trim(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+  GROUP BY 1, 2
+)
+SELECT token,
+       COUNT(*) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS doc_frac
+FROM per_doc
+GROUP BY token
+ORDER BY df DESC, total_tf DESC, token
+LIMIT 30
+""",
+)
+def doc_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with document frequencies — the first pass of
+    tokenizer training / vocab pruning: explode tokens, collapse to
+    (doc, token) term frequencies (map-side partial agg does most of
+    the work), then roll up to corpus df / total tf. doc_frac divides
+    two exact integers in double, so the hash stays stable; top-30
+    plans as TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    per_doc = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            (F.count(F.lit(1)).cast("double") / F.lit(n_docs)).alias("doc_frac"),
+        )
+        .orderBy(F.desc("df"), F.desc("total_tf"), "token")
+        .limit(30)
+    )
