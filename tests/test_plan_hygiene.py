@@ -57,3 +57,35 @@ def test_lsh_join_is_bucketed_not_cartesian(spark, sf_dir):
     plan = _plan(spark, "doc_minhash_lsh_pairs", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+    """Registry-wide sweep: no query's physical plan may contain a
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only where
+    a non-equi join is the *intended* algorithm over a bounded
+    broadcast side (the range join; the subset-bounded brute-force
+    pair generators). Catches a refactor that silently drops an equi
+    condition and explodes at scale."""
+    bnlj_ok = {
+        "events_range_join_quarters",   # quarter intervals: bounded build side
+        "gap_fill_pending_revenue",     # month spine × 5 priorities axis
+        "doc_jaccard_pairs_brute",      # 100-doc anchor subset, by design
+        "part_name_similarity",         # bounded sample × sample pairs
+        "embedding_near_dup_pairs",     # bounded probe set vs corpus
+        "ann_cosine_topk_brute",        # broadcast probes over corpus
+        "ann_cosine_topk_rhp",
+        "ann_cosine_topk_ivf",
+        "ann_cosine_topk_ivf_kmeans",
+    }
+    offenders = {}
+    for name, spec in load_all().items():
+        try:
+            plan = spec.builder(spark, sf_dir)._jdf.queryExecution(
+            ).executedPlan().toString()
+        except Exception:  # streaming-only / fixture-path builders
+            continue
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, f"unexpected non-equi join plans: {offenders}"
