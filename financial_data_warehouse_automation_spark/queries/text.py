@@ -557,3 +557,79 @@ def doc_vocab_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.desc("total_tf"), "token")
         .limit(30)
     )
+
+
+@query(
+    "doc_curation_pipeline",
+    tags=("text", "curation", "llm-pipeline", "dedup"),
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars,
+         string_split_regex(trim(text), '\s+') AS toks,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS dedup_key
+  FROM documents
+  WHERE lang IN ('en', 'de', 'es', 'fr') AND n_chars BETWEEN 80 AND 10000
+), q AS (
+  SELECT doc_id, lang, n_chars, dedup_key, len(toks) AS n_tokens
+  FROM base
+  WHERE len(toks) >= 20
+), dedup AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY dedup_key ORDER BY doc_id) AS rn
+  FROM q
+)
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                 IN ('0', '1', '2', '3')
+            THEN 'test' ELSE 'train' END AS split,
+       lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+FROM dedup
+WHERE rn = 1
+GROUP BY 1, 2
+ORDER BY split, lang
+""",
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain a pretraining corpus goes through, as
+    ONE composed pipeline: language allowlist → length gate (chars +
+    tokens) → exact dedup (md5 of normalized text, keep-lowest doc_id)
+    → deterministic hash train/test split → per-(split, lang) corpus
+    stats. Every stage is an operator proven elsewhere in the registry;
+    the point here is composition — filters push to the scan, the only
+    wide ops are the dedup-key shuffle and the final tiny rollup."""
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.where(
+            F.col("lang").isin("en", "de", "es", "fr")
+            & F.col("n_chars").between(80, 10000)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            tokens(F.col("text")).alias("toks"),
+            F.md5(norm_text("text")).alias("dedup_key"),
+        )
+        .withColumn("n_tokens", F.size("toks"))
+        .where(F.col("n_tokens") >= 20)
+        .drop("toks")
+    )
+    w = Window.partitionBy("dedup_key").orderBy("doc_id")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .withColumn(
+            "split",
+            F.when(nibble.isin("0", "1", "2", "3"), "test").otherwise("train"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+        )
+        .orderBy("split", "lang")
+    )
