@@ -75,3 +75,67 @@ def asof_join_last(
         matched.where(F.col(_SIDE) == 1)
         .select(*lcols, *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in right_cols])
     )
+
+
+def asof_join_next(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: Column,
+    right_ts: Column,
+    right_cols: Sequence[str],
+    tolerance: Column | None = None,
+    right_tie_break: Sequence[Column] = (),
+) -> DataFrame:
+    """Forward as-of: attach ``right_cols`` from the *earliest* right row
+    with ``right_ts >= left_ts`` (ties include equality), NULLs when none
+    — or when the match lies beyond ``left_ts + tolerance`` (pandas
+    merge_asof's direction='forward' + tolerance, at shuffle scale).
+
+    Same merge formulation as :func:`asof_join_last`, mirrored: probes
+    sort *before* equal-ts quotes and the running window looks forward
+    (``first IGNORE NULLS`` over CURRENT ROW → UNBOUNDED FOLLOWING).
+    Still one shuffle, still no row explosion.
+    """
+    rts = "_asof_rts"
+    payload_cols = [*right_cols, rts]
+    lcols = left.columns
+    payload_t = (
+        right.select(
+            F.struct(*right_cols, right_ts.alias(rts)).alias(_PAYLOAD)
+        ).schema[_PAYLOAD].dataType
+    )
+    l_side = left.select(
+        *lcols,
+        left_ts.alias(_TS),
+        F.lit(0).alias(_SIDE),
+        F.lit(None).cast(payload_t).alias(_PAYLOAD),
+    )
+    r_side = right.select(
+        *[F.col(k) for k in on],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        right_ts.alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.struct(*right_cols, right_ts.alias(rts)).alias(_PAYLOAD),
+    ).select(*lcols, _TS, _SIDE, _PAYLOAD)
+
+    unioned = l_side.unionByName(r_side)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.asc(_TS), F.asc(_SIDE), *right_tie_break)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = unioned.withColumn(
+        _PAYLOAD, F.first(_PAYLOAD, ignorenulls=True).over(w)
+    )
+    in_tol = (
+        F.lit(True)
+        if tolerance is None
+        else F.col(f"{_PAYLOAD}.{rts}") <= F.col(_TS) + tolerance
+    )
+    gated = F.when(in_tol, F.col(_PAYLOAD))
+    return (
+        matched.where(F.col(_SIDE) == 0)
+        .withColumn(_PAYLOAD, gated)
+        .select(*lcols, *[F.col(f"{_PAYLOAD}.{c}").alias(c) for c in right_cols])
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from financial_data_warehouse_automation_spark.operators.asof import asof_join_last
+from financial_data_warehouse_automation_spark.operators.asof import asof_join_last, asof_join_next
 from financial_data_warehouse_automation_spark.queries._helpers import money
 from financial_data_warehouse_automation_spark.registry import query
 from financial_data_warehouse_automation_spark.tables import load_table
@@ -453,3 +453,75 @@ def events_sliding_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_start", "event_type")
     )
+
+
+@query(
+    "events_asof_next_order",
+    tags=("events", "asof", "join", "interval", "tolerance"),
+    oracle="""
+WITH probes AS (
+  SELECT event_id, user_id, ts - INTERVAL 28 YEAR AS probe_ts
+  FROM events WHERE event_type = 'view'
+), quotes AS (
+  SELECT o_custkey AS user_id, o_orderdate AS ots, MIN(o_orderkey) AS next_orderkey
+  FROM orders GROUP BY 1, 2
+), u AS (
+  SELECT user_id, probe_ts AS ts, 0 AS side, event_id,
+         NULL::BIGINT AS ok, NULL::DATE AS od
+  FROM probes
+  UNION ALL
+  SELECT user_id, CAST(ots AS TIMESTAMP), 1, NULL,
+         next_orderkey, CAST(ots AS DATE)
+  FROM quotes
+), m AS (
+  SELECT *,
+         first_value(ok IGNORE NULLS) OVER w AS m_ok,
+         first_value(od IGNORE NULLS) OVER w AS m_od
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id,
+       epoch_us(ts) AS probe_epoch,
+       CASE WHEN CAST(m_od AS TIMESTAMP) <= ts + INTERVAL 90 DAY
+            THEN m_ok END AS next_orderkey,
+       CASE WHEN CAST(m_od AS TIMESTAMP) <= ts + INTERVAL 90 DAY
+            THEN m_od END AS next_orderdate
+FROM m WHERE side = 0
+ORDER BY event_id
+""",
+)
+def events_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of with tolerance (operators/asof.py asof_join_next):
+    each view event — shifted into the orders era — picks up the user's
+    NEXT order on/after that instant, but only within 90 days (pandas
+    merge_asof direction='forward' + tolerance semantics). The oracle
+    mirrors the merge formulation itself (union + forward-looking
+    first_value IGNORE NULLS) — same algebra, two engines."""
+    e = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    probes = e.where(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 28 YEARS")).alias("probe_ts"),
+    )
+    quotes = o.groupBy(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ots"),
+    ).agg(F.min("o_orderkey").alias("next_orderkey"))
+    joined = asof_join_next(
+        probes,
+        quotes.withColumn("next_orderdate", F.col("ots").cast("date")),
+        on=["user_id"],
+        left_ts=F.col("probe_ts"),
+        right_ts=F.col("ots"),
+        right_cols=["next_orderkey", "next_orderdate"],
+        tolerance=F.expr("INTERVAL 90 DAYS"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("probe_ts").alias("probe_epoch"),
+        "next_orderkey",
+        "next_orderdate",
+    ).orderBy("event_id")
