@@ -525,3 +525,133 @@ def events_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "next_orderkey",
         "next_orderdate",
     ).orderBy("event_id")
+
+
+@query(
+    "user_state_scd2",
+    tags=("events", "scd2", "cdc", "window"),
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+)
+SELECT user_id, event_type AS state,
+       epoch_us(ts) AS valid_from,
+       epoch_us(LEAD(ts) OVER w2) AS valid_to,
+       ROW_NUMBER() OVER w2 AS version
+FROM changes
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version
+""",
+)
+def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history from a change log (CDC compression): collapse each
+    user's event stream to rows where the state (event_type) actually
+    changed — lag-based change detection — then stamp validity
+    intervals [valid_from, valid_to) with lead, NULL valid_to marking
+    the current state. This is the slowly-changing-dimension builder
+    the reference's GL-dim QA ledger implies but never materializes:
+    two partitioned window passes, no self-join, linear at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.unix_micros("ts").alias("valid_from"),
+            F.unix_micros(F.lead("ts").over(w2)).alias("valid_to"),
+            F.row_number().over(w2).alias("version"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+@query(
+    "session_funnel_conversion",
+    tags=("events", "funnel", "session", "conditional"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_session AS (
+  SELECT user_id, session_id,
+         MIN(epoch_us(ts)) FILTER (WHERE event_type = 'view') AS t_view,
+         MIN(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS t_click,
+         MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM sessions
+  GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_sessions,
+       COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+       COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click >= t_view)
+         AS n_view_click,
+       COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click >= t_view
+                          AND t_purchase >= t_click) AS n_full_funnel
+FROM per_session
+""",
+)
+def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over gap-sessionized streams: per session, the
+    first view / click / purchase timestamps (conditional MIN), then
+    step counts requiring each stage to follow the previous one. The
+    canonical product-analytics query, composed from sessionization +
+    FILTER-style conditional aggregation — two window passes and one
+    rollup, no joins at all."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(prev) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+
+    def first_ts(t: str):
+        return F.min(
+            F.when(F.col("event_type") == t, F.unix_micros("ts"))
+        )
+
+    per_session = (
+        e.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(wrun))
+        .groupBy("user_id", "session_id")
+        .agg(
+            first_ts("view").alias("t_view"),
+            first_ts("click").alias("t_click"),
+            first_ts("purchase").alias("t_purchase"),
+        )
+    )
+    seen_view = F.col("t_view").isNotNull()
+    view_click = seen_view & (F.col("t_click") >= F.col("t_view"))
+    full = view_click & (F.col("t_purchase") >= F.col("t_click"))
+    return per_session.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count_if(seen_view).alias("n_view"),
+        F.count_if(view_click).alias("n_view_click"),
+        F.count_if(full).alias("n_full_funnel"),
+    )
