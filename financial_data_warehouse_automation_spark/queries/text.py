@@ -633,3 +633,57 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "dedup_cluster_components",
+    tags=("text", "dedup", "graph", "components"),
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_distinct({_SQL_TOKS}) AS toks
+  FROM documents WHERE doc_id < 100
+), edges AS (
+  SELECT a.doc_id AS ea, b.doc_id AS eb
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+          / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1) >= 0.65
+), sym AS (
+  SELECT ea AS src, eb AS dst FROM edges
+  UNION
+  SELECT eb, ea FROM edges
+), reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT d.doc_id AS doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+FROM t d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+ORDER BY doc_id
+""",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: near-dup pairs (Jaccard ≥ 0.65 on the bounded
+    anchor subset) collapsed into connected components by iterative
+    min-label propagation (operators/graph.py) — the step that turns a
+    dedup *pair list* into a canonical keep-set (keep doc == component
+    id). The oracle computes the same components with a recursive CTE;
+    the Spark side is the O(diameter)-round shuffle algorithm that
+    survives corpus scale."""
+    from financial_data_warehouse_automation_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    t = d.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    edges = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("ta"), F.col("tb")).alias("jac"))
+        .where(F.col("jac") >= 0.65)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        t.select("doc_id"), edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    return comp.orderBy("doc_id")
