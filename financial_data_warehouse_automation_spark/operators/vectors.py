@@ -89,3 +89,25 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def quantize_int8(vec: Column) -> tuple[Column, Column]:
+    """Per-vector symmetric int8 quantization: scale = 127 / max|x|,
+    q[i] = round(x[i] * scale) as long. Returns (q_array, scale).
+
+    All arithmetic is double of exactly-widened float32 + HALF_UP
+    round, so the quantized arrays are bit-identical across engines —
+    the integer candidate scores downstream are exact, keeping the
+    whole quantized-search path oracle-checkable. At scale int8 cuts
+    candidate-generation memory traffic 4× vs float32 and the integer
+    dot runs in cheap SIMD lanes."""
+    max_abs = F.array_max(F.transform(vec, lambda x: F.abs(_d(x))))
+    scale = F.lit(127.0) / F.greatest(max_abs, F.lit(1e-30))
+    q = F.transform(vec, lambda x: F.round(_d(x) * scale).cast("long"))
+    return q, scale
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product (long fold)."""
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)

@@ -302,3 +302,97 @@ def embedding_hof_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform(c, lambda x: F.abs(x))).cast("double").alias("max_abs"),
         rev_dot.alias("rev_dot"),
     ).orderBy("vec_id")
+
+
+_SQL_Q = (
+    "list_transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * "
+    "(127.0 / greatest(list_max(list_transform({v}, y -> abs(CAST(y AS DOUBLE)))), 1e-30))"
+    ") AS BIGINT))"
+)
+_SQL_IDOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+
+@query(
+    "ann_cosine_topk_quantized",
+    tags=("similarity", "ann", "quantized", "int8"),
+    oracle=f"""
+WITH probes AS (
+  SELECT vec_id AS qid, embedding AS qvec, {_SQL_Q.format(v='embedding')} AS qq
+  FROM embeddings WHERE vec_id % 50 = 0
+), corpus AS (
+  SELECT vec_id, embedding, {_SQL_Q.format(v='embedding')} AS cq
+  FROM embeddings
+), cand AS (
+  SELECT p.qid, c.vec_id, p.qvec, c.embedding,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.qid
+           ORDER BY {_SQL_IDOT.format(a='p.qq', b='c.cq')} DESC, c.vec_id
+         ) AS crank
+  FROM probes p JOIN corpus c ON p.qid != c.vec_id
+), rescored AS (
+  SELECT qid, vec_id,
+         {_sql_dot('qvec', 'embedding')}
+           / ({_sql_norm('qvec')} * {_sql_norm('embedding')}) AS cos
+  FROM cand WHERE crank <= 20
+)
+SELECT qid, rank, vec_id, cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+  FROM rescored
+)
+WHERE rank <= 5
+ORDER BY qid, rank
+""",
+)
+def ann_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage quantized search: int8-quantize the corpus (4× lighter
+    candidate generation — integer dots), take the top-20 candidates per
+    probe by exact integer score, then rescore only those 20 in full
+    precision for the final top-5. Because the quantization arithmetic
+    is bit-identical across engines (operators/vectors.py
+    quantize_int8), the whole path — including the candidate cut — is
+    hash-checkable, unlike hash-sketch ANN variants."""
+    from financial_data_warehouse_automation_spark.operators.vectors import int_dot, quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q, _ = quantize_int8(F.col("embedding"))
+    corpus = e.select("vec_id", "embedding", q.alias("cq"))
+    probes = (
+        e.where(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            q.alias("qq"),
+        )
+    )
+    par = spark.sparkContext.defaultParallelism
+    cand = (
+        corpus.repartition(par)
+        .crossJoin(F.broadcast(probes))
+        .where(F.col("qid") != F.col("vec_id"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    int_dot(F.col("qq"), F.col("cq")).desc(), F.col("vec_id")
+                )
+            ),
+        )
+        .where(F.col("crank") <= 20)
+    )
+    rescored = cand.select(
+        "qid", "vec_id", cosine(F.col("qvec"), F.col("embedding")).alias("cos")
+    )
+    return (
+        rescored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+            ),
+        )
+        .where(F.col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    )
