@@ -10,7 +10,7 @@ independent small partitions at scale, no global sort anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from financial_data_warehouse_automation_spark.functions.scalars import (

@@ -7,7 +7,6 @@ to make the bucket layout observable in the plan."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 
 @pytest.fixture()

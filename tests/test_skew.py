@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from financial_data_warehouse_automation_spark.operators.skew import salted_join
 
