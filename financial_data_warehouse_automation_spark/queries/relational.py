@@ -892,3 +892,89 @@ def unpivot_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot(["year"], ["A", "N", "R"], "returnflag", "revenue")
         .orderBy("year", "returnflag")
     )
+
+
+@query(
+    "segment_revenue_correlation",
+    tags=("agg", "statistics", "trend"),
+    oracle=f"""
+WITH monthly AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS year,
+         EXTRACT(MONTH FROM o_orderdate) AS month,
+         CAST(SUM({sql_money('o_totalprice')})
+              FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE) AS x,
+         CAST(SUM({sql_money('o_totalprice')})
+              FILTER (WHERE c_mktsegment = 'MACHINERY') AS DOUBLE) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), paired AS (
+  SELECT CAST(round(x / 1000.0) AS BIGINT) AS xk,
+         CAST(round(y / 1000.0) AS BIGINT) AS yk
+  FROM monthly WHERE x IS NOT NULL AND y IS NOT NULL
+), s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(xk) AS BIGINT) AS sx, CAST(SUM(yk) AS BIGINT) AS sy,
+         CAST(SUM(xk * yk) AS BIGINT) AS sxy,
+         CAST(SUM(xk * xk) AS BIGINT) AS sxx,
+         CAST(SUM(yk * yk) AS BIGINT) AS syy
+  FROM paired
+)
+SELECT n AS n_months,
+       CAST(sx AS DOUBLE) / n AS mean_building_k,
+       CAST(sy AS DOUBLE) / n AS mean_machinery_k,
+       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_xy
+FROM s
+""",
+)
+def segment_revenue_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between two segments' monthly revenue series
+    — the 'do these departments trend together' question the reference
+    warehouse exists for. Built-in F.corr sums doubles in shuffle order
+    (non-deterministic at the ulp level), so instead: exact decimal
+    monthly sums → k$-rounded integer series → integer moments (Σx, Σy,
+    Σxy, Σx², Σy² — one pass, order-free) → closed form in double.
+    Bit-identical across engines and cluster layouts. (The k$ unit
+    keeps Σx² inside int64 at bench scale; scale the unit with SF.)"""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg_sum = lambda seg: F.sum(  # noqa: E731
+        F.when(F.col("c_mktsegment") == seg, money("o_totalprice"))
+    ).cast("double")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(seg_sum("BUILDING").alias("x"), seg_sum("MACHINERY").alias("y"))
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+        .select(
+            F.round(F.col("x") / 1000.0).cast("long").alias("xk"),
+            F.round(F.col("y") / 1000.0).cast("long").alias("yk"),
+        )
+    )
+    xk, yk = F.col("xk"), F.col("yk")
+    s = monthly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xk).alias("sx"),
+        F.sum(yk).alias("sy"),
+        F.sum(xk * yk).alias("sxy"),
+        F.sum(xk * xk).alias("sxx"),
+        F.sum(yk * yk).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return s.select(
+        n.alias("n_months"),
+        (sx / n).alias("mean_building_k"),
+        (sy / n).alias("mean_machinery_k"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_xy"),
+    )
