@@ -73,6 +73,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "part_name_similarity",         # bounded sample × sample pairs
         "embedding_near_dup_pairs",     # bounded probe set vs corpus
         "ann_cosine_topk_brute",        # broadcast probes over corpus
+        "ann_cosine_topk_quantized",    # broadcast probes, int8 candidate gen
         "ann_cosine_topk_rhp",
         "ann_cosine_topk_ivf",
         "ann_cosine_topk_ivf_kmeans",
