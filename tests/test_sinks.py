@@ -71,3 +71,36 @@ def test_compact_partition(spark, sf_dir, tmp_path):
     after = spark.read.parquet(path)
     assert len(after.inputFiles()) == 1
     assert after.count() == before_rows
+
+
+def test_schema_evolution_merge_and_union(spark, tmp_path):
+    """Schema evolution at the warehouse boundary (SURVEY §1.4: the GS
+    version added a Group column the Python version lacked): a later
+    load carries an extra column. mergeSchema reads the union schema
+    with NULL back-fill for old files; unionByName(allowMissingColumns)
+    does the same for in-flight frames — both directions a monthly
+    pipeline needs when a dimension gains a column mid-year."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "wh")
+    v1 = spark.createDataFrame(
+        [("1000", 2024, 1, 10.0)], "gl_code string, year int, month int, amount double"
+    )
+    v2 = spark.createDataFrame(
+        [("1000", 2024, 2, 12.5, "Ops")],
+        "gl_code string, year int, month int, amount double, grp string",
+    )
+    v1.write.parquet(path + "/p1")
+    v2.write.parquet(path + "/p2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        path + "/p1", path + "/p2"
+    )
+    assert set(merged.columns) == {"gl_code", "year", "month", "amount", "grp"}
+    jan = merged.where(F.col("month") == 1).collect()[0]
+    assert jan.grp is None  # old files back-filled with NULL
+
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    assert set(unioned.columns) == {"gl_code", "year", "month", "amount", "grp"}
+    assert unioned.count() == 2
+    assert unioned.where(F.col("grp").isNull()).count() == 1
