@@ -298,7 +298,10 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     never all-pairs) → verify only candidates. Rows-only check (hash
     permutations are engine-specific); recall is anchored by
     doc_jaccard_pairs_brute."""
-    d = load_table(spark, sf_dir, "documents")
+    # Single-file parquet = one input partition; spread the CPU-heavy
+    # shingle/signature projection across cores. Hash on doc_id so the
+    # downstream per-doc work needs no further exchange.
+    d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
     docs = d.select("doc_id", tokens("text").alias("toks"))
     shingled = docs.select("doc_id", word_shingles(F.col("toks"), 3).alias("sh"))
     sigs = minhash_signatures(shingled, "doc_id", F.col("sh"), k=64)
