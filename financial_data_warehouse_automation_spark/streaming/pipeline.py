@@ -130,6 +130,73 @@ def event_window_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_stream(events: DataFrame, within: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup on the event key:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes the key's first-seen event time, so re-delivered
+    events (at-least-once sources) collapse to one row while state stays
+    bounded — the streaming twin of batch ``dropDuplicates(["event_id"])``.
+
+    ``within`` is the dedup horizon: a duplicate arriving more than this
+    far (in event time) after the original is no longer guaranteed
+    dropped. Size it to the source's re-delivery window, not the stream's
+    lifetime — that is what keeps state finite at 100 TB/day rates."""
+    return events.withWatermark("ts", within).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def purchase_attribution_stream(
+    events: DataFrame, horizon_minutes: int = 60
+) -> DataFrame:
+    """Stream-stream interval self-join: attribute each purchase to every
+    click by the same user within the preceding ``horizon_minutes``.
+
+    Both sides carry watermarks and the join condition bounds
+    ``purchase_ts`` to ``[click_ts, click_ts + horizon]``, so Spark can
+    compute exactly how long a buffered click can still match and evict
+    state past it — the canonical bounded-state stream-stream join. An
+    unbounded-condition join would grow state forever; this one holds
+    ~(horizon + watermark) of each side per user regardless of stream
+    length. Inner-join matches are emitted as soon as both rows arrive
+    (the watermark governs eviction, not emission)."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return clicks.join(purchases, cond, "inner").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 SESSION_OUT_SCHEMA = (
     "user_id BIGINT, session_start BIGINT, session_end BIGINT, "
     "n_events BIGINT, closed BOOLEAN"

@@ -127,6 +127,100 @@ def test_event_stream_window_equals_batch(spark, sf_dir, tmp_path):
     assert got == expected
 
 
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream self-join (click→purchase attribution
+    within 60 min) must emit exactly the batch interval-join's rows once
+    the bounded source drains."""
+    from financial_data_warehouse_automation_spark.streaming.pipeline import purchase_attribution_stream
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    src = str(tmp_path / "events_src")
+    # two chronological files → matches split across micro-batches, so
+    # the join must buffer clicks in state to pair later purchases
+    cut = events.agg(
+        F.expr("percentile_approx(unix_micros(ts), 0.5)")
+    ).collect()[0][0]
+    events.where(F.unix_micros("ts") <= cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    events.where(F.unix_micros("ts") > cut).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        purchase_attribution_stream(stream)
+        .writeStream.format("memory")
+        .queryName("attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql(
+        "SELECT user_id, click_id, purchase_id FROM attr"
+    ).collect()}
+
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 60 MINUTES")),
+    ).select("cu", "click_id", "purchase_id")
+    expected = {tuple(r) for r in batch.collect()}
+    assert got == expected
+    assert len(got) > 0  # non-trivial fixture
+
+
+def test_stream_dedup_within_watermark_equals_batch(spark, sf_dir, tmp_path):
+    """Re-delivered events (same file content dropped twice, consumed in
+    separate micro-batches) collapse to one row per event_id, matching
+    batch dropDuplicates — the dedup horizon exceeds the data span so no
+    state is evicted mid-test."""
+    from financial_data_warehouse_automation_spark.streaming.pipeline import dedup_events_stream
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    src = str(tmp_path / "events_src")
+    events.coalesce(1).write.mode("append").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)  # re-delivery
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_events_stream(stream, within="40 days")
+        .writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_stream = spark.sql("SELECT count(*) AS n FROM dedup").collect()[0].n
+    ids_stream = spark.sql(
+        "SELECT count(DISTINCT event_id) AS n FROM dedup"
+    ).collect()[0].n
+    n_batch = events.dropDuplicates(["event_id"]).count()
+    assert n_stream == ids_stream == n_batch
+    assert n_batch > 0
+
+
 def test_stateful_sessionize_stream_equals_batch(spark, sf_dir, tmp_path):
     """applyInPandasWithState sessionizer vs the batch lag+cumsum query:
     state carries open sessions across micro-batches, so the final
