@@ -14,6 +14,8 @@ Each module covers one band of the SURVEY.md §2 inventory:
     similarity   — embedding cosine top-k (brute force + LSH-bucketed)
     multimodal   — binary-column plumbing with typed metadata
     ingest_demo  — the reference-shaped Excel ingest pipeline end-to-end
+    streaming_demo — bounded Structured Streaming runs whose terminal
+                   output is oracle-checked like any batch query
 """
 
 from financial_data_warehouse_automation_spark.queries import (  # noqa: F401
@@ -22,6 +24,7 @@ from financial_data_warehouse_automation_spark.queries import (  # noqa: F401
     multimodal,
     relational,
     similarity,
+    streaming_demo,
     text,
     warehouse,
     windows,

@@ -1,0 +1,151 @@
+"""Streaming queries registered in the driver contract (SURVEY §2.9).
+
+Each builder runs a *bounded* Structured Streaming job (availableNow
+trigger — drain everything, then stop) over the driver parquet and
+returns the terminal result, so the same correctness gate that checks
+batch queries checks streaming output:
+
+- the watermarked tumbling-window stream hash-matches the DuckDB
+  ``GROUP BY time_bucket`` oracle, and
+- the ``applyInPandasWithState`` sessionizer — a custom stateful
+  operator DuckDB cannot run — hash-matches the DuckDB lag+cumsum
+  *recurrence*, because its incremental merge is exactly that
+  recurrence spread over micro-batches.
+
+That is the strongest statement §2.9 can make: the streaming tail is a
+resumable evaluation of the batch semantics, not a parallel
+implementation that merely resembles it. Unbounded-tail concerns
+(late-data eviction, bounded state) are exercised in
+``tests/test_streaming.py`` with multi-batch splits and re-delivery.
+
+Scale: both jobs shuffle on the same keys as their batch twins (window
+bucket / user_id); sessionizer state is one tuple per active user, not
+per event.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from financial_data_warehouse_automation_spark.queries._helpers import money
+from financial_data_warehouse_automation_spark.registry import query
+from financial_data_warehouse_automation_spark.streaming.pipeline import sessionize_stream
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream twin of tables.load_table(..., "events"): same raw
+    int64-nanos read + micros truncation, so stream and batch rows are
+    identical."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file-stream source wants a directory; glob-filter the one table
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def _drain_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
+    """Run the bounded stream to a memory sink and return the sink table.
+    availableNow processes every file then terminates; a previous run's
+    terminated query under the same name is replaced."""
+    spark = df.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+            q.awaitTermination()
+    handle = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    handle.awaitTermination()
+    return spark.table(name)
+
+
+@query(
+    "events_stream_tumbling_15min",
+    tags=("streaming", "events", "window", "tumbling"),
+    oracle="""
+SELECT CAST(epoch(time_bucket(INTERVAL '15 minutes', ts)) AS BIGINT) AS bucket_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1
+ORDER BY bucket_start
+""",
+)
+def events_stream_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_tumbling_15min, checked against the SAME
+    DuckDB oracle: watermarked tumbling window over a bounded stream in
+    complete mode (an infinite tail would run append mode and emit each
+    window once its watermark passes)."""
+    e = _events_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    agg = (
+        e.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    out = _drain_to_memory(agg, "strm_tumbling15", "complete")
+    return out.orderBy("bucket_start")
+
+
+@query(
+    "events_stream_sessionize",
+    tags=("streaming", "events", "session", "stateful"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start,
+       epoch_us(MAX(ts)) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState sessionizer run as a bounded stream,
+    oracle-checked against the batch lag+cumsum recurrence in DuckDB.
+    Update-mode emissions accumulate in the memory sink (closed sessions
+    plus per-batch open-session snapshots); the terminal session set is
+    the per-(user, start) row with the highest event count, closed
+    winning ties — identical to the batch result because the state
+    merge IS the batch recurrence."""
+    sessions = sessionize_stream(_events_stream(spark, sf_dir), gap_minutes=30)
+    emitted = _drain_to_memory(sessions, "strm_sessions", "update")
+    w = Window.partitionBy("user_id", "session_start").orderBy(
+        F.desc("n_events"), F.desc("closed")
+    )
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    )
