@@ -1,0 +1,84 @@
+"""Source-format breadth: the engine reads the same relation from
+parquet, CSV, JSON-lines, and ORC with identical results.
+
+Scale discipline: every non-parquet read supplies an explicit schema —
+schema inference is a full extra pass over the data (CSV/JSON) and is
+never acceptable at 100 TB. Parquet/ORC carry their schema in file
+metadata; CSV additionally pins header+timestamp format so round-trips
+are lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from financial_data_warehouse_automation_spark.tables import load_table
+
+
+def _canon(df):
+    """Order-insensitive canonical form: sorted list of row tuples."""
+    cols = sorted(df.columns)
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_csv_json_orc_round_trip_equal_parquet(spark, sf_dir, tmp_path):
+    src = load_table(spark, sf_dir, "lineitem").limit(2000)
+    # decimals/dates/strings all present; cache so every sink sees the
+    # same rows even though limit() without order is nondeterministic
+    src = src.cache()
+    expected = _canon(src)
+
+    csv_dir = str(tmp_path / "csv")
+    json_dir = str(tmp_path / "json")
+    orc_dir = str(tmp_path / "orc")
+    src.write.option("header", True).csv(csv_dir)
+    src.write.json(json_dir)
+    src.write.orc(orc_dir)
+
+    got_csv = spark.read.schema(src.schema).option("header", True).csv(csv_dir)
+    got_json = spark.read.schema(src.schema).json(json_dir)
+    got_orc = spark.read.orc(orc_dir)
+
+    assert _canon(got_csv) == expected
+    assert _canon(got_json) == expected
+    assert _canon(got_orc) == expected
+    src.unpersist()
+
+
+def test_csv_malformed_rows_quarantine(spark, tmp_path):
+    """PERMISSIVE mode + columnNameOfCorruptRecord: bad rows land in a
+    quarantine column instead of failing the load — the file-level
+    equivalent of the ingest quarantine query."""
+    p = tmp_path / "raw.csv"
+    p.write_text(
+        "id,amount\n"
+        "1,10.5\n"
+        "not_an_int,oops,extra\n"
+        "2,20.25\n"
+    )
+    schema = "id INT, amount DOUBLE, _corrupt STRING"
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(str(p))
+    )
+    df = df.cache()
+    good = df.where(F.col("_corrupt").isNull())
+    bad = df.where(F.col("_corrupt").isNotNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "not_an_int" in bad.collect()[0]._corrupt
+    df.unpersist()
+
+
+def test_orc_predicate_pushdown(spark, sf_dir, tmp_path):
+    """ORC scans take pushed filters just like parquet — the plan shows
+    the predicate at the scan node."""
+    src = load_table(spark, sf_dir, "orders").limit(5000)
+    orc_dir = str(tmp_path / "orders_orc")
+    src.write.orc(orc_dir)
+    q = spark.read.orc(orc_dir).where(F.col("o_orderkey") == 42).select("o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
