@@ -690,3 +690,79 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.select("doc_id"), edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
     )
     return comp.orderBy("doc_id")
+
+
+@query(
+    "doc_decontaminate_splits",
+    tags=("text", "dedup", "decontamination", "llm-pipeline"),
+    oracle=r"""
+WITH tagged AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\s+') AS toks,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0', '1', '2', '3')
+              THEN 'test' ELSE 'train' END AS split
+  FROM documents
+), pos AS (
+  SELECT doc_id, split, toks,
+         unnest(generate_series(1, len(toks)-7)) AS i
+  FROM tagged
+), sh AS (
+  SELECT DISTINCT doc_id, split,
+         array_to_string(toks[i:i+7], ' ') AS shingle
+  FROM pos
+), pairs AS (
+  SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc, te.shingle
+  FROM sh te JOIN sh tr ON te.shingle = tr.shingle
+  WHERE te.split = 'test' AND tr.split = 'train'
+)
+SELECT test_doc AS doc_id,
+       COUNT(DISTINCT shingle) AS n_shared_shingles,
+       COUNT(DISTINCT train_doc) AS n_contaminating_docs
+FROM pairs GROUP BY 1 ORDER BY 1
+""",
+)
+def doc_decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: flag test-split documents sharing any
+    8-gram with a train-split document — the standard benchmark-leakage
+    scan a training pipeline runs before eval (same split function as
+    doc_train_test_split, so membership is content-addressed and
+    stable). Docs shorter than 8 tokens carry no 8-gram and cannot
+    contaminate.
+
+    Shape: per-split shingle sets joined on the shingle — a hash
+    shuffle on the n-gram, never doc×doc. At corpus scale the join key
+    becomes xxhash64(shingle) (8-byte shuffle rows instead of strings,
+    collision-verified on the string after the match); the string key
+    keeps the query engine-agnostic here."""
+    d = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    )
+    split = F.when(nibble.isin("0", "1", "2", "3"), "test").otherwise("train")
+    t = d.select("doc_id", split.alias("split"), tokens("text").alias("toks"))
+    sh = (
+        t.where(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("toks"), 8))
+            ).alias("shingle"),
+        )
+    )
+    te = sh.where(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "shingle"
+    )
+    tr = sh.where(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    return (
+        te.join(tr, "shingle")
+        .groupBy(F.col("test_doc").alias("doc_id"))
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("train_doc").alias("n_contaminating_docs"),
+        )
+        .orderBy("doc_id")
+    )
