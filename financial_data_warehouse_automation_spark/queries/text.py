@@ -766,3 +766,52 @@ def doc_decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_repetition_filter",
+    tags=("text", "quality", "llm-pipeline"),
+    oracle=r"""
+WITH tagged AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks)-1)) AS i
+  FROM tagged
+), grams AS (
+  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+  FROM pos
+), stats AS (
+  SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct
+  FROM grams GROUP BY 1
+)
+SELECT doc_id, n_grams, n_distinct,
+       ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS rep_ratio
+FROM stats
+WHERE 1.0 - CAST(n_distinct AS DOUBLE) / n_grams >= 0.08
+ORDER BY doc_id
+""",
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (the Gopher-style duplicate
+    n-gram fraction): flag documents whose bigram stream is ≥8%
+    duplicates — boilerplate, chorus-like spam, and template text score
+    high while natural prose stays low. Computed entirely per-row with
+    array HOFs (shingle → distinct-count), so the scan is
+    embarrassingly parallel: no shuffle except the final tiny filter
+    output — exactly what a 100 TB quality pass needs."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    grams = word_shingles(F.col("toks"), 2)
+    stats = t.where(F.size("toks") >= 2).select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )
+    rep = F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams")
+    return (
+        stats.withColumn("rep_ratio", F.round(rep, 6))
+        .where(rep >= 0.08)
+        .select("doc_id", "n_grams", "n_distinct", "rep_ratio")
+        .orderBy("doc_id")
+    )
