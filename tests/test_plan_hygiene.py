@@ -90,3 +90,34 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"unexpected non-equi join plans: {offenders}"
+
+
+def test_runtime_bloom_filter_injects_at_scale_conditions(spark, sf_dir):
+    """Runtime bloom-filter join pruning (on by default) gates on the
+    conditions of a big cluster: application-side scan >10 GB and a
+    non-broadcastable creation side. At sf0.1 neither holds, so
+    recreate them via conf to pin that a selective dim filter DOES
+    inject a bloom filter into the fact scan — the row-group-skipping
+    lever a 100 TB lineitem⋈filtered-orders plan relies on."""
+    from pyspark.sql import functions as F
+
+    app_thresh = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    old_app, old_bcast = spark.conf.get(app_thresh), spark.conf.get(bcast)
+    try:
+        spark.conf.set(app_thresh, "0")
+        spark.conf.set(bcast, "-1")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized, "no runtime bloom filter injected"
+    finally:
+        spark.conf.set(app_thresh, old_app)
+        spark.conf.set(bcast, old_bcast)
