@@ -429,3 +429,59 @@ def gap_fill_pending_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "priority")
     )
+
+
+@query(
+    "pctrank_top_customers",
+    tags=("windows", "percent_rank", "cume_dist", "nth_value"),
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment AS segment, c_custkey,
+         ROUND(CAST(c_acctbal AS DOUBLE), 2) AS acctbal,
+         percent_rank() OVER w AS pr,
+         cume_dist() OVER w AS cd,
+         nth_value(c_custkey, 3) OVER (
+           PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_richest
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+)
+SELECT segment, c_custkey, acctbal,
+       ROUND(pr, 6) AS pct_rank, ROUND(cd, 6) AS cume_dist, third_richest
+FROM ranked
+WHERE pr <= 0.01
+ORDER BY segment, pct_rank, c_custkey
+""",
+)
+def pctrank_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window breadth: percent_rank + cume_dist
+    locate each customer inside their segment's balance distribution
+    (top 1% kept), nth_value surfaces the running 3rd-richest key.
+    Ratios of small ints rounded to 6 places hash-match across engines;
+    the tie-free ORDER BY (balance, key) makes RANGE and ROWS frames
+    agree, pinned with an explicit ROWS frame on both sides."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        "c_custkey",
+        F.round(F.col("c_acctbal").cast("double"), 2).alias("acctbal"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("c_custkey", 3).over(wrows).alias("third_richest"),
+    )
+    return (
+        ranked.where(F.col("pr") <= 0.01)
+        .select(
+            "segment",
+            "c_custkey",
+            "acctbal",
+            F.round("pr", 6).alias("pct_rank"),
+            F.round("cd", 6).alias("cume_dist"),
+            "third_richest",
+        )
+        .orderBy("segment", "pct_rank", "c_custkey")
+    )
