@@ -2,9 +2,11 @@
 band; operators in operators/text.py).
 
 The dedup ladder: exact (md5 key) → fingerprint (rolling hash) →
-MinHash-LSH (banded, never all-pairs) → SimHash sketch. Brute-force
-Jaccard runs on a 100-doc subset ONLY, as the oracle-checked anchor for
-LSH recall — the full-corpus path is always the banded join.
+MinHash-LSH (banded, never all-pairs) → SimHash sketch. The LSH path's
+exact anchor is doc_shingle_jaccard_blocked (same 3-gram similarity,
+length-window blocking bounds the compare set); the unigram brute pair
+query runs on a 100-doc subset ONLY. The full-corpus fuzzy path is
+always the banded join.
 """
 
 from __future__ import annotations
@@ -274,9 +276,12 @@ ORDER BY id_a, id_b
 """,
 )
 def doc_jaccard_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force n-gram(1) Jaccard on a 100-doc subset — the
-    correctness anchor for the LSH path. All-pairs is O(n²): NEVER run
-    un-subsetted at scale (doc_jaccard LSH query is the scale path)."""
+    """Brute-force unigram (token-set) Jaccard on a 100-doc subset —
+    the n=1 point of the n-gram Jaccard family. On narrow-vocabulary
+    corpora token-set similarity saturates (most doc pairs clear 0.5),
+    which is exactly why the LSH near-dup path uses 3-gram shingles
+    instead; its exact anchor is doc_shingle_jaccard_blocked. All-pairs
+    is O(n²): NEVER run un-subsetted at scale."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     t = d.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
     a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
@@ -293,11 +298,14 @@ def doc_jaccard_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("doc_minhash_lsh_pairs", headline=True, tags=("text", "dedup", "minhash", "lsh"))
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=64) + banded LSH (16 bands × 4 rows ⇒ ~0.5 Jaccard
-    threshold), candidates verified with exact Jaccard — the full-corpus
-    fuzzy-dedup path: shingle→signature (one agg) → band join (bucketed,
-    never all-pairs) → verify only candidates. Rows-only check (hash
-    permutations are engine-specific); recall is anchored by
-    doc_jaccard_pairs_brute."""
+    threshold) over 3-gram shingles, candidates verified with exact
+    shingle Jaccard — candidate generation and verification use the
+    SAME similarity, so the pipeline is a strict approximation of
+    doc_shingle_jaccard_blocked (its exact anchor; recall pinned in
+    tests/test_text_dedup.py). Full-corpus fuzzy-dedup path:
+    shingle→signature (one agg) → band buckets (never all-pairs) →
+    verify only candidates. Rows-only check (hash permutations are
+    engine-specific)."""
     # Single-file parquet = one input partition; spread the CPU-heavy
     # shingle/signature projection across cores. Hash on doc_id so the
     # downstream per-doc work needs no further exchange.
@@ -306,14 +314,12 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = docs.select("doc_id", word_shingles(F.col("toks"), 3).alias("sh"))
     sigs = minhash_signatures(shingled, "doc_id", F.col("sh"), k=64)
     cands = lsh_candidate_pairs(sigs, "doc_id", bands=16, rows=4)
-    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
-    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    dist = shingled.select("doc_id", F.array_distinct("sh").alias("sd"))
+    sa = dist.select(F.col("doc_id").alias("id_a"), F.col("sd").alias("sa"))
+    sb = dist.select(F.col("doc_id").alias("id_b"), F.col("sd").alias("sb"))
     verified = (
-        cands.join(ta, "id_a").join(tb, "id_b")
-        .select(
-            "id_a", "id_b",
-            jaccard(F.array_distinct("ta"), F.array_distinct("tb")).alias("jac"),
-        )
+        cands.join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sa"), F.col("sb")).alias("jac"))
         .where(F.col("jac") >= 0.5)
     )
     return verified.orderBy("id_a", "id_b")
@@ -694,6 +700,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_decontaminate_splits",
+    headline=True,
     tags=("text", "dedup", "decontamination", "llm-pipeline"),
     oracle=r"""
 WITH tagged AS (
@@ -814,4 +821,68 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(rep >= 0.08)
         .select("doc_id", "n_grams", "n_distinct", "rep_ratio")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_shingle_jaccard_blocked",
+    tags=("text", "dedup", "jaccard", "blocking"),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, n_chars, string_split_regex(trim(text), '\s+') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, n_chars, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks
+), sh AS (
+  SELECT doc_id, n_chars, list_distinct(list(array_to_string(t[i:i+2], ' '))) AS s
+  FROM pos GROUP BY doc_id, n_chars, t
+), keyed AS (
+  SELECT doc_id, s, unnest([n_chars // 25, n_chars // 25 + 1]) AS bucket FROM sh
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jac
+FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+      / greatest(len(list_distinct(list_concat(a.s, b.s))), 1) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def doc_shingle_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram shingle Jaccard near-dup pairs with length-window
+    blocking — the oracle-checked anchor for the MinHash-LSH path
+    (same shingles, same threshold). Docs only compare within ±25
+    chars of length (each doc emits two width-25 buckets, so no pair
+    inside the window can straddle a boundary); near-dup pairs in this
+    corpus differ by ≤12 chars, and in general a 0.5-Jaccard pair
+    cannot diverge much in length. Blocking turns O(n²) into
+    O(Σ bucket²) with an equi-join shuffle — the sorted-neighborhood
+    technique a full-corpus exact pass would actually use."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "n_chars", tokens("text").alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    sh = t.select(
+        "doc_id",
+        "n_chars",
+        F.array_distinct(word_shingles(F.col("toks"), 3)).alias("s"),
+    )
+    bucket = F.expr("n_chars div 25")
+    keyed = sh.select(
+        "doc_id", "s", F.explode(F.array(bucket, bucket + 1)).alias("bucket")
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("id_a"), F.col("s").alias("sa"), "bucket"
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("id_b"), F.col("s").alias("sb"), "bucket"
+    )
+    jac = jaccard(F.col("sa"), F.col("sb"))
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jac"))
+        .distinct()
+        .orderBy("id_a", "id_b")
     )
