@@ -886,3 +886,181 @@ def doc_shingle_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "doc_stratified_sample",
+    tags=("text", "sampling", "stratified", "llm-pipeline"),
+    oracle="""
+WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN c ON d.lang = c.lang
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 2))
+           AS INTEGER) * c.cnt < 256 * 64
+ORDER BY d.doc_id
+""",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing stratified sample: cap every language at
+    ~64 expected docs by keeping a doc iff u * cnt_lang < 256 * cap,
+    where u = first byte of md5(doc_id) — integer arithmetic, so
+    membership is an exact pure function of (key, stratum size) that
+    any engine reproduces bit-for-bit. Under-cap languages pass
+    untouched (u*cnt < 256*cap for all u). This is the down-sample-the
+    -over-represented-language step of a corpus mix; content-addressed
+    like doc_train_test_split, so re-sharding never changes the
+    sample. One tiny-dim broadcast join, no shuffle of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2),
+        16, 10,
+    ).cast("long")
+    return (
+        d.join(F.broadcast(cnt), "lang")
+        .where(u * F.col("cnt") < F.lit(256 * 64))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_tfidf_top_terms",
+    tags=("text", "tfidf", "ranking", "llm-pipeline"),
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rk
+FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+""",
+)
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
+    Term frequencies and document frequencies are exact integer
+    aggregates; the only float op is one ln on an identical double in
+    both engines, rounded to 6 before ranking so the rank itself is
+    engine-stable. N joins in as a single-row broadcast (Catalyst
+    folds the literal key, leaving a nested loop over exactly one
+    build row — free at any scale, allowlisted in the plan sweep). At
+    scale this is two hash aggregates and a window partitioned by
+    doc — WindowGroupLimit pushes rk<=3 below the shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("one", F.lit(1))
+    scored = (
+        tf.join(df_, "term")
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(n), "one")
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+@query(
+    "doc_bm25_search",
+    tags=("text", "bm25", "search", "ranking", "llm-pipeline"),
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id
+), stats AS (
+  SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM dl
+), qtf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN ('spark', 'hash', 'window') GROUP BY doc_id, term
+), qdf AS (
+  SELECT term, COUNT(*) AS df FROM qtf GROUP BY term
+), contrib AS (
+  SELECT q.doc_id,
+         CAST(ROUND(
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (q.tf * 2.2)
+           / (q.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)), 6)
+         AS DECIMAL(18,6)) AS c
+  FROM qtf q JOIN qdf d USING (term) JOIN dl l USING (doc_id)
+       CROSS JOIN stats s
+)
+SELECT doc_id, COUNT(*) AS n_terms_hit, SUM(c) AS bm25
+FROM contrib GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id LIMIT 20
+""",
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (k1=1.2, b=0.75, the +1 idf variant) for the
+    query {spark, hash, window}: top-20 docs by summed per-term score.
+    Cross-engine determinism: tf/df/dl/N are exact integers, avgdl is
+    one exact division, each per-term score is rounded to 6 and cast
+    to DECIMAL(18,6) BEFORE the sum, so the final score is an exact
+    decimal sum (shuffle-order independent) and the top-20 cut
+    (score DESC, doc_id) is stable. Scale shape: the corpus-wide work
+    is one tokenize+filter scan; only docs containing a query term
+    reach the join, and df/avgdl arrive as single-row broadcasts
+    (nested loop over one build row — free, allowlisted)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = (
+        dl.agg(F.avg("dl").alias("avgdl"), F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("one", F.lit(1))
+    )
+    qtf = (
+        tok.where(F.col("term").isin("spark", "hash", "window"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qdf = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        qtf.join(F.broadcast(qdf), "term")
+        .join(dl, "doc_id")
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(stats), "one")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = F.round(idf * (F.col("tf") * F.lit(2.2)) / denom, 6).cast(
+        "decimal(18,6)"
+    )
+    return (
+        scored.select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms_hit"), F.sum("c").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
