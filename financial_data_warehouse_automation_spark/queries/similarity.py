@@ -396,3 +396,41 @@ def ann_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "rank", "vec_id", "cos")
         .orderBy("qid", "rank")
     )
+
+
+@query(
+    "embedding_label_centroids",
+    tags=("similarity", "vectors", "centroids", "llm-pipeline"),
+    oracle="""
+WITH dims AS (
+  SELECT label, i AS dim,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+)
+SELECT label, dim, COUNT(*) AS n_vecs, SUM(v) AS dim_sum
+FROM dims GROUP BY label, dim
+ORDER BY label, dim
+""",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulation — the reduce step of distributed
+    k-means expressed relationally: posexplode each vector to
+    (label, dim, value), sum per (label, dim). Values are rounded to 6
+    and summed as DECIMAL(18,6), so the aggregate is exact and
+    shuffle-order independent (float sums are not); the centroid mean
+    is dim_sum / n_vecs at the caller. Scale shape: one scan, map-side
+    partial aggregation, and a shuffle keyed on (label, dim) whose
+    cardinality is labels x dims — tiny regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("val").cast("double"), 6).cast("decimal(18,6)").alias("v"),
+    )
+    return (
+        dims.groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("v").alias("dim_sum"))
+        .orderBy("label", "dim")
+    )
