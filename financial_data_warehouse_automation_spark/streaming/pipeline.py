@@ -130,6 +130,30 @@ def event_window_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_events_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static dimension enrichment: each micro-batch of the
+    event stream joins the (slowly-changing, re-read per batch) static
+    customer dimension on the derived key user_id+1 = c_custkey. The
+    static side is broadcast-hinted — a bounded dim at any stream
+    length — so the stream side never shuffles; on a cluster this is
+    the map-side hash join every CDC/enrichment topology uses. The
+    left join keeps dim-less events with a NULL segment (same
+    missing-flag discipline as the batch J1/J2 enrichment)."""
+    dim = F.broadcast(
+        customer.select(
+            (F.col("c_custkey") - 1).alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return (
+        events.join(dim, "user_id", "left")
+        .select(
+            "event_id", "user_id", "event_type", "ts", "value",
+            F.coalesce(F.col("segment"), F.lit("UNKNOWN")).alias("segment"),
+        )
+    )
+
+
 def dedup_events_stream(events: DataFrame, within: str = "30 minutes") -> DataFrame:
     """Streaming exact dedup on the event key:
     ``dropDuplicatesWithinWatermark`` keeps per-key state only until the

@@ -294,3 +294,45 @@ def test_stateful_sessionize_stream_equals_batch(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in final.collect()}
     expected = {tuple(r) for r in batch.collect()}
     assert got == expected
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp_path):
+    """Stream-static dim join: streamed events enriched with the
+    customer segment must equal the same join run in batch."""
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        enrich_events_stream,
+    )
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    # drop some dim keys so the left join exercises both the matched
+    # and the UNKNOWN (dim-less) path
+    customer = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 7 != 0
+    )
+    src = str(tmp_path / "events_src")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        enrich_events_stream(stream, customer)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.event_id, r.segment)
+        for r in spark.sql("SELECT event_id, segment FROM enriched").collect()
+    }
+    expected = {
+        (r.event_id, r.segment)
+        for r in enrich_events_stream(events, customer).collect()
+    }
+    assert len(got) == events.count()
+    assert got == expected
+    # the fixture guarantees both matched and UNKNOWN (dim-less) rows
+    assert any(s == "UNKNOWN" for _, s in got)
+    assert any(s != "UNKNOWN" for _, s in got)
