@@ -485,3 +485,110 @@ def pctrank_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "pct_rank", "c_custkey")
     )
+
+
+@query(
+    "interpolate_monthly_revenue",
+    tags=("window", "interpolation", "time-series"),
+    oracle=f"""
+WITH bounds AS (
+  SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+         date_trunc('month', MAX(o_orderdate)) AS hi
+  FROM orders
+), spine AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month
+  FROM bounds
+), monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(SUM({sql_money('o_totalprice')}) AS DOUBLE) AS revenue_raw
+  FROM orders
+  WHERE o_orderstatus = 'P'
+  GROUP BY 1
+), axis AS (
+  SELECT s.month AS month, m.revenue_raw AS revenue_raw,
+         ROW_NUMBER() OVER (ORDER BY s.month) AS rn
+  FROM spine s LEFT JOIN monthly m ON m.month = s.month
+), ctx AS (
+  SELECT month, revenue_raw, rn,
+         last_value(revenue_raw IGNORE NULLS) OVER w_back AS prev_val,
+         last_value(CASE WHEN revenue_raw IS NOT NULL THEN rn END IGNORE NULLS)
+             OVER w_back AS prev_rn,
+         first_value(revenue_raw IGNORE NULLS) OVER w_fwd AS next_val,
+         first_value(CASE WHEN revenue_raw IS NOT NULL THEN rn END IGNORE NULLS)
+             OVER w_fwd AS next_rn
+  FROM axis
+  WINDOW w_back AS (ORDER BY rn ROWS UNBOUNDED PRECEDING),
+         w_fwd AS (ORDER BY rn ROWS BETWEEN CURRENT ROW
+                   AND UNBOUNDED FOLLOWING)
+)
+SELECT month, revenue_raw,
+       CASE WHEN revenue_raw IS NOT NULL THEN revenue_raw
+            WHEN prev_val IS NULL THEN next_val
+            WHEN next_val IS NULL THEN prev_val
+            ELSE ROUND(prev_val + (next_val - prev_val)
+                 * (CAST(rn - prev_rn AS DOUBLE)
+                    / CAST(next_rn - prev_rn AS DOUBLE)), 6)
+       END AS revenue_interp,
+       CAST(revenue_raw IS NULL AS BOOLEAN) AS is_gap
+FROM ctx ORDER BY month
+""",
+)
+def interpolate_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across time-series gaps (the companion to
+    gap_fill_pending_revenue's forward-fill): each missing month gets
+    prev + (next-prev) * gap_fraction, edges clamp to the nearest
+    known value. Deterministic without decimal sums: the gap fraction
+    is a ratio of exact integers, and +,-,*,/ on identical doubles are
+    IEEE-identical in both engines (no reordered float accumulation
+    anywhere). Plan: month spine + one monthly aggregate, then two
+    frame-bounded window passes over the calendar axis — cardinality
+    grows with time, not data volume."""
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))).alias("month")
+    )
+    monthly = (
+        o.where(F.col("o_orderstatus") == "P")
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(F.sum(money("o_totalprice")).cast("double").alias("revenue_raw"))
+    )
+    w_rn = Window.orderBy("month")
+    axis = (
+        spine.join(monthly, "month", "left")
+        .withColumn("rn", F.row_number().over(w_rn))
+    )
+    w_back = Window.orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy("rn").rowsBetween(0, Window.unboundedFollowing)
+    rn_if_val = F.when(F.col("revenue_raw").isNotNull(), F.col("rn"))
+    ctx = axis.select(
+        "month", "revenue_raw", "rn",
+        F.last("revenue_raw", ignorenulls=True).over(w_back).alias("prev_val"),
+        F.last(rn_if_val, ignorenulls=True).over(w_back).alias("prev_rn"),
+        F.first("revenue_raw", ignorenulls=True).over(w_fwd).alias("next_val"),
+        F.first(rn_if_val, ignorenulls=True).over(w_fwd).alias("next_rn"),
+    )
+    frac = (F.col("rn") - F.col("prev_rn")).cast("double") / (
+        F.col("next_rn") - F.col("prev_rn")
+    ).cast("double")
+    interp = (
+        F.when(F.col("revenue_raw").isNotNull(), F.col("revenue_raw"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(
+            F.round(
+                F.col("prev_val")
+                + (F.col("next_val") - F.col("prev_val")) * frac,
+                6,
+            )
+        )
+    )
+    return ctx.select(
+        "month",
+        "revenue_raw",
+        interp.alias("revenue_interp"),
+        F.col("revenue_raw").isNull().alias("is_gap"),
+    ).orderBy("month")
