@@ -655,3 +655,55 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(view_click).alias("n_view_click"),
         F.count_if(full).alias("n_full_funnel"),
     )
+
+
+@query(
+    "events_map_breadth",
+    tags=("events", "map", "hof"),
+    oracle="""
+WITH d AS (
+  SELECT user_id, CAST(day(ts) AS INTEGER) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_days,
+       COALESCE(list(day ORDER BY day) FILTER (WHERE n >= 5),
+                CAST([] AS INTEGER[])) AS busy_days,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       CAST(MAX(n) AS BIGINT) AS peak_day_events
+FROM d GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_map_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per user, build a day→count map with
+    map_from_entries over a SORTED entry array (map entry order is the
+    one engine-portable ordering), then drive every downstream stat
+    through map functions — map_filter for busy days, map_keys for the
+    key list, and fold/max HOFs over map_values. Integer-only values
+    keep the hash exact; the map never leaves the plan (arrays out),
+    because raw map output has no cross-engine ordering contract."""
+    e = load_table(spark, sf_dir, "events")
+    d = (
+        e.groupBy("user_id", F.dayofmonth("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("day", "n")))
+        ).alias("m")
+    )
+    busy = F.map_keys(F.map_filter("m", lambda k, v: v >= F.lit(5)))
+    total = F.aggregate(
+        F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        per_user.select(
+            "user_id",
+            F.size("m").alias("n_days"),
+            busy.alias("busy_days"),
+            total.alias("total_events"),
+            F.array_max(F.map_values("m")).cast("long").alias("peak_day_events"),
+        )
+        .orderBy("user_id")
+    )
