@@ -1064,3 +1064,59 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "doc_unigram_logprob",
+    tags=("text", "quality", "language-model", "llm-pipeline"),
+    oracle=r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT term, COUNT(*) AS n_term FROM tok GROUP BY term
+), tot AS (
+  SELECT CAST(SUM(n_term) AS BIGINT) AS n_total FROM tf
+), logp AS (
+  SELECT tok.doc_id,
+         CAST(ROUND(ln(CAST(tf.n_term AS DOUBLE) / tot.n_total), 9)
+              AS DECIMAL(18,9)) AS lp
+  FROM tok JOIN tf USING (term) CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp) AS sum_logprob
+FROM logp GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the statistical half of a
+    perplexity-based quality filter: corpus unigram probabilities
+    (exact integer counts), then each doc accumulates the log-prob of
+    its tokens. Each per-token ln runs on an identical double in both
+    engines, is rounded to 9 and cast to DECIMAL(18,9) BEFORE the
+    per-doc sum, so the accumulation is exact and shuffle-order
+    independent — map-side partial aggregation stays legal, unlike a
+    float fold that would pin token order. Mean log-prob (the filter
+    statistic) is sum_logprob / n_tokens at the caller. Scale: one
+    token explode, a vocab-sized broadcast join, one doc-keyed
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_term"))
+    tot = tf.agg(F.sum("n_term").cast("long").alias("n_total")).withColumn(
+        "one", F.lit(1)
+    )
+    lp = F.round(
+        F.log(F.col("n_term").cast("double") / F.col("n_total")), 9
+    ).cast("decimal(18,9)")
+    scored = (
+        tok.join(F.broadcast(tf), "term")
+        .withColumn("one", F.lit(1))
+        .join(F.broadcast(tot), "one")
+        .select("doc_id", lp.alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("sum_logprob"))
+        .orderBy("doc_id")
+    )

@@ -79,6 +79,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "ann_cosine_topk_ivf_kmeans",
         "doc_tfidf_top_terms",           # single-row N scalar broadcast
         "doc_bm25_search",               # single-row N/avgdl scalar broadcast
+        "doc_unigram_logprob",           # single-row n_total scalar broadcast
     }
     offenders = {}
     for name, spec in load_all().items():
