@@ -434,3 +434,80 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("v").alias("dim_sum"))
         .orderBy("label", "dim")
     )
+
+
+@query(
+    "kmeans_lloyd_step",
+    tags=("similarity", "vectors", "kmeans", "iterative"),
+    oracle="""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+), d AS (
+  SELECT e.vec_id, c.cid,
+         list_reduce(list_transform(generate_series(1, len(e.embedding)),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))),
+           (x, y) -> x + y) AS dist2
+  FROM embeddings e CROSS JOIN c
+), a AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+  FROM d
+), asg AS (
+  SELECT vec_id, cid FROM a WHERE rn = 1
+), dims AS (
+  SELECT asg.cid, i AS dim,
+         CAST(ROUND(CAST(e.embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+  FROM asg JOIN embeddings e USING (vec_id),
+       unnest(generate_series(1, len(e.embedding))) AS t(i)
+)
+SELECT cid, dim, COUNT(*) AS n_assigned, SUM(v) AS dim_sum
+FROM dims GROUP BY cid, dim
+ORDER BY cid, dim
+""",
+)
+def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration of k-means (k=8, centroids seeded from
+    the first 8 vectors): assign each vector to its nearest centroid by
+    left-fold squared-L2 (every subtract/multiply/add is IEEE-identical
+    across engines, ties broken by centroid id), then emit the update
+    step as per-(centroid, dim) counts and exact DECIMAL(18,6) value
+    sums — the same reduce discipline as embedding_label_centroids.
+    This is the oracle-checked anchor for the rows-only MLlib k-means /
+    IVF variants: their convergence loop is THIS step iterated. Scale
+    shape: broadcast k centroids across the corpus (no shuffle for
+    assignment), one (cid, dim)-keyed shuffle for the update."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    diff2 = F.zip_with(
+        F.col("embedding"),
+        F.col("cvec"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dist2 = F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+    d = (
+        e.repartition(32, "vec_id")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "embedding", "cid", dist2.alias("dist2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "cid")
+    asg = (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    dims = asg.select(
+        "cid", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "cid",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("val").cast("double"), 6).cast("decimal(18,6)").alias("v"),
+    )
+    return (
+        dims.groupBy("cid", "dim")
+        .agg(F.count(F.lit(1)).alias("n_assigned"), F.sum("v").alias("dim_sum"))
+        .orderBy("cid", "dim")
+    )

@@ -77,6 +77,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "ann_cosine_topk_rhp",
         "ann_cosine_topk_ivf",
         "ann_cosine_topk_ivf_kmeans",
+        "kmeans_lloyd_step",             # broadcast k centroids over corpus
         "doc_tfidf_top_terms",           # single-row N scalar broadcast
         "doc_bm25_search",               # single-row N/avgdl scalar broadcast
         "doc_unigram_logprob",           # single-row n_total scalar broadcast
