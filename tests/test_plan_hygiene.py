@@ -125,3 +125,10 @@ def test_runtime_bloom_filter_injects_at_scale_conditions(spark, sf_dir):
     finally:
         spark.conf.set(app_thresh, old_app)
         spark.conf.set(bcast, old_bcast)
+
+
+def test_tfidf_topk_pushes_window_group_limit(spark, sf_dir):
+    # the rk<=3 cut must plan as WindowGroupLimit (partial per-partition
+    # top-k below the shuffle), not a full window + filter
+    plan = _plan(spark, "doc_tfidf_top_terms", sf_dir)
+    assert "WindowGroupLimit" in plan

@@ -97,3 +97,52 @@ def test_non_codes_never_pass_gl_filter(spark, junk):
     assert all(
         o is None for o, j in zip(out, junk) if not j.strip().isdigit()
     )
+
+
+words = st.lists(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(words)
+def test_shingle_count_and_jaccard_identities(spark, toks):
+    """word_shingles yields exactly max(n-k+1, 1) k-grams (short docs
+    keep one shingle so they still participate in dedup), and Jaccard
+    is 1 on identical sets, symmetric, and within [0, 1] against a
+    perturbed copy — the algebra the whole dedup ladder rests on."""
+    from financial_data_warehouse_automation_spark.operators.text import jaccard, word_shingles
+
+    df = spark.createDataFrame([(toks, toks[: max(len(toks) // 2, 1)])], "a: array<string>, b: array<string>")
+    row = df.select(
+        F.size(word_shingles(F.col("a"), 3)).alias("n_sh"),
+        jaccard(F.array_distinct("a"), F.array_distinct("a")).alias("self_j"),
+        jaccard(F.array_distinct("a"), F.array_distinct("b")).alias("ab"),
+        jaccard(F.array_distinct("b"), F.array_distinct("a")).alias("ba"),
+    ).collect()[0]
+    assert row.n_sh == max(len(toks) - 2, 1)
+    assert row.self_j == 1.0
+    assert row.ab == row.ba
+    assert 0.0 <= row.ab <= 1.0
+
+
+@settings(**_SETTINGS)
+@given(words)
+def test_minhash_signature_width_and_permutation_invariance(spark, toks):
+    """Signatures are always k wide, and shuffling the shingle order
+    of a document never changes its signature (min is order-free) —
+    the property that makes MinHash shard-safe."""
+    from financial_data_warehouse_automation_spark.operators.text import minhash_signatures
+
+    rev = list(reversed(toks))
+    df = spark.createDataFrame(
+        [(0, toks), (1, rev)], "doc_id: long, sh: array<string>"
+    )
+    sigs = {
+        r.doc_id: r.signature
+        for r in minhash_signatures(df, "doc_id", F.col("sh"), k=8).collect()
+    }
+    assert len(sigs[0]) == 8 and len(sigs[1]) == 8
+    assert sigs[0] == sigs[1]
