@@ -707,3 +707,62 @@ def events_map_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_retention_cohorts",
+    tags=("events", "cohort", "retention"),
+    oracle="""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(day(ts) AS INTEGER) AS day FROM events
+), cohorts AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+), sized AS (
+  SELECT cohort_day, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort_day
+)
+SELECT c.cohort_day AS cohort_day,
+       a.day - c.cohort_day AS day_offset,
+       COUNT(*) AS n_active,
+       s.cohort_size AS cohort_size,
+       CAST(COUNT(*) AS DOUBLE) / s.cohort_size AS retention
+FROM activity a
+JOIN cohorts c ON a.user_id = c.user_id
+JOIN sized s ON c.cohort_day = s.cohort_day
+GROUP BY c.cohort_day, a.day - c.cohort_day, s.cohort_size
+ORDER BY cohort_day, day_offset
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-active day; each
+    (cohort, day-offset) cell counts distinct users still active —
+    the standard retention-triangle query. All counts are exact
+    integers and the rate is one exact division, so the hash matches
+    across engines. Scale shape: activity distinct + per-user min are
+    user-keyed aggregates (one shuffle, map-side combine); the cohort
+    and size joins broadcast — cohort cardinality is bounded by
+    calendar days, not data volume."""
+    e = load_table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.dayofmonth("ts").alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sized = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .join(F.broadcast(sized), "cohort_day")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+            "cohort_size",
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            "cohort_day", "day_offset", "n_active", "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
