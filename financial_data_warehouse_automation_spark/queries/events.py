@@ -667,8 +667,8 @@ WITH d AS (
 )
 SELECT user_id,
        COUNT(*) AS n_days,
-       COALESCE(list(day ORDER BY day) FILTER (WHERE n >= 5),
-                CAST([] AS INTEGER[])) AS busy_days,
+       COALESCE(array_to_string(list(day ORDER BY day) FILTER (WHERE n >= 5),
+                                ','), '') AS busy_days,
        CAST(SUM(n) AS BIGINT) AS total_events,
        CAST(MAX(n) AS BIGINT) AS peak_day_events
 FROM d GROUP BY user_id
@@ -681,8 +681,10 @@ def events_map_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     one engine-portable ordering), then drive every downstream stat
     through map functions — map_filter for busy days, map_keys for the
     key list, and fold/max HOFs over map_values. Integer-only values
-    keep the hash exact; the map never leaves the plan (arrays out),
-    because raw map output has no cross-engine ordering contract."""
+    keep the hash exact; the map never leaves the plan, and the busy-day
+    list is emitted as a comma-joined string because the driver's
+    canonicalizer (pandas sort) can't order list cells and raw map
+    output has no cross-engine ordering contract."""
     e = load_table(spark, sf_dir, "events")
     d = (
         e.groupBy("user_id", F.dayofmonth("ts").alias("day"))
@@ -701,7 +703,7 @@ def events_map_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user.select(
             "user_id",
             F.size("m").alias("n_days"),
-            busy.alias("busy_days"),
+            F.array_join(busy.cast("array<string>"), ",").alias("busy_days"),
             total.alias("total_events"),
             F.array_max(F.map_values("m")).cast("long").alias("peak_day_events"),
         )

@@ -34,18 +34,32 @@ from financial_data_warehouse_automation_spark.streaming.pipeline import session
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream twin of tables.load_table(..., "events"): same raw
-    int64-nanos read + micros truncation, so stream and batch rows are
+    """readStream twin of tables.load_table(..., "events"): reuse the
+    batch loader's ts normalization (it adapts to whichever physical
+    timestamp encoding the generator used), so stream and batch rows are
     identical."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    batch = load_table(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file-stream source wants a directory; glob-filter the one table
-    return (
+    stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    ts_raw = dict(stream.dtypes).get("ts")
+    if ts_raw == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif ts_raw == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    # sanity: the stream must present the batch loader's schema
+    assert [f.name for f in stream.schema.fields] == [
+        f.name for f in batch.schema.fields
+    ]
+    return stream
 
 
 def _drain_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:

@@ -25,17 +25,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
-        # vectorized reader rejects; read the raw int64 nanos and truncate
-        # to micros — the same narrowing DuckDB applies, so oracles agree.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        return (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load events with ``ts`` normalized to micros-since-epoch-UTC
+    TimestampType regardless of how the generator wrote it.
+
+    The driver's generator has produced both TIMESTAMP(NANOS) (which the
+    Spark vectorized reader rejects — read raw int64 and floor-divide to
+    micros, matching DuckDB's nanos→micros narrowing) and TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (which Spark ≥3.4 infers as TIMESTAMP_NTZ —
+    disable the inference so the stored micros load as a plain timestamp,
+    the same treat-naive-as-UTC reading DuckDB's ``epoch_us`` uses).
+    """
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        ts_type = str(pq.read_schema(path).field("ts").type)
+    except Exception:
+        ts_type = "timestamp[us]"
+    if ts_type in ("int64", "timestamp[ns]"):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # Inference config didn't take (already-analyzed reader); reinterpret
+        # the naive wall-clock as UTC explicitly so epoch math matches DuckDB.
+        df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TABLE_NAMES) -> None:
