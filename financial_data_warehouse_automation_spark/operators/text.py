@@ -89,7 +89,8 @@ def _perm(h: Column, i: int) -> Column:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, shingle_arr: Column, k: int = 64
+    df: DataFrame, id_col: str, shingle_arr: Column, k: int = 64,
+    include_set: bool = False,
 ) -> DataFrame:
     """doc → k-wide MinHash signature (array<long>).
 
@@ -97,11 +98,18 @@ def minhash_signatures(
     map-side-combined — the shuffle carries k longs per doc, not the
     shingle set, and the signature exists exactly once in the plan.
 
-    The 31-bit shingle hash is materialized in its own projection before
-    the aggregate: aggregate expressions referencing a plain column
+    The shingle hash is materialized in its own projection before the
+    aggregate: aggregate expressions referencing a plain column
     expression get it inlined per function, i.e. ``xxhash64`` would run
     k times per shingle (verified in the executed plan); through the
     attribute it runs once and the k mins are pure long arithmetic.
+
+    ``include_set=True`` additionally emits ``shingle_set`` — the
+    distinct 64-bit shingle hashes (``collect_set``) — from the SAME
+    aggregate, so a verify stage downstream can compute exact hashed
+    Jaccard without re-scanning/re-shingling the corpus (longs shuffle
+    ~an order of magnitude lighter than the raw shingle strings, and a
+    64-bit collision inside one doc pair is ~s²/2⁶⁴ ≈ never).
 
     A shuffle-free per-row HOF formulation (``array_min`` over k
     ``transform`` permutations) was measured and rejected: identical
@@ -109,8 +117,14 @@ def minhash_signatures(
     the plan wherever the signature is consumed, losing end-to-end
     (7.7s vs 4.5s at sf0.1 through the LSH pipeline).
     """
-    ex = df.select(F.col(id_col), F.explode(shingle_arr).alias("_sh")).select(
-        F.col(id_col), F.pmod(F.xxhash64("_sh"), F.lit(1 << 31)).alias("_h31")
+    ex = (
+        df.select(F.col(id_col), F.explode(shingle_arr).alias("_sh"))
+        .select(F.col(id_col), F.xxhash64("_sh").alias("_h64"))
+        .select(
+            F.col(id_col),
+            F.col("_h64"),
+            F.pmod(F.col("_h64"), F.lit(1 << 31)).alias("_h31"),
+        )
     )
     mins = [
         F.min(
@@ -119,10 +133,17 @@ def minhash_signatures(
         ).alias(f"_m{i}")
         for i in range(k)
     ]
-    agg = ex.groupBy(id_col).agg(*mins)
-    return agg.select(
-        F.col(id_col), F.array(*[f"_m{i}" for i in range(k)]).alias("signature")
-    )
+    aggs = list(mins)
+    if include_set:
+        aggs.append(F.collect_set("_h64").alias("shingle_set"))
+    agg = ex.groupBy(id_col).agg(*aggs)
+    out = [
+        F.col(id_col),
+        F.array(*[f"_m{i}" for i in range(k)]).alias("signature"),
+    ]
+    if include_set:
+        out.append(F.col("shingle_set"))
+    return agg.select(*out)
 
 
 def lsh_candidate_pairs(

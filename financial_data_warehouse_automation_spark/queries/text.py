@@ -303,8 +303,12 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME similarity, so the pipeline is a strict approximation of
     doc_shingle_jaccard_blocked (its exact anchor; recall pinned in
     tests/test_text_dedup.py). Full-corpus fuzzy-dedup path:
-    shingle→signature (one agg) → band buckets (never all-pairs) →
-    verify only candidates. Rows-only check (hash permutations are
+    shingle→(signature + distinct-shingle-hash set) in ONE explode+agg →
+    band buckets (never all-pairs) → verify only candidates, with
+    Jaccard over the 64-bit hashed shingle sets (same value as string
+    Jaccard barring ~s²/2⁶⁴ collisions; the corpus is scanned and
+    shingled exactly once, and the verify joins shuffle long arrays,
+    not shingle strings). Rows-only check (hash permutations are
     engine-specific)."""
     # Single-file parquet = one input partition; spread the CPU-heavy
     # shingle/signature projection across cores. Hash on doc_id so the
@@ -312,11 +316,14 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
     docs = d.select("doc_id", tokens("text").alias("toks"))
     shingled = docs.select("doc_id", word_shingles(F.col("toks"), 3).alias("sh"))
-    sigs = minhash_signatures(shingled, "doc_id", F.col("sh"), k=64)
-    cands = lsh_candidate_pairs(sigs, "doc_id", bands=16, rows=4)
-    dist = shingled.select("doc_id", F.array_distinct("sh").alias("sd"))
-    sa = dist.select(F.col("doc_id").alias("id_a"), F.col("sd").alias("sa"))
-    sb = dist.select(F.col("doc_id").alias("id_b"), F.col("sd").alias("sb"))
+    sigs = minhash_signatures(
+        shingled, "doc_id", F.col("sh"), k=64, include_set=True
+    )
+    cands = lsh_candidate_pairs(
+        sigs.select("doc_id", "signature"), "doc_id", bands=16, rows=4
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("sa"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("shingle_set").alias("sb"))
     verified = (
         cands.join(sa, "id_a").join(sb, "id_b")
         .select("id_a", "id_b", jaccard(F.col("sa"), F.col("sb")).alias("jac"))
