@@ -26,6 +26,7 @@ from financial_data_warehouse_automation_spark.queries import (  # noqa: F401
     similarity,
     streaming_demo,
     text,
+    tpch_deep,
     warehouse,
     windows,
 )

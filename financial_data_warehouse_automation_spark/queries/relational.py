@@ -978,3 +978,51 @@ def segment_revenue_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("corr_xy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hot-key resilience: the salted-join operator registered as a query, so
+# the driver gate pins "salted execution ≡ plain join" every round.
+# ---------------------------------------------------------------------------
+@query(
+    "skew_salted_segment_revenue",
+    tags=("join", "skew", "agg"),
+    oracle=f"""
+SELECT c.c_mktsegment AS segment,
+       CAST(SUM({sql_money('o.o_totalprice')}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def skew_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per segment through operators.skew.salted_join.
+
+    Semantically identical to a plain orders⋈customer equi-join — the
+    oracle IS the plain join — but executed with the fact side sprayed
+    across 8 sub-keys and the dim side replicated 8×, the manual
+    fallback for a hot key one task can't hold (beyond AQE's
+    shuffle-partition splitting; see operators/skew.py). Salt derives
+    from o_orderkey, so the spray is deterministic and uniform even
+    when o_custkey is pathologically skewed.
+    """
+    from financial_data_warehouse_automation_spark.operators.skew import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = salted_join(
+        o, c, on=["o_custkey"], n_salts=8,
+        salt_source=F.xxhash64("o_orderkey"),
+    )
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("segment")
+    )

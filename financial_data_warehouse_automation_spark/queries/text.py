@@ -1127,3 +1127,81 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("sum_logprob"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_pii_scrub",
+    tags=("text", "curation", "regex", "llm-pipeline"),
+    oracle=r"""
+WITH contact AS (
+  SELECT doc_id, source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-'
+              || CAST(doc_id % 10000 AS VARCHAR) AS raw
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id, source,
+         CAST(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS VARCHAR[]) AS emails,
+         regexp_replace(
+           regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b555-[0-9]{1,4}\b', '<PHONE>', 'g') AS clean
+  FROM contact
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len(emails)) AS BIGINT) AS emails_redacted,
+       CAST(SUM(CASE WHEN clean LIKE '%<PHONE>%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_with_phone,
+       CAST(SUM(CASE WHEN regexp_matches(clean, '@|[0-9]{3}-[0-9]')
+                THEN 1 ELSE 0 END) AS BIGINT) AS residual_pii_docs,
+       CAST(SUM(len(clean)) AS BIGINT) AS total_clean_chars
+FROM scrubbed
+GROUP BY source
+ORDER BY source
+""",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass — the curation step every training-data
+    pipeline runs before packing (emails/phones → placeholder tokens).
+    The synthetic corpus contains no organic PII (pure word soup, zero
+    digits), so the query deterministically appends a contact line
+    derived from doc_id before scrubbing — the redaction regexes, the
+    per-source audit counts, and the residual-PII assertion column
+    (which must come back 0) are the real operator under test, and the
+    oracle pins Spark's Java regex semantics against DuckDB's RE2 on
+    identical inputs. Scale: pure per-row map work — no shuffle except
+    the final per-source aggregate; regexes stay JVM-side (no UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\b555-[0-9]{1,4}\b"
+    raw = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        (F.col("doc_id") % 10000).cast("string"),
+    )
+    scrub = d.select(
+        "doc_id",
+        "source",
+        F.regexp_count(raw, F.lit(email_re)).alias("n_emails"),
+        F.regexp_replace(
+            F.regexp_replace(raw, email_re, "<EMAIL>"),
+            phone_re, "<PHONE>",
+        ).alias("clean"),
+    )
+    return (
+        scrub.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_emails").alias("emails_redacted"),
+            F.sum(
+                F.when(F.col("clean").contains("<PHONE>"), 1).otherwise(0)
+            ).cast("long").alias("docs_with_phone"),
+            F.sum(
+                F.when(
+                    F.col("clean").rlike("@|[0-9]{3}-[0-9]"), 1
+                ).otherwise(0)
+            ).cast("long").alias("residual_pii_docs"),
+            F.sum(F.length("clean")).alias("total_clean_chars"),
+        )
+        .orderBy("source")
+    )

@@ -81,6 +81,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "doc_tfidf_top_terms",           # single-row N scalar broadcast
         "doc_bm25_search",               # single-row N/avgdl scalar broadcast
         "doc_unigram_logprob",           # single-row n_total scalar broadcast
+        "q22_idle_rich_customers",       # single-row scalar AVG threshold
     }
     offenders = {}
     for name, spec in load_all().items():
