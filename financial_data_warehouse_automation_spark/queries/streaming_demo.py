@@ -163,3 +163,79 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "events_stream_static_enrich",
+    tags=("streaming", "join", "stream-static", "agg"),
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type IN ('click', 'purchase')
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the unbounded event stream
+    joins the static customer dim per micro-batch (no state, no
+    watermark — the static side is re-broadcast each batch, which is
+    why stream-static is the scalable form of "lookup join" and needs
+    no dim snapshotting). Aggregate runs in complete mode; the oracle
+    is the identical batch join."""
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    e = _events_stream(spark, sf_dir).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    agg = (
+        e.join(c, e.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+    )
+    out = _drain_to_memory(agg, "strm_static_enrich", "complete")
+    return out.orderBy("segment")
+
+
+@query(
+    "events_stream_dedup",
+    tags=("streaming", "dedup", "watermark"),
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_unique,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once repair: the source is deliberately doubled
+    (stream UNION stream — every event delivered twice, the at-least-
+    once redelivery case), then ``dropDuplicates("event_id")`` with a
+    watermark restores exactly-once before a complete-mode aggregate.
+    The oracle aggregates the ORIGINAL single-delivery table, so the
+    hash only matches if the dedup removed every duplicate and nothing
+    else. State is bounded by the watermark horizon (event-id keys
+    older than 2 hours are evicted)."""
+    doubled = _events_stream(spark, sf_dir).unionByName(
+        _events_stream(spark, sf_dir)
+    )
+    deduped = (
+        doubled.withWatermark("ts", "2 hours")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(money("value")).cast("double").alias("total_value"),
+        )
+    )
+    out = _drain_to_memory(deduped, "strm_dedup", "complete")
+    return out.orderBy("event_type")

@@ -163,3 +163,58 @@ def qa_ledger_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         seen_col=F.lit("1997-01-01").cast("date"),
     )
     return merged.orderBy("custkey")
+
+
+@query(
+    "merge_with_tombstones",
+    tags=("warehouse", "upsert", "cdc", "delete"),
+    oracle=f"""
+WITH existing AS (
+  {_MONTHLY_SQL.format(money=sql_money('o_totalprice'), src='old',
+                       pred="o_orderdate < TIMESTAMP '1996-01-01'")}
+), changes AS (
+  SELECT *, CASE WHEN custkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM ({_MONTHLY_SQL.format(money=sql_money('o_totalprice'), src='new',
+                             pred="EXTRACT(YEAR FROM o_orderdate) >= 1995")})
+), unioned AS (
+  SELECT custkey, year, month, amount, src, 'U' AS op, 0 AS pri FROM existing
+  UNION ALL
+  SELECT custkey, year, month, amount, src, op, 1 AS pri FROM changes
+), merged AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey, year, month
+                                 ORDER BY pri DESC) AS rn
+    FROM unioned
+  ) WHERE rn = 1
+)
+SELECT custkey, year, month, amount, src
+FROM merged WHERE op <> 'D'
+ORDER BY custkey, year, month
+""",
+)
+def merge_with_tombstones_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge: an A2 upsert whose change feed carries delete
+    tombstones (op='D') alongside updates — the shape every
+    change-data-capture load reduces to (Delta/Iceberg MERGE WHEN
+    MATCHED AND op='D' THEN DELETE; here the format-agnostic window
+    form). A tombstone must beat the existing row AND erase the key
+    from the output — keys present only as tombstones stay absent.
+    Same single key-shuffle as upsert_keep_last; the delete filter is
+    free post-window. Synthetic feed: every 7th custkey's 1995+ rows
+    arrive as deletes."""
+    o = load_table(spark, sf_dir, "orders")
+    existing = _monthly_spend(
+        o.where(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")), "old"
+    ).withColumn("op", F.lit("U"))
+    changes = _monthly_spend(
+        o.where(F.year("o_orderdate") >= 1995), "new"
+    ).withColumn(
+        "op",
+        F.when(F.col("custkey") % 7 == 0, F.lit("D")).otherwise(F.lit("U")),
+    )
+    merged = upsert_keep_last(existing, changes, key=("custkey", "year", "month"))
+    return (
+        merged.where(F.col("op") != "D")
+        .select("custkey", "year", "month", "amount", "src")
+        .orderBy("custkey", "year", "month")
+    )
