@@ -133,3 +133,34 @@ def test_tfidf_topk_pushes_window_group_limit(spark, sf_dir):
     # top-k below the shuffle), not a full window + filter
     plan = _plan(spark, "doc_tfidf_top_terms", sf_dir)
     assert "WindowGroupLimit" in plan
+
+
+def test_tpch_deep_plan_shapes(spark, sf_dir):
+    """The round-3 decision-support band keeps its intended physical
+    strategies: global top-k stays TakeOrderedAndProject, the
+    IN-subquery runs as a semi-join (no row duplication), and the
+    disjunctive Q19 predicate still pushes per-side conjuncts into
+    BOTH parquet scans."""
+    plan = _plan(spark, "q10_returned_items", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+    plan = _plan(spark, "q18_large_orders", sf_dir)
+    assert "LeftSemi" in plan
+
+    plan = _plan(spark, "q19_disjunctive_revenue", sf_dir)
+    scans = [s for s in plan.split("FileScan parquet")[1:]]
+    pushed = [s.split("PushedFilters: ")[1].splitlines()[0] for s in scans
+              if "PushedFilters: " in s]
+    # lineitem scan gets the quantity envelope, part scan gets the
+    # brand In + size envelope — the Or must decompose, not vanish
+    assert any("l_quantity" in p and "Or" in p for p in pushed), pushed
+    assert any("p_brand" in p for p in pushed), pushed
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    """salted_join must actually join on (key, salt): the physical join
+    keys include the salt column, so a hot o_custkey is spread across
+    n_salts shuffle partitions instead of one."""
+    plan = _plan(spark, "skew_salted_segment_revenue", sf_dir)
+    join_frag = plan.split("Join")[1][:400] if "Join" in plan else plan
+    assert "_salt" in join_frag, join_frag
