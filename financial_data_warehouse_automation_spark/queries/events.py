@@ -768,3 +768,79 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "events_zscore_anomalies",
+    tags=("events", "window", "anomaly", "stats"),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         event_type,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), walled AS (
+  SELECT day, event_type, n,
+         COUNT(*)        OVER w AS w_cnt,
+         SUM(n)          OVER w AS w_sum,
+         SUM(n * n)      OVER w AS w_sumsq
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT day, event_type, n,
+         (CAST(w_sumsq AS DOUBLE)
+          - CAST(w_sum AS DOUBLE) * CAST(w_sum AS DOUBLE) / w_cnt)
+         / (w_cnt - 1) AS variance,
+         CAST(w_sum AS DOUBLE) / w_cnt AS mean
+  FROM walled WHERE w_cnt = 7
+)
+SELECT day, event_type, n AS n_events,
+       ROUND((n - mean) / sqrt(variance), 6) AS zscore
+FROM scored
+WHERE variance > 0.0 AND abs((n - mean) / sqrt(variance)) > 2.0
+ORDER BY day, event_type
+""",
+)
+def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: per event type, each day's count is
+    z-scored against the trailing 7 complete days; |z| > 2 rows
+    surface. The moments are exact BIGINT window sums (count / sum /
+    sum-of-squares — order-independent integer adds), converted to
+    double only in the final mean/variance arithmetic, which both
+    engines evaluate with the identical IEEE expression tree — the
+    determinism discipline that makes streaming-style monitoring
+    oracle-checkable. Scale: one day-grain pre-aggregate (tiny), then
+    a per-type ordered window over days — thousands of rows at any
+    corpus size; the heavy lifting stays in the first groupBy."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    walled = daily.select(
+        "day", "event_type", "n",
+        F.count(F.lit(1)).over(w).alias("w_cnt"),
+        F.sum("n").over(w).alias("w_sum"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("w_sumsq"),
+    ).where(F.col("w_cnt") == 7)
+    mean = F.col("w_sum").cast("double") / F.col("w_cnt")
+    variance = (
+        F.col("w_sumsq").cast("double")
+        - F.col("w_sum").cast("double") * F.col("w_sum").cast("double")
+        / F.col("w_cnt")
+    ) / (F.col("w_cnt") - 1)
+    z = (F.col("n") - mean) / F.sqrt(variance)
+    return (
+        walled.select("day", "event_type", F.col("n").alias("n_events"),
+                      F.round(z, 6).alias("zscore"),
+                      variance.alias("_var"), z.alias("_z"))
+        .where((F.col("_var") > 0.0) & (F.abs(F.col("_z")) > 2.0))
+        .drop("_var", "_z")
+        .orderBy("day", "event_type")
+    )
