@@ -106,3 +106,46 @@ def test_qa_ledger_resolve_backfill(spark):
     )
     rows = {r.gl: (r.status, r.description) for r in out.collect()}
     assert rows == {"k1": ("Resolved", "now mapped"), "k2": ("Open", None)}
+
+
+def _merge_tombstones(state, changes, key):
+    """The merge_with_tombstones recipe as a reusable transform: changes
+    beat state per key, op='D' survivors are erased."""
+    merged = upsert_keep_last(state.withColumn("op", F.lit("U")), changes, key)
+    return merged.where(F.col("op") != "D").drop("op")
+
+
+def test_tombstone_merge_deletes_and_upserts(spark):
+    state = spark.createDataFrame(
+        [("a", 10.0), ("b", 20.0), ("c", 30.0)], "k string, v double"
+    )
+    changes = spark.createDataFrame(
+        [("b", 99.0, "U"), ("c", 0.0, "D"), ("d", 40.0, "U")],
+        "k string, v double, op string",
+    )
+    out = _rows(_merge_tombstones(state, changes, ["k"]))
+    assert out == [("a", 10.0), ("b", 99.0), ("d", 40.0)]
+
+
+def test_tombstone_merge_is_idempotent_fixed_point(spark):
+    """Re-delivering the same CDC batch must be a no-op — including the
+    deletes: a tombstone for an already-absent key stays absent."""
+    state = spark.createDataFrame(
+        [("a", 10.0), ("b", 20.0), ("c", 30.0)], "k string, v double"
+    )
+    changes = spark.createDataFrame(
+        [("b", 99.0, "U"), ("c", 0.0, "D"), ("d", 40.0, "U")],
+        "k string, v double, op string",
+    )
+    once = _merge_tombstones(state, changes, ["k"])
+    twice = _merge_tombstones(once, changes, ["k"])
+    assert _rows(once) == _rows(twice)
+
+
+def test_tombstone_only_key_never_materializes(spark):
+    state = spark.createDataFrame([("a", 10.0)], "k string, v double")
+    changes = spark.createDataFrame(
+        [("ghost", 1.0, "D")], "k string, v double, op string"
+    )
+    out = _rows(_merge_tombstones(state, changes, ["k"]))
+    assert out == [("a", 10.0)]
