@@ -516,3 +516,54 @@ def ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name", "sheet_name", "row_idx")
     )
+
+
+@query(
+    "currency_parse_roundtrip",
+    tags=("ingest", "f1", "scalars", "roundtrip"),
+    oracle="""
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN o.o_orderkey % 2 = 1
+                THEN -CAST(o.o_totalprice AS DECIMAL(12,2))
+                ELSE  CAST(o.o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+         AS total_parsed,
+       CAST(SUM(CASE WHEN o.o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_negatives
+FROM orders o
+GROUP BY 1 ORDER BY 1
+""",
+)
+def currency_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 parity in the gate: render every order amount as a currency
+    string — ``$1,234.56``, negatives as ``($1,234.56)`` (odd orderkeys
+    flip sign to exercise the accounting-parens path) — then parse it
+    back with ``clean_amount`` (the reference's
+    build_warehouse.py:37-51 / Code.gs:237-249 semantics) and aggregate
+    the PARSED values. The oracle aggregates the original numbers, so
+    the hash only matches if parse ∘ render is the identity on every
+    row: dollar-sign strip, thousands-separator strip, parens-negation
+    all round-trip. Amounts are quantized to DECIMAL(12,2) before
+    rendering so both engines start from the identical exact value."""
+    from financial_data_warehouse_automation_spark.functions.scalars import (
+        clean_amount,
+        currency_string,
+    )
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    amt = F.col("o_totalprice").cast("decimal(12,2)")
+    signed = F.when(F.col("o_orderkey") % 2 == 1, -amt).otherwise(amt)
+    parsed = clean_amount(currency_string(signed), precision=12, scale=2)
+    return (
+        o.select("o_orderpriority", "o_orderkey", parsed.alias("parsed"))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("parsed").cast("double").alias("total_parsed"),
+            F.sum(
+                F.when(F.col("o_orderkey") % 2 == 1, 1).otherwise(0)
+            ).cast("long").alias("n_negatives"),
+        )
+        .orderBy("priority")
+    )

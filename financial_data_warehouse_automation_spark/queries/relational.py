@@ -1026,3 +1026,39 @@ def skew_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution analysis: fixed-width histogram via identical floor-
+# division bucketing in both engines (width_bucket boundary semantics
+# differ across engines; the explicit formula doesn't).
+# ---------------------------------------------------------------------------
+@query(
+    "order_value_histogram",
+    tags=("agg", "histogram", "stats"),
+    oracle=f"""
+SELECT LEAST(CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT), 11) AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM({sql_money('o_totalprice')}) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-bucket $50k-wide histogram of order values (top bucket open).
+    One hash aggregate on a computed key — the bucket expression is the
+    same double division + floor in both engines, so bucket membership
+    is bit-identical. The shape every data-profiling pass runs first."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("long"), F.lit(11)
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("total_value"),
+        )
+        .orderBy("bucket")
+    )

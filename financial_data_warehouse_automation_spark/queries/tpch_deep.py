@@ -489,3 +489,40 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: correlated EXISTS → leftsemi join against the filtered
+# fact, aggregated on the outer side.
+# ---------------------------------------------------------------------------
+@query(
+    "q4_priority_with_returns",
+    tags=("semijoin", "subquery", "agg"),
+    oracle="""
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-07-01'
+  AND o.o_orderdate <  TIMESTAMP '1995-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority distribution of 1995Q3 orders that had at least
+    one returned line. The EXISTS is a leftsemi join — the probe side
+    never duplicates even when an order has many returned lines, which
+    is the property that distinguishes it from an inner-join + distinct
+    at scale (no exploded intermediate)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-07-01") & (F.col("o_orderdate") < "1995-10-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "leftsemi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("priority")
+    )

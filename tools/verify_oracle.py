@@ -57,12 +57,16 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 def main() -> None:
     sf_dir = SF_DIR
+    json_out: str | None = None
     args: list[str] = []
     argv = sys.argv[1:]
     i = 0
     while i < len(argv):
         if argv[i] == "--sf-dir":
             sf_dir = argv[i + 1]
+            i += 2
+        elif argv[i] == "--json":
+            json_out = argv[i + 1]
             i += 2
         else:
             args.append(argv[i])
@@ -81,6 +85,7 @@ def main() -> None:
     specs = load_all()
     names = args or list(specs)
     n_pass = n_fail = n_rowsonly = 0
+    record: dict[str, dict] = {}
     for name in names:
         spec = specs[name]
         try:
@@ -89,10 +94,13 @@ def main() -> None:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            record[name] = {"status": "fail",
+                            "err": f"spark {type(e).__name__}: {e}"[:300]}
             n_fail += 1
             continue
         if spec.oracle is None:
             print(f"rows-only  {name}: {len(s_rows)} rows")
+            record[name] = {"status": "rows_only", "spark_rows": len(s_rows)}
             n_rowsonly += 1
             continue
         try:
@@ -101,6 +109,8 @@ def main() -> None:
             o_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error {type(e).__name__}: {e}")
+            record[name] = {"status": "fail",
+                            "err": f"oracle {type(e).__name__}: {e}"[:300]}
             n_fail += 1
             continue
         problems = []
@@ -123,11 +133,23 @@ def main() -> None:
                         break
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
+            record[name] = {"status": "fail", "err": "; ".join(problems)[:300]}
             n_fail += 1
         else:
             print(f"PASS  {name} ({len(s_rows)} rows)")
+            record[name] = {"status": "pass", "rows": len(s_rows)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                 "n_rows_only": n_rowsonly, "queries": record},
+                f, indent=1,
+            )
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 
