@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from financial_data_warehouse_automation_spark.operators.vectors import (
     brute_force_topk,
     cosine,
+    dot,
     l2_norm,
     rademacher_signs,
     rhp_bucket,
@@ -510,4 +511,60 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims.groupBy("cid", "dim")
         .agg(F.count(F.lit(1)).alias("n_assigned"), F.sum("v").alias("dim_sum"))
         .orderBy("cid", "dim")
+    )
+
+
+_CLF_DIM = 64
+_CLF_W = [((j * 37) % 19 - 9) / 10.0 for j in range(_CLF_DIM)]
+_CLF_B = -0.05
+_SQL_CLF_W = "[" + ", ".join(str(v) for v in _CLF_W) + "]::DOUBLE[]"
+
+
+@query(
+    "embedding_quality_classifier",
+    tags=("similarity", "inference", "classifier", "llm-pipeline"),
+    oracle=f"""
+WITH scored AS (
+  SELECT label,
+         list_reduce(list_transform(generate_series(1, len(embedding)),
+           i -> ({_SQL_CLF_W})[i] * CAST(embedding[i] AS DOUBLE)),
+           (x, y) -> x + y) + {_CLF_B} AS z
+  FROM embeddings
+)
+SELECT label,
+       (z > 0.0) AS keep,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(1.0 / (1.0 + exp(-z)), 6) AS DECIMAL(9,6)))
+            AS DOUBLE) AS sum_score
+FROM scored
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def embedding_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based curation filter run as pure column expressions —
+    the fastText-style quality gate every LLM data pipeline applies,
+    and the ICDE'25 'ML inference in SQL via operator fusion' shape:
+    a fixed linear model (deterministic weights) scores each embedding
+    with the left-fold dot product, sigmoid for the score, sign of the
+    logit for the keep decision. No UDF, no model server — the whole
+    inference fuses into the scan projection, so at 100 TB it runs at
+    scan speed with zero shuffle before the tiny per-(label, keep)
+    aggregate. The keep decision compares the exact logit to 0 (no
+    transcendental on the decision path); the reported score sum rounds
+    sigmoid to 6 decimals into an exact decimal accumulation."""
+    e = load_table(spark, sf_dir, "embeddings")
+    w = F.array(*[F.lit(v) for v in _CLF_W])
+    z = dot(w, F.col("embedding")) + F.lit(_CLF_B)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+    return (
+        e.select("label", z.alias("z"))
+        .select("label", (F.col("z") > 0.0).alias("keep"),
+                F.round(score, 6).cast("decimal(9,6)").alias("s"))
+        .groupBy("label", "keep")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s").cast("double").alias("sum_score"),
+        )
+        .orderBy("label", "keep")
     )
