@@ -164,3 +164,38 @@ def resize_media(df: DataFrame, factor: int = 2) -> DataFrame:
     return df.select(
         "media_id", "payload", "meta.width", "meta.height"
     ).mapInPandas(run, schema)
+
+
+def audio_energy_windows(df: DataFrame, window_bytes: int = 256) -> DataFrame:
+    """'Audio' energy profile: treat the payload as unsigned 8-bit PCM,
+    slice into fixed windows, and emit exact integer moments per window
+    (sum and peak of sample values) — the shape a real loudness/VAD
+    pass produces (RMS thresholds, silence trimming). Integer math so
+    the result is byte-exact against an external oracle. Arrow-batched
+    ``mapInPandas``; numpy vectorizes the per-window fold."""
+    import numpy as np
+
+    schema = (
+        "media_id bigint, window_idx int, n_samples int, "
+        "energy bigint, peak int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for _, row in b.iterrows():
+                samples = np.frombuffer(row["payload"], dtype=np.uint8)
+                for i in range(0, max(len(samples), 1), window_bytes):
+                    w = samples[i : i + window_bytes]
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "window_idx": i // window_bytes,
+                            "n_samples": int(w.size),
+                            "energy": int(w.astype(np.int64).sum()),
+                            "peak": int(w.max()) if w.size else 0,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "payload").mapInPandas(run, schema)

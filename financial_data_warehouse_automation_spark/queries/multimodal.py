@@ -226,3 +226,46 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "new_width", "new_height", "n_bytes",
         digest.alias("resized_md5"),
     ).orderBy("media_id")
+
+
+@query(
+    "media_audio_energy",
+    tags=("multimodal", "audio", "pandas-udf"),
+    oracle=r"""
+WITH media AS (
+  SELECT doc_id AS media_id, text FROM documents
+  WHERE ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] = 'audio'
+    AND doc_id % 10 = 0
+), windows AS (
+  SELECT media_id,
+         CAST(i AS INTEGER) AS window_idx,
+         substring(text, i * 256 + 1, 256) AS w
+  FROM media, LATERAL (
+    SELECT unnest(generate_series(0, greatest(strlen(text) - 1, 0) // 256)) AS i
+  ) u
+)
+SELECT media_id, window_idx,
+       CAST(strlen(w) AS INTEGER) AS n_samples,
+       CAST(list_reduce(list_prepend(0, list_transform(
+              regexp_extract_all(w, '.'), x -> ascii(x))),
+            (a, b) -> a + b) AS BIGINT) AS energy,
+       CAST(list_reduce(list_prepend(0, list_transform(
+              regexp_extract_all(w, '.'), x -> ascii(x))),
+            (a, b) -> greatest(a, b)) AS INTEGER) AS peak
+FROM windows
+ORDER BY media_id, window_idx
+""",
+)
+def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness profiling of 'audio' payloads: fixed 256-sample windows,
+    exact integer energy (sum of u8 samples) and peak per window via
+    mapInPandas + numpy — the VAD/silence-trim shape with a byte-exact
+    DuckDB oracle (payload bytes are the ASCII text bytes, so
+    ascii-per-char reproduces them)."""
+    from financial_data_warehouse_automation_spark.operators.multimodal import audio_energy_windows
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    m = synth_media_table(d).where(F.col("media_type") == "audio")
+    return audio_energy_windows(m, window_bytes=256).orderBy(
+        "media_id", "window_idx"
+    )
