@@ -880,3 +880,63 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_rolling_distinct_users",
+    tags=("events", "window", "distinct", "rolling"),
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         user_id
+  FROM events
+), days AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+), contrib AS (
+  SELECT DISTINCT a.event_type, d.day, a.user_id
+  FROM active a JOIN days d
+    ON d.day >= a.day AND d.day <= a.day + INTERVAL 6 DAY
+)
+SELECT event_type, day, COUNT(*) AS wau
+FROM contrib
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users (WAU) per event type. Spark has no
+    COUNT(DISTINCT) OVER, and the collect_set-over-window fallback
+    holds every frame's users in one task — the scalable formulation
+    dedupes to (type, user, day) grain, explodes each activity into
+    the 7 report days it supports (sequence + explode: pure map work,
+    no join), equi-joins the observed-day spine to drop phantom tail
+    days, dedupes again, and counts: key-partitioned shuffles of
+    bounded rows (7× the active grain), no per-frame state. The oracle
+    mirrors the same set algebra with a range join."""
+    e = load_table(spark, sf_dir, "events")
+    active = e.select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    days = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("rday")
+    ).distinct()
+    contrib = (
+        active.select(
+            "event_type",
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("day"),
+        )
+        .join(F.broadcast(days), F.col("day") == F.col("rday"))
+        .select("event_type", "day", "user_id")
+        .distinct()
+    )
+    return (
+        contrib.groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .orderBy("event_type", "day")
+    )
