@@ -83,22 +83,45 @@ def media_decode_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("media_feature_histograms", tags=("multimodal", "features", "pandas-udf"))
+@query(
+    "media_feature_histograms",
+    tags=("multimodal", "features", "pandas-udf"),
+    oracle=r"""
+WITH media AS (
+  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 25 = 0
+), chars AS (
+  SELECT media_id, strlen(text) AS n_bytes, ascii(x) % 16 AS bin
+  FROM media, LATERAL unnest(regexp_extract_all(text, '.')) AS t(x)
+)
+SELECT media_id, n_bytes, CAST(bin AS INTEGER) AS bin, COUNT(*) AS n
+FROM chars
+GROUP BY 1, 2, 3
+ORDER BY media_id, bin
+""",
+)
 def media_feature_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram features (16-bin, L1-normalized) per payload via
-    mapInPandas — the feature-extraction UDF shape (decode → vector)
-    with a deterministic fake extractor. Rows-only; exactness is
-    asserted against a pure-python recompute in tests."""
+    """Byte-histogram features (16-bin) per payload via mapInPandas —
+    the feature-extraction UDF shape (decode → vector) with a
+    deterministic fake extractor. The L1-normalized vector is
+    de-normalized back to exact integer bin counts (round(f·n_bytes)
+    recovers the integer exactly for payloads ≪ 2^26 bytes), so the
+    whole UDF path — Arrow batch in, vector out — hash-checks against
+    a DuckDB per-character recompute; empty bins drop on both sides."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
     feats = decode_features(synth_media_table(d))
-    return feats.select(
-        "media_id",
-        "n_bytes",
-        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias(
-            "feature_l1"
-        ),
-        F.size("features").alias("n_bins"),
-    ).orderBy("media_id")
+    ex = feats.select(
+        "media_id", "n_bytes", F.posexplode("features").alias("bin", "f")
+    )
+    return (
+        ex.select(
+            "media_id",
+            "n_bytes",
+            F.col("bin").cast("int").alias("bin"),
+            F.round(F.col("f") * F.col("n_bytes")).cast("long").alias("n"),
+        )
+        .where(F.col("n") > 0)
+        .orderBy("media_id", "bin")
+    )
 
 
 @query(
