@@ -500,13 +500,39 @@ def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "doc_pack_greedy_bins",
     tags=("text", "packing", "llm-pipeline", "udf"),
+    oracle="""
+WITH RECURSIVE t AS (
+  SELECT doc_id % 32 AS shard,
+         GREATEST(1, CAST(n_chars // 4 AS BIGINT)) AS tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 32 ORDER BY doc_id) AS rn
+  FROM documents
+), state AS (
+  SELECT shard, rn, tok, 1 AS bin_id, tok AS used
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.shard, t.rn, t.tok,
+         CASE WHEN s.used + t.tok > 1024 THEN s.bin_id + 1 ELSE s.bin_id END,
+         CASE WHEN s.used + t.tok > 1024 THEN t.tok ELSE s.used + t.tok END
+  FROM state s JOIN t ON t.shard = s.shard AND t.rn = s.rn + 1
+)
+SELECT shard,
+       CAST(MAX(bin_id) AS BIGINT) AS n_bins,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(MAX(tok) AS BIGINT) AS max_doc_tokens,
+       CAST(SUM(tok) AS DOUBLE) / (MAX(bin_id) * 1024) AS utilization
+FROM state GROUP BY shard ORDER BY shard
+""",
 )
 def doc_pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy whole-document bin packing via grouped applyInPandas
     (operators/packing.py) — the no-splitting variant for instruction
-    tuning. The bin recurrence isn't window algebra, so this is the
-    sanctioned Arrow-batched escape hatch; invariants (budget respected,
-    no doc lost) are pytest-checked, occupancy summarized per shard."""
+    tuning. The bin recurrence isn't window algebra, so it runs as the
+    sanctioned Arrow-batched escape hatch; but it IS deterministic
+    (doc_id order per shard), so a DuckDB recursive CTE replays the
+    exact first-fit recurrence and the per-shard occupancy summary
+    hash-matches — the pandas path gets a full external oracle, not
+    just the pytest invariants (budget respected, no doc lost)."""
     from financial_data_warehouse_automation_spark.operators.packing import greedy_pack
 
     d = load_table(spark, sf_dir, "documents")
