@@ -97,13 +97,69 @@ def ann_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rank")
 
 
-@query("ann_cosine_topk_rhp", tags=("similarity", "ann", "lsh"))
+def _sql_rhp_oracle() -> str:
+    """DuckDB replay of the RHP pipeline: the ±1 hyperplane matrices are
+    deterministic (md5 parity, operators/vectors.rademacher_signs), so
+    the SAME matrices inline as literals and the bucket assignment —
+    sign bit of a left-fold dot product — is bit-identical cross-engine."""
+    tables = [rademacher_signs(4, 64, seed=f"rhp{t}") for t in range(8)]
+
+    def plane_dot(plane: list[float]) -> str:
+        lits = "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in plane) + "]"
+        return (
+            f"list_reduce(list_transform(generate_series(1, 64), "
+            f"j -> ({lits}::DOUBLE[])[j] * CAST(embedding[j] AS DOUBLE)), "
+            f"(x, y) -> x + y)"
+        )
+
+    selects = []
+    for t, planes in enumerate(tables):
+        bucket = " + ".join(
+            f"CASE WHEN {plane_dot(p)} >= 0 THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        )
+        selects.append(
+            f"SELECT vec_id, {t} AS table_idx, {bucket} AS bucket FROM embeddings"
+        )
+    bucketed = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH bucketed AS (
+{bucketed}
+), cand AS (
+  SELECT DISTINCT p.vec_id AS qid, c.vec_id AS vid
+  FROM bucketed p
+  JOIN bucketed c ON p.table_idx = c.table_idx AND p.bucket = c.bucket
+  WHERE p.vec_id % 50 = 0 AND p.vec_id <> c.vec_id
+), scored AS (
+  SELECT cand.qid, cand.vid AS vec_id,
+         {_sql_dot('q.embedding', 'v.embedding')}
+           / ({_sql_norm('q.embedding')} * {_sql_norm('v.embedding')}) AS cos
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.qid
+  JOIN embeddings v ON v.vec_id = cand.vid
+)
+SELECT qid, rank, vec_id, cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+@query(
+    "ann_cosine_topk_rhp",
+    tags=("similarity", "ann", "lsh"),
+    oracle=_sql_rhp_oracle(),
+)
 def ann_cosine_topk_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: 8 tables × 4 sign-bits; candidate =
     shares a bucket with the probe in any table; exact cosine + rank
     only over candidates. The join is per (table, bucket) — cost follows
-    bucket occupancy, never |Q|×n. Rows-only; recall vs brute force is
-    asserted in tests/test_similarity.py."""
+    bucket occupancy, never |Q|×n. The hyperplanes are md5-derived
+    constants, so the full pipeline (bucket assignment included) replays
+    in DuckDB with the same sign matrices inlined as literals and
+    hash-matches; recall vs brute force is additionally asserted in
+    tests/test_similarity.py."""
     e = load_table(spark, sf_dir, "embeddings")
     tables = [rademacher_signs(4, 64, seed=f"rhp{t}") for t in range(8)]
 
