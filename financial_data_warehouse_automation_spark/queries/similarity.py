@@ -191,17 +191,64 @@ def ann_cosine_topk_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_cosine_topk_ivf", tags=("similarity", "ann", "ivf"))
+_SQL_IVF = f"""
+WITH dims AS (
+  SELECT label, i AS pos,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), cent AS (
+  SELECT label AS cell, pos, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS c
+  FROM dims GROUP BY 1, 2
+), centroids AS (
+  SELECT cell, list(c ORDER BY pos) AS centroid FROM cent GROUP BY cell
+), probes AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id % 50 = 0
+), probe_cells AS (
+  SELECT qid, qvec, cell FROM (
+    SELECT p.qid, p.qvec, cc.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.qid
+             ORDER BY {_sql_dot('p.qvec', 'cc.centroid')}
+                      / ({_sql_norm('p.qvec')} * {_sql_norm('cc.centroid')}) DESC,
+                      cc.cell
+           ) AS cell_rn
+    FROM probes p CROSS JOIN centroids cc
+  ) WHERE cell_rn <= 3
+), scored AS (
+  SELECT pc.qid, e.vec_id,
+         {_sql_dot('pc.qvec', 'e.embedding')}
+           / ({_sql_norm('pc.qvec')} * {_sql_norm('e.embedding')}) AS cos
+  FROM probe_cells pc JOIN embeddings e ON e.label = pc.cell
+  WHERE pc.qid <> e.vec_id
+)
+SELECT qid, rank, vec_id, cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+@query(
+    "ann_cosine_topk_ivf",
+    tags=("similarity", "ann", "ivf"),
+    oracle=_SQL_IVF,
+)
 def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse cells = per-label mean centroids (one
     groupBy build); each probe ranks cells by centroid cosine, searches
     the top-3 cells only (nprobe=3). Scan cost = nprobe/ncells of the
-    corpus. Rows-only (centroid doubles are reduction-order dependent)."""
+    corpus. The centroid build accumulates round-6 decimals (the
+    embedding_label_centroids discipline) instead of a float AVG, so
+    cell assignment is reduction-order independent and the whole
+    pipeline — coarse quantizer included — hash-matches the DuckDB
+    replay."""
     e = load_table(spark, sf_dir, "embeddings")
     dims = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    v6 = F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
     centroids = (
         dims.groupBy("label", "pos")
-        .agg(F.avg("v").alias("c"))
+        .agg((F.sum(v6).cast("double") / F.count(F.lit(1))).alias("c"))
         .groupBy("label")
         .agg(
             F.transform(
