@@ -592,3 +592,54 @@ def interpolate_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         interp.alias("revenue_interp"),
         F.col("revenue_raw").isNull().alias("is_gap"),
     ).orderBy("month")
+
+
+@query(
+    "trailing_30d_customer_revenue",
+    tags=("window", "range-frame", "date"),
+    oracle=f"""
+WITH daily AS (
+  SELECT o_custkey AS custkey,
+         CAST(o_orderdate AS DATE) AS day,
+         SUM({sql_money('o_totalprice')}) AS day_rev
+  FROM orders
+  WHERE o_custkey % 100 = 0
+  GROUP BY 1, 2
+)
+SELECT custkey,
+       day,
+       CAST(day_rev AS DOUBLE) AS day_rev,
+       CAST(SUM(day_rev) OVER (
+         PARTITION BY custkey ORDER BY day
+         RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS rev_30d
+FROM daily
+ORDER BY custkey, day
+""",
+)
+def trailing_30d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day revenue per customer — a RANGE frame, not ROWS:
+    the window is bounded by the ORDER-BY *value* (calendar distance),
+    so sparse order histories aggregate the correct interval no matter
+    how many rows fall in it (a ROWS frame would silently widen the
+    lookback for infrequent buyers). Spark expresses value ranges over
+    a numeric sort key — epoch days — with rangeBetween(-29, 0), the
+    exact algebra of DuckDB's RANGE BETWEEN INTERVAL 29 DAY PRECEDING.
+    Exact decimal day-revenues make the frame sums order-independent.
+    Scale: day-grain pre-aggregate, then one customer-keyed window."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 100 == 0)
+    daily = o.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.sum(money("o_totalprice")).alias("day_rev"))
+    w = (
+        Window.partitionBy("custkey")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-29, 0)
+    )
+    return daily.select(
+        "custkey",
+        "day",
+        F.col("day_rev").cast("double").alias("day_rev"),
+        F.sum("day_rev").over(w).cast("double").alias("rev_30d"),
+    ).orderBy("custkey", "day")
