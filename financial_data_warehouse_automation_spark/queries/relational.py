@@ -1062,3 +1062,60 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (group-concat): deterministic only with an
+# explicit element order — gated so the discipline can't regress.
+# ---------------------------------------------------------------------------
+@query(
+    "top_customers_concat_per_nation",
+    tags=("agg", "string-agg", "topk"),
+    oracle="""
+WITH ranked AS (
+  SELECT n.n_name AS nation, c.c_name AS name, c.c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY n.n_name
+                            ORDER BY c.c_acctbal DESC, c.c_custkey) AS rn
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT nation,
+       COUNT(*) AS n_top,
+       string_agg(name, ',' ORDER BY rn) AS top3_names
+FROM ranked WHERE rn <= 3
+GROUP BY nation
+ORDER BY nation
+""",
+)
+def top_customers_concat_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-concat of each nation's top-3 customers by balance.
+    collect_list order is shuffle-dependent, so the elements carry
+    their rank and are array_sort-ed before joining — the only
+    formulation whose string is reproducible across runs and cluster
+    sizes (the same discipline as DuckDB's string_agg ... ORDER BY).
+    WindowGroupLimit pushes the rn<=3 cut below the shuffle."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    ranked = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+    )
+    return (
+        ranked.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_top"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "c_name"))),
+                    lambda s: s["c_name"],
+                ),
+                ",",
+            ).alias("top3_names"),
+        )
+        .orderBy("nation")
+    )

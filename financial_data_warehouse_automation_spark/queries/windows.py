@@ -643,3 +643,53 @@ def trailing_30d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("day_rev").cast("double").alias("day_rev"),
         F.sum("day_rev").over(w).cast("double").alias("rev_30d"),
     ).orderBy("custkey", "day")
+
+
+@query(
+    "rolling_median_monthly_revenue",
+    tags=("window", "percentile", "date"),
+    oracle=f"""
+WITH monthly AS (
+  SELECT c.c_mktsegment AS segment,
+         EXTRACT(YEAR FROM o.o_orderdate) * 12 + EXTRACT(MONTH FROM o.o_orderdate) AS mkey,
+         CAST(SUM({sql_money('o.o_totalprice')}) AS DOUBLE) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT segment,
+       CAST(mkey AS BIGINT) AS mkey,
+       rev,
+       quantile_cont(rev, 0.5) OVER (
+         PARTITION BY segment ORDER BY mkey
+         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW
+       ) AS median_6m
+FROM monthly
+ORDER BY segment, mkey
+""",
+)
+def rolling_median_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 6-month median of monthly revenue per segment — an
+    ordered-set aggregate (exact interpolated percentile) evaluated
+    inside a window frame, the robust-trend statistic a reporting layer
+    uses where a mean would chase outliers. Spark's exact percentile()
+    and DuckDB's quantile_cont share the sorted-linear-interpolation
+    rule, and the month revenues entering the frame are exact decimal
+    sums cast to double, so the interpolated medians agree bitwise.
+    Scale: month-grain pre-aggregate first; the window runs over
+    (#segments × #months) rows only."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long").alias("mkey"),
+        )
+        .agg(F.sum(money("o_totalprice")).cast("double").alias("rev"))
+    )
+    w = Window.partitionBy("segment").orderBy("mkey").rowsBetween(-5, 0)
+    return monthly.select(
+        "segment", "mkey", "rev",
+        F.expr("percentile(rev, 0.5)").over(w).alias("median_6m"),
+    ).orderBy("segment", "mkey")
