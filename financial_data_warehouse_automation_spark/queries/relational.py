@@ -1119,3 +1119,85 @@ def top_customers_concat_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reconciliation audit: header total vs line-derived total — the
+# data-quality report every warehouse load runs across source systems.
+# ---------------------------------------------------------------------------
+@query(
+    "order_total_reconciliation",
+    tags=("audit", "join", "agg", "quality"),
+    oracle=f"""
+WITH l AS (
+  SELECT l_orderkey,
+         SUM({sql_money('l_extendedprice')}
+             * (CAST(1.0 AS DECIMAL(2,1)) - {sql_rate('l_discount')})
+             * (CAST(1.0 AS DECIMAL(2,1)) + {sql_rate('l_tax')})) AS line_total
+  FROM lineitem GROUP BY 1
+), joined AS (
+  SELECT CAST(o.o_totalprice AS DECIMAL(12,2)) AS header_total,
+         l.line_total,
+         CASE
+           WHEN l.line_total IS NULL THEN 'missing_lines'
+           WHEN CAST(l.line_total AS DOUBLE) / CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) < 0.5 THEN 'under_50pct'
+           WHEN CAST(l.line_total AS DOUBLE) / CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) < 0.9 THEN 'under_10pct'
+           WHEN CAST(l.line_total AS DOUBLE) / CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) <= 1.1 THEN 'within_10pct'
+           WHEN CAST(l.line_total AS DOUBLE) / CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) <= 2.0 THEN 'over_10pct'
+           ELSE 'over_100pct'
+         END AS band
+  FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+)
+SELECT band,
+       COUNT(*) AS n_orders,
+       CAST(SUM(header_total) AS DOUBLE) AS header_sum,
+       CAST(ROUND(SUM(line_total), 2) AS DOUBLE) AS line_sum
+FROM joined GROUP BY 1 ORDER BY 1
+""",
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system reconciliation: the order header's total against the
+    total derived from its lines (price × (1−disc) × (1+tax)), banded
+    by ratio — the audit every multi-source warehouse load runs before
+    trusting a feed (this synthetic data reconciles for NO order, and
+    257 orders at sf0.01 have no lines at all — both facts the report
+    must surface, not hide). Exact decimal sums on both sides; the band
+    decision divides the same exact values in double, so banding is
+    bit-identical cross-engine. Scale: one orderkey-grain aggregate +
+    one key-partitioned left join."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    one = F.lit("1.0").cast("decimal(2,1)")
+    line_total = F.sum(
+        money("l_extendedprice") * (one - rate("l_discount"))
+        * (one + rate("l_tax"))
+    ).alias("line_total")
+    per_order = l.groupBy("l_orderkey").agg(line_total)
+    header = money("o_totalprice")
+    joined = o.join(per_order, o.o_orderkey == per_order.l_orderkey, "left")
+    ratio = F.col("line_total").cast("double") / header.cast("double")
+    band = (
+        F.when(F.col("line_total").isNull(), "missing_lines")
+        .when(ratio < 0.5, "under_50pct")
+        .when(ratio < 0.9, "under_10pct")
+        .when(ratio <= 1.1, "within_10pct")
+        .when(ratio <= 2.0, "over_10pct")
+        .otherwise("over_100pct")
+    )
+    return (
+        joined.select(
+            band.alias("band"),
+            header.alias("header_total"),
+            F.col("line_total"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("header_total").cast("double").alias("header_sum"),
+            # ROUND before the double cast: DuckDB's scale-10
+            # decimal->double conversion is not correctly rounded
+            # (same 1-ulp path as pricing_summary.sum_charge, r1 #4).
+            F.round(F.sum("line_total"), 2).cast("double").alias("line_sum"),
+        )
+        .orderBy("band")
+    )
