@@ -247,6 +247,31 @@ def simhash64(toks: Column, bits: int = 64) -> Column:
     return out
 
 
+def simhash_md5(toks: Column, bits: int = 32) -> Column:
+    """SimHash with md5-derived bit votes — the engine-replicable twin
+    of :func:`simhash64`. Bit ``i`` of a token's contribution is the
+    top bit of hex digit ``i`` of ``md5(token)`` (digit >= '8'), so any
+    engine with md5 replays the sketch bit-for-bit; DuckDB mirrors it
+    with ``list_filter(hs, h -> substr(h, i+1, 1) >= '8')``. Same
+    majority-vote semantics over the token multiset; md5 costs more
+    than xxhash64, so prefer simhash64 when no cross-engine anchor is
+    needed. bits <= 32 (one vote per md5 hex digit)."""
+    assert bits <= 32
+    hashes = F.transform(toks, lambda t: F.md5(t.cast("binary")))
+    n = F.size(hashes)
+
+    def bit(i: int) -> Column:
+        ge8 = F.size(
+            F.filter(hashes, lambda h: F.substring(h, i + 1, 1) >= "8")
+        )
+        return F.when(2 * ge8 - n > 0, F.lit(1)).otherwise(F.lit(0))
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.shiftleft(bit(i).cast("long"), i)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Fingerprints
 # ---------------------------------------------------------------------------

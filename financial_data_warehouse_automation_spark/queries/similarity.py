@@ -511,7 +511,7 @@ WITH dims AS (
          CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
   FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
 )
-SELECT label, dim, COUNT(*) AS n_vecs, SUM(v) AS dim_sum
+SELECT label, dim, COUNT(*) AS n_vecs, CAST(SUM(v) AS DOUBLE) AS dim_sum
 FROM dims GROUP BY label, dim
 ORDER BY label, dim
 """,
@@ -535,7 +535,11 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         dims.groupBy("label", "dim")
-        .agg(F.count(F.lit(1)).alias("n_vecs"), F.sum("v").alias("dim_sum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            # exact decimal sum, one double conversion on both sides
+            F.sum("v").cast("double").alias("dim_sum"),
+        )
         .orderBy("label", "dim")
     )
 
@@ -565,7 +569,7 @@ WITH c AS (
   FROM asg JOIN embeddings e USING (vec_id),
        unnest(generate_series(1, len(e.embedding))) AS t(i)
 )
-SELECT cid, dim, COUNT(*) AS n_assigned, SUM(v) AS dim_sum
+SELECT cid, dim, COUNT(*) AS n_assigned, CAST(SUM(v) AS DOUBLE) AS dim_sum
 FROM dims GROUP BY cid, dim
 ORDER BY cid, dim
 """,
@@ -612,7 +616,11 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         dims.groupBy("cid", "dim")
-        .agg(F.count(F.lit(1)).alias("n_assigned"), F.sum("v").alias("dim_sum"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            # exact decimal sum, one double conversion on both sides
+            F.sum("v").cast("double").alias("dim_sum"),
+        )
         .orderBy("cid", "dim")
     )
 

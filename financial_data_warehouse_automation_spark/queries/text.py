@@ -23,7 +23,7 @@ from financial_data_warehouse_automation_spark.operators.text import (
     minhash_signatures,
     norm_text,
     rolling_min_fingerprint,
-    simhash64,
+    simhash_md5,
     stopword_ratio,
     tokens,
     word_shingles,
@@ -332,15 +332,33 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.orderBy("id_a", "id_b")
 
 
-@query("doc_simhash_sketch", tags=("text", "dedup", "simhash"))
+@query(
+    "doc_simhash_sketch",
+    tags=("text", "dedup", "simhash"),
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(trim(text), '\s+'),
+                        t -> md5(t)) AS hs
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(0, 31), i ->
+         CASE WHEN 2 * len(list_filter(hs, h -> substr(h, i + 1, 1) >= '8'))
+                   - len(hs) > 0
+              THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+FROM docs ORDER BY doc_id
+""",
+)
 def doc_simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash sketch per doc (subset) — near-dup docs land within
     small Hamming distance; bucketing by the sketch is the single-pass
-    alternative to MinHash when memory per doc must be 8 bytes.
-    Rows-only (xxhash64 is engine-specific)."""
+    alternative to MinHash when memory per doc must be 8 bytes. Uses the
+    md5-vote variant (operators/text.py simhash_md5) so DuckDB replays
+    the sketch exactly; simhash64 (xxhash) is the cheaper scale path."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     return (
-        d.select("doc_id", simhash64(tokens("text"), bits=32).alias("simhash"))
+        d.select("doc_id", simhash_md5(tokens("text"), bits=32).alias("simhash"))
         .orderBy("doc_id")
     )
 
@@ -377,15 +395,23 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("doc_minhash_mllib", tags=("text", "dedup", "minhash", "mllib"))
 def doc_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MLlib formulation of fuzzy dedup (SURVEY §2.10 names
-    MinHashLSH as the library alternative): HashingTF binary token
-    vectors → MinHashLSH(8 tables, fixed seed) → approxSimilarityJoin
-    at Jaccard distance ≤ 0.5. Same contract as the hand-rolled
-    doc_minhash_lsh_pairs (which exists to show the algorithm is
-    expressible in pure DataFrame ops); rows-only check."""
+    MinHashLSH as the library alternative): HashingTF binary 3-gram
+    shingle vectors → MinHashLSH(8 tables, fixed seed) →
+    approxSimilarityJoin at Jaccard distance ≤ 0.5. Shingles, not
+    unigram token sets: on a narrow-vocabulary corpus token-set Jaccard
+    saturates (round 3 measured 71% of ALL pairs clearing 0.5 at
+    sf0.01, an all-pairs join in disguise), while shingle Jaccard
+    isolates true near-dups, so the emitted pair count tracks the
+    near-dup population — ~linear in corpus size, pinned by
+    tests/test_text_dedup.py. Same similarity family as the
+    hand-rolled doc_minhash_lsh_pairs (which exists to show the
+    algorithm is expressible in pure DataFrame ops); rows-only check."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select("doc_id", tokens("text").alias("toks"))
+    docs = d.select(
+        "doc_id", word_shingles(tokens("text"), 3).alias("toks")
+    ).where(F.size("toks") > 0)  # MinHashLSH rejects all-zero vectors
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True)
     feats = tf.transform(docs)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
@@ -416,7 +442,7 @@ WITH tagged AS (
 )
 SELECT split, lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc_id,
        MAX(doc_id) AS max_doc_id
 FROM tagged
@@ -470,8 +496,9 @@ WITH toks AS (
 )
 SELECT shard, chunk_id,
        COUNT(*) AS n_docs,
-       SUM(LEAST((chunk_id + 1) * 1024, cum)
-           - GREATEST(chunk_id * 1024, cum - tok)) AS chunk_tokens
+       CAST(SUM(LEAST((chunk_id + 1) * 1024, cum)
+                - GREATEST(chunk_id * 1024, cum - tok)) AS BIGINT)
+         AS chunk_tokens
 FROM spanned
 GROUP BY 1, 2
 ORDER BY shard, chunk_id
@@ -1045,7 +1072,7 @@ WITH tok AS (
   FROM qtf q JOIN qdf d USING (term) JOIN dl l USING (doc_id)
        CROSS JOIN stats s
 )
-SELECT doc_id, COUNT(*) AS n_terms_hit, SUM(c) AS bm25
+SELECT doc_id, COUNT(*) AS n_terms_hit, CAST(SUM(c) AS DOUBLE) AS bm25
 FROM contrib GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id LIMIT 20
 """,
@@ -1093,7 +1120,12 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.select("doc_id", contrib.alias("c"))
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_terms_hit"), F.sum("c").alias("bm25"))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            # exact decimal sum first, then one double conversion — both
+            # engines convert the same exact rational, so hashes match
+            F.sum("c").cast("double").alias("bm25"),
+        )
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
@@ -1116,7 +1148,7 @@ WITH tok AS (
               AS DECIMAL(18,9)) AS lp
   FROM tok JOIN tf USING (term) CROSS JOIN tot
 )
-SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp) AS sum_logprob
+SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(lp) AS DOUBLE) AS sum_logprob
 FROM logp GROUP BY doc_id
 ORDER BY doc_id
 """,
@@ -1150,7 +1182,11 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         scored.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("sum_logprob"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # exact decimal sum, then one double conversion on both sides
+            F.sum("lp").cast("double").alias("sum_logprob"),
+        )
         .orderBy("doc_id")
     )
 

@@ -47,77 +47,88 @@ REGISTRY: dict[str, QuerySpec] = {}
 # only ever recorded a 50-entry prefix per round (CORRECTNESS_r02.json is
 # exactly the first 50 registration-order names). To maximize cumulative
 # verified coverage across rounds, load_all() surfaces the queries the
-# driver has NOT yet recorded as green: round 3 keeps the 50-slot prefix
-# on the 48 oracle-backed queries round 2's gate never reached plus the
-# two it failed (sessionization hash — timestamp regeneration; map_breadth
-# — list cells the driver canonicalizer can't sort; both fixed and locally
-# green since). The queries added during round 3 (tpch_deep band, CDC
-# tombstone merge, PII scrub, salted join, streaming enrich/dedup,
-# z-score anomalies, currency round-trip, variant extract, classifier,
-# audio energy) follow the prefix and become round 4's front-load, along
-# with anything round 3's gate misses. Rows-only sketch variants
-# (LSH/IVF/SimHash/MinHash) sort last: each is anchored by an exact
-# oracle-checked twin and recall tests, so a driver hash run adds the
-# least new signal for them. Local ground truth for every query at BOTH
-# scale factors: CORRECTNESS_LOCAL_sf001.json / CORRECTNESS_LOCAL_sf01.json
+# driver has NOT yet recorded as green. Round 4's prefix:
+#
+# 1. The 7 round-3 hash failures, all one root cause — DuckDB HUGEINT /
+#    DECIMAL outputs that pandas canonicalization renders differently
+#    than Spark's long/Decimal. Fixed by casting aggregates to
+#    BIGINT/DOUBLE on both sides (this file's own determinism rule);
+#    tools/verify_oracle.py now canonicalizes through pandas exactly
+#    like the driver, and test_registry_contract.py bans
+#    HUGEINT/DECIMAL oracle outputs via DESCRIBE, so the class is dead.
+# 2. The 29 oracle-backed queries no driver round has ever recorded
+#    (whole tpch_deep band, CDC tombstone merge, PII scrub, RHP/IVF
+#    ANN, RANGE frames, rolling median, streaming enrich/dedup, salted
+#    join, simhash — which gained an exact md5-vote oracle this round).
+# 3. 14 rotation slots re-checking previously-green anchors (per ADVICE:
+#    per-round driver records are disjoint samples, not
+#    re-confirmations — spot re-checks catch regressions in the
+#    recorded-green set), spread across ingest/relational/windows/
+#    text/media/events bands and including the two bench-regression
+#    watch items (ytd_running_total, upsert_keep_last).
+#
+# Rows-only sketch variants (hand-rolled LSH / MLlib MinHash / IVF-
+# kmeans) still sort last: each is anchored by an exact oracle-checked
+# twin and recall tests, so a driver hash run adds the least new signal.
+# Local ground truth for every query at BOTH scale factors:
+# CORRECTNESS_LOCAL_sf001.json / CORRECTNESS_LOCAL_sf01.json
 # (regenerate with tools/verify_oracle.py --json).
 VERIFY_FIRST: tuple[str, ...] = (
-    # windows / warehouse — the reference's core upsert + YTD semantics
-    "upsert_keep_last",
-    "dim_dedupe_first",
-    "qa_ledger_transitions",
-    "ytd_running_total",
-    "rank_orders_per_customer",
-    "lag_lead_segment_revenue",
-    "moving_avg_3m_segment",
-    "top3_orders_per_segment",
-    "latest_order_per_customer",
-    "ntile_acctbal_quartiles",
-    "gap_fill_pending_revenue",
-    "pctrank_top_customers",
-    "interpolate_monthly_revenue",
-    # text / dedup / curation — the LLM-pipeline band
-    "doc_token_stats",
-    "doc_top_bigrams",
-    "doc_quality_scores",
-    "doc_lang_id_agreement",
-    "doc_exact_dedup",
-    "doc_fingerprint_dedup",
-    "doc_jaccard_pairs_brute",
-    "doc_bpe_token_counts",
+    # --- fixed this round (r3 hash failures), need a green record
     "doc_train_test_split",
     "doc_pack_chunks",
-    "doc_vocab_df",
-    "doc_curation_pipeline",
-    "dedup_cluster_components",
-    "doc_decontaminate_splits",
-    "doc_repetition_filter",
-    "doc_shingle_jaccard_blocked",
-    "doc_stratified_sample",
-    "doc_tfidf_top_terms",
     "doc_bm25_search",
     "doc_unigram_logprob",
-    # similarity search over embeddings
-    "embedding_norms",
-    "ann_cosine_topk_brute",
-    "embedding_near_dup_pairs",
-    "embedding_hof_breadth",
-    "ann_cosine_topk_quantized",
     "embedding_label_centroids",
     "kmeans_lloyd_step",
-    # streaming twins
-    "events_stream_tumbling_15min",
-    "events_stream_sessionize",
-    # relational tail round 2 didn't reach
-    "null_safe_join_semantics",
-    "set_intersect_all_parts",
-    "profile_customer_table",
-    "conditional_agg_filter",
-    "unpivot_revenue_by_flag",
-    "segment_revenue_correlation",
-    # fixed this round — need a green record
     "events_sessionization_30min",
-    "events_map_breadth",
+    # --- never driver-recorded: TPC-H deep band
+    "q4_priority_with_returns",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_rich_customers",
+    # --- never driver-recorded: relational / windows / events
+    "events_zscore_anomalies",
+    "events_variant_extract",
+    "events_rolling_distinct_users",
+    "order_value_histogram",
+    "top_customers_concat_per_nation",
+    "order_total_reconciliation",
+    "skew_salted_segment_revenue",
+    "merge_with_tombstones",
+    "trailing_30d_customer_revenue",
+    "rolling_median_monthly_revenue",
+    "currency_parse_roundtrip",
+    # --- never driver-recorded: similarity / text / media / streaming
+    "ann_cosine_topk_rhp",
+    "ann_cosine_topk_ivf",
+    "embedding_quality_classifier",
+    "doc_pack_greedy_bins",
+    "doc_pii_scrub",
+    "doc_simhash_sketch",
+    "media_audio_energy",
+    "events_stream_static_enrich",
+    "events_stream_dedup",
+    # --- rotation spot re-checks of previously-green anchors
+    "pricing_summary",
+    "ingest_income_statement",
+    "ingest_warehouse_build",
+    "monthly_segment_totals",
+    "top10_orders_global",
+    "events_json_extract",
+    "events_tumbling_15min",
+    "media_feature_histograms",
+    "set_except_churned",
+    "upsert_keep_last",
+    "ytd_running_total",
+    "doc_exact_dedup",
+    "qa_ledger_transitions",
+    "latest_order_per_customer",
 )
 
 

@@ -28,14 +28,14 @@ def test_every_builder_runs_and_emits_simple_types(spark):
         except Exception as e:  # noqa: BLE001
             offenders[name] = f"builder raised {type(e).__name__}: {e}"[:120]
             continue
-        complex_cols = [
+        bad_cols = [
             f"{f.name}:{f.dataType.simpleString()}"
             for f in df.schema.fields
             if any(k in f.dataType.simpleString()
-                   for k in ("array", "map", "struct"))
+                   for k in ("array", "map", "struct", "decimal"))
         ]
-        if complex_cols:
-            offenders[name] = f"complex output cols {complex_cols}"
+        if bad_cols:
+            offenders[name] = f"non-canonical output cols {bad_cols}"
     assert not offenders, f"driver-gate hazards: {offenders}"
 
 
@@ -54,6 +54,35 @@ def test_every_oracle_parses_in_duckdb():
         except Exception as e:  # noqa: BLE001
             bad[name] = f"{type(e).__name__}: {e}"[:160]
     assert not bad, f"unparseable oracles: {bad}"
+
+
+def test_every_oracle_emits_pandas_safe_types():
+    """No HUGEINT / DECIMAL in any oracle's output schema.
+
+    The driver canonicalizes through pandas, where DuckDB HUGEINT (an
+    uncast SUM(int)) and DECIMAL both coerce to float64 while Spark's
+    long stays int64 and Spark's decimal becomes a Decimal object — a
+    guaranteed hash mismatch even on equal values. This class burned
+    the gate in rounds 2 AND 3 (events_sessionization_30min twice);
+    DESCRIBE binds types without executing, so the sweep is cheap.
+    """
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SMOKE_DIR}/{t}.parquet'"
+        )
+    bad: dict[str, list[str]] = {}
+    for name, spec in load_all().items():
+        if spec.oracle is None:
+            continue
+        rows = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        hot = [
+            f"{col}:{typ}" for col, typ, *_ in rows
+            if "HUGEINT" in typ.upper() or "DECIMAL" in typ.upper()
+        ]
+        if hot:
+            bad[name] = hot
+    assert not bad, f"oracles emitting pandas-fragile types: {bad}"
 
 
 @pytest.mark.parametrize("fn_name", ["entry", "queries", "oracle_sql"])

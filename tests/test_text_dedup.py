@@ -32,3 +32,30 @@ def test_lsh_recall_vs_blocked_anchor(spark, sf_dir):
     # pair NOT in the anchor must have slipped the length window
     extras = lsh - brute
     assert len(extras) <= len(lsh) * 0.2
+
+
+def test_mllib_minhash_pair_count_bounded(spark):
+    """The MLlib approxSimilarityJoin must emit a near-dup-sized pair
+    set, not an all-pairs join. Round 3 shipped it over saturating
+    unigram token sets, where 71% of ALL doc pairs cleared the 0.5
+    similarity bar at sf0.01 (88,436 pairs) and growth between SFs was
+    ~quadratic — a cluster-killer at scale. Over 3-gram shingles the
+    emitted pairs track the planted near-dup population: bounded well
+    below n, and not growing quadratically with corpus size."""
+    from financial_data_warehouse_automation_spark.queries.text import doc_minhash_mllib
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    counts = {}
+    for sf in ("sf0.001", "sf0.01"):
+        sf_dir = f"/root/testdata/{sf}"
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        n_pairs = doc_minhash_mllib(spark, sf_dir).count()
+        counts[sf] = (n_docs, n_pairs)
+        assert n_pairs < n_docs, (
+            f"{sf}: {n_pairs} pairs for {n_docs} docs — pair set should "
+            "be near-dup-sized, not all-pairs"
+        )
+    (d1, p1), (d2, p2) = counts["sf0.001"], counts["sf0.01"]
+    # 10x docs must not produce anything like (10x)^2 pairs; allow 2x
+    # headroom over linear growth
+    assert p2 <= max(p1, 1) * (d2 / d1) * 2, f"superlinear pair growth: {counts}"

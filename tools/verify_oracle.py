@@ -5,6 +5,16 @@ oracle over the same parquet files, and compares row count + column
 names + order-insensitive value hash. Usage:
 
     python tools/verify_oracle.py [name ...] [--sf-dir DIR]
+
+Canonicalization deliberately goes through pandas on BOTH sides
+(``DataFrame.toPandas()`` for Spark, ``.df()`` for DuckDB) because that
+is the external driver's observed comparison path. This is load-bearing:
+``fetchall()`` returns DuckDB HUGEINT as a Python int and DECIMAL as a
+``decimal.Decimal`` — identical to Spark's driver-side objects — while
+the pandas path coerces HUGEINT/DECIMAL to float64 ("3.0") but leaves
+Spark int64 as "3" and Spark decimals as Decimal objects. Rounds 2 and 3
+each shipped queries that were "locally green" via fetchall() yet failed
+the driver's hash for exactly this reason (see VERDICT round 3, item 2).
 """
 
 from __future__ import annotations
@@ -24,35 +34,91 @@ TABLES = ("region", "nation", "customer", "supplier", "part",
 
 
 def norm_cell(v) -> str:
+    """Render one pandas-materialized cell as the hash string.
+
+    numpy ints render without a decimal point, numpy/python floats with
+    repr (so float64 3.0 -> "3.0"), Decimal objects via str — making any
+    int-vs-float or Decimal-vs-float dtype divergence between the two
+    engines a visible hash mismatch, as it is for the driver.
+    """
     import datetime
+    import decimal
     import math
-    if v is None:
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
+        # Spark's missing date/timestamp is None (object column), DuckDB's
+        # is NaT (datetime64 column); the driver equates them (asof left
+        # joins with null matches were green in r2).
         return "NULL"
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, np.floating):
+        fv = float(v)
+        return "NaN" if math.isnan(fv) else repr(fv)
+    if isinstance(v, np.bool_) or isinstance(v, bool):
+        return str(bool(v)).lower()
+    if isinstance(v, np.integer):
+        return str(int(v))
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
         return repr(v)
-    if isinstance(v, bool):
-        return str(v).lower()
+    if isinstance(v, decimal.Decimal):
+        return f"DEC:{v}"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, datetime.datetime):
         return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
+        # Spark DateType surfaces as datetime.date while DuckDB DATE
+        # surfaces as a midnight Timestamp; the driver hash-matches the
+        # two (date-emitting queries were green in r2/r3), so render a
+        # bare date as its midnight timestamp.
+        return v.isoformat() + " 00:00:00.000000"
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{k}:{norm_cell(x)}" for k, x in sorted(v.items())
+        ) + "}"
     return str(v)
 
 
-def table_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "|".join(norm_cell(r[i]) for i in order) for r in rows
+BAD_DTYPE_NOTE = (
+    "non-canonical dtype (Decimal / int-float divergence risk); "
+    "registry.py rule: emit doubles/longs/strings in final schemas"
+)
+
+
+def frame_lines(pdf) -> list[str]:
+    cols = sorted(pdf.columns)
+    return sorted(
+        "|".join(norm_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
     )
+
+
+def table_hash(pdf) -> str:
     h = hashlib.sha256()
-    for ln in lines:
+    for ln in frame_lines(pdf):
         h.update(ln.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+def dtype_problems(pdf, side: str) -> list[str]:
+    """Flag dtypes the pandas canonicalization makes fragile."""
+    import decimal
+
+    probs = []
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            for v in pdf[c].head(50):
+                if isinstance(v, decimal.Decimal):
+                    probs.append(f"{side}.{c} holds Decimal — {BAD_DTYPE_NOTE}")
+                    break
+    return probs
 
 
 def main() -> None:
@@ -90,8 +156,7 @@ def main() -> None:
         spec = specs[name]
         try:
             sdf = spec.builder(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             record[name] = {"status": "fail",
@@ -99,14 +164,12 @@ def main() -> None:
             n_fail += 1
             continue
         if spec.oracle is None:
-            print(f"rows-only  {name}: {len(s_rows)} rows")
-            record[name] = {"status": "rows_only", "spark_rows": len(s_rows)}
+            print(f"rows-only  {name}: {len(s_pdf)} rows")
+            record[name] = {"status": "rows_only", "spark_rows": len(s_pdf)}
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(spec.oracle)
-            o_cols = [d[0] for d in res.description]
-            o_rows = res.fetchall()
+            o_pdf = con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error {type(e).__name__}: {e}")
             record[name] = {"status": "fail",
@@ -114,30 +177,32 @@ def main() -> None:
             n_fail += 1
             continue
         problems = []
-        if len(s_rows) != len(o_rows):
-            problems.append(f"rows {len(s_rows)} vs {len(o_rows)}")
-        if sorted(s_cols) != sorted(o_cols):
-            problems.append(f"cols {sorted(s_cols)} vs {sorted(o_cols)}")
+        if len(s_pdf) != len(o_pdf):
+            problems.append(f"rows {len(s_pdf)} vs {len(o_pdf)}")
+        if sorted(s_pdf.columns) != sorted(o_pdf.columns):
+            problems.append(
+                f"cols {sorted(s_pdf.columns)} vs {sorted(o_pdf.columns)}"
+            )
+        problems += dtype_problems(s_pdf, "spark")
+        problems += dtype_problems(o_pdf, "oracle")
         if not problems:
-            sh, oh = table_hash(s_cols, s_rows), table_hash(o_cols, o_rows)
+            sh, oh = table_hash(s_pdf), table_hash(o_pdf)
             if sh != oh:
                 problems.append(f"hash {sh} vs {oh}")
-                # show first differing line for debugging
-                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
-                order_o = sorted(range(len(o_cols)), key=lambda i: o_cols[i])
-                ls = sorted("|".join(norm_cell(r[i]) for i in order_s) for r in s_rows)
-                lo = sorted("|".join(norm_cell(r[i]) for i in order_o) for r in o_rows)
+                ls, lo = frame_lines(s_pdf), frame_lines(o_pdf)
                 for a, b in zip(ls, lo):
                     if a != b:
-                        problems.append(f"first diff:\n  spark  {a}\n  oracle {b}")
+                        problems.append(
+                            f"first diff:\n  spark  {a}\n  oracle {b}"
+                        )
                         break
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             record[name] = {"status": "fail", "err": "; ".join(problems)[:300]}
             n_fail += 1
         else:
-            print(f"PASS  {name} ({len(s_rows)} rows)")
-            record[name] = {"status": "pass", "rows": len(s_rows)}
+            print(f"PASS  {name} ({len(s_pdf)} rows)")
+            record[name] = {"status": "pass", "rows": len(s_pdf)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     if json_out:
