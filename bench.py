@@ -7,6 +7,15 @@ count-shaped action (``df.foreach(noop)`` would skip the final project;
 ``collect()`` is fine — headline results are small aggregates). One
 warm-up pass primes parquet footers / JVM JIT; the reported time is the
 best of ``BENCH_REPS`` timed passes (min, not mean — GC noise only adds).
+
+Queries run in REGISTRATION order (the raw REGISTRY), NOT load_all()'s
+VERIFY_FIRST order: the verify prefix is reshuffled every round, and a
+query's position in a fresh JVM moves its time by up to 2x (whole-stage
+codegen and shuffle infrastructure reach C2-compiled steady state only
+after the first handful of queries). Round 3's apparent regressions on
+upsert_keep_last / ytd_running_total / top3_orders_per_segment were
+exactly the three queries the round-3 reorder moved from positions
+12-14 to 1-3; a fixed order makes rounds comparable.
 """
 
 from __future__ import annotations
@@ -21,7 +30,7 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    from financial_data_warehouse_automation_spark.registry import load_all
+    from financial_data_warehouse_automation_spark.registry import REGISTRY, load_all
     from financial_data_warehouse_automation_spark.session import get_spark, sf_dir
 
     reps = int(os.environ.get("BENCH_REPS", "3"))
@@ -29,7 +38,8 @@ def main() -> None:
     sf = d.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    specs = {n: s for n, s in load_all().items() if s.headline}
+    load_all()  # populate REGISTRY via import side effects
+    specs = {n: s for n, s in REGISTRY.items() if s.headline}
     timings: dict[str, float] = {}
     for name, spec in specs.items():
         spec.builder(spark, d).collect()  # warm-up

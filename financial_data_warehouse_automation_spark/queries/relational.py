@@ -1140,11 +1140,11 @@ WITH l AS (
          l.line_total,
          CASE
            WHEN l.line_total IS NULL THEN 'missing_lines'
-           WHEN CAST(l.line_total AS DOUBLE) / CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) < 0.5 THEN 'under_50pct'
-           WHEN CAST(l.line_total AS DOUBLE) / CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) < 0.9 THEN 'under_10pct'
-           WHEN CAST(l.line_total AS DOUBLE) / CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) <= 1.1 THEN 'within_10pct'
-           WHEN CAST(l.line_total AS DOUBLE) / CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) <= 2.0 THEN 'over_10pct'
-           ELSE 'over_100pct'
+           WHEN CAST(l.line_total AS DOUBLE) / CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) < 0.5 THEN 'ratio_below_50pct'
+           WHEN CAST(l.line_total AS DOUBLE) / CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) < 0.9 THEN 'ratio_50_90pct'
+           WHEN CAST(l.line_total AS DOUBLE) / CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) <= 1.1 THEN 'ratio_90_110pct'
+           WHEN CAST(l.line_total AS DOUBLE) / CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) <= 2.0 THEN 'ratio_110_200pct'
+           ELSE 'ratio_over_200pct'
          END AS band
   FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
 )
@@ -1177,12 +1177,14 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = o.join(per_order, o.o_orderkey == per_order.l_orderkey, "left")
     ratio = F.col("line_total").cast("double") / header.cast("double")
     band = (
+        # band labels name the ratio range they cover (round-3 ADVICE:
+        # 'under_10pct' actually covered [0.5, 0.9) — misleading)
         F.when(F.col("line_total").isNull(), "missing_lines")
-        .when(ratio < 0.5, "under_50pct")
-        .when(ratio < 0.9, "under_10pct")
-        .when(ratio <= 1.1, "within_10pct")
-        .when(ratio <= 2.0, "over_10pct")
-        .otherwise("over_100pct")
+        .when(ratio < 0.5, "ratio_below_50pct")
+        .when(ratio < 0.9, "ratio_50_90pct")
+        .when(ratio <= 1.1, "ratio_90_110pct")
+        .when(ratio <= 2.0, "ratio_110_200pct")
+        .otherwise("ratio_over_200pct")
     )
     return (
         joined.select(

@@ -219,18 +219,21 @@ ORDER BY 1
 def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once repair: the source is deliberately doubled
     (stream UNION stream — every event delivered twice, the at-least-
-    once redelivery case), then ``dropDuplicates("event_id")`` with a
-    watermark restores exactly-once before a complete-mode aggregate.
+    once redelivery case), then ``dropDuplicatesWithinWatermark`` on
+    event_id restores exactly-once before a complete-mode aggregate.
     The oracle aggregates the ORIGINAL single-delivery table, so the
     hash only matches if the dedup removed every duplicate and nothing
-    else. State is bounded by the watermark horizon (event-id keys
-    older than 2 hours are evicted)."""
+    else. WithinWatermark (not plain dropDuplicates, whose per-key
+    state never expires when the subset omits the event-time column)
+    actually evicts key state once a key's event time falls 2 hours
+    behind the watermark — redeliveries in real pipelines arrive within
+    the lateness horizon, so this bounds state without losing dedup."""
     doubled = _events_stream(spark, sf_dir).unionByName(
         _events_stream(spark, sf_dir)
     )
     deduped = (
         doubled.withWatermark("ts", "2 hours")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_unique"),

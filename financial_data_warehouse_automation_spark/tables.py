@@ -42,6 +42,27 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    import contextlib
+
+    @contextlib.contextmanager
+    def scoped_conf(key: str, value: str):
+        # The reader consults these confs at analysis time, so they must
+        # be session-level — but only for THIS read: restore the prior
+        # value so an unrelated NTZ/nanos parquet source in the same
+        # session keeps its default reading.
+        try:
+            prior = spark.conf.get(key)
+        except Exception:
+            prior = None
+        spark.conf.set(key, value)
+        try:
+            yield
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+
     path = f"{sf_dir}/events.parquet"
     try:
         import pyarrow.parquet as pq
@@ -50,17 +71,20 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         ts_type = "timestamp[us]"
     if ts_type in ("int64", "timestamp[ns]"):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        with scoped_conf("spark.sql.legacy.parquet.nanosAsLong", "true"):
+            df = spark.read.parquet(path)
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
         return df
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(path)
-    if dict(df.dtypes).get("ts") == "timestamp_ntz":
-        # Inference config didn't take (already-analyzed reader); reinterpret
-        # the naive wall-clock as UTC explicitly so epoch math matches DuckDB.
-        df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+    with scoped_conf("spark.sql.parquet.inferTimestampNTZ.enabled", "false"):
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # Inference config didn't take (already-analyzed reader);
+            # reinterpret the naive wall-clock as UTC explicitly so epoch
+            # math matches DuckDB.
+            df = df.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
     return df
 
 
