@@ -1203,3 +1203,72 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@query(
+    "order_price_percentiles",
+    tags=("agg", "percentile", "window"),
+    oracle=f"""
+WITH priced AS (
+  SELECT o_orderpriority,
+         {sql_money('o_totalprice')} AS price,
+         o_orderkey
+  FROM orders
+), ranked AS (
+  SELECT o_orderpriority, price,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY price, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM priced
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN price END) AS DOUBLE) AS p50,
+       CAST(MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN price END) AS DOUBLE) AS p90,
+       CAST(MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN price END) AS DOUBLE) AS p99
+FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank percentiles (p50/p90/p99 of order value per
+    priority) via rank selection, NOT interpolating percentile
+    functions: k = ceil(q*n) computed in integer arithmetic, the value
+    at rank k picked by a conditional aggregate. Interpolating
+    quantiles (percentile_cont) mix doubles with engine-specific
+    formulas — nearest-rank is the distribution statistic that
+    hash-matches across engines bit-for-bit. Shape: one window pass
+    partitioned by the group key + one group aggregate, no joins; at
+    scale the window shuffle is the only exchange. The approximate
+    sibling for 100 TB dashboards is percentile_approx (t-digest,
+    mergeable sketch) — same plan shape, bounded error."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    priced = o.select(
+        "o_orderpriority", money("o_totalprice").alias("price"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("price", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = priced.select(
+        "o_orderpriority",
+        "price",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    n = F.col("n")
+
+    def at_rank(k) -> F.Column:
+        # k = ceil(q*n) in exact integer arithmetic: (num*n + den-1) div den
+        return F.max(F.when(F.col("rn") == k, F.col("price"))).cast("double")
+
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            at_rank(F.floor((n + 1) / 2)).alias("p50"),
+            at_rank(F.floor((9 * n + 9) / 10)).alias("p90"),
+            at_rank(F.floor((99 * n + 99) / 100)).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )

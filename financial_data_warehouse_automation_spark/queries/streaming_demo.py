@@ -242,3 +242,70 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain_to_memory(deduped, "strm_dedup", "complete")
     return out.orderBy("event_type")
+
+
+@query(
+    "events_stream_stream_join",
+    tags=("streaming", "join", "interval", "watermark"),
+    oracle="""
+SELECT c.event_id AS click_id,
+       p.event_id AS purchase_id,
+       c.user_id,
+       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+ORDER BY click_id, purchase_id
+""",
+)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join — the §2.9 shape none of the other
+    streaming queries exercise: clicks joined to purchases by the same
+    user within the following 30 minutes, BOTH sides unbounded streams.
+    Watermarks on both sides plus the time-range join condition are
+    what make this runnable with bounded state: Spark buffers each side
+    only until the other side's watermark passes the interval, then
+    evicts — without them a stream-stream join would buffer forever.
+    Checked against the batch interval join in DuckDB: the bounded
+    stream must emit exactly the batch join's pairs, no more (no
+    duplicates from micro-batch retriggers), no fewer (no rows dropped
+    at eviction). Scale: state is per-user rows inside a 30-minute
+    horizon; the join shuffles both streams on user_id."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + interval 30 minutes"
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "gap_us"
+        ),
+    )
+    out = _drain_to_memory(joined, "strm_ss_join", "append")
+    return out.orderBy("click_id", "purchase_id")

@@ -1267,3 +1267,197 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "doc_chunk_sliding",
+    tags=("text", "chunking", "rag", "llm-pipeline"),
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, len({_SQL_TOKS}) AS n_tok FROM documents
+), shaped AS (
+  SELECT doc_id, n_tok,
+         1 + (greatest(n_tok - 64, 0) + 31) // 32 AS n_chunks
+  FROM t WHERE n_tok > 0
+), chunks AS (
+  SELECT doc_id, n_tok,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM shaped
+)
+SELECT doc_id, chunk_idx,
+       chunk_idx * 32 AS start_tok,
+       least(64, n_tok - chunk_idx * 32) AS chunk_len
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+)
+def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style sliding-window chunking: 64-token windows, stride 32
+    (50% overlap), last chunk keeps the tail. The chunk COUNT is closed
+    form — 1 + ceil(max(n_tok - W, 0) / S) — so the whole plan is one
+    scan + a sequence explode with zero shuffles until the final
+    order-by (which a writer would drop): at 100 TB this chunker is
+    embarrassingly parallel and emits (doc_id, chunk_idx, start, len)
+    slice descriptors, leaving substring materialization to the
+    consumer so no text is duplicated 2x through the overlap."""
+    d = load_table(spark, sf_dir, "documents")
+    W, S = 64, 32
+    t = d.select("doc_id", F.size(tokens("text")).alias("n_tok")).where(
+        F.col("n_tok") > 0
+    )
+    n_chunks = 1 + F.floor(
+        (F.greatest(F.col("n_tok") - W, F.lit(0)) + (S - 1)) / S
+    ).cast("long")
+    return (
+        t.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("chunk_idx") * S).cast("long").alias("start_tok"),
+            F.least(F.lit(W), F.col("n_tok") - F.col("chunk_idx") * S)
+            .cast("long")
+            .alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "doc_ngram_novelty",
+    tags=("text", "dedup", "novelty", "llm-pipeline"),
+    oracle=rf"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(toks) - 7),
+                     i -> array_to_string(toks[i:i+7], ' ')))
+         END AS grams
+  FROM t
+), ex AS (
+  SELECT doc_id, unnest(grams) AS shingle FROM sh
+), owned AS (
+  SELECT shingle, MIN(doc_id) AS owner FROM ex GROUP BY shingle
+), scored AS (
+  SELECT ex.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN o.owner = ex.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM ex JOIN owned o USING (shingle)
+  GROUP BY ex.doc_id
+)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST(ROUND(CAST(n_novel AS DOUBLE) / n_grams, 6) AS DOUBLE)
+         AS novelty
+FROM scored ORDER BY doc_id
+""",
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 8-gram novelty — the 'new information rate' used to
+    prioritize documents during corpus curation: the fraction of a
+    doc's distinct 8-grams whose minimum owning doc_id is the doc
+    itself (first writer wins). Shape: one shingle scan, one shuffle
+    keyed on the 8-gram to elect owners, one doc-keyed aggregate —
+    never doc x doc, so it scales like the decontamination scan. Docs
+    shorter than 8 tokens contribute their whole text as one shingle
+    (same convention as word_shingles)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    sh = t.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("toks"), 8)).alias("grams"),
+    )
+    exploded = sh.select("doc_id", F.explode("grams").alias("shingle"))
+    owned = exploded.groupBy("shingle").agg(F.min("doc_id").alias("owner"))
+    return (
+        exploded.join(owned, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6)
+            .alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_zipf_fit",
+    tags=("text", "statistics", "zipf"),
+    oracle=rf"""
+WITH tf AS (
+  SELECT term, COUNT(*) AS freq
+  FROM (SELECT unnest({_SQL_TOKS}) AS term FROM documents)
+  GROUP BY term
+), ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk
+  FROM tf
+), pts AS (
+  SELECT CAST(ROUND(ln(rnk), 9) AS DECIMAL(18,9)) AS x,
+         CAST(ROUND(ln(freq), 9) AS DECIMAL(18,9)) AS y
+  FROM ranked WHERE rnk <= 100
+), sums AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM pts
+)
+SELECT n AS n_terms,
+       CAST(ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS DOUBLE)
+         AS zipf_slope,
+       CAST(ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+            AS DOUBLE) AS zipf_intercept
+FROM sums
+""",
+)
+def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: OLS slope of
+    ln(freq) on ln(rank) for the top-100 terms (a healthy natural-
+    language corpus fits slope ~ -1; a spammy or templated crawl
+    doesn't — this is a corpus-level quality gate). Determinism: ranks
+    are integers (ties broken by term), each ln runs on identical
+    doubles in both engines and is rounded to DECIMAL(18,9) BEFORE the
+    sums, so Sx/Sy/Sxy/Sxx are exact and shuffle-order independent; the
+    slope/intercept are then single double expressions over those exact
+    sums. Shape: one term-count shuffle, a top-100 rank (tiny), and a
+    single-row reduce — corpus size only enters the first aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "term")
+    ranked = tf.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 100)
+    pts = ranked.select(
+        F.round(F.log("rnk"), 9).cast("decimal(18,9)").alias("x"),
+        F.round(F.log("freq"), 9).cast("decimal(18,9)").alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "zipf_intercept"
+        ),
+    )

@@ -114,21 +114,22 @@ VERIFY_FIRST: tuple[str, ...] = (
     "media_audio_energy",
     "events_stream_static_enrich",
     "events_stream_dedup",
+    # --- added in round 4 (oracle-green locally, never driver-recorded)
+    "doc_chunk_sliding",
+    "doc_ngram_novelty",
+    "doc_zipf_fit",
+    "order_price_percentiles",
+    "events_stream_stream_join",
     # --- rotation spot re-checks of previously-green anchors
     "pricing_summary",
     "ingest_income_statement",
     "ingest_warehouse_build",
     "monthly_segment_totals",
     "top10_orders_global",
-    "events_json_extract",
     "events_tumbling_15min",
-    "media_feature_histograms",
-    "set_except_churned",
     "upsert_keep_last",
     "ytd_running_total",
     "doc_exact_dedup",
-    "qa_ledger_transitions",
-    "latest_order_per_customer",
 )
 
 
