@@ -526,3 +526,295 @@ def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: local-supplier volume — the join graph closes a cycle
+# (customer and supplier must sit in the SAME nation), which is the
+# interesting planning property: the equality lands after two
+# independent dim joins, not on a join key.
+# ---------------------------------------------------------------------------
+@query(
+    "q5_local_supplier_volume",
+    tags=("join", "snowflake", "agg", "cycle"),
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(SUM({sql_money('l.l_extendedprice')} * ({ONE} - {sql_rate('l.l_discount')})) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue shipped by suppliers local to the ordering customer, per
+    nation, one order year (TPC-H Q5; region filter dropped — the
+    driver schema's single region would make it vacuous). The
+    c_nationkey = s_nationkey cycle closes on two broadcast-joined
+    bounded dims, so Catalyst evaluates it map-side after the fact
+    joins; the only big exchanges remain lineitem⋈orders and ⋈customer,
+    both on their natural keys."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: pure filter + single aggregate — the pushdown benchmark.
+# ---------------------------------------------------------------------------
+@query(
+    "q6_forecast_revenue",
+    tags=("filter", "agg", "pushdown"),
+    oracle=f"""
+SELECT CAST(SUM({M_PRICE} * {R_DISC}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND CAST(l_discount AS DECIMAL(3,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue increase if discounts in a band were eliminated (TPC-H
+    Q6): a pure filtered scan + one aggregate, no joins — the query
+    whose entire cost IS the scan, so every predicate must reach the
+    parquet reader (date range and quantity push down as min/max
+    stats; the decimal-cast discount band evaluates in the scan
+    stage). At 100 TB this is the shape that proves column pruning +
+    rowgroup skipping work: bytes read, not CPU, decide the runtime."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & rate("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            F.sum(money("l_extendedprice") * rate("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product profit by nation and year. The driver schema
+# has no partsupp, so supply cost is adapted to the part's retail price
+# (documented divergence — the JOIN/AGG shape is what's exercised).
+# ---------------------------------------------------------------------------
+@query(
+    "q9_product_profit",
+    tags=("join", "snowflake", "agg", "profit"),
+    oracle=f"""
+SELECT n.n_name AS nation,
+       EXTRACT(YEAR FROM o.o_orderdate) AS year,
+       CAST(ROUND(SUM({sql_money('l.l_extendedprice')} * ({ONE} - {sql_rate('l.l_discount')})
+                      - CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(l.l_quantity AS DECIMAL(12,2)) * CAST(0.1 AS DECIMAL(2,1))), 2) AS DOUBLE)
+         AS profit
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%a%'
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit per supplier nation per year for parts matching a name
+    pattern (TPC-H Q9 shape; cost adapted to 10% of retail price x
+    quantity since the driver schema carries no partsupp — the 5-way
+    join + name-pattern filter + two-level rollup is the exercised
+    plan). part joins on partkey AFTER its LIKE filter prunes the
+    build side; profit arithmetic stays in exact decimals until the
+    final round+double."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%a%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    tenth = F.lit("0.1").cast("decimal(2,1)")
+    profit = _disc_price() - (
+        F.col("p_retailprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(12,2)")
+        * tenth
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("year"),
+        )
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+        .orderBy("nation", "year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: groups whose share exceeds a fraction of the GLOBAL
+# aggregate — scalar subquery threshold. Adapted from partsupp value to
+# part revenue (no partsupp in the driver schema).
+# ---------------------------------------------------------------------------
+@query(
+    "q11_important_parts",
+    tags=("agg", "subquery", "having"),
+    oracle=f"""
+WITH per_part AS (
+  SELECT l_partkey, SUM({DISC_PRICE}) AS rev
+  FROM lineitem GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(rev) AS DOUBLE) AS tot, COUNT(*) AS n_parts FROM per_part
+)
+SELECT p.l_partkey AS partkey,
+       CAST(p.rev AS DOUBLE) AS revenue
+FROM per_part p CROSS JOIN total t
+WHERE CAST(p.rev AS DOUBLE) > t.tot / t.n_parts * 1.5
+ORDER BY revenue DESC, partkey
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds 1.5x the average part's revenue
+    (TPC-H Q11's HAVING-against-global-scalar shape over the driver
+    schema; the threshold is relative to the average so the cut stays
+    falsifiable at every scale factor, unlike Q11's fixed fraction
+    which shrinks per-group share as the part count grows). The global
+    total re-uses the per-part aggregate (one scan, one shuffle), then
+    broadcasts as a single row; the threshold compare runs on doubles
+    derived from the SAME exact decimal sums in both engines, so the
+    cut is deterministic."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(F.sum(_disc_price()).alias("rev"))
+    total = per_part.agg(
+        F.sum("rev").cast("double").alias("tot"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("rev").cast("double")
+            > F.col("tot") / F.col("n_parts") * 1.5
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("rev").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: distribution of orders-per-customer including the
+# zero bucket — left join + two-level aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "q13_order_count_distribution",
+    tags=("join", "agg", "distribution", "leftjoin"),
+    oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_cust GROUP BY 1
+ORDER BY n_customers DESC, n_orders DESC
+""",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed how many orders, zero included (TPC-H
+    Q13 minus the comment-pattern filter the driver schema lacks). The
+    LEFT join keeps order-less customers; COUNT(o_orderkey) — not
+    COUNT(*) — makes them count 0. Two aggregations: custkey grain
+    (big, co-partitioned with the join) then the tiny histogram."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: the group(s) achieving the global maximum — aggregate,
+# then scalar-max subquery, then equality join back.
+# ---------------------------------------------------------------------------
+@query(
+    "q15_top_supplier",
+    tags=("agg", "subquery", "max"),
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM({DISC_PRICE}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+       CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY suppkey
+""",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier(s) with maximum revenue in 1996Q1 (TPC-H Q15). The
+    revenue CTE computes once and feeds both the scalar MAX and the
+    equality filter (Spark reuses the aggregate subtree; the MAX
+    broadcasts as one row). Equality on the EXACT decimal revenue —
+    never the double — so ties and the max cut are bit-deterministic
+    in both engines."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_disc_price()).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .where(F.col("total_revenue") == F.col("max_rev"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )

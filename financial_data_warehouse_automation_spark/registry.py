@@ -120,13 +120,13 @@ VERIFY_FIRST: tuple[str, ...] = (
     "doc_zipf_fit",
     "order_price_percentiles",
     "events_stream_stream_join",
+    "q6_forecast_revenue",
+    "q13_order_count_distribution",
     # --- rotation spot re-checks of previously-green anchors
     "pricing_summary",
     "ingest_income_statement",
     "ingest_warehouse_build",
     "monthly_segment_totals",
-    "top10_orders_global",
-    "events_tumbling_15min",
     "upsert_keep_last",
     "ytd_running_total",
     "doc_exact_dedup",

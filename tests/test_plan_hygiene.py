@@ -82,6 +82,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "doc_bm25_search",               # single-row N/avgdl scalar broadcast
         "doc_unigram_logprob",           # single-row n_total scalar broadcast
         "q22_idle_rich_customers",       # single-row scalar AVG threshold
+        "q11_important_parts",           # single-row global-total threshold
     }
     offenders = {}
     for name, spec in load_all().items():
