@@ -942,3 +942,93 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("wau"))
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "events_mad_anomalies",
+    tags=("events", "robust-stats", "percentile", "anomaly"),
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), med AS (
+  SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS med
+  FROM ranked GROUP BY 1
+), dev AS (
+  SELECT e.event_type, e.event_id, e.value,
+         ABS(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m ON e.event_type = m.event_type
+), dranked AS (
+  SELECT event_type, event_id, value, adev, med,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY adev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+), mad AS (
+  SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN adev END) AS mad
+  FROM dranked GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+       ROUND(d.adev / m.mad, 6) AS mad_ratio
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE d.adev > 5 * m.mad
+ORDER BY d.event_type, d.event_id
+""",
+)
+def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: events whose value deviates from the
+    per-type median by more than 5x the median absolute deviation.
+    Unlike the z-score variant (events_zscore_anomalies), median/MAD
+    don't move when the outliers themselves get bigger — the estimator
+    the anomalies can't poison. Medians are exact nearest-rank picks
+    (rank ceil(n/2) in integer arithmetic, the order_price_percentiles
+    pattern) — no interpolation, so both engines select the SAME stored
+    double and every downstream subtraction/division is bit-identical.
+    Shape: two window passes partitioned by event_type + two broadcast
+    joins of the 5-row stats; at scale the only exchanges are the two
+    per-type window shuffles over the same key."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type", "value", "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # exact integer ceil(n/2) via floor((n + 1) / 2)
+    med = ranked.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("value"))
+        ).alias("med")
+    )
+    dev = (
+        e.join(F.broadcast(med), e.event_type == F.col("m_type"))
+        .select(
+            "event_type", "event_id", "value", "med",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+        )
+    )
+    dw = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    dwn = Window.partitionBy("event_type")
+    dranked = dev.select(
+        "event_type", "adev",
+        F.row_number().over(dw).alias("rn"),
+        F.count(F.lit(1)).over(dwn).alias("n"),
+    )
+    mad = dranked.groupBy(F.col("event_type").alias("d_type")).agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("adev"))
+        ).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), dev.event_type == F.col("d_type"))
+        .where(F.col("adev") > 5 * F.col("mad"))
+        .select(
+            "event_id", "event_type", "value", "med", "mad",
+            F.round(F.col("adev") / F.col("mad"), 6).alias("mad_ratio"),
+        )
+        .orderBy("event_type", "event_id")
+    )

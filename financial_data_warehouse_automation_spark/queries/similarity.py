@@ -679,3 +679,65 @@ def embedding_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "keep")
     )
+
+
+@query(
+    "embedding_gram_matrix",
+    tags=("similarity", "vectors", "pca", "llm-pipeline"),
+    oracle="""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+)
+SELECT i AS dim_i, j AS dim_j,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(qv[i] * qv[j]) AS BIGINT) AS gram_milli
+FROM q,
+     unnest(generate_series(1, len(qv))) AS ti(i),
+     unnest(generate_series(1, len(qv))) AS tj(j)
+WHERE j >= i
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram/covariance accumulation X^T X — the reduce
+    step of distributed PCA (the covariance matrix is gram/n minus the
+    centroid outer product, both derivable from this output plus
+    embedding_label_centroids). Values are quantized to milli-units as
+    int64 BEFORE multiplying, so every product and sum is exact integer
+    arithmetic — shuffle-order independent with no decimal machinery
+    (|q| <= ~5e3, so a cell overflows int64 only past ~3e11 rows).
+
+    Scale shape: NO self-join — each row expands its own dim*(dim+1)/2
+    upper-triangle products via nested array transforms in one
+    projection, and the aggregate map-side-combines to at most 2,080
+    cells (dim=64) per partition before a shuffle whose cardinality is
+    dim^2, independent of corpus size. The alternative posexplode +
+    self-join on vec_id shuffles the whole corpus twice; this plans as
+    scan -> generate -> partial agg -> tiny exchange."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = F.expr("""
+      flatten(transform(sequence(0, size(qv) - 1), i ->
+        transform(sequence(i, size(qv) - 1), j ->
+          struct(i + 1 AS dim_i, j + 1 AS dim_j,
+                 qv[i] * qv[j] AS prod))))
+    """)
+    return (
+        e.select(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 1000, 0).cast("bigint"),
+            ).alias("qv")
+        )
+        .select(F.explode(pairs).alias("p"))
+        .select("p.dim_i", "p.dim_j", "p.prod")
+        .groupBy("dim_i", "dim_j")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("prod").alias("gram_milli"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )

@@ -1461,3 +1461,95 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zipf_intercept"
         ),
     )
+
+
+@query(
+    "doc_length_buckets",
+    tags=("text", "tokens", "batching", "llm-pipeline"),
+    oracle="""
+WITH tok AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok
+  FROM documents
+)
+SELECT source,
+       CASE WHEN n_tok < 16  THEN 'lt16'
+            WHEN n_tok < 32  THEN '16_31'
+            WHEN n_tok < 64  THEN '32_63'
+            WHEN n_tok < 128 THEN '64_127'
+            WHEN n_tok < 256 THEN '128_255'
+            ELSE 'ge256' END AS len_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+FROM tok GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length bucketing per source — the batching
+    histogram an inference/training pipeline uses to pick padding
+    buckets (docs batched within a bucket waste < 2x padding). Bucket
+    edges are pure integer comparisons, NOT floor(log2(n)) — log-based
+    bucketing computes ln(n)/ln(2) in floating point, which can land an
+    exact power of two on either side of the floor depending on the
+    engine's libm. Shape: token count fuses into the scan projection;
+    one shuffle on the tiny (source, bucket) key with map-side combine."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text"))
+    bucket = (
+        F.when(n_tok < 16, "lt16")
+        .when(n_tok < 32, "16_31")
+        .when(n_tok < 64, "32_63")
+        .when(n_tok < 128, "64_127")
+        .when(n_tok < 256, "128_255")
+        .otherwise("ge256")
+    )
+    return (
+        d.select("source", n_tok.alias("n_tok"), bucket.alias("len_bucket"))
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.max("n_tok").cast("long").alias("max_tokens"),
+        )
+        .orderBy("source", "len_bucket")
+    )
+
+
+@query(
+    "doc_vocab_top100",
+    tags=("text", "vocab", "llm-pipeline"),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM tok GROUP BY token
+ORDER BY df DESC, tf DESC, token
+LIMIT 100
+""",
+)
+def doc_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: term frequency + document frequency per
+    token, top 100 by document frequency — the first step of any
+    tokenizer / stopword / TF-IDF vocabulary pipeline (the broadcast
+    vocab doc_tfidf_top_terms consumes is exactly this output). Shape:
+    explode -> one aggregate keyed on the token with BOTH tf (count)
+    and df (count distinct doc_id) in the same shuffle, then a
+    TakeOrderedAndProject top-k — per-partition heaps, no global sort.
+    Ties break df desc, tf desc, then token, so the LIMIT cut is
+    deterministic in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("df"), F.desc("tf"), "token")
+        .limit(100)
+    )

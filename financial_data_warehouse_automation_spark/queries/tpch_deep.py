@@ -818,3 +818,346 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: minimum-cost supplier. The driver schema has no
+# partsupp table, so the supply relationship is derived from lineitem
+# itself: supplier S supplies part P iff a lineitem exists, and the
+# unit cost is MIN(extendedprice / quantity) over those lines (MIN of
+# doubles is shuffle-order independent, so no decimal detour needed).
+# What survives the adaptation is exactly the shape Catalyst must plan
+# well: a correlated MIN subquery per part (expressed as agg + join),
+# a 4-deep dimension chain (supplier -> nation -> region) on the
+# subquery side, and a selective part filter joined last.
+# ---------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    tags=("join", "subquery", "snowflake", "topk"),
+    oracle="""
+WITH supply AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+), eligible AS (
+  SELECT sp.l_partkey, sp.l_suppkey, sp.unit_cost,
+         s.s_acctbal, s.s_name, n.n_name
+  FROM supply sp
+  JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+  JOIN nation n   ON s.s_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+), best AS (
+  SELECT l_partkey, MIN(unit_cost) AS best_cost FROM eligible GROUP BY 1
+)
+SELECT e.s_acctbal, e.s_name, e.n_name,
+       p.p_partkey AS partkey, p.p_name,
+       e.unit_cost
+FROM eligible e
+JOIN best b ON e.l_partkey = b.l_partkey AND e.unit_cost = b.best_cost
+JOIN part p ON e.l_partkey = p.p_partkey
+WHERE p.p_type = 'STANDARD' AND p.p_size <= 15
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest EUROPE supplier(s) per STANDARD small part, top 100 by
+    supplier balance (TPC-H Q2 over the lineitem-derived supply
+    relation; reference surface stops at single-dim enrichment,
+    build_warehouse.py:115-140). The correlated MIN re-uses the
+    eligible aggregate (one lineitem scan, one shuffle on the
+    (part,supp) key); nation/region broadcast; the final part filter
+    joins AFTER the min cut so only winners reach the part dim. The
+    min-cost equality compares doubles produced by the identical
+    MIN(extendedprice/quantity) expression in both engines — IEEE
+    division and MIN are bit-deterministic. LIMIT 100 rides a full
+    deterministic sort (acctbal desc, then unique keys) and plans as
+    TakeOrderedAndProject."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    supply = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    euro_nk = (
+        n.join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+               n.n_regionkey == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    eligible = (
+        supply.join(s, supply.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(euro_nk), s.s_nationkey == F.col("n_nationkey"))
+        .select("l_partkey", "l_suppkey", "unit_cost",
+                "s_acctbal", "s_name", "n_name")
+    )
+    best = eligible.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        eligible.join(
+            best,
+            (eligible.l_partkey == F.col("b_partkey"))
+            & (eligible.unit_cost == F.col("best_cost")),
+        )
+        .join(p.where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)),
+              F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("p_partkey").alias("partkey"), "p_name", "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: shipping-delay service classes vs order priority.
+# The driver lineitem has no shipmode/commitdate/receiptdate, so the
+# service class is derived from the ship delay itself (shipdate -
+# orderdate banded fast/slow/late); the planner shape preserved is the
+# fact-fact join + CASE-conditional counts grouped by a derived
+# category, with the date-range predicate pushed to the lineitem scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q12_delay_priority",
+    tags=("join", "agg", "conditional", "date"),
+    oracle="""
+SELECT CASE WHEN DATEDIFF('day', o_orderdate, l_shipdate) >= 90 THEN 'late'
+            WHEN DATEDIFF('day', o_orderdate, l_shipdate) >= 30 THEN 'slow'
+            ELSE 'fast' END AS delay_band,
+       CAST(COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 END) AS BIGINT) AS high_line_count,
+       CAST(COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q12_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line counts by urgency class across ship-delay bands for 1995
+    shipments (TPC-H Q12 with delay bands standing in for shipmode).
+    The shipdate range pushes to the parquet scan; the join shuffles
+    only the filtered year; the CASE counts are map-side partial
+    aggregates. Counts cast to long on both sides (registry rule —
+    DuckDB COUNT(CASE) is BIGINT already, the cast pins it)."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.when(delay >= 90, "late")
+            .when(delay >= 30, "slow")
+            .otherwise("fast")
+            .alias("delay_band")
+        )
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("delay_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: how many suppliers can serve each part descriptor,
+# excluding a blacklist — NOT IN anti-join + COUNT(DISTINCT) over the
+# lineitem-derived supply relation.
+# ---------------------------------------------------------------------------
+@query(
+    "q16_supplier_part_counts",
+    tags=("join", "anti", "agg", "distinct"),
+    oracle="""
+WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT sp.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM supply sp JOIN part p ON sp.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#45'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND sp.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier counts per (brand, type, size) descriptor,
+    excluding negative-balance suppliers (TPC-H Q16; the acctbal
+    blacklist stands in for the comment-based complaints filter, the
+    supply relation is lineitem-derived as in q2). The NOT IN plans as
+    a broadcast anti-join against the 100-row supplier dim; the
+    descriptor filter prunes part before the join; COUNT(DISTINCT)
+    shuffles once on the descriptor key with the suppkey carried for
+    the distinct."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    supply = l.select("l_partkey", "l_suppkey").distinct()
+    bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pf = p.where(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        supply.join(F.broadcast(bad), supply.l_suppkey == F.col("s_suppkey"),
+                    "left_anti")
+        .join(pf, F.col("l_partkey") == pf.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers holding an outsized share of a part's
+# flow. Without partsupp.availqty, "excess stock" is recast as flow
+# dominance: a supplier shipped more than half of a part's total 1995
+# quantity. Preserves the nested-subquery chain (per-(supp,part) agg,
+# per-part agg, threshold compare, then a semi-join up to the supplier
+# dim and its nation).
+# ---------------------------------------------------------------------------
+@query(
+    "q20_dominant_suppliers",
+    tags=("join", "subquery", "semi", "agg"),
+    oracle="""
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_s
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-01-01'
+  GROUP BY 1, 2
+), totals AS (
+  SELECT l_partkey, CAST(SUM(qty_s) AS DOUBLE) AS qty_t
+  FROM shipped GROUP BY 1
+)
+SELECT s.s_suppkey AS suppkey, s.s_name, n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+FROM shipped sh
+JOIN totals t ON sh.l_partkey = t.l_partkey
+JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+WHERE CAST(sh.qty_s AS DOUBLE) > 0.5 * t.qty_t
+GROUP BY 1, 2, 3
+ORDER BY s.s_name
+""",
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped >50% of some small-part's total 1995 flow
+    (TPC-H Q20's excess-stock chain recast over shipment flow). Part
+    name prefix + shipdate range push to the scans; the per-part total
+    re-aggregates the per-(supp,part) sums (no second lineitem scan);
+    quantity sums go through exact decimal then compare as doubles
+    derived identically in both engines. The supplier/nation joins see
+    only dominant rows."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").startswith("small"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    shipped = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_s"))
+    )
+    totals = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty_s").cast("double").alias("qty_t")
+    )
+    return (
+        shipped.join(totals, shipped.l_partkey == F.col("t_partkey"))
+        .where(F.col("qty_s").cast("double") > 0.5 * F.col("qty_t"))
+        .join(s, shipped.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("s_suppkey").alias("suppkey"), "s_name", "n_name"
+        )
+        .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: suppliers who single-handedly held up multi-supplier
+# orders. Without commit/receipt dates, "late" is shipdate more than 60
+# days past the order date. The EXISTS (another supplier on the order)
+# and NOT EXISTS (no OTHER late supplier) pair is expressed as
+# per-order distinct-supplier aggregates — one pass, no correlated
+# re-scan — exactly how a 100 TB plan should phrase it.
+# ---------------------------------------------------------------------------
+@query(
+    "q21_waiting_suppliers",
+    tags=("join", "exists", "agg", "topk"),
+    oracle="""
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM lo GROUP BY 1
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE late) ll
+JOIN per_order po ON ll.l_orderkey = po.l_orderkey
+                 AND po.n_supp > 1 AND po.n_late = 1
+JOIN supplier s ON ll.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY 1
+ORDER BY numwait DESC, s.s_name
+""",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASIA suppliers who were the sole late shipper on finished
+    multi-supplier orders, ranked by how many orders they held up
+    (TPC-H Q21). One lineitem+orders join feeds BOTH the per-order
+    supplier census and the late-line set (Spark reuses the subtree);
+    the exists/not-exists pair becomes n_supp > 1 AND n_late = 1 —
+    per-order aggregates instead of two correlated re-scans. Region
+    filter broadcast-prunes the supplier dim after the heavy work."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    lo = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    late_lines = lo.where("late").select("l_orderkey", "l_suppkey").distinct()
+    asia_nk = (
+        n.join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+               n.n_regionkey == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    return (
+        late_lines.join(
+            per_order,
+            (late_lines.l_orderkey == F.col("po_orderkey"))
+            & (F.col("n_supp") > 1) & (F.col("n_late") == 1),
+        )
+        .join(s, late_lines.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(asia_nk), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
