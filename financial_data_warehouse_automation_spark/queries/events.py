@@ -1032,3 +1032,70 @@ def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+@query(
+    "events_ewma_daily",
+    tags=("events", "timeseries", "window", "range-join"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT d.event_type, d.day,
+       CAST(MAX(d.cents) AS BIGINT) AS day_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM((CAST(1 AS BIGINT) << (7 - DATEDIFF('day', p.day, d.day)))
+                * p.cents) AS BIGINT) AS wsum,
+       CAST(SUM(CAST(1 AS BIGINT) << (7 - DATEDIFF('day', p.day, d.day)))
+         AS BIGINT) AS wtot
+FROM daily d
+JOIN daily p ON p.event_type = d.event_type
+            AND p.day <= d.day
+            AND p.day >= d.day - INTERVAL 7 DAY
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-8-day exponentially weighted moving average of daily
+    event value per type, computed EXACTLY: weights are the integers
+    2^7..2^0 (alpha = 1/2, truncated at 8 days) and the daily values
+    integer cents, so the weighted sum is pure int64 arithmetic — the
+    caller divides wsum/wtot for the EWMA with no float-accumulation
+    nondeterminism anywhere (a float pow(alpha, k) chain would be
+    engine-order dependent). Shape: the day grain collapses the event
+    stream first (tiny), then a banded self range-join — equi on
+    event_type plus a bounded 8-day range — so the join fan-out is at
+    most 8 rows per day regardless of event volume; at 100 TB the
+    heavy lifting is the first aggregate, which map-side combines."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    d = daily.alias("d")
+    p = daily.alias("p")
+    diff = F.datediff(F.col("d.day"), F.col("p.day"))
+    # weight 2^(7-diff) via literal lookup (shiftleft needs a static
+    # shift amount); index 1-based on diff in [0, 7]
+    w = F.element_at(
+        F.array(*[F.lit(1 << (7 - k)).cast("bigint") for k in range(8)]),
+        (diff + 1).cast("int"),
+    )
+    return (
+        d.join(
+            p,
+            (F.col("p.event_type") == F.col("d.event_type"))
+            & (F.col("p.day") <= F.col("d.day"))
+            & (F.col("p.day") >= F.date_sub(F.col("d.day"), 7)),
+        )
+        .groupBy(F.col("d.event_type").alias("event_type"), F.col("d.day").alias("day"))
+        .agg(
+            F.max("d.cents").cast("long").alias("day_cents"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(w * F.col("p.cents")).alias("wsum"),
+            F.sum(w).alias("wtot"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1553,3 +1553,76 @@ def doc_vocab_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.desc("tf"), "token")
         .limit(100)
     )
+
+
+@query(
+    "doc_kl_divergence",
+    tags=("text", "info-theory", "curation", "llm-pipeline"),
+    oracle="""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents
+), st AS (
+  SELECT source, token, COUNT(*) AS n_st FROM tok GROUP BY 1, 2
+), s_tot AS (
+  SELECT source, SUM(n_st) AS n_s FROM st GROUP BY 1
+), t_tot AS (
+  SELECT token, SUM(n_st) AS n_t FROM st GROUP BY 1
+), n_tot AS (
+  SELECT SUM(n_st) AS big_n FROM st
+)
+SELECT st.source,
+       CAST(MAX(s_tot.n_s) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(ROUND(
+         (CAST(n_st AS DOUBLE) / n_s)
+           * LN((CAST(n_st AS DOUBLE) / n_s)
+                / (CAST(n_t AS DOUBLE) / big_n)), 6) AS DECIMAL(18,6)))
+         AS DOUBLE) AS kl_nats
+FROM st
+JOIN s_tot ON st.source = s_tot.source
+JOIN t_tot ON st.token = t_tot.token
+CROSS JOIN n_tot
+GROUP BY st.source
+ORDER BY st.source
+""",
+)
+def doc_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the
+    corpus distribution — the domain-shift statistic a curation
+    pipeline uses to spot off-distribution sources (and the quantity
+    behind importance-sampling data mixes). Per-term contributions
+    p*ln(p/q) are rounded to 6 decimals and accumulated as exact
+    decimals, so the one transcendental (ln of an identical double on
+    both engines, at worst 1 ulp apart) cannot surface through the
+    round — the zipf_fit / classifier pattern. Shape: one explode, one
+    (source, token) aggregate; source and corpus marginals re-reduce
+    that aggregate (no second corpus scan); the token-marginal join is
+    keyed on the token — at 100 TB it's one shuffle of the vocabulary,
+    never of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(tokens("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+    )
+    s_tot = st.groupBy(F.col("source").alias("s_src")).agg(
+        F.sum("n_st").alias("n_s")
+    )
+    t_tot = st.groupBy(F.col("token").alias("t_tok")).agg(
+        F.sum("n_st").alias("n_t")
+    )
+    n_tot = st.agg(F.sum("n_st").alias("big_n"))
+    p = F.col("n_st").cast("double") / F.col("n_s")
+    q = F.col("n_t").cast("double") / F.col("big_n")
+    term = F.round(p * F.log(p / q), 6).cast("decimal(18,6)")
+    return (
+        st.join(s_tot, st.source == F.col("s_src"))
+        .join(t_tot, st.token == F.col("t_tok"))
+        .crossJoin(F.broadcast(n_tot))
+        .groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_tokens"),
+            F.sum(term).cast("double").alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

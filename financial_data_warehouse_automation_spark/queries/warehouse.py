@@ -218,3 +218,138 @@ def merge_with_tombstones_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("custkey", "year", "month", "amount", "src")
         .orderBy("custkey", "year", "month")
     )
+
+
+_SNAP_SQL = """
+  SELECT o_custkey AS custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '{cutoff}'
+  GROUP BY 1
+""".strip()
+
+
+@query(
+    "warehouse_snapshot_diff",
+    tags=("warehouse", "audit", "diff", "cdc"),
+    oracle=f"""
+WITH snap_a AS (
+  {_SNAP_SQL.format(cutoff='1996-01-01')}
+), snap_b AS (
+  {_SNAP_SQL.format(cutoff='1997-01-01')}
+)
+SELECT COALESCE(b.custkey, a.custkey) AS custkey,
+       CASE WHEN a.custkey IS NULL THEN 'added' ELSE 'changed' END
+         AS change_type,
+       CAST(COALESCE(b.n_orders, 0) - COALESCE(a.n_orders, 0) AS BIGINT)
+         AS delta_orders,
+       CAST(COALESCE(b.cents, 0) - COALESCE(a.cents, 0) AS BIGINT)
+         AS delta_cents
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.custkey = b.custkey
+WHERE a.custkey IS NULL
+   OR b.n_orders <> a.n_orders OR b.cents <> a.cents
+ORDER BY custkey
+""",
+)
+def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit diff between two warehouse snapshots (per-customer order
+    count + spend as of 1996-01-01 vs 1997-01-01): who appeared, whose
+    totals moved, and by how much — the reconciliation report the
+    reference's QA sheet implies but never materializes
+    (build_warehouse.py's Open/Resolved ledger tracks only missing
+    mappings). Money is summed as exact integer cents so the equality
+    test between snapshots cannot be poisoned by double addition order.
+    Shape: both snapshots aggregate the SAME scan (Spark reuses the
+    exchange), full-outer join on the customer key, and the unchanged
+    majority is filtered before any downstream consumer — at 100 TB
+    snapshots would be stored aggregates and this is one co-partitioned
+    join + filter."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+
+    def snap(cutoff: str, prefix: str) -> DataFrame:
+        return (
+            o.where(F.col("o_orderdate") < cutoff)
+            .groupBy(F.col("o_custkey").alias(f"{prefix}_custkey"))
+            .agg(
+                F.count(F.lit(1)).alias(f"{prefix}_n"),
+                F.sum(cents).alias(f"{prefix}_cents"),
+            )
+        )
+
+    a = snap("1996-01-01", "a")
+    b = snap("1997-01-01", "b")
+    return (
+        a.join(b, a.a_custkey == b.b_custkey, "full_outer")
+        .where(
+            F.col("a_custkey").isNull()
+            | (F.col("b_n") != F.col("a_n"))
+            | (F.col("b_cents") != F.col("a_cents"))
+        )
+        .select(
+            F.coalesce("b_custkey", "a_custkey").alias("custkey"),
+            F.when(F.col("a_custkey").isNull(), "added")
+            .otherwise("changed")
+            .alias("change_type"),
+            (F.coalesce("b_n", F.lit(0)) - F.coalesce("a_n", F.lit(0)))
+            .cast("long")
+            .alias("delta_orders"),
+            (F.coalesce("b_cents", F.lit(0)) - F.coalesce("a_cents", F.lit(0)))
+            .cast("long")
+            .alias("delta_cents"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "mv_incremental_refresh",
+    tags=("warehouse", "mv", "incremental", "agg"),
+    oracle="""
+SELECT EXTRACT(YEAR FROM o_orderdate) AS year,
+       EXTRACT(MONTH FROM o_orderdate) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         / 100.0 AS revenue
+FROM orders
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance by partial-aggregate merge: the
+    monthly revenue MV is refreshed by unioning the stored base
+    aggregate (orders before 1997) with a partial aggregate of only the
+    new partition (1997+) and re-reducing — never rescanning history.
+    Works because count/sum are commutative monoids; the oracle is the
+    full recompute, proving merge == rebuild. Integer-cent sums make
+    the merge exact regardless of partition order. At 100 TB the base
+    side is a stored table a few million rows wide (month grain), so
+    the refresh cost is O(delta) + a shuffle keyed on the MV grain —
+    this query IS the incremental plan, with the base partial standing
+    in for the stored MV."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    grain = [
+        F.year("o_orderdate").cast("long").alias("year"),
+        F.month("o_orderdate").cast("long").alias("month"),
+    ]
+
+    def partial(pred) -> DataFrame:
+        return (
+            o.where(pred)
+            .groupBy(*grain)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("c"))
+        )
+
+    base = partial(F.col("o_orderdate") < "1997-01-01")       # stored MV
+    delta = partial(F.col("o_orderdate") >= "1997-01-01")     # new data
+    return (
+        base.unionByName(delta)
+        .groupBy("year", "month")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            (F.sum("c") / F.lit(100.0)).alias("revenue"),
+        )
+        .orderBy("year", "month")
+    )

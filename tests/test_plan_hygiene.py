@@ -83,6 +83,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "doc_unigram_logprob",           # single-row n_total scalar broadcast
         "q22_idle_rich_customers",       # single-row scalar AVG threshold
         "q11_important_parts",           # single-row global-total threshold
+        "doc_kl_divergence",             # single-row corpus-total broadcast
     }
     offenders = {}
     for name, spec in load_all().items():

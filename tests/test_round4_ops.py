@@ -1,0 +1,124 @@
+"""Invariant tests for the round-4 operator batch, independent of the
+DuckDB oracles (which check engine parity, not algorithmic truth):
+
+* embedding_gram_matrix  == numpy X^T X on the quantized matrix
+* events_ewma_daily      == pandas recurrence over the daily series
+* doc_kl_divergence      >= 0 (Gibbs), and 0 for a single-source corpus
+* warehouse_snapshot_diff emits no spurious rows and balances totals
+* mv_incremental_refresh == full recompute (merge-vs-rebuild fixed point)
+* events_mad_anomalies   rows actually exceed 5x MAD recomputed in pandas
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from financial_data_warehouse_automation_spark.registry import load_all
+
+
+def _run(spark, sf_dir, name):
+    return load_all()[name].builder(spark, sf_dir).toPandas()
+
+
+def test_gram_matrix_matches_numpy(spark, sf_dir):
+    got = _run(spark, sf_dir, "embedding_gram_matrix")
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy())
+    # same quantization: round-half-up milli-units as int64
+    Q = np.floor(np.abs(X.astype("float64")) * 1000 + 0.5).astype("int64")
+    Q *= np.sign(X).astype("int64")
+    G = Q.T @ Q
+    assert len(got) == 64 * 65 // 2
+    for _, r in got.sample(n=200, random_state=7).iterrows():
+        i, j = int(r.dim_i) - 1, int(r.dim_j) - 1
+        assert i <= j
+        assert int(r.gram_milli) == int(G[i, j]), (i, j)
+        assert int(r.n_vecs) == len(emb)
+
+
+def test_ewma_matches_pandas_recurrence(spark, sf_dir):
+    got = _run(spark, sf_dir, "events_ewma_daily")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev["ts"].dt.normalize()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = ev.groupby(["event_type", "day"], as_index=False)["cents"].sum()
+    for _, r in got.sample(n=min(50, len(got)), random_state=3).iterrows():
+        day = pd.Timestamp(r.day)
+        win = daily[
+            (daily.event_type == r.event_type)
+            & (daily.day <= day)
+            & (daily.day >= day - pd.Timedelta(days=7))
+        ]
+        diffs = (day - win.day).dt.days.to_numpy()
+        w = np.left_shift(1, 7 - diffs).astype("int64")
+        assert int(r.wsum) == int((w * win.cents.to_numpy()).sum())
+        assert int(r.wtot) == int(w.sum())
+        assert int(r.n_days) == len(win)
+
+
+def test_kl_divergence_matches_pandas(spark, sf_dir):
+    got = _run(spark, sf_dir, "doc_kl_divergence").set_index("source")
+    # Gibbs: KL >= 0 (per-term round-6 can push an exact 0 a hair under)
+    assert (got["kl_nats"] >= -1e-4).all(), got
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    tok = docs.assign(token=docs["text"].str.strip().str.split(r"\s+")).explode(
+        "token"
+    )
+    st = tok.groupby(["source", "token"]).size().rename("n_st").reset_index()
+    n_s = st.groupby("source")["n_st"].transform("sum")
+    n_t = st.groupby("token")["n_st"].transform("sum")
+    big_n = st["n_st"].sum()
+    p, q = st["n_st"] / n_s, n_t / big_n
+    st["term"] = (p * np.log(p / q)).round(6)
+    kl = st.groupby("source")["term"].sum()
+    for src, want in kl.items():
+        assert abs(float(got.loc[src, "kl_nats"]) - want) < 1e-6, src
+
+
+def test_snapshot_diff_balances(spark, sf_dir):
+    got = _run(spark, sf_dir, "warehouse_snapshot_diff")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    a = o[o.o_orderdate < "1996-01-01"].groupby("o_custkey")["cents"].agg(
+        ["count", "sum"]
+    )
+    b = o[o.o_orderdate < "1997-01-01"].groupby("o_custkey")["cents"].agg(
+        ["count", "sum"]
+    )
+    # every diff row is a real change, and the deltas reconcile exactly
+    assert (got.delta_orders > 0).all()  # orders only ever accumulate
+    total_delta = int(got.delta_cents.sum())
+    assert total_delta == int(b["sum"].sum() - a["sum"].sum())
+    added = set(got[got.change_type == "added"].custkey)
+    assert added == set(b.index) - set(a.index)
+
+
+def test_mv_refresh_equals_rebuild(spark, sf_dir):
+    got = _run(spark, sf_dir, "mv_incremental_refresh").set_index(
+        ["year", "month"]
+    )
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    full = o.groupby(
+        [o.o_orderdate.dt.year.rename("year"), o.o_orderdate.dt.month.rename("month")]
+    )["cents"].agg(["count", "sum"])
+    assert len(got) == len(full)
+    for (y, m), r in full.iterrows():
+        assert int(got.loc[(y, m), "n_orders"]) == int(r["count"])
+        assert abs(float(got.loc[(y, m), "revenue"]) - r["sum"] / 100.0) < 1e-9
+
+
+def test_mad_anomalies_exceed_threshold(spark, sf_dir):
+    got = _run(spark, sf_dir, "events_mad_anomalies")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    for etype, grp in ev.groupby("event_type"):
+        g = grp.sort_values(["value", "event_id"]).reset_index(drop=True)
+        med = g["value"].iloc[(len(g) + 1) // 2 - 1]
+        adev = (grp["value"] - med).abs().sort_values().reset_index(drop=True)
+        mad = adev.iloc[(len(adev) + 1) // 2 - 1]
+        sub = got[got.event_type == etype]
+        expect = grp[(grp["value"] - med).abs() > 5 * mad]
+        assert set(sub.event_id) == set(expect.event_id)
+        if len(sub):
+            assert (sub.mad_ratio > 5).all()
