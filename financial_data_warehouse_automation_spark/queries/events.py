@@ -1099,3 +1099,61 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "events_markov_transitions",
+    tags=("events", "sequence", "window", "markov"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), trans AS (
+  SELECT prev_type, event_type, COUNT(*) AS n_trans
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+), tot AS (
+  SELECT prev_type, SUM(n_trans) AS n_from FROM trans GROUP BY 1
+)
+SELECT t.prev_type, t.event_type,
+       CAST(t.n_trans AS BIGINT) AS n_trans,
+       ROUND(CAST(t.n_trans AS DOUBLE) / o.n_from, 6) AS p_trans
+FROM trans t JOIN tot o ON t.prev_type = o.prev_type
+ORDER BY t.prev_type, t.event_type
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user —
+    the sequence statistic behind next-action models and session
+    simulators. One lag window partitioned by user (ordered ts then
+    event_id so same-timestamp rows sequence deterministically), one
+    (prev, curr) aggregate, and the row-normalizer re-reduces that
+    aggregate instead of re-scanning. p_trans divides two exact longs
+    in double and rounds to 6 — bit-stable in both engines. At scale:
+    the user-partitioned window is the only corpus-sized shuffle; the
+    transition matrix itself is |types|^2."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    tot = trans.groupBy(F.col("prev_type").alias("t_prev")).agg(
+        F.sum("n_trans").alias("n_from")
+    )
+    return (
+        trans.join(F.broadcast(tot), trans.prev_type == F.col("t_prev"))
+        .select(
+            "prev_type",
+            "event_type",
+            "n_trans",
+            F.round(F.col("n_trans").cast("double") / F.col("n_from"), 6).alias(
+                "p_trans"
+            ),
+        )
+        .orderBy("prev_type", "event_type")
+    )

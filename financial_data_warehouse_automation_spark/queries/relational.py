@@ -1272,3 +1272,159 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "part_basket_affinity",
+    tags=("join", "agg", "market-basket", "topk"),
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), singles AS (
+  SELECT l_partkey, COUNT(*) AS n FROM op GROUP BY 1
+), total AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op
+)
+SELECT p.part_a, p.part_b,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       ROUND(CAST(p.n_ab AS DOUBLE) * t.n_orders
+             / (sa.n * sb.n), 6) AS lift
+FROM pairs p
+JOIN singles sa ON p.part_a = sa.l_partkey
+JOIN singles sb ON p.part_b = sb.l_partkey
+CROSS JOIN total t
+WHERE p.n_ab >= 2
+ORDER BY lift DESC, p.part_a, p.part_b
+LIMIT 50
+""",
+)
+def part_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: part pairs that co-occur in orders
+    far above chance (lift = P(ab) / P(a)P(b)), min support 2, top 50.
+    Pair generation self-joins the order->part relation ON THE ORDER
+    KEY, so fan-out is bounded by basket size (~N_lines per order
+    choose 2), never parts x parts — the same bounded-bucket argument
+    as the LSH pair expansion, scale-safe at 100 TB. Part marginals
+    re-reduce the same relation; the single-row order total broadcasts.
+    Lift multiplies exact longs before one double division + round-6,
+    so ranking ties are bit-stable; the top-50 cut rides (lift desc,
+    part_a, part_b) and plans as TakeOrderedAndProject."""
+    l = load_table(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    singles = op.groupBy(F.col("l_partkey").alias("s_key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    sa = singles.select(F.col("s_key").alias("a_key"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("s_key").alias("b_key"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(sa, pairs.part_a == F.col("a_key"))
+        .join(sb, pairs.part_b == F.col("b_key"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "part_a", "part_b", "n_ab",
+            F.round(
+                F.col("n_ab").cast("double") * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(50)
+    )
+
+
+# Benford first-digit expectation, log10(1 + 1/d) rounded to 6 — shared
+# literals so Spark and the oracle test against identical constants.
+_BENFORD = [0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+            0.066947, 0.057992, 0.051153, 0.045757]
+
+
+@query(
+    "orders_benford_audit",
+    tags=("agg", "audit", "qa"),
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 0.01
+), expected AS (
+  SELECT digit, CAST(exp_share AS DOUBLE) AS exp_share FROM (VALUES
+    {', '.join(f'({d + 1}, {p})' for d, p in enumerate(_BENFORD))}
+  ) AS t(digit, exp_share)
+), counts AS (
+  SELECT digit, COUNT(*) AS n FROM digits GROUP BY 1
+), tot AS (SELECT SUM(n) AS total FROM counts)
+SELECT e.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+       e.exp_share,
+       ROUND(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.total, 6) AS obs_share,
+       ROUND(POWER(CAST(COALESCE(c.n, 0) AS DOUBLE) / t.total - e.exp_share, 2)
+             / e.exp_share, 6) AS chi2_term
+FROM expected e LEFT JOIN counts c ON e.digit = c.digit
+CROSS JOIN tot t
+ORDER BY e.digit
+""",
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    financial-forensics QA check (the reference's QA sheet tracks
+    mapping gaps; a warehouse also wants distribution-level fraud
+    signals). The leading digit comes from the DECIMAL STRING of exact
+    integer cents — never floor(log10(x)), whose float landing near a
+    power of ten can disagree between libms. Chi-square terms divide
+    exact counts in double against shared round-6 Benford literals.
+    Shape: scan -> 9-row aggregate; the expected table is a 9-row
+    broadcast spine (LEFT join so missing digits surface as 0)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 0.01)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").cast("string"), 1, 1
+    ).cast("long")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    expected = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD)], "digit long, exp_share double"
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        expected
+        .join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            "exp_share",
+            F.round(F.coalesce("n", F.lit(0)).cast("double") / F.col("total"), 6)
+            .alias("obs_share"),
+            F.round(
+                F.pow(
+                    F.coalesce("n", F.lit(0)).cast("double") / F.col("total")
+                    - F.col("exp_share"),
+                    2,
+                )
+                / F.col("exp_share"),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

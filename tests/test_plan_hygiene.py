@@ -84,6 +84,8 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "q22_idle_rich_customers",       # single-row scalar AVG threshold
         "q11_important_parts",           # single-row global-total threshold
         "doc_kl_divergence",             # single-row corpus-total broadcast
+        "part_basket_affinity",          # single-row order-total broadcast
+        "orders_benford_audit",          # single-row grand-total broadcast
     }
     offenders = {}
     for name, spec in load_all().items():
