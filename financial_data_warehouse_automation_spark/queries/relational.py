@@ -1428,3 +1428,161 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@query(
+    "part_abc_pareto",
+    tags=("window", "agg", "pareto", "two-pass"),
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT SUM(cents) AS total FROM per_part),
+ranked AS (
+  SELECT l_partkey, cents,
+         SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum_cents
+  FROM per_part
+)
+SELECT CASE WHEN CAST(r.cum_cents AS DOUBLE) / t.total <= 0.8 THEN 'A'
+            WHEN CAST(r.cum_cents AS DOUBLE) / t.total <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(r.cents) AS BIGINT) AS class_cents,
+       ROUND(CAST(SUM(r.cents) AS DOUBLE) / MAX(t.total), 6) AS revenue_share
+FROM ranked r CROSS JOIN tot t
+GROUP BY 1 ORDER BY 1
+""",
+)
+def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto inventory classification: parts ranked by revenue,
+    class A = the head covering 80% of cumulative revenue, B to 95%,
+    C the tail. The global running sum is computed with the TWO-PASS
+    pattern, not a single-partition window: pass 1 buckets parts by
+    revenue magnitude (32 integer bands over [0, max]) and computes
+    per-bucket totals — a ~32-row broadcast of cumulative offsets;
+    pass 2 runs the running sum WITHIN each bucket (window partitioned
+    by bucket) and adds the offset of all higher buckets. An
+    unpartitioned `SUM OVER (ORDER BY ...)` funnels 100 TB through one
+    task; this plan's widest window partition is one bucket. Exact
+    integer cents end-to-end; the 0.8/0.95 cuts divide exact int64
+    sums in double, identical in both engines."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    per_part = l.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    # pass 1: magnitude buckets (descending revenue order == ascending
+    # bucket index); bounds from one tiny aggregate
+    bounds = per_part.agg(F.max("cents").alias("max_c"))
+    bucketed = per_part.crossJoin(F.broadcast(bounds)).select(
+        "l_partkey",
+        "cents",
+        # bucket 0 holds the largest revenues; int arithmetic only
+        (31 - F.floor(F.col("cents") * 32 / (F.col("max_c") + 1)))
+        .cast("int")
+        .alias("bkt"),
+    )
+    per_bucket = bucketed.groupBy(F.col("bkt").alias("b_idx")).agg(
+        F.sum("cents").alias("b_cents")
+    )
+    # cumulative offset of all strictly-higher buckets: tiny frame, the
+    # window here is over <=32 rows, then broadcast back
+    wb = Window.orderBy("b_idx").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "b_idx", F.coalesce(F.sum("b_cents").over(wb), F.lit(0)).alias("offset")
+    )
+    tot = per_part.agg(F.sum("cents").alias("total"))
+    # pass 2: running sum within bucket + offset
+    ww = Window.partitionBy("bkt").orderBy(F.desc("cents"), "l_partkey")
+    ranked = (
+        bucketed.join(F.broadcast(offsets), F.col("bkt") == F.col("b_idx"))
+        .select(
+            "l_partkey",
+            "cents",
+            "bkt",
+            (F.sum("cents").over(ww) + F.col("offset")).alias("cum_cents"),
+        )
+    )
+    share = F.col("cum_cents").cast("double") / F.col("total")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C")
+            .alias("abc_class"),
+            "cents",
+            "total",
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").alias("class_cents"),
+            F.round(
+                F.sum("cents").cast("double") / F.max("total"), 6
+            ).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@query(
+    "supplier_concentration_hhi",
+    tags=("agg", "stats", "audit"),
+    oracle="""
+WITH ps AS (
+  SELECT p.p_type, l.l_suppkey,
+         SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT p_type, SUM(cents) AS t_cents, COUNT(*) AS n_suppliers
+  FROM ps GROUP BY 1
+)
+SELECT ps.p_type,
+       CAST(MAX(tot.n_suppliers) AS BIGINT) AS n_suppliers,
+       ROUND(CAST(SUM(CAST(ROUND(POWER(CAST(ps.cents AS DOUBLE)
+                                    / tot.t_cents, 2), 9) AS DECIMAL(18,9)))
+             AS DOUBLE), 6) AS hhi
+FROM ps JOIN tot ON ps.p_type = tot.p_type
+GROUP BY 1 ORDER BY 1
+""",
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per part type —
+    the procurement-risk audit (HHI -> 1 means one supplier owns the
+    category; 1/n means perfect competition). Shares divide exact
+    integer cents in double and each squared share rounds into the sum
+    only at the end (round-6 on the final sum, one double reduction of
+    <=100 supplier terms per type — order within a type could matter for
+    doubles, so terms are summed as round-9 decimals first). Shape: one
+    fact scan, (type, supplier) aggregate, type marginals re-reduced
+    from it, broadcast join back."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ps = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias(
+                "cents"
+            )
+        )
+    )
+    tot = ps.groupBy(F.col("p_type").alias("t_type")).agg(
+        F.sum("cents").alias("t_cents"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share2 = F.pow(F.col("cents").cast("double") / F.col("t_cents"), 2)
+    term = F.round(share2, 9).cast("decimal(18,9)")
+    return (
+        ps.join(F.broadcast(tot), ps.p_type == F.col("t_type"))
+        .groupBy("p_type")
+        .agg(
+            F.max("n_suppliers").cast("long").alias("n_suppliers"),
+            F.round(F.sum(term).cast("double"), 6).alias("hhi"),
+        )
+        .orderBy("p_type")
+    )

@@ -86,6 +86,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "doc_kl_divergence",             # single-row corpus-total broadcast
         "part_basket_affinity",          # single-row order-total broadcast
         "orders_benford_audit",          # single-row grand-total broadcast
+        "part_abc_pareto",               # single-row max/total broadcasts
     }
     offenders = {}
     for name, spec in load_all().items():

@@ -122,3 +122,26 @@ def test_mad_anomalies_exceed_threshold(spark, sf_dir):
         assert set(sub.event_id) == set(expect.event_id)
         if len(sub):
             assert (sub.mad_ratio > 5).all()
+
+
+def test_abc_pareto_partitions_and_shares(spark, sf_dir):
+    got = _run(spark, sf_dir, "part_abc_pareto").set_index("abc_class")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li["cents"] = (li["l_extendedprice"] * 100).round().astype("int64")
+    per_part = li.groupby("l_partkey")["cents"].sum().sort_values(
+        ascending=False
+    )
+    # classes partition the part population and the revenue exactly
+    assert int(got["n_parts"].sum()) == per_part.index.nunique()
+    assert int(got["class_cents"].sum()) == int(per_part.sum())
+    assert abs(float(got["revenue_share"].sum()) - 1.0) < 1e-5
+    # the two-pass cumulative must agree with the straightforward one
+    cum = per_part.cumsum() / per_part.sum()
+    want_a = int((cum <= 0.8).sum())
+    assert int(got.loc["A", "n_parts"]) == want_a
+
+
+def test_hhi_bounds(spark, sf_dir):
+    got = _run(spark, sf_dir, "supplier_concentration_hhi")
+    # 1/n <= HHI <= 1 for every category
+    assert ((got.hhi <= 1.0 + 1e-9) & (got.hhi >= 1.0 / got.n_suppliers - 1e-9)).all()
