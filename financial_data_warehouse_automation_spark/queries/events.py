@@ -1157,3 +1157,84 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "event_type")
     )
+
+
+@query(
+    "events_cusum_drift",
+    tags=("events", "timeseries", "window", "anomaly"),
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+), target AS (
+  SELECT event_type AS t_type,
+         SUM(cents) // COUNT(*) AS target_cents  -- integer division: exact
+  FROM daily GROUP BY 1
+), s AS (
+  SELECT d.event_type, d.day, d.cents, t.target_cents,
+         SUM(d.cents - t.target_cents) OVER (
+           PARTITION BY d.event_type ORDER BY d.day) AS run
+  FROM daily d JOIN target t ON d.event_type = t.t_type
+), c AS (
+  SELECT event_type, day, cents, run,
+         MIN(run) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_prev
+  FROM s
+)
+SELECT event_type, day,
+       CAST(cents AS BIGINT) AS day_cents,
+       -- C_t = max(0, S_t - min(0, S_0..S_{t-1})): the 0 is S at t=-1
+       CAST(GREATEST(run - LEAST(COALESCE(min_prev, 0), 0), 0) AS BIGINT)
+         AS cusum_cents
+FROM c
+ORDER BY event_type, day
+""",
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistic per event type over the daily
+    value series — the sequential change detector (alarm when
+    cusum_cents exceeds a control limit). The textbook recurrence
+    C_t = max(0, C_{t-1} + (x_t - target)) looks inherently sequential,
+    but has the closed form C_t = max(0, S_t - min(0, S_0..S_{t-1})) with
+    S = running sum of deviations — so it runs as TWO stacked window
+    passes over the SAME (type, day) partitioning: one cumulative sum,
+    one running min. No recursion, no UDF, no driver loop; at 100 TB
+    the day grain collapses first and both windows share one shuffle.
+    The target is the integer-division mean (exact in both engines);
+    everything stays int64 cents."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"))
+    target = daily.groupBy(F.col("event_type").alias("t_type")).agg(
+        F.sum("cents").alias("_s"), F.count(F.lit(1)).alias("_n")
+    ).select(
+        "t_type", F.expr("_s DIV _n").alias("target_cents")  # exact int div
+    )
+    w_sum = Window.partitionBy("event_type").orderBy("day")
+    w_min = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    s = (
+        daily.join(F.broadcast(target), daily.event_type == F.col("t_type"))
+        .select(
+            "event_type", "day", "cents",
+            F.sum(F.col("cents") - F.col("target_cents")).over(w_sum).alias("run"),
+        )
+    )
+    min_prev = F.coalesce(F.min("run").over(w_min), F.lit(0))
+    return (
+        s.select(
+            "event_type", "day",
+            F.col("cents").alias("day_cents"),
+            # C_t = max(0, S_t - min(0, S_0..S_{t-1})); 0 is S at t=-1
+            F.greatest(
+                F.col("run") - F.least(min_prev, F.lit(0)), F.lit(0)
+            ).cast("long").alias("cusum_cents"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -309,3 +309,51 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _drain_to_memory(joined, "strm_ss_join", "append")
     return out.orderBy("click_id", "purchase_id")
+
+
+@query(
+    "events_stream_mv_refresh",
+    tags=("streaming", "mv", "incremental", "foreachBatch"),
+    oracle="""
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view maintenance, oracle-checked: events
+    stream through foreachBatch, each micro-batch's partial aggregate
+    sum-merges into a month-partitioned parquet MV guarded by a
+    last_batch_id high-watermark (re-running a failed batch with the
+    same id is a no-op — the retry double-count hazard of non-
+    transactional MV merge, closed without Delta). The oracle is the
+    full batch aggregate over the source, so the hash matches only if
+    the incremental merges reconstruct the rebuild exactly — the
+    streaming twin of mv_incremental_refresh's merge==rebuild proof.
+    Multi-batch splits + deliberate re-application are exercised in
+    tests/test_streaming.py."""
+    import shutil
+    import tempfile
+
+    from financial_data_warehouse_automation_spark.streaming.pipeline import run_event_mv_refresh
+
+    work = tempfile.mkdtemp(prefix="strm_mv_")
+    try:
+        mv_path = f"{work}/mv"
+        q = run_event_mv_refresh(
+            spark, _events_stream(spark, sf_dir), mv_path, f"{work}/ckpt"
+        )
+        q.awaitTermination()
+        mv = spark.read.parquet(mv_path)
+        # materialize before the temp dir disappears
+        rows = (
+            mv.select("event_type", "day", "n_events", "cents")
+            .orderBy("event_type", "day")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows).orderBy("event_type", "day")

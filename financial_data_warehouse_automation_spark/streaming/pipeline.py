@@ -286,3 +286,89 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+MV_GRAIN = ("event_type", "day")
+
+
+def mv_merge_batch(mv_path: str):
+    """foreachBatch: merge one micro-batch's partial aggregate into the
+    stored daily-events MV — the streaming side of
+    ``mv_incremental_refresh`` (count/sum monoids merge associatively).
+
+    Exactly-once under retries WITHOUT Delta transactions: every MV row
+    carries ``last_batch_id`` = the id of the last micro-batch merged
+    into its month partition. foreachBatch re-runs a failed batch with
+    the SAME batch_id, so a month whose stored id already >= this
+    batch_id is skipped — re-applying a sum-merge twice would
+    double-count, the one hazard plain-parquet MV maintenance has.
+    The rewrite is partition-scoped (dynamic overwrite of touched
+    months only), so at 100 TB a batch rewrites one month of MV rows,
+    never the MV's history."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = (
+            batch.groupBy(
+                "event_type", F.to_date("ts").alias("day")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    F.round(F.col("value") * 100, 0).cast("bigint")
+                ).alias("cents"),
+            )
+            .withColumn("month", F.date_format("day", "yyyy-MM"))
+            .withColumn("last_batch_id", F.lit(batch_id).cast("long"))
+        )
+        months = [r.month for r in partial.select("month").distinct().collect()]
+        if not months:
+            return
+        try:
+            existing = spark.read.parquet(mv_path).where(
+                F.col("month").isin(months)
+            )
+            # retry guard: drop months this exact batch already reached
+            applied = {
+                r.month
+                for r in existing.where(F.col("last_batch_id") >= batch_id)
+                .select("month").distinct().collect()
+            }
+        except Exception:  # first batch: no MV yet
+            existing = spark.createDataFrame([], partial.schema)
+            applied = set()
+        todo = [m for m in months if m not in applied]
+        if not todo:
+            return
+        merged = (
+            existing.where(F.col("month").isin(todo))
+            .unionByName(partial.where(F.col("month").isin(todo)))
+            .groupBy("event_type", "day", "month")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("cents").alias("cents"),
+                F.max("last_batch_id").alias("last_batch_id"),
+            )
+        )
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("month")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(mv_path)
+        )
+
+    return apply
+
+
+def run_event_mv_refresh(
+    spark: SparkSession, events: DataFrame, mv_path: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Stream events into the daily MV: each micro-batch folds its
+    partial aggregate into the stored table (availableNow = one
+    scheduled incremental refresh; drop the trigger for a live tail)."""
+    return (
+        events.writeStream.foreachBatch(mv_merge_batch(mv_path))
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "mv"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -145,3 +145,22 @@ def test_hhi_bounds(spark, sf_dir):
     got = _run(spark, sf_dir, "supplier_concentration_hhi")
     # 1/n <= HHI <= 1 for every category
     assert ((got.hhi <= 1.0 + 1e-9) & (got.hhi >= 1.0 / got.n_suppliers - 1e-9)).all()
+
+
+def test_cusum_matches_sequential_recurrence(spark, sf_dir):
+    got = _run(spark, sf_dir, "events_cusum_drift")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev["ts"].dt.normalize()
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = ev.groupby(["event_type", "day"])["cents"].sum()
+    for etype, series in daily.groupby(level=0):
+        s = series.droplevel(0).sort_index()
+        target = int(s.sum()) // len(s)  # integer-division mean
+        c, out = 0, {}
+        for day, x in s.items():
+            c = max(0, c + (int(x) - target))  # the textbook recurrence
+            out[day] = c
+        sub = got[got.event_type == etype].set_index("day")
+        assert len(sub) == len(out)
+        for day, want in out.items():
+            assert int(sub.loc[day.date(), "cusum_cents"]) == want, (etype, day)

@@ -336,3 +336,75 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp_path):
     # the fixture guarantees both matched and UNKNOWN (dim-less) rows
     assert any(s == "UNKNOWN" for _, s in got)
     assert any(s != "UNKNOWN" for _, s in got)
+
+
+def test_stream_mv_refresh_multibatch_and_retry_idempotent(
+    spark, sf_dir, tmp_path
+):
+    """The MV merge must (a) reconstruct the full batch aggregate when
+    the stream arrives as MANY micro-batches, and (b) be a no-op when a
+    batch is re-applied with the same batch_id (foreachBatch retry
+    semantics) — the double-count hazard the last_batch_id guard
+    exists for."""
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        mv_merge_batch,
+        run_event_mv_refresh,
+    )
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    # split the source into 5 files so availableNow sees >=1 batches
+    # with maxFilesPerTrigger=1 forcing one batch per file
+    src_dir = str(tmp_path / "ev_parts")
+    events.repartition(5).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    mv_path = str(tmp_path / "mv")
+    q = run_event_mv_refresh(spark, stream, mv_path, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    mv = spark.read.parquet(mv_path)
+    want = (
+        events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "cents"
+            ),
+        )
+    )
+    got = {
+        (r.event_type, r.day): (r.n_events, r.cents) for r in mv.collect()
+    }
+    exp = {
+        (r.event_type, r.day): (r.n_events, r.cents) for r in want.collect()
+    }
+    assert got == exp
+    # multiple batches actually ran (one per file)
+    assert mv.agg(F.max("last_batch_id")).collect()[0][0] >= 4
+
+    # retry: re-apply the LAST batch id with a slice of the data — the
+    # guard must skip every month it already merged at that id
+    before = got
+    last_id = mv.agg(F.max("last_batch_id")).collect()[0][0]
+    mv_merge_batch(mv_path)(events.limit(500), last_id)
+    after = {
+        (r.event_type, r.day): (r.n_events, r.cents)
+        for r in spark.read.parquet(mv_path).collect()
+    }
+    assert after == before, "same-batch-id re-application must be a no-op"
+
+    # a NEW batch id with new rows must still merge (the guard is not a
+    # permanent freeze)
+    one_day = events.limit(100)
+    add = one_day.groupBy().count().collect()[0][0]
+    mv_merge_batch(mv_path)(one_day, last_id + 1)
+    total_after = sum(
+        v[0] for v in (
+            (r.n_events,) for r in spark.read.parquet(mv_path).collect()
+        )
+    )
+    assert total_after == sum(v[0] for v in before.values()) + add
