@@ -353,3 +353,115 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("year", "month")
     )
+
+
+@query(
+    "warehouse_referential_audit",
+    tags=("warehouse", "audit", "qa", "anti"),
+    oracle="""
+SELECT 'lineitem->orders' AS relationship,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'orders->customer',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem->part',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE l.l_partkey NOT IN (SELECT p_partkey FROM part))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem->supplier',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+            AS BIGINT)
+UNION ALL
+SELECT 'customer->nation',
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM customer c
+             WHERE c.c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+            AS BIGINT)
+ORDER BY relationship
+""",
+)
+def warehouse_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan
+    counts for every FK relationship in one report — the structural
+    extension of the reference's missing-GL-mapping QA (its ledger
+    tracks exactly one such relationship; build_warehouse.py:86-99).
+    Each orphan count is a left-anti join: fact side streams, dim side
+    broadcasts when bounded, AQE decides otherwise — no NOT IN
+    correlated re-scan. At 100 TB each check is one scan of the child
+    + one anti-join; checks share nothing so they parallelize as
+    independent jobs under the same action."""
+    checks = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    reports = []
+    for rel, child, ck, parent, pk in checks:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        orphans = c.join(p, c[ck] == p[pk], "left_anti")
+        reports.append(
+            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+            ).select(F.lit(rel).alias("relationship"), "n_child", "n_orphans")
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("relationship")
+
+
+@query(
+    "events_day_gaps",
+    tags=("events", "audit", "freshness", "window"),
+    oracle="""
+WITH daily AS (
+  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day FROM events
+), gaps AS (
+  SELECT event_type, day,
+         LAG(day) OVER (PARTITION BY event_type ORDER BY day) AS prev_day
+  FROM daily
+)
+SELECT event_type,
+       prev_day AS gap_start,
+       day AS gap_end,
+       CAST(DATEDIFF('day', prev_day, day) - 1 AS BIGINT) AS missing_days
+FROM gaps
+WHERE DATEDIFF('day', prev_day, day) > 1
+ORDER BY event_type, gap_start
+""",
+)
+def events_day_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness/completeness audit: calendar gaps in each event type's
+    daily coverage (a pipeline that silently dropped a day of data
+    shows up here, not in totals). Distinct day grain first (tiny),
+    one lag window per type; emits each gap's bounds and size. The
+    no-gap case returns an empty frame with a stable schema — the
+    'green' state of a completeness monitor."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.select("event_type", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("event_type").orderBy("day")
+    gaps = daily.select(
+        "event_type", "day", F.lag("day").over(w).alias("prev_day")
+    ).where(F.datediff("day", "prev_day") > 1)
+    return gaps.select(
+        "event_type",
+        F.col("prev_day").alias("gap_start"),
+        F.col("day").alias("gap_end"),
+        (F.datediff("day", "prev_day") - 1).cast("long").alias("missing_days"),
+    ).orderBy("event_type", "gap_start")

@@ -133,9 +133,13 @@ VERIFY_FIRST: tuple[str, ...] = (
     "embedding_gram_matrix",
     # --- rotation spot re-check of a previously-green anchor (per
     # ADVICE: driver records are disjoint samples; this is also a
-    # round-3 bench-regression watch item). events_mad_anomalies /
-    # doc_length_buckets / doc_vocab_top100 are locally hash-green at
-    # both SFs and take round 5's prefix slots.
+    # round-3 bench-regression watch item). The prefix is capped at the
+    # driver's 50-entry record; the ~21 oracle-backed queries added
+    # later in round 4 (mad/ewma/markov/cusum/kl/length-buckets/vocab/
+    # basket/benford/abc/hhi/snapshot-diff/mv-refresh/stream-mv/
+    # referential-audit/day-gaps, plus q5/q9/q11/q15) are locally
+    # hash-green at BOTH SFs (CORRECTNESS_LOCAL_*.json) and form round
+    # 5's prefix queue.
     "ytd_running_total",
 )
 

@@ -87,6 +87,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "part_basket_affinity",          # single-row order-total broadcast
         "orders_benford_audit",          # single-row grand-total broadcast
         "part_abc_pareto",               # single-row max/total broadcasts
+        "warehouse_referential_audit",   # single-row count x count per check
     }
     offenders = {}
     for name, spec in load_all().items():

@@ -164,3 +164,36 @@ def test_cusum_matches_sequential_recurrence(spark, sf_dir):
         assert len(sub) == len(out)
         for day, want in out.items():
             assert int(sub.loc[day.date(), "cusum_cents"]) == want, (etype, day)
+
+
+def test_day_gap_detector_fires_on_manufactured_gap(spark, sf_dir, tmp_path):
+    """The production data has no gaps (the query's green state); carve
+    three days out of one event type and the detector must report
+    exactly that hole."""
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.registry import load_all
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    days = sorted(
+        r.day for r in ev.select(F.to_date("ts").alias("day")).distinct().collect()
+    )
+    assert len(days) >= 7, "need a week of data to carve a hole"
+    hole = set(days[2:5])  # remove 3 consecutive days for one type
+    carved = ev.where(
+        ~((F.col("event_type") == "click") & F.to_date("ts").isin(list(hole)))
+    )
+    gap_dir = str(tmp_path / "gapped")
+    import os
+    os.makedirs(gap_dir, exist_ok=True)
+    carved.write.parquet(f"{gap_dir}/events.parquet")
+
+    got = load_all()["events_day_gaps"].builder(spark, gap_dir).toPandas()
+    clicks = got[got.event_type == "click"]
+    assert len(clicks) == 1
+    r = clicks.iloc[0]
+    assert r.gap_start == days[1] and r.gap_end == days[5]
+    assert int(r.missing_days) == 3
+    # other types untouched -> no gaps reported for them
+    assert (got.event_type == "click").all()
