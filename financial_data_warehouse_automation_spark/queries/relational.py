@@ -1586,3 +1586,129 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+@query(
+    "segment_revenue_trend",
+    tags=("agg", "regression", "window", "stats"),
+    oracle="""
+WITH monthly AS (
+  SELECT c.c_mktsegment AS segment,
+         (EXTRACT(YEAR FROM o.o_orderdate) - 1995) * 12
+           + EXTRACT(MONTH FROM o.o_orderdate) AS x,
+         SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), sums AS (
+  SELECT segment, COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM monthly GROUP BY 1
+)
+SELECT segment,
+       CAST(n AS BIGINT) AS n_months,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_cents,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+         AS intercept_cents
+FROM sums ORDER BY segment
+""",
+)
+def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS revenue trend line: slope of monthly revenue
+    (cents) on month index — the 'is this segment growing' statistic,
+    computed as closed-form normal equations over EXACT integer
+    moments: x is an integer month index, y integer cents, so Sx, Sy,
+    Sxy, Sxx are int64-exact regardless of shuffle order (and below
+    2^53 each, so the final double conversions are value-preserving at
+    these scales; at 1000x the data move the moments to decimal).
+    Same pattern as doc_zipf_fit but grouped: one (segment, month)
+    aggregate, one per-segment reduce — both map-side combined; no
+    window, no join wider than orders x customer."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")
+            ).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+                "y"
+            )
+        )
+    )
+    sums = monthly.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "segment",
+        F.col("n").cast("long").alias("n_months"),
+        F.round(slope, 6).alias("slope_cents"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept_cents"),
+    ).orderBy("segment")
+
+
+@query(
+    "source_linegen_agg",
+    tags=("source", "datasource-api", "agg"),
+    oracle="""
+WITH gen AS (
+  SELECT i,
+         md5(CAST(i AS VARCHAR)) AS key,
+         (i % 997) / CAST(100 AS DOUBLE) AS amount
+  FROM generate_series(0, 19999) t(i)
+)
+SELECT substr(key, 1, 1) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(amount * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(MIN(i) AS BIGINT) AS min_i,
+       CAST(MAX(i) AS BIGINT) AS max_i
+FROM gen GROUP BY 1 ORDER BY 1
+""",
+)
+def source_linegen_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over the custom Python DataSource (sources/linegen.py,
+    Spark 4 ``pyspark.sql.datasource`` API): 20k generated ledger lines
+    in 8 planned partitions, grouped by the md5-key's first nibble. The
+    source is deterministic by construction, so DuckDB replays it with
+    generate_series + md5 and the hash certifies the ENTIRE custom
+    connector path — option parsing, partition planning, per-partition
+    iterators on executors — not just the aggregate. (sf_dir is unused:
+    the relation is synthesized, which is the point.)"""
+    from financial_data_warehouse_automation_spark.sources.linegen import LineGenDataSource
+
+    try:  # idempotent under repeated registration in one session
+        spark.dataSource.register(LineGenDataSource)
+    except Exception:
+        pass
+    gen = (
+        spark.read.format("linegen")
+        .option("rows", 20000)
+        .option("numpartitions", 8)
+        .load()
+    )
+    return (
+        gen.groupBy(F.substring("key", 1, 1).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("amount") * 100, 0).cast("bigint")).alias(
+                "cents"
+            ),
+            F.min("i").alias("min_i"),
+            F.max("i").alias("max_i"),
+        )
+        .orderBy("bucket")
+    )

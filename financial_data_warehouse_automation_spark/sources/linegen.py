@@ -1,0 +1,68 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API):
+a deterministic ledger-line generator with real partition planning.
+
+The reference ingests from a fixed drop of spreadsheet files; a Spark
+engine also wants *pluggable* sources — REST pagers, queue snapshots,
+synthetic load generators — and Spark 4's Python DataSource API is the
+sanctioned extension point (no JVM code). This source demonstrates the
+full surface: options, schema, ``partitions()`` splitting the key
+space, and a per-partition ``read()`` iterator that executors run in
+parallel.
+
+Determinism is the point: row ``i`` maps to
+``(i, md5(str(i)), (i % 997) / 100)``, so the exact same relation is
+reproducible in DuckDB via ``generate_series`` + ``md5`` — the custom
+source's output is oracle-checkable like every other query
+(``source_linegen_agg``).
+
+Scale: generation is embarrassingly parallel — ``partitions()`` returns
+``numPartitions`` contiguous ranges and each executor materializes only
+its slice (nothing is built on the driver). A real connector would put
+its split planning (file ranges, shard ids, partition offsets) exactly
+here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _Range(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class LineGenReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("numpartitions", 4))
+
+    def partitions(self):
+        step = -(-self.n_rows // self.n_parts)  # ceil div
+        return [
+            _Range(s, min(s + step, self.n_rows))
+            for s in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _Range):
+        import hashlib
+
+        for i in range(partition.start, partition.end):
+            key = hashlib.md5(str(i).encode()).hexdigest()
+            yield (i, key, (i % 997) / 100)
+
+
+class LineGenDataSource(DataSource):
+    """``spark.read.format("linegen").option("rows", N)`` after
+    ``spark.dataSource.register(LineGenDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "linegen"
+
+    def schema(self) -> str:
+        return "i bigint, key string, amount double"
+
+    def reader(self, schema) -> LineGenReader:
+        return LineGenReader(self.options)

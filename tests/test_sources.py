@@ -82,3 +82,36 @@ def test_orc_predicate_pushdown(spark, sf_dir, tmp_path):
     q = spark.read.orc(orc_dir).where(F.col("o_orderkey") == 42).select("o_orderkey")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
+
+
+def test_custom_python_datasource_partitions_and_content(spark):
+    """The Spark-4 Python DataSource (sources/linegen.py): partition
+    planning must be respected (numpartitions option -> that many input
+    partitions), ranges must tile [0, rows) exactly, and content must
+    be deterministic across reads."""
+    import hashlib
+
+    from financial_data_warehouse_automation_spark.sources.linegen import LineGenDataSource
+
+    try:
+        spark.dataSource.register(LineGenDataSource)
+    except Exception:
+        pass
+    df = (
+        spark.read.format("linegen")
+        .option("rows", 1000)
+        .option("numpartitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = df.collect()
+    assert len(rows) == 1000
+    assert sorted(r.i for r in rows) == list(range(1000))
+    probe = next(r for r in rows if r.i == 123)
+    assert probe.key == hashlib.md5(b"123").hexdigest()
+    assert abs(probe.amount - 1.23) < 1e-12
+    # second read: identical relation (no hidden state)
+    again = spark.read.format("linegen").option("rows", 1000).option(
+        "numpartitions", 5
+    ).load()
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
