@@ -292,3 +292,83 @@ def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_energy_windows(m, window_bytes=256).orderBy(
         "media_id", "window_idx"
     )
+
+
+@query(
+    "media_shared_frame_neardup",
+    tags=("multimodal", "dedup", "frames", "bitops"),
+    oracle="""
+WITH media AS (
+  SELECT doc_id AS media_id, text FROM documents
+), frames AS (
+  SELECT media_id,
+         md5(substring(text, i * 256 + 1, 256)) AS frame_md5
+  FROM media, LATERAL (
+    SELECT unnest(generate_series(0, greatest(strlen(text) - 1, 0) // 256)) AS i
+  ) u
+), pairs AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         COUNT(*) AS n_shared_frames
+  FROM frames a JOIN frames b
+    ON a.frame_md5 = b.frame_md5 AND a.media_id < b.media_id
+  GROUP BY 1, 2
+), phash AS (
+  SELECT media_id,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS phash
+  FROM media
+)
+SELECT p.id_a, p.id_b,
+       CAST(p.n_shared_frames AS BIGINT) AS n_shared_frames,
+       CAST(bit_count(xor(ha.phash, hb.phash)) AS BIGINT) AS payload_hamming
+FROM pairs p
+JOIN phash ha ON p.id_a = ha.media_id
+JOIN phash hb ON p.id_b = hb.media_id
+ORDER BY id_a, id_b
+""",
+)
+def media_shared_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-level media dedup: candidate pairs = media sharing at least
+    one identical 256-byte frame digest (the join keys on the FRAME
+    hash, so fan-out is bounded by duplicate-frame group sizes — the
+    same banded argument as MinHash-LSH, never media x media), then
+    each pair is scored with the Hamming distance between the media's
+    60-bit payload hashes via XOR + bit_count — the bit-ops plumbing a
+    real perceptual-hash (pHash/dHash) verify stage runs, here over
+    md5-derived bits since codecs are stubbed (operators/multimodal.py
+    docstring). Exact-duplicate payloads score 0; distinct payloads
+    ~30/60 bits. At 100 TB: one frame explode (Arrow-batched
+    mapInPandas), one shuffle on the frame hash, broadcast-scale hash
+    dim joined back per pair."""
+    d = load_table(spark, sf_dir, "documents")
+    m = synth_media_table(d)
+    frames = sample_frames(m, frame_bytes=256)
+    a = frames.select(
+        F.col("media_id").alias("id_a"), F.col("frame_md5").alias("h_a")
+    )
+    b = frames.select(
+        F.col("media_id").alias("id_b"), F.col("frame_md5").alias("h_b")
+    )
+    pairs = (
+        a.join(b, (F.col("h_a") == F.col("h_b")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_frames"))
+    )
+    phash = m.select(
+        F.col("media_id").alias("p_id"),
+        F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("phash"),
+    )
+    ha = phash.select(F.col("p_id").alias("a_id"), F.col("phash").alias("ph_a"))
+    hb = phash.select(F.col("p_id").alias("b_id"), F.col("phash").alias("ph_b"))
+    return (
+        pairs.join(ha, pairs.id_a == F.col("a_id"))
+        .join(hb, pairs.id_b == F.col("b_id"))
+        .select(
+            "id_a", "id_b", "n_shared_frames",
+            F.bit_count(
+                F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+            ).cast("long").alias("payload_hamming"),
+        )
+        .orderBy("id_a", "id_b")
+    )
