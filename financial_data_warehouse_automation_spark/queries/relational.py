@@ -1712,3 +1712,78 @@ def source_linegen_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "source_linegen_stream_agg",
+    tags=("source", "datasource-api", "streaming"),
+    oracle="""
+WITH gen AS (
+  SELECT i,
+         md5(CAST(i AS VARCHAR)) AS key,
+         (i % 997) / CAST(100 AS DOUBLE) AS amount
+  FROM generate_series(0, 19999) t(i)
+)
+SELECT substr(key, 1, 1) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(amount * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(MIN(i) AS BIGINT) AS min_i,
+       CAST(MAX(i) AS BIGINT) AS max_i
+FROM gen GROUP BY 1 ORDER BY 1
+""",
+)
+def source_linegen_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom connector's STREAMING path (SimpleDataSourceStreamReader
+    in sources/linegen.py): the same 20k-row relation arrives as 4k-row
+    micro-batches with checkpointed {'i': n} offsets, drains into a
+    memory sink, and must aggregate to the identical oracle as the
+    batch read (source_linegen_agg) — one generator, two access paths,
+    one hash. Exactly-once here means the drained union of micro-batch
+    appends is exactly [0, 20000): a duplicated or dropped batch shifts
+    every bucket count. (sf_dir unused: the relation is synthesized.)"""
+    import time
+
+    from financial_data_warehouse_automation_spark.sources.linegen import LineGenDataSource
+
+    try:
+        spark.dataSource.register(LineGenDataSource)
+    except Exception:
+        pass
+    for q in spark.streams.active:
+        if q.name == "linegen_drain":
+            q.stop()
+            q.awaitTermination()
+    stream = (
+        spark.readStream.format("linegen")
+        .option("batchrows", 4000)
+        .option("maxrows", 20000)
+        .load()
+    )
+    handle = (
+        stream.writeStream.format("memory")
+        .queryName("linegen_drain")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("linegen_drain").count() >= 20000:
+                break
+            time.sleep(0.25)
+    finally:
+        handle.stop()
+        handle.awaitTermination()
+    return (
+        spark.table("linegen_drain")
+        .groupBy(F.substring("key", 1, 1).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("amount") * 100, 0).cast("bigint")).alias(
+                "cents"
+            ),
+            F.min("i").alias("min_i"),
+            F.max("i").alias("max_i"),
+        )
+        .orderBy("bucket")
+    )

@@ -24,7 +24,12 @@ here.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _Range(InputPartition):
@@ -66,3 +71,43 @@ class LineGenDataSource(DataSource):
 
     def reader(self, schema) -> LineGenReader:
         return LineGenReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "LineGenStreamReader":
+        return LineGenStreamReader(self.options)
+
+
+class LineGenStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor of the generator: each micro-batch emits the
+    next ``batchrows`` ids until ``maxrows``. Offsets are ``{"i": n}``
+    dictionaries Spark checkpoints; ``readBetweenOffsets`` replays any
+    committed range deterministically — the contract that makes the
+    source exactly-once under failure/restart (a real connector would
+    put its cursor/sequence-number logic exactly here)."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batchrows", 100))
+        self.max_rows = int(options.get("maxrows", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    @staticmethod
+    def _rows(start: int, end: int):
+        import hashlib
+
+        for i in range(start, end):
+            yield (i, hashlib.md5(str(i).encode()).hexdigest(), (i % 997) / 100)
+
+    def read(self, start: dict):
+        s = start["i"]
+        e = min(s + self.batch_rows, self.max_rows)
+        # a picklable ITERATOR: Spark's simple-reader prefetches the
+        # batch on the driver and pickles it out to executors — a bare
+        # generator can't pickle, a bare list isn't an iterator;
+        # a list_iterator is both
+        return iter(list(self._rows(s, e))), {"i": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(start["i"], end["i"])
+
+

@@ -146,3 +146,28 @@ def test_minhash_signature_width_and_permutation_invariance(spark, toks):
     }
     assert len(sigs[0]) == 8 and len(sigs[1]) == 8
     assert sigs[0] == sigs[1]
+
+
+def test_cusum_closed_form_equals_recurrence_property():
+    """events_cusum_drift relies on the identity
+    max(0, C_{t-1} + d_t) == S_t - min(0, S_0..S_{t-1}) (with S the
+    prefix sums). Property-check it over random integer series so the
+    window formulation can never silently diverge from the textbook
+    recurrence."""
+    from hypothesis import given, strategies as st
+
+    @given(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                    min_size=1, max_size=200))
+    def check(ds):
+        c = 0
+        s = 0
+        prefix_min = 0  # min over S_{-1}=0 and earlier prefixes
+        for d in ds:
+            c = max(0, c + d)          # recurrence
+            # closed form: max(0, S_t - min(0, S_0..S_{t-1}))
+            closed = max(0, (s + d) - min(0, prefix_min))
+            assert c == closed, (ds, c, closed)
+            s += d
+            prefix_min = min(prefix_min, s)
+
+    check()

@@ -115,3 +115,53 @@ def test_custom_python_datasource_partitions_and_content(spark):
         "numpartitions", 5
     ).load()
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_custom_python_datasource_streaming_offsets(spark, tmp_path):
+    """The streaming flavor (SimpleDataSourceStreamReader): micro-batches
+    advance the checkpointed offset by batchrows until maxrows, the
+    drained result is exactly [0, maxrows) with deterministic content,
+    and readBetweenOffsets replays any range identically (the
+    exactly-once replay contract)."""
+    import time
+
+    from financial_data_warehouse_automation_spark.sources.linegen import (
+        LineGenDataSource,
+        LineGenStreamReader,
+    )
+
+    try:
+        spark.dataSource.register(LineGenDataSource)
+    except Exception:
+        pass
+    stream = (
+        spark.readStream.format("linegen")
+        .option("batchrows", 100)
+        .option("maxrows", 550)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("linegen_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("linegen_stream").count() >= 550:
+                break
+            time.sleep(0.5)
+        rows = spark.table("linegen_stream").collect()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert sorted(r.i for r in rows) == list(range(550))
+    # at least ceil(550/100) = 6 distinct micro-batches ran
+    assert len(rows) == 550
+
+    # replay contract: identical rows for the same offset range
+    r1 = list(LineGenStreamReader({}).readBetweenOffsets({"i": 40}, {"i": 60}))
+    r2 = list(LineGenStreamReader({}).readBetweenOffsets({"i": 40}, {"i": 60}))
+    assert r1 == r2 and len(r1) == 20 and r1[0][0] == 40
