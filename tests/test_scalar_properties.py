@@ -171,3 +171,48 @@ def test_cusum_closed_form_equals_recurrence_property():
             prefix_min = min(prefix_min, s)
 
     check()
+
+
+def test_two_pass_cumulative_equals_global_property():
+    """part_abc_pareto's scale pattern: bucketing values by magnitude,
+    broadcasting per-bucket offsets, and accumulating within buckets
+    must equal the single global running sum, for ANY value multiset —
+    including ties across bucket boundaries (descending order inside
+    bucket == descending across buckets because buckets partition the
+    value range monotonically)."""
+    from hypothesis import given, strategies as st
+
+    @given(st.lists(st.integers(min_value=0, max_value=10**6),
+                    min_size=1, max_size=300))
+    def check(vals):
+        items = sorted(
+            ((v, i) for i, v in enumerate(vals)),
+            key=lambda t: (-t[0], t[1]),
+        )
+        # global running sum (the single-partition formulation)
+        want, acc = {}, 0
+        for v, i in items:
+            acc += v
+            want[i] = acc
+        # two-pass: bucket 0 = largest values (mirrors the query)
+        mx = max(v for v, _ in items)
+        nb = 32
+
+        def bkt(v):
+            return 31 - (v * nb) // (mx + 1)
+
+        totals = [0] * nb
+        for v, _ in items:
+            totals[bkt(v)] += v
+        offsets = [sum(totals[:b]) for b in range(nb)]
+        got = {}
+        for b in range(nb):
+            acc = 0
+            for v, i in items:  # items already in global desc order
+                if bkt(v) != b:
+                    continue
+                acc += v
+                got[i] = offsets[b] + acc
+        assert got == want
+
+    check()
