@@ -1787,3 +1787,65 @@ def source_linegen_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "orders_installments_udtf",
+    tags=("udtf", "explode", "finance"),
+    oracle="""
+SELECT o.o_orderkey AS orderkey,
+       CAST(k AS BIGINT) AS installment_no,
+       CAST(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) // 3
+            + CASE WHEN k = 1
+                   THEN CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) % 3
+                   ELSE 0 END AS BIGINT) AS installment_cents,
+       CAST(o.o_orderdate + TO_MONTHS(CAST(k - 1 AS INTEGER)) AS DATE)
+         AS due_date
+FROM orders o, LATERAL (
+  SELECT unnest(generate_series(1, 3)) AS k
+) t
+WHERE o.o_totalprice >= 400000
+ORDER BY orderkey, installment_no
+""",
+)
+def orders_installments_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 ``@udtf``, arrow-enabled): expand each
+    large order into a 3-installment payment schedule — one input row
+    to N output rows with per-row arithmetic, the table-function
+    extension point (SURVEY §2.10 UDF escape-hatch matrix: scalar UDF /
+    pandas UDF / mapInPandas / applyInPandasWithState / DataSource are
+    all exercised elsewhere; this is the remaining surface). Integer
+    cents split exactly: each installment gets cents//3 and the first
+    carries the remainder, so the schedule reconciles to the order
+    total bit-for-bit (pinned in pytest). The lateral expansion is
+    row-local — no shuffle at all until the final sort; at 100 TB the
+    UDTF runs inside the scan stage like any generator."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="installment_no bigint, installment_cents bigint, "
+                     "due_month_offset int")
+    class Installments:
+        def eval(self, cents: int, parts: int):
+            base, rem = divmod(cents, parts)
+            for k in range(1, parts + 1):
+                yield k, base + (rem if k == 1 else 0), k - 1
+
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") >= 400000
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    exploded = o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        "o_orderdate",
+        cents.alias("cents"),
+    ).lateralJoin(
+        Installments(F.col("cents").outer(), lit(3)).alias("i")
+    )
+    return exploded.select(
+        "orderkey",
+        F.col("installment_no"),
+        F.col("installment_cents"),
+        F.add_months(F.col("o_orderdate"), F.col("due_month_offset"))
+        .cast("date")
+        .alias("due_date"),
+    ).orderBy("orderkey", "installment_no")

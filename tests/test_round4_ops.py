@@ -197,3 +197,18 @@ def test_day_gap_detector_fires_on_manufactured_gap(spark, sf_dir, tmp_path):
     assert int(r.missing_days) == 3
     # other types untouched -> no gaps reported for them
     assert (got.event_type == "click").all()
+
+
+def test_installments_reconcile_to_order_totals(spark, sf_dir):
+    """Every order's 3 installments must sum exactly to its integer-cent
+    total (the UDTF's split-with-remainder contract)."""
+    got = _run(spark, sf_dir, "orders_installments_udtf")
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o = o[o.o_totalprice >= 400000]
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    per_order = got.groupby("orderkey")["installment_cents"].agg(["sum", "count"])
+    want = o.set_index("o_orderkey")["cents"]
+    assert len(per_order) == len(want)
+    assert (per_order["count"] == 3).all()
+    for k, row in per_order.iterrows():
+        assert int(row["sum"]) == int(want.loc[k]), k
