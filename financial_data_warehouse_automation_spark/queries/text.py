@@ -1626,3 +1626,121 @@ def doc_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# md5-twin MinHash permutation constants, shared verbatim with the SQL
+# oracle below. Same golden-ratio offsets as operators/text.py but k=16
+# and an md5-derived 60-bit base hash, because DuckDB cannot replay
+# xxhash64 — this twin exists to give the banded-LSH ALGORITHM an exact
+# cross-engine oracle; the xxhash64 pipeline stays the perf path.
+_MH_K, _MH_BANDS, _MH_ROWS = 16, 4, 4
+_MH_B = [(0x9E3779B97F4A7C15 * (i + 1)) % (1 << 60) for i in range(_MH_K)]
+
+
+@query(
+    "doc_minhash_md5_pairs",
+    tags=("text", "dedup", "minhash", "lsh", "llm-pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+         END AS shingles
+  FROM toks
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483648 AS h31
+  FROM sh, LATERAL (SELECT unnest(shingles) AS s) u
+), mins AS (
+  SELECT doc_id, i,
+         MIN(h31 * (2 * i + 1) + ([{', '.join(str(b) for b in _MH_B)}])[i + 1])
+           AS m
+  FROM h, LATERAL (SELECT unnest(generate_series(0, {_MH_K - 1})) AS i) v
+  GROUP BY 1, 2
+), bands AS (
+  SELECT doc_id, i // {_MH_ROWS} AS band_idx,
+         md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS band_hash
+  FROM mins GROUP BY doc_id, i // {_MH_ROWS}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def doc_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded MinHash-LSH candidate generator with an EXACT DuckDB
+    oracle: identical 3-token shingles, an md5-derived 60-bit base hash
+    (portable to DuckDB, unlike xxhash64), the same golden-ratio
+    permutation family (k=16, 4 bands x 4 rows), and byte-identical
+    band hashes — so the driver's hash check certifies the ALGORITHM
+    (shingling, permutation mins, banding, bucket pairing), not just
+    row counts. The production pipeline (doc_minhash_lsh_pairs, k=64,
+    xxhash64, one-shuffle bucket expansion) stays the perf path; this
+    twin is its cross-engine proof, the RHP-LSH inlined-literals
+    pattern applied to MinHash. Plan shape is still banded: the pair
+    join keys on (band_idx, band_hash) — never doc x doc."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("s")
+    )
+    h31 = F.pmod(
+        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint"),
+        F.lit(1 << 31),
+    )
+    hs = sh.select("doc_id", h31.alias("h31"))
+    mins = hs.groupBy("doc_id").agg(
+        *[
+            F.min(F.col("h31") * F.lit(2 * i + 1) + F.lit(_MH_B[i])).alias(
+                f"m{i}"
+            )
+            for i in range(_MH_K)
+        ]
+    )
+    bands = mins.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"m{b * _MH_ROWS + j}").cast("string")
+                                    for j in range(_MH_ROWS)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(_MH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("band_idx").alias("bi_a"),
+        F.col("band_hash").alias("bh_a"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("band_idx").alias("bi_b"),
+        F.col("band_hash").alias("bh_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bi_a") == F.col("bi_b"))
+            & (F.col("bh_a") == F.col("bh_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
