@@ -1849,3 +1849,60 @@ def orders_installments_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("date")
         .alias("due_date"),
     ).orderBy("orderkey", "installment_no")
+
+
+@query(
+    "part_copurchase_triangles",
+    tags=("graph", "join", "triangles"),
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT e1.a AS part_a, e1.b AS part_b, e2.b AS part_c
+FROM e e1
+JOIN e e2 ON e1.b = e2.a
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+ORDER BY part_a, part_b, part_c
+""",
+)
+def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration in the co-purchase graph (edges = part
+    pairs co-bought in >= 2 orders): the classic distributed graph-join
+    pattern — orient every edge low->high so each triangle is counted
+    exactly once, build length-2 paths by joining edges on the middle
+    vertex, then close them against the edge set. Complements the
+    dedup band's connected components (operators/graph.py) with a
+    local-structure statistic (clustering/bundle detection). Scale:
+    path fan-out is sum of deg(v)^2 over the ORIENTED graph — the
+    low->high orientation caps effective degree, the standard
+    mitigation; every join is an equi-join on vertex keys, and edge
+    generation reuses the basket-bounded pair expansion of
+    part_basket_affinity (never parts x parts)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    o1 = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    o2 = op.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("pb"))
+    edges = (
+        o1.join(o2, (F.col("k") == F.col("k2")) & (F.col("pa") < F.col("pb")))
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("a", "b")
+    )
+    e1 = edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    e2 = edges.select(F.col("a").alias("m_a"), F.col("b").alias("t_c"))
+    e3 = edges.select(F.col("a").alias("c_a"), F.col("b").alias("c_b"))
+    return (
+        e1.join(e2, F.col("t_b") == F.col("m_a"))
+        .join(e3, (F.col("c_a") == F.col("t_a")) & (F.col("c_b") == F.col("t_c")))
+        .select(
+            F.col("t_a").alias("part_a"),
+            F.col("t_b").alias("part_b"),
+            F.col("t_c").alias("part_c"),
+        )
+        .orderBy("part_a", "part_b", "part_c")
+    )
