@@ -1238,3 +1238,54 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "events_session_window_builtin",
+    tags=("events", "window", "session", "builtin"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's BUILT-IN ``F.session_window`` (the
+    dedicated operator, vs the portable lag+cumsum recurrence of
+    events_sessionization_30min — both registered so the gate proves
+    the two formulations agree with the oracle AND each other).
+    session_window merges rows whose gaps stay under 30 minutes inside
+    a single aggregate — no window-function pass at all, and under
+    readStream the SAME expression becomes a watermark-evicted
+    streaming sessionizer, which is the operator's real 100 TB appeal.
+    Emitted as (user, session_start, n_events): session_start is the
+    min event time, identical to the recurrence's MIN(ts); the builtin
+    window END extends gap minutes past the last event, so the
+    portable recurrence's MAX(ts) is intentionally not compared."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -1906,3 +1906,86 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_a", "part_b", "part_c")
     )
+
+
+@query(
+    "monthly_revenue_seasonality",
+    tags=("agg", "timeseries", "decomposition", "stats"),
+    oracle="""
+WITH monthly AS (
+  SELECT (EXTRACT(YEAR FROM o_orderdate) - 1995) * 12
+           + EXTRACT(MONTH FROM o_orderdate) AS x,
+         EXTRACT(MONTH FROM o_orderdate) AS cal_month,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS y
+  FROM orders GROUP BY 1, 2
+), fit AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy, CAST(SUM(x * x) AS DOUBLE) AS sxx
+  FROM monthly
+), coef AS (
+  SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+           AS intercept
+  FROM fit
+), resid AS (
+  SELECT m.cal_month,
+         CAST(ROUND(m.y - (c.intercept + c.slope * m.x), 2)
+              AS DECIMAL(24,2)) AS r
+  FROM monthly m CROSS JOIN coef c
+)
+SELECT cal_month,
+       CAST(COUNT(*) AS BIGINT) AS n_years,
+       ROUND(CAST(SUM(r) AS DOUBLE) / COUNT(*), 2) AS seasonal_cents
+FROM resid GROUP BY 1 ORDER BY 1
+""",
+)
+def monthly_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition, step 2: detrend total monthly
+    revenue with the exact-integer-moment OLS line (the
+    segment_revenue_trend machinery, unsegmented) and average the
+    residuals per calendar month — the seasonal index that answers
+    'is December really bigger, or is that just growth?'. Residuals
+    are rounded to 6 and accumulated as exact decimals before the
+    final double division, so the per-month means are shuffle-order
+    independent. Shape: one month-grain aggregate, a single-row
+    coefficient broadcast, and a 12-row reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")
+        ).cast("long").alias("x"),
+        F.month("o_orderdate").cast("long").alias("cal_month"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias("y")
+    )
+    fit = monthly.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    coef = fit.select(
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
+    resid = monthly.crossJoin(F.broadcast(coef)).select(
+        "cal_month",
+        F.round(
+            F.col("y") - (F.col("intercept") + F.col("slope") * F.col("x")), 2
+        ).cast("decimal(24,2)").alias("r"),
+    )
+    return (
+        resid.groupBy("cal_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_years"),
+            F.round(F.sum("r").cast("double") / F.count(F.lit(1)), 2).alias(
+                "seasonal_cents"
+            ),
+        )
+        .orderBy("cal_month")
+    )

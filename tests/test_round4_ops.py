@@ -212,3 +212,38 @@ def test_installments_reconcile_to_order_totals(spark, sf_dir):
     assert (per_order["count"] == 3).all()
     for k, row in per_order.iterrows():
         assert int(row["sum"]) == int(want.loc[k]), k
+
+
+def test_approx_percentile_within_rank_error(spark, sf_dir):
+    """The approximate-quantile path (percentile_approx, the 100 TB
+    dashboard sibling of the exact nearest-rank queries): with accuracy
+    parameter A, the returned value's RANK must be within n/A of the
+    target rank — the t-digest/GK guarantee the scale story relies on."""
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    acc = 100
+    got = o.agg(
+        F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], acc).alias("q")
+    ).collect()[0]["q"]
+    vals = sorted(r.o_totalprice for r in o.select("o_totalprice").collect())
+    n = len(vals)
+    import bisect
+
+    for q, v in zip([0.5, 0.9, 0.99], got):
+        lo = bisect.bisect_left(vals, v)
+        hi = bisect.bisect_right(vals, v)
+        target = q * n
+        # rank interval of the returned value must overlap the allowed band
+        assert lo - n / acc <= target <= hi + n / acc, (q, v, lo, hi, n)
+
+
+def test_seasonality_residuals_sum_to_zero(spark, sf_dir):
+    """OLS residuals sum to ~0, so the month-weighted seasonal indices
+    must too (up to round-6 noise) — the internal-consistency check of
+    the additive decomposition."""
+    got = _run(spark, sf_dir, "monthly_revenue_seasonality")
+    weighted = (got.seasonal_cents * got.n_years).sum()
+    assert abs(weighted) < 1.0, weighted  # cents-scale values, ~1e9 magnitude
