@@ -1744,3 +1744,61 @@ def doc_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "doc_dedup_dropset",
+    tags=("text", "dedup", "exact", "llm-pipeline"),
+    oracle=r"""
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS dedup_key
+  FROM documents
+), clustered AS (
+  SELECT doc_id, n_chars, dedup_key,
+         MIN(doc_id) OVER (PARTITION BY dedup_key) AS keep_doc_id,
+         COUNT(*) OVER (PARTITION BY dedup_key) AS cluster_size
+  FROM keyed
+)
+SELECT doc_id AS drop_doc_id,
+       keep_doc_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_chars AS BIGINT) AS chars_reclaimed
+FROM clustered
+WHERE doc_id <> keep_doc_id
+ORDER BY drop_doc_id
+""",
+)
+def doc_dedup_dropset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable complement of doc_exact_dedup: instead of the
+    keep-set, emit the DROP list — every duplicate doc with the
+    canonical it collapses into, its cluster size, and the characters
+    reclaimed by dropping it. This is the artifact a curation pipeline
+    actually executes (an anti-join of the corpus against drop_doc_id)
+    and audits (SUM(chars_reclaimed) = storage saved). Same single
+    128-bit-key shuffle as the keep-set; the min/count come from one
+    window over that partition."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "n_chars", F.md5(norm_text("text")).alias("dedup_key")
+    )
+    w = Window.partitionBy("dedup_key")
+    clustered = keyed.select(
+        "doc_id",
+        "n_chars",
+        F.min("doc_id").over(w).alias("keep_doc_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+    return (
+        clustered.where(F.col("doc_id") != F.col("keep_doc_id"))
+        .select(
+            F.col("doc_id").alias("drop_doc_id"),
+            "keep_doc_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("n_chars").cast("long").alias("chars_reclaimed"),
+        )
+        .orderBy("drop_doc_id")
+    )
