@@ -16,6 +16,12 @@ bit-identical values):
   the two engines take different double→decimal conversion paths
   (shortest-repr vs exact-binary), which can disagree only within
   ~1 ulp of a rounding midpoint — vanishingly rare at low scale.
+* Scale the ROUND to the magnitude: round-6 is only safe for
+  unit-scale values. A ~1e10 double rounded to 6 decimals asks for
+  16-17 significant digits — beyond double precision — and the
+  engines' last-ulp choices diverge (monthly_revenue_seasonality,
+  caught by the sf0.1 sweep). Money/cents-scale aggregates round to
+  ≤2 before exact-decimal accumulation.
 * Emit doubles / longs / strings, not decimals or timestamps, in final
   schemas; render timestamps with an explicit format string.
 * Alias every computed column identically in Spark and SQL.
