@@ -1989,3 +1989,156 @@ def monthly_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cal_month")
     )
+
+
+@query(
+    "customer_ltv_cohorts",
+    tags=("agg", "cohort", "window", "ltv"),
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey,
+         MIN((EXTRACT(YEAR FROM o_orderdate) - 1995) * 12
+             + EXTRACT(MONTH FROM o_orderdate)) AS cohort_m
+  FROM orders GROUP BY 1
+), spend AS (
+  SELECT o.o_custkey, f.cohort_m,
+         (EXTRACT(YEAR FROM o.o_orderdate) - 1995) * 12
+           + EXTRACT(MONTH FROM o.o_orderdate) - f.cohort_m AS age_m,
+         CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+)
+SELECT cohort_m, age_m,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM spend
+WHERE age_m <= 11
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value cohort matrix: customers grouped by
+    first-order month, revenue and active count tracked by months since
+    acquisition (the retention/LTV triangle every warehouse report
+    stack draws). The first-order month is ONE aggregate re-joined to
+    the fact — not a window over the fact (a min-window would re-sort
+    the whole orders table; the aggregate+join shuffles the same key
+    once and AQE can broadcast the per-customer dim at small scale).
+    Exact integer cents; month index arithmetic is integral end to
+    end. Truncated to the first year of each cohort's life to keep the
+    matrix dense."""
+    o = load_table(spark, sf_dir, "orders")
+    midx = ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate")).cast(
+        "long"
+    )
+    firsts = o.groupBy(F.col("o_custkey").alias("f_cust")).agg(
+        F.min(midx).alias("cohort_m")
+    )
+    spend = o.join(firsts, o.o_custkey == F.col("f_cust")).select(
+        "o_custkey",
+        "cohort_m",
+        (midx - F.col("cohort_m")).alias("age_m"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return (
+        spend.where(F.col("age_m") <= 11)
+        .groupBy("cohort_m", "age_m")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_active"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("cohort_m", "age_m")
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    tags=("agg", "rfm", "percentile", "scoring"),
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS freq,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS monetary
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT o_custkey,
+         DATEDIFF('day', last_order, TIMESTAMP '1998-08-02') AS rec_days,
+         freq, monetary
+  FROM per_cust
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY rec_days, o_custkey) AS r_rn,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, o_custkey) AS f_rn,
+         ROW_NUMBER() OVER (ORDER BY monetary DESC, o_custkey) AS m_rn,
+         COUNT(*) OVER () AS n
+  FROM scored
+), coded AS (
+  SELECT o_custkey,
+         LEAST(((r_rn - 1) * 4) // n + 1, 4) AS r_score,
+         LEAST(((f_rn - 1) * 4) // n + 1, 4) AS f_score,
+         LEAST(((m_rn - 1) * 4) // n + 1, 4) AS m_score
+  FROM ranked
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM coded GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored 1-4 on Recency,
+    Frequency and Monetary value by exact quartile of rank (score =
+    (rank-1)*4 // n + 1 — pure integer arithmetic over ROW_NUMBER with
+    deterministic tiebreaks, NOT ntile, whose remainder-distribution
+    rules differ between engines), then the 64-cell segment census.
+    Rank windows are global but over the CUSTOMER grain (already one
+    row per customer — the fact table never enters a global sort); at
+    true scale the same scores come from broadcast nearest-rank
+    boundaries, the order_price_percentiles pattern. Anchor date is
+    the dataset's epoch end, so recency is reproducible."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+            "monetary"
+        ),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.datediff(F.lit("1998-08-02").cast("date"), F.col("last_order")).alias(
+            "rec_days"
+        ),
+        "freq",
+        "monetary",
+    )
+    n_w = Window.partitionBy()
+    ranked = scored.select(
+        "o_custkey",
+        F.row_number().over(Window.orderBy("rec_days", "o_custkey")).alias("r_rn"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "o_custkey"))
+        .alias("f_rn"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+        .alias("m_rn"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    )
+
+    def score(rn):
+        return F.least(
+            F.floor((F.col(rn) - 1) * 4 / F.col("n")).cast("long") + 1, F.lit(4)
+        )
+
+    return (
+        ranked.select(
+            score("r_rn").alias("r_score"),
+            score("f_rn").alias("f_score"),
+            score("m_rn").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
