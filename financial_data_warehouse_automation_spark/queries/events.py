@@ -1289,3 +1289,54 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "events_top_paths_3step",
+    tags=("events", "sequence", "window", "topk"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type, 1) OVER w AS p1,
+         LAG(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p2 || '>' || p1 || '>' || event_type AS path,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE p2 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 25
+""",
+)
+def events_top_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-step user journeys (event-type trigrams over each
+    user's time-ordered stream) — the path-mining query behind funnel
+    discovery, here as two stacked lags in ONE window pass (same
+    partitioning, so one shuffle serves both) + a trigram census with
+    per-path user reach. Top-25 cut rides (n desc, path) — fully
+    deterministic — and plans as TakeOrderedAndProject. Scale: the
+    user-partitioned window is the only corpus shuffle; the path
+    census is at most |types|^3 keys."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).where(F.col("p2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "p2", "p1", "event_type").alias("path"), "user_id"
+        )
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(25)
+    )

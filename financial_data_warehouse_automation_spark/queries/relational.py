@@ -2142,3 +2142,63 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query(
+    "orders_psi_drift",
+    tags=("agg", "drift", "audit", "stats"),
+    oracle="""
+WITH mix AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) AS year,
+         o_orderpriority AS bucket, COUNT(*) AS n
+  FROM orders GROUP BY 1, 2
+), year_tot AS (
+  SELECT year, SUM(n) AS yn FROM mix GROUP BY 1
+), base AS (
+  SELECT bucket, SUM(n) AS bn FROM mix GROUP BY 1
+), base_tot AS (SELECT SUM(bn) AS tn FROM base)
+SELECT m.year,
+       CAST(SUM(CAST(ROUND(
+         (CAST(m.n AS DOUBLE) / y.yn - CAST(b.bn AS DOUBLE) / t.tn)
+           * LN((CAST(m.n AS DOUBLE) / y.yn)
+                / (CAST(b.bn AS DOUBLE) / t.tn)), 6) AS DECIMAL(18,6)))
+         AS DOUBLE) AS psi
+FROM mix m
+JOIN year_tot y ON m.year = y.year
+JOIN base b ON m.bucket = b.bucket
+CROSS JOIN base_tot t
+GROUP BY 1 ORDER BY 1
+""",
+)
+def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-priority mix, per year
+    against the all-time baseline — THE production drift metric for
+    categorical features feeding ML models (PSI > 0.1 = investigate,
+    > 0.25 = shifted). Same determinism treatment as doc_kl_divergence
+    (PSI is symmetrized KL): unit-scale per-bucket terms rounded to 6
+    then accumulated as exact decimals. Shape: one (year, bucket)
+    census; every marginal re-reduces it; the fact table is scanned
+    once."""
+    o = load_table(spark, sf_dir, "orders")
+    mix = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("year"),
+        F.col("o_orderpriority").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    year_tot = mix.groupBy(F.col("year").alias("y_year")).agg(
+        F.sum("n").alias("yn")
+    )
+    base = mix.groupBy(F.col("bucket").alias("b_bucket")).agg(
+        F.sum("n").alias("bn")
+    )
+    base_tot = base.agg(F.sum("bn").alias("tn"))
+    p = F.col("n").cast("double") / F.col("yn")
+    q = F.col("bn").cast("double") / F.col("tn")
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")
+    return (
+        mix.join(F.broadcast(year_tot), mix.year == F.col("y_year"))
+        .join(F.broadcast(base), mix.bucket == F.col("b_bucket"))
+        .crossJoin(F.broadcast(base_tot))
+        .groupBy("year")
+        .agg(F.sum(term).cast("double").alias("psi"))
+        .orderBy("year")
+    )

@@ -89,6 +89,7 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "part_abc_pareto",               # single-row max/total broadcasts
         "warehouse_referential_audit",   # single-row count x count per check
         "monthly_revenue_seasonality",   # single-row OLS coefficient broadcast
+        "orders_psi_drift",              # single-row baseline-total broadcast
     }
     offenders = {}
     for name, spec in load_all().items():
