@@ -140,12 +140,14 @@ VERIFY_FIRST: tuple[str, ...] = (
     # --- rotation spot re-check of a previously-green anchor (per
     # ADVICE: driver records are disjoint samples; this is also a
     # round-3 bench-regression watch item). The prefix is capped at the
-    # driver's 50-entry record; the ~21 oracle-backed queries added
+    # driver's 50-entry record; the ~30 oracle-backed queries added
     # later in round 4 (mad/ewma/markov/cusum/kl/length-buckets/vocab/
     # basket/benford/abc/hhi/snapshot-diff/mv-refresh/stream-mv/
-    # referential-audit/day-gaps, plus q5/q9/q11/q15) are locally
+    # referential-audit/day-gaps/q5/q9/q11/q15, then md5-LSH-twin/
+    # triangles/session-window-builtin/seasonality/dropset/ltv/rfm/
+    # paths/psi/udtf/datasource batch+stream/trend) are locally
     # hash-green at BOTH SFs (CORRECTNESS_LOCAL_*.json) and form round
-    # 5's prefix queue.
+    # 5's prefix queue — regenerate it with tools/next_verify_prefix.py.
     "ytd_running_total",
 )
 
