@@ -2202,3 +2202,66 @@ def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(term).cast("double").alias("psi"))
         .orderBy("year")
     )
+
+
+@query(
+    "customer_revenue_gini",
+    tags=("agg", "stats", "inequality", "window"),
+    oracle="""
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rnk
+  FROM per_cust
+), moments AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS s,
+         CAST(SUM(rnk * cents) AS BIGINT) AS rs
+  FROM ranked
+)
+SELECT n AS n_customers,
+       ROUND(CAST(2 * rs AS DOUBLE) / (CAST(n AS DOUBLE) * s)
+             - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+FROM moments
+""",
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the individual-grain
+    inequality statistic (the category-grain sibling is
+    supplier_concentration_hhi): via the rank identity
+    G = 2*sum(rank*y) / (n*sum(y)) - (n+1)/n over ascending-sorted
+    values, every moment is an exact int64 (rank*cents <= ~1e17 at
+    these scales; move to decimal beyond) and only the final two
+    divisions run in double, rounded at unit scale. The rank window is
+    global but over the CUSTOMER grain (one row per customer; the fact
+    table aggregates first) — at extreme cardinality the same rank
+    comes from the two-pass bucket pattern (part_abc_pareto)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")).alias(
+            "cents"
+        )
+    )
+    ranked = per_cust.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("rnk"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("rnk") * F.col("cents")).alias("rs"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            (2 * F.col("rs")).cast("double")
+            / (F.col("n").cast("double") * F.col("s"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
