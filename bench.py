@@ -8,14 +8,16 @@ count-shaped action (``df.foreach(noop)`` would skip the final project;
 warm-up pass primes parquet footers / JVM JIT; the reported time is the
 best of ``BENCH_REPS`` timed passes (min, not mean — GC noise only adds).
 
-Queries run in REGISTRATION order (the raw REGISTRY), NOT load_all()'s
-VERIFY_FIRST order: the verify prefix is reshuffled every round, and a
-query's position in a fresh JVM moves its time by up to 2x (whole-stage
-codegen and shuffle infrastructure reach C2-compiled steady state only
-after the first handful of queries). Round 3's apparent regressions on
-upsert_keep_last / ytd_running_total / top3_orders_per_segment were
-exactly the three queries the round-3 reorder moved from positions
-12-14 to 1-3; a fixed order makes rounds comparable.
+Queries run in the PINNED order below, NOT registry order: a query's
+position in a fresh JVM moves its time by up to 2x (whole-stage codegen
+and shuffle infrastructure reach C2-compiled steady state only after
+the first handful of queries). Round 3's apparent regressions were the
+three queries the verify-prefix reorder moved to positions 1-3; round
+4's (events_sessionization_30min +18%, ingest_warehouse_build +20%)
+were the two queries a REGISTRATION-order drift moved from positions
+8/10 to 1/3 — so the order is now a literal tuple (round 3's order),
+immune to both reorders. An untimed full-basket sweep runs first so
+even position 1 is timed against a C2-warm JVM.
 """
 
 from __future__ import annotations
@@ -39,10 +41,33 @@ def main() -> None:
     spark = get_spark("bench")
 
     load_all()  # populate REGISTRY via import side effects
-    specs = {n: s for n, s in REGISTRY.items() if s.headline}
+    basket = (
+        "upsert_keep_last",
+        "ytd_running_total",
+        "top3_orders_per_segment",
+        "doc_exact_dedup",
+        "doc_pack_chunks",
+        "doc_decontaminate_splits",
+        "ann_cosine_topk_brute",
+        "events_sessionization_30min",
+        "events_asof_last_order",
+        "ingest_warehouse_build",
+        "pricing_summary",
+        "monthly_segment_totals",
+        "region_revenue",
+        "doc_minhash_lsh_pairs",
+    )
+    headline = {n for n, s in REGISTRY.items() if s.headline}
+    assert headline == set(basket), (
+        f"headline flags drifted from the pinned basket: "
+        f"only-flagged={headline - set(basket)} only-pinned={set(basket) - headline}"
+    )
+    specs = {n: REGISTRY[n] for n in basket}
+    for spec in specs.values():  # untimed sweep: C2-warm JVM for all
+        spec.builder(spark, d).collect()
     timings: dict[str, float] = {}
     for name, spec in specs.items():
-        spec.builder(spark, d).collect()  # warm-up
+        spec.builder(spark, d).collect()  # per-query warm-up
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()

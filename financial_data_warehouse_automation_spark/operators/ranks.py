@@ -1,0 +1,80 @@
+"""Distributed exact global ranking — the two-pass bucket-offset
+pattern, factored out of ``part_abc_pareto`` so every query needing a
+total order over a large frame shares one scale-safe implementation.
+
+An unpartitioned ``ROW_NUMBER() OVER (ORDER BY ...)`` funnels the whole
+frame through a single task — the canonical 100 TB killer. The two-pass
+plan computes the SAME exact rank with no global sort:
+
+pass 1: range-bucket rows by the numeric sort key into ``n_buckets``
+        integer bands between the key's min and max (one tiny
+        aggregate), count rows per bucket, and turn the counts into
+        cumulative offsets with a window over <= ``n_buckets`` rows;
+pass 2: ``row_number`` WITHIN each bucket (window partitioned by the
+        bucket id) plus the broadcast offset of all earlier buckets.
+
+Because the buckets are VALUE ranges, every row in bucket b sorts
+strictly after all rows of earlier buckets, so offset + in-bucket rank
+is exactly the global rank. Ties need a deterministic tiebreak column
+(same requirement the single-window formulation has). The widest
+window partition is one bucket (~N/n_buckets rows in the uniform case;
+a skewed key still caps the damage at its bucket's population instead
+of the whole frame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: tuple[str, ...],
+    out_col: str = "rnk",
+    *,
+    descending: bool = False,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Add ``out_col`` = exact global ROW_NUMBER of each row under
+    ``ORDER BY value_col [DESC], *tiebreak_cols`` without a global sort.
+
+    ``value_col`` must be integral (the bucket arithmetic is exact
+    int64; ``(v - min) * n_buckets`` must not overflow — fine for cents
+    up to ~2.8e17 at 32 buckets). ``tiebreak_cols`` sort ascending and
+    must make the full ordering total, or ranks are nondeterministic.
+    """
+    bkt, b_idx, off = f"__{out_col}_bkt", f"__{out_col}_bidx", f"__{out_col}_off"
+    bounds = df.agg(
+        F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    )
+    # bucket index ascending in SORT order: for descending ranks the
+    # largest value lands in bucket 0. span+1 keeps the max in-range.
+    span = F.col("__hi") - F.col("__lo") + 1
+    pos = (
+        (F.col("__hi") - F.col(value_col))
+        if descending
+        else (F.col(value_col) - F.col("__lo"))
+    )
+    bucketed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        bkt, F.floor(pos * n_buckets / span).cast("int")
+    )
+    counts = bucketed.groupBy(F.col(bkt).alias(b_idx)).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    # cumulative count of all earlier buckets: window over <= n_buckets
+    # rows, then broadcast back
+    wb = Window.orderBy(b_idx).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        b_idx, F.coalesce(F.sum("__n").over(wb), F.lit(0)).alias(off)
+    )
+    order: list[Column] = [
+        F.desc(value_col) if descending else F.asc(value_col)
+    ] + [F.asc(c) for c in tiebreak_cols]
+    ww = Window.partitionBy(bkt).orderBy(*order)
+    return (
+        bucketed.join(F.broadcast(offsets), F.col(bkt) == F.col(b_idx))
+        .withColumn(out_col, F.row_number().over(ww) + F.col(off))
+        .drop(bkt, b_idx, off, "__lo", "__hi")
+    )

@@ -1774,6 +1774,13 @@ def source_linegen_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         handle.stop()
         handle.awaitTermination()
+    drained = spark.table("linegen_drain").count()
+    if drained < 20000:
+        raise RuntimeError(
+            f"linegen stream drained only {drained}/20000 rows before the "
+            "120s deadline — refusing to return a partial aggregate "
+            "(it would surface as a confusing oracle hash mismatch)"
+        )
     return (
         spark.table("linegen_drain")
         .groupBy(F.substring("key", 1, 1).alias("bucket"))
@@ -1946,7 +1953,10 @@ def monthly_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment_revenue_trend machinery, unsegmented) and average the
     residuals per calendar month — the seasonal index that answers
     'is December really bigger, or is that just growth?'. Residuals
-    are rounded to 6 and accumulated as exact decimals before the
+    are rounded to 2 (cents scale — round-6 at ~1e10 magnitude exceeds
+    double precision, the registry's scale-the-ROUND rule; that exact
+    divergence was caught by the sf0.1 sweep in round 4) and
+    accumulated as exact decimals before the
     final double division, so the per-month means are shuffle-order
     independent. Shape: one month-grain aggregate, a single-row
     coefficient broadcast, and a 12-row reduce."""
@@ -2091,12 +2101,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rank-1)*4 // n + 1 — pure integer arithmetic over ROW_NUMBER with
     deterministic tiebreaks, NOT ntile, whose remainder-distribution
     rules differ between engines), then the 64-cell segment census.
-    Rank windows are global but over the CUSTOMER grain (already one
-    row per customer — the fact table never enters a global sort); at
-    true scale the same scores come from broadcast nearest-rank
-    boundaries, the order_price_percentiles pattern. Anchor date is
-    the dataset's epoch end, so recency is reproducible."""
-    from pyspark.sql import Window
+    Each of the three ranks is the TWO-PASS bucket-offset global
+    row_number (operators/ranks.py, the part_abc_pareto pattern): a
+    32-band value bucketing, per-bucket counts folded into a <=32-row
+    broadcast of cumulative offsets, then row_number WITHIN each
+    bucket — no partition-less window anywhere, so the plan's widest
+    sort is one bucket, not all customers (round-4 verdict item #2).
+    n arrives as a single-row broadcast. Anchor date is the dataset's
+    epoch end, so recency is reproducible."""
+    from financial_data_warehouse_automation_spark.operators.ranks import global_row_number
 
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -2114,18 +2127,12 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "freq",
         "monetary",
     )
-    n_w = Window.partitionBy()
-    ranked = scored.select(
-        "o_custkey",
-        F.row_number().over(Window.orderBy("rec_days", "o_custkey")).alias("r_rn"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("freq"), "o_custkey"))
-        .alias("f_rn"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
-        .alias("m_rn"),
-        F.count(F.lit(1)).over(n_w).alias("n"),
-    )
+    tb = ("o_custkey",)
+    ranked = global_row_number(scored, "rec_days", tb, "r_rn")
+    ranked = global_row_number(ranked, "freq", tb, "f_rn", descending=True)
+    ranked = global_row_number(ranked, "monetary", tb, "m_rn", descending=True)
+    n_row = scored.agg(F.count(F.lit(1)).alias("n"))
+    ranked = ranked.crossJoin(F.broadcast(n_row))
 
     def score(rn):
         return F.least(
@@ -2235,11 +2242,13 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     G = 2*sum(rank*y) / (n*sum(y)) - (n+1)/n over ascending-sorted
     values, every moment is an exact int64 (rank*cents <= ~1e17 at
     these scales; move to decimal beyond) and only the final two
-    divisions run in double, rounded at unit scale. The rank window is
-    global but over the CUSTOMER grain (one row per customer; the fact
-    table aggregates first) — at extreme cardinality the same rank
-    comes from the two-pass bucket pattern (part_abc_pareto)."""
-    from pyspark.sql import Window
+    divisions run in double, rounded at unit scale. The rank is the
+    TWO-PASS bucket-offset global row_number (operators/ranks.py, the
+    part_abc_pareto pattern): 32 value bands, a <=32-row broadcast of
+    cumulative offsets, row_number within bucket — no partition-less
+    window, so the widest sort in the plan is one revenue band, not
+    every customer (round-4 verdict item #3)."""
+    from financial_data_warehouse_automation_spark.operators.ranks import global_row_number
 
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -2247,9 +2256,8 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
-    ranked = per_cust.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "o_custkey")).alias("rnk"),
+    ranked = global_row_number(per_cust, "cents", ("o_custkey",), "rnk").select(
+        "cents", "rnk"
     )
     m = ranked.agg(
         F.count(F.lit(1)).alias("n"),

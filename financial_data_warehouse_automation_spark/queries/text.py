@@ -1430,16 +1430,21 @@ def doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubles in both engines and is rounded to DECIMAL(18,9) BEFORE the
     sums, so Sx/Sy/Sxy/Sxx are exact and shuffle-order independent; the
     slope/intercept are then single double expressions over those exact
-    sums. Shape: one term-count shuffle, a top-100 rank (tiny), and a
-    single-row reduce — corpus size only enters the first aggregate."""
+    sums. Shape: one term-count shuffle, then the top-100 cut runs as
+    orderBy().limit(100) — TakeOrderedAndProject per-partition heaps
+    (the doc_vocab_top100 pattern), NOT a row_number window over the
+    whole vocabulary (round-4 verdict item #4: an unpartitioned window
+    sorts every distinct term on one task just to keep 100 rows). The
+    rank window that remains runs over the already-cut 100-row frame."""
     d = load_table(spark, sf_dir, "documents")
     tf = (
         d.select(F.explode(tokens("text")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
+    top = tf.orderBy(F.desc("freq"), "term").limit(100)
     w = Window.orderBy(F.desc("freq"), "term")
-    ranked = tf.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 100)
+    ranked = top.withColumn("rnk", F.row_number().over(w))
     pts = ranked.select(
         F.round(F.log("rnk"), 9).cast("decimal(18,9)").alias("x"),
         F.round(F.log("freq"), 9).cast("decimal(18,9)").alias("y"),

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -334,7 +335,16 @@ def mv_merge_batch(mv_path: str):
                 for r in existing.where(F.col("last_batch_id") >= batch_id)
                 .select("month").distinct().collect()
             }
-        except Exception:  # first batch: no MV yet
+        except AnalysisException as exc:
+            # Only the missing-path case means "first batch: no MV
+            # yet". A transient FS error or corrupt footer must FAIL
+            # the batch (foreachBatch re-runs it with the same id) —
+            # swallowing it here would make the dynamic overwrite
+            # replace accumulated months with one batch's partial.
+            if "PATH_NOT_FOUND" not in (exc.getErrorClass() or "") and (
+                "Path does not exist" not in str(exc)
+            ):
+                raise
             existing = spark.createDataFrame([], partial.schema)
             applied = set()
         todo = [m for m in months if m not in applied]

@@ -6,12 +6,70 @@ stay correct."""
 
 from __future__ import annotations
 
+import re
+
+import pytest
+
 from financial_data_warehouse_automation_spark.registry import load_all
 
 
 def _plan(spark, name, sf_dir) -> str:
     df = load_all()[name].builder(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="session")
+def all_plans(spark, sf_dir) -> dict[str, str]:
+    """Executed-plan text for every registered query, built ONCE per
+    test session — the registry-wide sweeps (cartesian, global-window)
+    all read from here instead of re-running the builders (some of
+    which, e.g. the streaming drains, are expensive)."""
+    plans = {}
+    for name, spec in load_all().items():
+        try:
+            plans[name] = spec.builder(spark, sf_dir)._jdf.queryExecution(
+            ).executedPlan().toString()
+        except Exception:  # streaming-only / fixture-path builders
+            continue
+    return plans
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Lines whose Window node has an EMPTY partition spec.
+
+    A Window renders as ``Window [exprs], [partitionCols], [orderCols]``
+    with empty groups omitted, so group count alone is ambiguous:
+    2 groups is either (partition, no order) — fine — or (order, no
+    partition) — the single-task global sort. Order specs always carry
+    a sort direction (ASC/DESC), partition specs never do; 1 group
+    means neither partition nor order (a global frame aggregate)."""
+    bad = []
+    for ln in plan.splitlines():
+        m = re.search(r"\bWindow \[", ln)
+        if not m:
+            continue
+        s = ln[m.start() + len("Window "):]
+        depth, groups, cur = 0, [], []
+        for ch in s:
+            if ch == "[":
+                if depth == 0:
+                    cur = []
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(cur))
+                    continue
+            if depth >= 1:
+                cur.append(ch)
+        if len(groups) <= 1 or (
+            len(groups) == 2
+            and re.search(r"\b(ASC|DESC)\b", groups[1])
+        ):
+            bad.append(ln.strip()[:160])
+    return bad
 
 
 def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
@@ -59,7 +117,7 @@ def test_lsh_join_is_bucketed_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_no_accidental_cartesian_anywhere(spark, sf_dir):
+def test_no_accidental_cartesian_anywhere(all_plans):
     """Registry-wide sweep: no query's physical plan may contain a
     CartesianProduct, and BroadcastNestedLoopJoin is allowed only where
     a non-equi join is the *intended* algorithm over a bounded
@@ -87,22 +145,57 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir):
         "part_basket_affinity",          # single-row order-total broadcast
         "orders_benford_audit",          # single-row grand-total broadcast
         "part_abc_pareto",               # single-row max/total broadcasts
+        "customer_rfm_segments",         # single-row min/max + n broadcasts
+        "customer_revenue_gini",         # single-row min/max bounds broadcast
         "warehouse_referential_audit",   # single-row count x count per check
         "monthly_revenue_seasonality",   # single-row OLS coefficient broadcast
         "orders_psi_drift",              # single-row baseline-total broadcast
     }
     offenders = {}
-    for name, spec in load_all().items():
-        try:
-            plan = spec.builder(spark, sf_dir)._jdf.queryExecution(
-            ).executedPlan().toString()
-        except Exception:  # streaming-only / fixture-path builders
-            continue
+    for name, plan in all_plans.items():
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, f"unexpected non-equi join plans: {offenders}"
+
+
+def test_no_unbounded_global_window_anywhere(all_plans):
+    """Registry-wide sweep: no query's physical plan may contain a
+    Window with an EMPTY partition spec over an uncapped input — the
+    single-task global sort that kills a plan at 100 TB (round-4
+    verdict items #1-3: customer_rfm_segments, customer_revenue_gini
+    and doc_zipf_fit all shipped one; all three now use the two-pass
+    bucket-offset rank / TakeOrderedAndProject instead). Allowed only
+    where the windowed frame is CAPPED by construction, per the
+    documented list below."""
+    global_window_ok = {
+        # two-pass bucket-offset rank (operators/ranks.py): the
+        # unpartitioned window runs over the <= n_buckets per-bucket
+        # counts (~32 rows), never the data
+        "part_abc_pareto",
+        "customer_rfm_segments",
+        "customer_revenue_gini",
+        # post-limit frame: rank runs AFTER orderBy().limit(100)
+        # (TakeOrderedAndProject), so the window sees <= 100 rows
+        "doc_zipf_fit",
+        # month-grain spine: the frame is one row per calendar month
+        # of the dataset (bounded by wall-clock time, not data volume)
+        "interpolate_monthly_revenue",
+        # ingest directory listing: one row per staged workbook file —
+        # metadata grain, orders of magnitude below the data itself
+        "ingest_file_listing",
+    }
+    offenders = {
+        name: bad
+        for name, plan in all_plans.items()
+        if name not in global_window_ok
+        and (bad := _unpartitioned_windows(plan))
+    }
+    assert not offenders, (
+        "partition-less Window over uncapped input (use the two-pass "
+        f"bucket-offset rank or a top-k limit instead): {offenders}"
+    )
 
 
 def test_runtime_bloom_filter_injects_at_scale_conditions(spark, sf_dir):
