@@ -11,6 +11,9 @@ Each module covers one band of the SURVEY.md §2 inventory:
                    windows, as-of join
     text         — tokenization, quality scoring, language heuristics,
                    fingerprinting, exact + fuzzy dedup
+    curation     — training-data ordering / source mixing / tokenizer-
+                   training steps (deterministic shuffle, temperature
+                   weights, BPE pair census)
     similarity   — embedding cosine top-k (brute force + LSH-bucketed)
     multimodal   — binary-column plumbing with typed metadata
     ingest_demo  — the reference-shaped Excel ingest pipeline end-to-end
@@ -19,6 +22,7 @@ Each module covers one band of the SURVEY.md §2 inventory:
 """
 
 from financial_data_warehouse_automation_spark.queries import (  # noqa: F401
+    curation,
     events,
     ingest_demo,
     multimodal,

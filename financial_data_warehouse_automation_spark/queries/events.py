@@ -1340,3 +1340,76 @@ def events_top_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "path")
         .limit(25)
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    tags=("events", "asof", "attribution", "funnel"),
+    oracle="""
+WITH probes AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), quotes AS (
+  SELECT user_id, ts AS cts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), j AS (
+  SELECT p.event_id, p.cents, p.ts, q.cts
+  FROM probes p ASOF LEFT JOIN quotes q
+    ON p.user_id = q.user_id AND p.ts >= q.cts
+)
+SELECT CASE WHEN cts IS NOT NULL AND cts >= ts - INTERVAL 7 DAY
+            THEN strftime(cts, '%Y-%m-%d') ELSE 'none' END AS click_day,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM j GROUP BY 1 ORDER BY 1
+""",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase's revenue is
+    credited to the user's most recent click, but only within a 7-day
+    lookback window (older or absent clicks fall into the 'none'
+    bucket) — the standard conversion-credit rule, built on the same
+    merge-formulated as-of join as events_asof_last_order (one shuffle
+    on user_id, zero row explosion; a join-then-filter formulation is
+    |purchases| x |clicks per user| and dies on hot users at scale).
+    The attribution window check runs AFTER the as-of match — the
+    as-of picks the latest click unconditionally, then the 7-day rule
+    classifies, so tolerance costs nothing extra. Clicks pre-deduped
+    per (user, ts) keep-max-id so ties are engine-independent; output
+    is the day-grain credited-revenue ledger."""
+    e = load_table(spark, sf_dir, "events")
+    probes = e.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    quotes = e.where(F.col("event_type") == "click").groupBy(
+        "user_id", F.col("ts").alias("cts")
+    ).agg(F.max("event_id").alias("click_id"))
+    j = asof_join_last(
+        probes,
+        quotes,
+        on=["user_id"],
+        left_ts=F.col("ts"),
+        right_ts=F.col("cts"),
+        right_cols=["click_id", "cts"],
+    )
+    attributed = F.col("cts").isNotNull() & (
+        F.col("cts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    )
+    return (
+        j.select(
+            F.when(attributed, F.date_format("cts", "yyyy-MM-dd"))
+            .otherwise("none")
+            .alias("click_day"),
+            "cents",
+        )
+        .groupBy("click_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("click_day")
+    )

@@ -1916,6 +1916,120 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "part_pagerank_step",
+    tags=("graph", "join", "pagerank", "iterative"),
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+e AS (SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b AS src, a AS dst FROM e0),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+r0 AS (
+  SELECT node, deg, CAST(1.0 AS DOUBLE) / nn.n AS r
+  FROM deg CROSS JOIN nn
+),
+s1 AS (
+  SELECT e.dst AS node,
+         SUM(CAST(ROUND(r0.r / r0.deg, 9) AS DECIMAL(18,9))) AS s
+  FROM e JOIN r0 ON e.src = r0.node GROUP BY 1
+),
+r1 AS (
+  SELECT d.node, d.deg,
+         ROUND(CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE) * CAST(s1.s AS DOUBLE), 9) AS r
+  FROM deg d JOIN s1 ON d.node = s1.node CROSS JOIN nn
+),
+s2 AS (
+  SELECT e.dst AS node,
+         SUM(CAST(ROUND(r1.r / r1.deg, 9) AS DECIMAL(18,9))) AS s
+  FROM e JOIN r1 ON e.src = r1.node GROUP BY 1
+),
+r2 AS (
+  SELECT d.node, d.deg,
+         ROUND(CAST(0.15 AS DOUBLE) / nn.n
+               + CAST(0.85 AS DOUBLE) * CAST(s2.s AS DOUBLE), 9) AS r
+  FROM deg d JOIN s2 ON d.node = s2.node CROSS JOIN nn
+)
+SELECT node AS part, deg, r AS pagerank
+FROM r2 ORDER BY pagerank DESC, part LIMIT 20
+""",
+)
+def part_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-iteration steps of PageRank (d = 0.85) over the
+    co-purchase graph — the canonical distributed iterative-graph
+    pattern (each step is ONE edges-to-ranks equi-join plus ONE
+    aggregate keyed on the destination vertex; Pregel/GraphX reduces to
+    exactly this under the hood). The graph reuses
+    part_copurchase_triangles' basket-bounded edge derivation (part
+    pairs co-bought in >= 2 orders, never parts x parts); the
+    undirected edge set means every node has deg >= 1, so there is no
+    dangling-mass term. Determinism: the per-edge contribution r/deg
+    rounds to DECIMAL(18,9) BEFORE the destination sum (exact,
+    shuffle-order independent — the doubles-in-any-order trap an
+    unrounded PageRank has); the damping update is a single double
+    expression per node, rounded at unit scale. The top-20 cut is
+    TakeOrderedAndProject. At 100x edges each iteration is still one
+    shuffle on the vertex key; rank state is O(nodes), never collected
+    to the driver (the node-count scalar is the only broadcast)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    op = l.select("l_orderkey", "l_partkey").distinct()
+    o1 = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    o2 = op.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("pb"))
+    e0 = (
+        o1.join(o2, (F.col("k") == F.col("k2")) & (F.col("pa") < F.col("pb")))
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_ord"))
+        .where(F.col("n_ord") >= 2)
+        .select("a", "b")
+    )
+    e = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+
+    r = deg.crossJoin(F.broadcast(nn)).select(
+        "node", "deg", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(2):
+        contrib = e.join(r, e.src == r.node).select(
+            F.col("dst"),
+            F.round(F.col("r") / F.col("deg"), 9)
+            .cast("decimal(18,9)")
+            .alias("c"),
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = (
+            deg.join(s, F.col("node") == F.col("dst"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                "deg",
+                F.round(
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85) * F.col("s").cast("double"),
+                    9,
+                ).alias("r"),
+            )
+        )
+    return (
+        r.orderBy(F.desc("r"), "node")
+        .limit(20)
+        .select(
+            F.col("node").alias("part"), "deg", F.col("r").alias("pagerank")
+        )
+    )
+
+
+@query(
     "monthly_revenue_seasonality",
     tags=("agg", "timeseries", "decomposition", "stats"),
     oracle="""

@@ -357,3 +357,113 @@ def events_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows).orderBy("event_type", "day")
+
+
+@query(
+    "events_stream_stream_left_join",
+    tags=("streaming", "join", "outer", "watermark"),
+    oracle="""
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT event_id AS purchase_id, user_id AS p_user, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+), wm AS (
+  SELECT LEAST((SELECT MAX(cts) FROM c), (SELECT MAX(pts) FROM p))
+         - INTERVAL 1 HOUR AS w
+), j AS (
+  SELECT c.click_id, p.purchase_id, c.user_id, c.cts, p.pts
+  FROM c LEFT JOIN p
+    ON c.user_id = p.p_user
+   AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 30 MINUTE
+)
+SELECT j.click_id, j.purchase_id, j.user_id,
+       epoch_us(j.pts) - epoch_us(j.cts) AS gap_us
+FROM j, wm
+WHERE j.purchase_id IS NOT NULL
+   OR j.cts + INTERVAL 30 MINUTE <= wm.w - INTERVAL 1 MINUTE
+ORDER BY click_id, purchase_id
+""",
+)
+def events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the harder §2.9 sibling of
+    events_stream_stream_join: every click emits, paired with each
+    purchase in its 30-minute forward window or as a NULL row once the
+    join CAN no longer match it. Inner results stream out immediately;
+    the unmatched-click rows exist only because the engine evicts
+    click state when the global watermark (min across both sides,
+    1-hour delay) passes click_ts + 30min — the final no-data
+    micro-batch after availableNow drains is what flushes them.
+    Near the stream's end that eviction never happens (the watermark
+    stops 1 hour before max event time), so BOTH the drained output
+    and the batch oracle are restricted to unmatched clicks whose
+    match window closed at least 1 minute BEFORE the terminal
+    watermark — inside that boundary streaming must equal the batch
+    left join exactly, independent of the engine's strict-vs-lax
+    boundary choices. Scale: state is per-user clicks inside a
+    90-minute horizon, evicted by watermark; both streams shuffle on
+    user_id only."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + interval 30 minutes"
+        ),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        "click_ts",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias(
+            "gap_us"
+        ),
+    )
+    out = _drain_to_memory(joined, "strm_ss_left_join", "append")
+    # terminal-watermark threshold from the batch twin of the source
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    wm = (
+        e.groupBy()
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("mx")
+        )
+        .select((F.col("mx") - F.expr("INTERVAL 1 HOUR")).alias("w"))
+    )
+    return (
+        out.crossJoin(F.broadcast(wm))
+        .where(
+            F.col("purchase_id").isNotNull()
+            | (
+                F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+                <= F.col("w") - F.expr("INTERVAL 1 MINUTE")
+            )
+        )
+        .select("click_id", "purchase_id", "user_id", "gap_us")
+        .orderBy("click_id", "purchase_id")
+    )

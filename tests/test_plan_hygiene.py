@@ -147,6 +147,10 @@ def test_no_accidental_cartesian_anywhere(all_plans):
         "part_abc_pareto",               # single-row max/total broadcasts
         "customer_rfm_segments",         # single-row min/max + n broadcasts
         "customer_revenue_gini",         # single-row min/max bounds broadcast
+        "doc_shuffle_order",             # single-row min/max bounds broadcast
+        "doc_source_mixing_weights",     # single-row normalizer broadcast
+        "part_pagerank_step",            # single-row node-count broadcast
+        "events_stream_stream_left_join",  # single-row watermark threshold
         "warehouse_referential_audit",   # single-row count x count per check
         "monthly_revenue_seasonality",   # single-row OLS coefficient broadcast
         "orders_psi_drift",              # single-row baseline-total broadcast
@@ -176,6 +180,7 @@ def test_no_unbounded_global_window_anywhere(all_plans):
         "part_abc_pareto",
         "customer_rfm_segments",
         "customer_revenue_gini",
+        "doc_shuffle_order",
         # post-limit frame: rank runs AFTER orderBy().limit(100)
         # (TakeOrderedAndProject), so the window sees <= 100 rows
         "doc_zipf_fit",

@@ -1,0 +1,78 @@
+"""operators/ranks.py — the two-pass bucket-offset global row_number
+must be EXACTLY the single-window global row_number (same total order,
+same tiebreaks) while never planning a partition-less window over the
+data. The equivalence test is the load-bearing one: every consumer
+(customer_rfm_segments, customer_revenue_gini, doc_shuffle_order)
+replaced a global window with this helper on the strength of it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from financial_data_warehouse_automation_spark.operators.ranks import global_row_number
+
+
+def _skewed_df(spark, n=5000, seed=7):
+    """Integers with heavy ties and a skewed tail — the adversarial
+    shape for value-range bucketing (many rows share one bucket)."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.3:
+            v = 42          # hot value: 30% of rows tie
+        elif r < 0.6:
+            v = rng.randint(0, 10)
+        else:
+            v = rng.randint(0, 10_000_000)
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "id long, v long")
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_matches_single_window_row_number(spark, descending):
+    df = _skewed_df(spark)
+    got = global_row_number(df, "v", ("id",), "rnk", descending=descending)
+    order = [F.desc("v") if descending else F.asc("v"), F.asc("id")]
+    want = df.withColumn("rnk", F.row_number().over(Window.orderBy(*order)))
+    assert got.select("id", "rnk").exceptAll(
+        want.select("id", "rnk")
+    ).count() == 0
+    assert got.count() == want.count() == 5000
+
+
+def test_rank_is_a_permutation(spark):
+    df = _skewed_df(spark, n=3000, seed=11)
+    got = global_row_number(df, "v", ("id",), "rnk")
+    stats = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("rnk").alias("d"),
+        F.min("rnk").alias("lo"),
+        F.max("rnk").alias("hi"),
+    ).first()
+    assert (stats.n, stats.d, stats.lo, stats.hi) == (3000, 3000, 1, 3000)
+
+
+def test_no_partitionless_window_over_data(spark):
+    """The only empty-partition window in the plan is the <= n_buckets
+    offsets frame; the data-bearing window is partitioned by bucket."""
+    df = _skewed_df(spark, n=1000)
+    plan = (
+        global_row_number(df, "v", ("id",), "rnk")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    data_windows = [
+        ln for ln in plan.splitlines()
+        if re.search(r"\bWindow \[row_number", ln)
+    ]
+    assert data_windows, "row_number window missing from plan"
+    for ln in data_windows:
+        assert "__rnk_bkt" in ln.split("windowspecdefinition")[1][:80], (
+            f"row_number window not partitioned by bucket: {ln[:200]}"
+        )
