@@ -741,3 +741,131 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim_i", "dim_j")
     )
+
+
+def _sql_semdedup_oracle() -> str:
+    """DuckDB replay of the SemDeDup pipeline: same md5-derived sign
+    matrices inlined as literals (the _sql_rhp_oracle technique), same
+    left-fold cosine, same min-id drop rule."""
+    tables = [rademacher_signs(4, 64, seed=f"semdedup{t}") for t in range(2)]
+
+    def plane_dot(plane: list[float]) -> str:
+        lits = "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in plane) + "]"
+        return (
+            f"list_reduce(list_transform(generate_series(1, 64), "
+            f"j -> ({lits}::DOUBLE[])[j] * CAST(embedding[j] AS DOUBLE)), "
+            f"(x, y) -> x + y)"
+        )
+
+    selects = []
+    for t, planes in enumerate(tables):
+        bucket = " + ".join(
+            f"CASE WHEN {plane_dot(p)} >= 0 THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        )
+        selects.append(
+            f"SELECT vec_id, label, {t} AS tbl, {bucket} AS bucket "
+            f"FROM embeddings"
+        )
+    bucketed = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH bucketed AS (
+{bucketed}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bucketed a JOIN bucketed b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.label = b.label
+   AND a.vec_id < b.vec_id
+), dropped AS (
+  SELECT DISTINCT c.id_b
+  FROM cand c
+  JOIN embeddings x ON x.vec_id = c.id_a
+  JOIN embeddings y ON y.vec_id = c.id_b
+  WHERE {_sql_dot('x.embedding', 'y.embedding')}
+        / ({_sql_norm('x.embedding')} * {_sql_norm('y.embedding')}) >= 0.25
+)
+SELECT e.label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(d.id_b) AS BIGINT) AS n_dropped,
+       CAST(COALESCE(SUM(CASE WHEN d.id_b IS NOT NULL THEN e.vec_id END), 0)
+            AS BIGINT) AS drop_checksum
+FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.id_b
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "embedding_semantic_dedup",
+    tags=("similarity", "dedup", "semdedup", "llm-pipeline"),
+    oracle=_sql_semdedup_oracle(),
+)
+def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-space dedup (Abbas et al. 2023, public):
+    prune vectors that have an epsilon-near neighbor inside their
+    coarse cluster, keeping one representative. Cells are
+    (label, 4-bit RHP bucket) x 2 hash tables — the cluster bounds the
+    candidate set semantically, the RHP sub-bucket bounds it
+    COMBINATORIALLY (within-cell pairs grow with the square of cell
+    population; sub-bucketing caps the quadratic term the same way the
+    MinHash band join does for documents, and multiple tables recover
+    recall exactly as in ann_cosine_topk_rhp). Drop rule: a vector is
+    dropped iff some candidate neighbor with a LOWER vec_id clears the
+    cosine threshold — the deterministic keep-first analogue of the
+    paper's keep-one-per-ball, engine-replayable because both the
+    md5-derived hyperplanes and the left-fold cosine are bit-identical
+    in DuckDB. The synthetic corpus has no true near-dups (max pair
+    cosine ~0.47), so the threshold is 0.25 to exercise the drop path;
+    the operator is threshold-agnostic. Output: per-label census with
+    a dropped-id checksum, so every drop decision is hash-verified."""
+    e = load_table(spark, sf_dir, "embeddings")
+    tables = [rademacher_signs(4, 64, seed=f"semdedup{t}") for t in range(2)]
+    bucketed = None
+    for t, planes in enumerate(tables):
+        part = e.select(
+            "vec_id",
+            "label",
+            F.lit(t).alias("tbl"),
+            rhp_bucket(F.col("embedding"), planes).alias("bucket"),
+        )
+        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    a = bucketed.select(
+        F.col("tbl"), F.col("bucket"), F.col("label"),
+        F.col("vec_id").alias("id_a"),
+    )
+    b = bucketed.select(
+        F.col("tbl").alias("tbl2"), F.col("bucket").alias("bucket2"),
+        F.col("label").alias("label2"), F.col("vec_id").alias("id_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("tbl") == F.col("tbl2"))
+            & (F.col("bucket") == F.col("bucket2"))
+            & (F.col("label") == F.col("label2"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ex = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    ey = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    dropped = (
+        cand.join(ex, "id_a")
+        .join(ey, "id_b")
+        .where(cosine(F.col("va"), F.col("vb")) >= 0.25)
+        .select(F.col("id_b"))
+        .distinct()
+    )
+    return (
+        e.join(dropped, e.vec_id == dropped.id_b, "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("id_b").alias("n_dropped"),
+            F.coalesce(
+                F.sum(F.when(F.col("id_b").isNotNull(), F.col("vec_id"))),
+                F.lit(0),
+            ).alias("drop_checksum"),
+        )
+        .orderBy("label")
+    )
