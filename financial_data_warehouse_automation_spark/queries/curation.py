@@ -185,3 +185,99 @@ def doc_bpe_pair_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(20)
     )
+
+
+@query(
+    "doc_importance_resample",
+    tags=("text", "mixing", "sampling", "llm-pipeline"),
+    oracle=f"""
+WITH st AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+), p AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(ROUND(POWER(CAST(n_tokens AS DOUBLE), 0.5), 6)
+              AS DECIMAL(24,6)) AS pw
+  FROM st
+), tot AS (
+  SELECT SUM(pw) AS sum_pw, CAST(SUM(n_docs) AS BIGINT) AS n_total FROM p
+), keep_p AS (
+  SELECT p.source, p.n_docs,
+         LEAST(CAST(1.0 AS DOUBLE),
+               ROUND(CAST(p.pw AS DOUBLE) / CAST(t.sum_pw AS DOUBLE), 6)
+               * ((t.n_total + 1) // 2) / p.n_docs) AS pk
+  FROM p CROSS JOIN tot t
+), decided AS (
+  SELECT d.doc_id, d.source,
+         (CAST((d.doc_id * {_KNUTH}) % 2147483648 AS DOUBLE)
+          / CAST(2147483648 AS DOUBLE)) < k.pk AS kept
+  FROM documents d JOIN keep_p k ON d.source = k.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN kept THEN doc_id END), 0) AS BIGINT)
+         AS kept_checksum
+FROM decided GROUP BY 1 ORDER BY 1
+""",
+)
+def doc_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampling step that CONSUMES doc_source_mixing_weights: draw
+    a half-epoch corpus whose source mixture follows the temperature
+    weights, with a DETERMINISTIC per-document coin — u(doc) =
+    Knuth-hash(doc_id)/2^31 compared against the source's keep
+    probability (quota weight*T over source population, capped at 1).
+    A rand()-based sampler gives a different corpus per run and per
+    partition layout; the hash coin gives the same corpus on any
+    cluster, which is what makes ablations reproducible. Determinism
+    across engines: the keep probability chain is rounded at each
+    transcendental (the mixing-weights contract) and both u and pk are
+    single double expressions over exact int64 — no accumulation.
+    Shape: one source-grain aggregate, a |sources|-row broadcast onto
+    the doc scan, one output aggregate; per-doc work is a hash and a
+    compare. Output: per-source census + kept-id checksum, so every
+    individual keep/drop decision is hash-verified."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    st = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+    )
+    p = st.select(
+        "source",
+        "n_docs",
+        F.round(F.pow(F.col("n_tokens").cast("double"), 0.5), 6)
+        .cast("decimal(24,6)")
+        .alias("pw"),
+    )
+    tot = p.agg(
+        F.sum("pw").alias("sum_pw"),
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+    )
+    keep_p = p.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            F.round(F.col("pw").cast("double") / F.col("sum_pw").cast("double"), 6)
+            * F.floor((F.col("n_total") + 1) / 2)
+            / F.col("n_docs"),
+        ).alias("pk"),
+    )
+    u = ((F.col("doc_id") * _KNUTH) % 2147483648).cast("double") / F.lit(
+        2147483648.0
+    )
+    decided = d.join(F.broadcast(keep_p), "source").select(
+        "doc_id", "source", (u < F.col("pk")).alias("kept")
+    )
+    return (
+        decided.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("doc_id"))), F.lit(0)
+            ).alias("kept_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -2387,3 +2387,63 @@ def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "order_equidepth_bins",
+    tags=("agg", "histogram", "feature-engineering", "two-pass"),
+    oracle="""
+WITH v AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), ranked AS (
+  SELECT o_orderkey, cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM v
+)
+SELECT CAST((rnk - 1) * 16 // n AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(cents) AS BIGINT) AS lo_cents,
+       CAST(MAX(cents) AS BIGINT) AS hi_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM ranked GROUP BY 1 ORDER BY 1
+""",
+)
+def order_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning of order value into 16 buckets —
+    the feature-engineering discretization step (each bin holds the
+    same row count, so downstream models see a balanced categorical;
+    contrast order_value_histogram's fixed-WIDTH bins). bin =
+    (rank-1)*16 // n, pure integer arithmetic over the exact global
+    rank — and the rank is the two-pass bucket-offset row_number
+    (operators/ranks.py), so unlike an NTILE over an unpartitioned
+    window the plan's widest sort is one of 32 value bands, not all
+    orders. n arrives as a single-row broadcast. The per-bin min/max
+    are the learned bin EDGES a scorer would broadcast; sum_cents
+    checksums membership of every row."""
+    from financial_data_warehouse_automation_spark.operators.ranks import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    ranked = global_row_number(v, "cents", ("o_orderkey",), "rnk")
+    n_row = v.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n_row))
+        .groupBy(
+            F.floor((F.col("rnk") - 1) * 16 / F.col("n"))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("bin")
+    )

@@ -151,6 +151,8 @@ def test_no_accidental_cartesian_anywhere(all_plans):
         "doc_source_mixing_weights",     # single-row normalizer broadcast
         "part_pagerank_step",            # single-row node-count broadcast
         "events_stream_stream_left_join",  # single-row watermark threshold
+        "doc_importance_resample",       # single-row normalizer broadcast
+        "order_equidepth_bins",          # single-row bounds + n broadcasts
         "warehouse_referential_audit",   # single-row count x count per check
         "monthly_revenue_seasonality",   # single-row OLS coefficient broadcast
         "orders_psi_drift",              # single-row baseline-total broadcast
@@ -181,6 +183,7 @@ def test_no_unbounded_global_window_anywhere(all_plans):
         "customer_rfm_segments",
         "customer_revenue_gini",
         "doc_shuffle_order",
+        "order_equidepth_bins",
         # post-limit frame: rank runs AFTER orderBy().limit(100)
         # (TakeOrderedAndProject), so the window sees <= 100 rows
         "doc_zipf_fit",
