@@ -382,3 +382,78 @@ def run_event_mv_refresh(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over
+    protobuf; the runtime gate mirrors the openpyxl gate on the Excel
+    path (real implementation, registered only where the dependency
+    exists — this container has no protobuf and installs are out of
+    scope)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_stats_tws(events: DataFrame):
+    """Per-user running (n_events, cents, n_purchases) via
+    ``transformWithStateInPandas`` — Spark 4's arbitrary-stateful API
+    (StatefulProcessor + typed ValueState on the RocksDB store), the
+    successor to this module's ``applyInPandasWithState`` sessionizer.
+    State is ONE fixed-width tuple per user (bounded by |users|, not
+    |events|); each micro-batch folds its rows into the tuple and
+    emits the updated running totals, so the last emission per user
+    equals the batch aggregate — which is what the oracle checks.
+    Monetary rounding happens JVM-side BEFORE the processor (numpy
+    rounds half-to-even, Spark/DuckDB round half-up; ints only cross
+    the Arrow boundary). Requires protobuf (_tws_available)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _UserStats(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState(
+                "agg", "n BIGINT, cents BIGINT, np BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n = cents = npur = 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+                npur += int(pdf["is_purchase"].sum())
+            if self._state.exists():
+                pn, pc, pp = self._state.get()
+            else:
+                pn = pc = pp = 0
+            self._state.update((pn + n, pc + cents, pp + npur))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [pn + n],
+                    "cents": [pc + cents],
+                    "n_purchases": [pp + npur],
+                }
+            )
+
+        def close(self):
+            pass
+
+    src = events.select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("is_purchase"),
+    )
+    return src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserStats(),
+        outputStructType=(
+            "user_id BIGINT, n_events BIGINT, cents BIGINT, n_purchases BIGINT"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -408,3 +408,181 @@ def test_stream_mv_refresh_multibatch_and_retry_idempotent(
         )
     )
     assert total_after == sum(v[0] for v in before.values()) + add
+
+
+def test_stream_left_outer_join_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """LEFT OUTER stream-stream join across MULTIPLE micro-batches:
+    unmatched clicks must surface as NULL rows exactly when the global
+    watermark passes their match window — splitting the source into
+    chronological files forces the watermark to advance batch by batch,
+    so eviction (not end-of-stream cleanup) produces the NULL rows.
+    Within the terminal-watermark boundary the drained output must
+    equal the batch left join row-for-row."""
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    src = str(tmp_path / "ev_lj_src")
+    ts_us = F.unix_micros("ts")
+    cuts = events.agg(
+        F.expr("percentile_approx(unix_micros(ts), array(0.33, 0.66))")
+    ).collect()[0][0]
+    events.where(ts_us <= cuts[0]).coalesce(1).write.mode("append").parquet(src)
+    events.where((ts_us > cuts[0]) & (ts_us <= cuts[1])).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    events.where(ts_us > cuts[1]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND purchase_ts >= click_ts "
+            "AND purchase_ts <= click_ts + interval 30 minutes"
+        ),
+        "left_outer",
+    ).select("click_id", "purchase_id", "click_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("lj_mb")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    wm = events.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+            - F.expr("INTERVAL 1 HOUR")
+        ).alias("w")
+    ).collect()[0][0]
+
+    drained = spark.table("lj_mb")
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in drained.where(
+            F.col("purchase_id").isNotNull()
+            | (
+                F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+                <= F.lit(wm) - F.expr("INTERVAL 1 MINUTE")
+            )
+        ).collect()
+    }
+
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        "left",
+    )
+    expected = {
+        (r.click_id, r.purchase_id)
+        for r in batch.where(
+            F.col("purchase_id").isNotNull()
+            | (
+                F.col("cts") + F.expr("INTERVAL 30 MINUTES")
+                <= F.lit(wm) - F.expr("INTERVAL 1 MINUTE")
+            )
+        ).collect()
+    }
+    assert got == expected
+    # the multi-batch split actually produced evicted NULL rows
+    assert any(p is None for _, p in got)
+
+
+def test_transform_with_state_user_stats_equals_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-stateful API):
+    the last emission per user must equal the batch per-user aggregate.
+    Env-gated like the openpyxl Excel path: the API's Python runner
+    needs protobuf, absent in this container — the test runs wherever
+    the dependency exists."""
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        _tws_available,
+        user_stats_tws,
+    )
+
+    if not _tws_available():
+        pytest.skip("google.protobuf not installed: transformWithState "
+                    "Python runner unavailable in this environment")
+
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    src = str(tmp_path / "tws_src")
+    events.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            user_stats_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_stats")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+    final = (
+        spark.table("tws_stats")
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("n_events", "cents", "n_purchases"), "n_events").alias("s"))
+        .select("user_id", "s.*")
+    )
+    got = {tuple(r) for r in final.collect()}
+    want = {
+        tuple(r)
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases"),
+        )
+        .collect()
+    }
+    assert got == want
