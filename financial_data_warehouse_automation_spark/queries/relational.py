@@ -1690,6 +1690,10 @@ def source_linegen_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the relation is synthesized, which is the point.)"""
     from financial_data_warehouse_automation_spark.sources.linegen import LineGenDataSource
 
+    # runtime conf, not just session-factory default: the driver's gate
+    # may hand us ITS OWN SparkSession, and a reader that implements
+    # pushFilters() hard-errors when the flag is off
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:  # idempotent under repeated registration in one session
         spark.dataSource.register(LineGenDataSource)
     except Exception:
@@ -1745,6 +1749,7 @@ def source_linegen_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from financial_data_warehouse_automation_spark.sources.linegen import LineGenDataSource
 
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(LineGenDataSource)
     except Exception:
@@ -2446,4 +2451,162 @@ def order_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("sum_cents"),
         )
         .orderBy("bin")
+    )
+
+
+def _zorder_sql() -> str:
+    """DuckDB twin of the Morton interleave below — same normalization
+    and unrolled bit expression, pure int64 (both engines' <<, >>, &
+    and // agree on non-negative operands)."""
+    x_terms = " + ".join(
+        f"(((xn >> {i}) & 1) << {2 * i})" for i in range(16)
+    )
+    y_terms = " + ".join(
+        f"(((yn >> {i}) & 1) << {2 * i + 1})" for i in range(16)
+    )
+    return f"""
+WITH base AS (
+  SELECT o_custkey AS x,
+         CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS y,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), mx AS (
+  SELECT MAX(x) AS mx, MAX(y) AS my FROM base
+), norm AS (
+  SELECT x, y, cents,
+         (x * 65536) // (m.mx + 1) AS xn,
+         (y * 65536) // (m.my + 1) AS yn
+  FROM base CROSS JOIN mx m
+), z AS (
+  SELECT x, y, cents, ({x_terms}) + ({y_terms}) AS zval
+  FROM norm
+)
+SELECT CAST(zval >> 27 AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(x) AS BIGINT) AS min_cust, CAST(MAX(x) AS BIGINT) AS max_cust,
+       CAST(MIN(y) AS BIGINT) AS min_day, CAST(MAX(y) AS BIGINT) AS max_day,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "orders_zorder_layout",
+    tags=("layout", "zorder", "clustering", "data-skipping"),
+    oracle=_zorder_sql(),
+)
+def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering key over (custkey, order day)
+    — the multi-dimensional data-layout lever behind parquet row-group
+    skipping: writing files in zval order bounds BOTH dimensions\'
+    min/max inside every file, so a later scan filtered on EITHER
+    customer or date range prunes most files (a single-column sort
+    only bounds one). Both dimensions normalize to 16-bit range by
+    exact integer scaling (scale-invariant: the same 32 buckets at
+    any SF), then interleave as an unrolled pure-int64 bit expression
+    (no UDF, identical in DuckDB). Each top-5-bit zbucket = what one
+    z-sorted file\'s footer stats would show; tests/test_round4_ops.py
+    asserts every bucket\'s custkey span <= global/4 and day span <=
+    global/8 — exactly the locality data skipping depends on. Shape:
+    scan -> single-row max broadcast -> map-side bit math -> one
+    32-key aggregate; no sort is needed to MEASURE the layout (an
+    actual rewrite would repartitionByRange on zval — an intentional
+    shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_custkey").alias("x"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("y"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    mx = base.agg(F.max("x").alias("mx"), F.max("y").alias("my"))
+    norm = base.crossJoin(F.broadcast(mx)).select(
+        "x",
+        "y",
+        "cents",
+        F.floor(F.col("x") * 65536 / (F.col("mx") + 1)).cast("long").alias("xn"),
+        F.floor(F.col("y") * 65536 / (F.col("my") + 1)).cast("long").alias("yn"),
+    )
+    zval = None
+    for i in range(16):
+        xt = F.shiftleft(F.shiftrightunsigned(F.col("xn"), i) % 2, 2 * i)
+        yt = F.shiftleft(F.shiftrightunsigned(F.col("yn"), i) % 2, 2 * i + 1)
+        term = xt + yt
+        zval = term if zval is None else zval + term
+    z = norm.withColumn("zval", zval)
+    return (
+        z.groupBy(
+            F.shiftrightunsigned(F.col("zval"), 27).cast("bigint").alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("x").alias("min_cust"),
+            F.max("x").alias("max_cust"),
+            F.min("y").alias("min_day"),
+            F.max("y").alias("max_day"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+@query(
+    "source_linegen_pushdown_agg",
+    tags=("source", "datasource-api", "pushdown", "agg"),
+    oracle="""
+WITH gen AS (
+  SELECT i,
+         md5(CAST(i AS VARCHAR)) AS key,
+         (i % 997) / CAST(100 AS DOUBLE) AS amount
+  FROM generate_series(0, 19999) t(i)
+)
+SELECT substr(key, 1, 1) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(amount * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(MIN(i) AS BIGINT) AS min_i,
+       CAST(MAX(i) AS BIGINT) AS max_i
+FROM gen WHERE i >= 5000 AND i < 15000
+GROUP BY 1 ORDER BY 1
+""",
+)
+def source_linegen_pushdown_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """source_linegen_agg's filtered sibling, exercising the Spark 4.1
+    Python DataSource FILTER PUSHDOWN API: the ``i`` range predicate
+    reaches LineGenReader.pushFilters, which narrows the generated key
+    space itself — partitions() plans only [5000, 15000) and executors
+    never materialize an out-of-range row (a real connector turns the
+    same filters into WHERE clauses or offset seeks; the unit pin is in
+    tests/test_sources.py). The oracle applies the identical predicate
+    to the DuckDB replay, so the hash certifies that pushdown changed
+    WHERE the filtering happens, not WHAT survives it. (sf_dir unused:
+    the relation is synthesized.)"""
+    from financial_data_warehouse_automation_spark.sources.linegen import LineGenDataSource
+
+    # runtime conf, not just session-factory default: the driver's gate
+    # may hand us ITS OWN SparkSession, and a reader that implements
+    # pushFilters() hard-errors when the flag is off
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:  # idempotent under repeated registration in one session
+        spark.dataSource.register(LineGenDataSource)
+    except Exception:
+        pass
+    gen = (
+        spark.read.format("linegen")
+        .option("rows", 20000)
+        .option("numpartitions", 8)
+        .load()
+        .where((F.col("i") >= 5000) & (F.col("i") < 15000))
+    )
+    return (
+        gen.groupBy(F.substring("key", 1, 1).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("amount") * 100, 0).cast("bigint")).alias(
+                "cents"
+            ),
+            F.min("i").alias("min_i"),
+            F.max("i").alias("max_i"),
+        )
+        .orderBy("bucket")
     )

@@ -42,12 +42,59 @@ class LineGenReader(DataSourceReader):
     def __init__(self, options):
         self.n_rows = int(options.get("rows", 1000))
         self.n_parts = int(options.get("numpartitions", 4))
+        self.lo = 0          # narrowed by pushFilters
+        self.hi = self.n_rows
+
+    def pushFilters(self, filters):
+        """Native range pushdown (Spark 4.1 DataSource filter API): the
+        generator's id column IS its key space, so comparison filters
+        on ``i`` narrow the generated range itself — the planner then
+        splits only [lo, hi) and executors never materialize filtered
+        rows at all (the same move a database connector makes turning
+        predicates into WHERE clauses, or a queue source into offset
+        seeks). Unhandled filters are returned for Spark to evaluate;
+        handled ones are fully consumed here. Pinned by
+        tests/test_sources.py: a narrowed plan generates ZERO
+        out-of-range rows, not filter-after-the-fact."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        remaining = []
+        for f in filters:
+            attr = tuple(getattr(f, "attribute", ()) or ())
+            if attr == ("i",) and isinstance(getattr(f, "value", None), int):
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, f.value)
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+            remaining.append(f)
+        return remaining
 
     def partitions(self):
-        step = -(-self.n_rows // self.n_parts)  # ceil div
+        lo, hi = self.lo, max(self.lo, self.hi)
+        span = hi - lo
+        if span == 0:
+            return [_Range(0, 0)]
+        step = -(-span // self.n_parts)  # ceil div
         return [
-            _Range(s, min(s + step, self.n_rows))
-            for s in range(0, self.n_rows, step)
+            _Range(s, min(s + step, hi)) for s in range(lo, hi, step)
         ]
 
     def read(self, partition: _Range):

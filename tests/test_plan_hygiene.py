@@ -153,6 +153,7 @@ def test_no_accidental_cartesian_anywhere(all_plans):
         "events_stream_stream_left_join",  # single-row watermark threshold
         "doc_importance_resample",       # single-row normalizer broadcast
         "order_equidepth_bins",          # single-row bounds + n broadcasts
+        "orders_zorder_layout",          # single-row max broadcast (normalizer)
         "warehouse_referential_audit",   # single-row count x count per check
         "monthly_revenue_seasonality",   # single-row OLS coefficient broadcast
         "orders_psi_drift",              # single-row baseline-total broadcast

@@ -247,3 +247,26 @@ def test_seasonality_residuals_sum_to_zero(spark, sf_dir):
     got = _run(spark, sf_dir, "monthly_revenue_seasonality")
     weighted = (got.seasonal_cents * got.n_years).sum()
     assert abs(weighted) < 1.0, weighted  # cents-scale values, ~1e9 magnitude
+
+
+def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
+    """The locality property data skipping depends on: every z-bucket's
+    span in EACH dimension is a bounded fraction of the global span
+    (top-5 z-bits = 2 custkey bits + 3 day bits -> spans <= 1/4 and
+    <= 1/8 of the global range, + 1 normalization-rounding slack)."""
+    got = _run(spark, sf_dir, "orders_zorder_layout")
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    days = (
+        pd.to_datetime(orders["o_orderdate"]).dt.normalize()
+        - pd.Timestamp("1992-01-01")
+    ).dt.days
+    # bounds follow the normalization denominators (max+1), not the
+    # observed span: top-5 z-bits fix 2 custkey bits and 3 day bits
+    cust_bound = (orders["o_custkey"].max() + 1) / 4 + 1
+    day_bound = (days.max() + 1) / 8 + 1
+    assert len(got) >= 8  # the curve actually fans out
+    for _, r in got.iterrows():
+        assert r.max_cust - r.min_cust <= cust_bound, r
+        assert r.max_day - r.min_day <= day_bound, r
+    # and together the buckets cover every order exactly once
+    assert got.n_orders.sum() == len(orders)

@@ -165,3 +165,40 @@ def test_custom_python_datasource_streaming_offsets(spark, tmp_path):
     r1 = list(LineGenStreamReader({}).readBetweenOffsets({"i": 40}, {"i": 60}))
     r2 = list(LineGenStreamReader({}).readBetweenOffsets({"i": 40}, {"i": 60}))
     assert r1 == r2 and len(r1) == 20 and r1[0][0] == 40
+
+
+def test_linegen_filter_pushdown_narrows_planned_partitions():
+    """pushFilters must consume i-range predicates (the planner then
+    splits only the narrowed range — zero out-of-range rows are ever
+    generated) and hand every other filter back to Spark."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThanOrEqual,
+        LessThan,
+        StringStartsWith,
+    )
+
+    from financial_data_warehouse_automation_spark.sources.linegen import LineGenReader
+
+    r = LineGenReader({"rows": "20000", "numpartitions": "4"})
+    leftover = r.pushFilters([
+        GreaterThanOrEqual(("i",), 5000),
+        LessThan(("i",), 15000),
+        StringStartsWith(("key",), "a"),
+    ])
+    assert [type(f).__name__ for f in leftover] == ["StringStartsWith"]
+    parts = r.partitions()
+    assert parts[0].start == 5000 and parts[-1].end == 15000
+    covered = sum(p.end - p.start for p in parts)
+    assert covered == 10000  # contiguous, nothing outside the range
+
+    # equality collapses to a single id
+    r2 = LineGenReader({"rows": "100", "numpartitions": "4"})
+    assert r2.pushFilters([EqualTo(("i",), 42)]) == []
+    p2 = r2.partitions()
+    assert sum(p.end - p.start for p in p2) == 1 and p2[0].start == 42
+
+    # contradictory range -> empty plan, not a crash
+    r3 = LineGenReader({"rows": "100", "numpartitions": "4"})
+    r3.pushFilters([GreaterThanOrEqual(("i",), 90), LessThan(("i",), 10)])
+    assert sum(p.end - p.start for p in r3.partitions()) == 0
