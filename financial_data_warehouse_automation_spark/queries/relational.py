@@ -2610,3 +2610,62 @@ def source_linegen_pushdown_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_REACH_SQL_BODY = """
+WITH RECURSIVE op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), e0 AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), e AS (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL SELECT b AS src, a AS dst FROM e0
+), seeds AS (
+  SELECT src AS seed FROM (
+    SELECT src, COUNT(*) AS dg FROM e GROUP BY 1
+    ORDER BY dg DESC, src LIMIT 20
+  ) hubs
+), walk(seed, node, hop) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION ALL
+  SELECT w.seed, e.dst, w.hop + 1
+  FROM walk w JOIN e ON e.src = w.node
+  WHERE w.hop < 3
+), reach AS (
+  SELECT seed, node, MIN(hop) AS hop FROM walk GROUP BY 1, 2
+)
+SELECT hop,
+       CAST(COUNT(*) AS BIGINT) AS n_reachable,
+       CAST(COUNT(DISTINCT seed) AS BIGINT) AS n_seeds,
+       CAST(SUM(node) AS BIGINT) AS node_checksum
+FROM reach GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "part_reach_3hops",
+    tags=("graph", "sql", "recursive-cte", "bfs"),
+    oracle=_REACH_SQL_BODY,
+)
+def part_reach_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-source BFS as a RECURSIVE CTE (Spark 4 WITH
+    RECURSIVE — a whole SQL-surface capability the engine gains for
+    free, run through the same front door as sql_shipping_priority):
+    from the 20 highest-degree hub parts, walk the co-purchase graph
+    up to 3 hops and report the min-hop reachability census per ring.
+    The IDENTICAL SQL text runs as the DuckDB oracle. Iterative-DF
+    siblings: part_pagerank_step (fixed-point arithmetic),
+    dedup_cluster_components (unbounded closure); the recursion here
+    is Spark's own loop-until-empty-frontier execution of the UNION
+    ALL step — each iteration is one frontier-to-edges equi-join.
+    Scale: frontier size is bounded by (seeds x deg^hops) with
+    seeds and depth fixed — the standard guard that keeps a
+    recursive graph query from becoming all-pairs; the edge set
+    reuses the basket-bounded pair expansion."""
+    from financial_data_warehouse_automation_spark.tables import register_views
+
+    register_views(spark, sf_dir, names=("lineitem",))
+    return spark.sql(_REACH_SQL_BODY)
