@@ -55,9 +55,28 @@ def rademacher_signs(n_planes: int, dim: int, seed: str = "rhp") -> list[list[fl
     return planes
 
 
-def rhp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def rhp_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     """Bucket id = sign-bit pattern of the vector against each
-    hyperplane (b planes → 2^b buckets), pure expressions."""
+    hyperplane (b planes → 2^b buckets), pure expressions.
+
+    Pass the vector column NAME (str) where possible: the whole bucket
+    then compiles as ONE ``F.expr`` SQL string parsed JVM-side — the
+    Column-object formulation is ~70 py4j round trips PER PLANE
+    (b planes x dim literals), which at 8 tables x 4 planes was ~2.3s
+    of pure DataFrame construction in ann_cosine_topk_rhp (profiled
+    round 5; the round-5 minhash find, same class). Both paths emit
+    the identical left-fold dot product, so oracles are unaffected."""
+    if isinstance(vec, str):
+        terms = []
+        for i, plane in enumerate(planes):
+            arr = ", ".join("1.0D" if s > 0 else "-1.0D" for s in plane)
+            d = (
+                f"aggregate(zip_with({vec}, array({arr}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            )
+            terms.append(f"(CASE WHEN {d} >= 0.0D THEN {1 << i} ELSE 0 END)")
+        return F.expr(" + ".join(terms))
     bucket = F.lit(0)
     for i, plane in enumerate(planes):
         signs = F.array(*[F.lit(s) for s in plane])

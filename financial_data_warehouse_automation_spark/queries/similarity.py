@@ -164,7 +164,7 @@ def ann_cosine_topk_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = [rademacher_signs(4, 64, seed=f"rhp{t}") for t in range(8)]
 
     def with_buckets(df: DataFrame, vec: str, id_alias: str, vec_alias: str) -> DataFrame:
-        buckets = F.array(*[rhp_bucket(F.col(vec), planes) for planes in tables])
+        buckets = F.array(*[rhp_bucket(vec, planes) for planes in tables])
         return df.select(
             F.col("vec_id").alias(id_alias),
             F.col(vec).alias(vec_alias),
@@ -825,7 +825,7 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             F.lit(t).alias("tbl"),
-            rhp_bucket(F.col("embedding"), planes).alias("bucket"),
+            rhp_bucket("embedding", planes).alias("bucket"),
         )
         bucketed = part if bucketed is None else bucketed.unionByName(part)
     a = bucketed.select(

@@ -83,7 +83,7 @@ def test_semantic_dedup_candidates_subset_of_exact(spark, sf_dir):
     for t, planes in enumerate(tables):
         part = e.select(
             "vec_id", "label", F.lit(t).alias("tbl"),
-            rhp_bucket(F.col("embedding"), planes).alias("bucket"),
+            rhp_bucket("embedding", planes).alias("bucket"),
         )
         bucketed = part if bucketed is None else bucketed.unionByName(part)
     aa = bucketed.select("tbl", "bucket", "label", F.col("vec_id").alias("id_a"))
