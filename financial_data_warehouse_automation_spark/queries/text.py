@@ -1807,3 +1807,90 @@ def doc_dedup_dropset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("drop_doc_id")
     )
+
+
+@query(
+    "doc_containment_pairs",
+    tags=("text", "dedup", "containment", "llm-pipeline"),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM toks
+  WHERE len(t) >= 3
+), sh AS (
+  SELECT doc_id, list_distinct(list(array_to_string(t[i:i+2], ' '))) AS s
+  FROM pos GROUP BY doc_id, t
+), sizes AS (
+  SELECT doc_id, len(s) AS n FROM sh
+), ex AS (
+  SELECT doc_id, unnest(s) AS shingle FROM sh
+), keep AS (
+  SELECT shingle FROM ex GROUP BY 1 HAVING COUNT(*) <= 50
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM ex a
+  JOIN keep k ON a.shingle = k.shingle
+  JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b, s.n_shared,
+       ROUND(CAST(s.n_shared AS DOUBLE)
+             / LEAST(sa.n, sb.n), 6) AS containment
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.id_a
+JOIN sizes sb ON sb.doc_id = s.id_b
+WHERE CAST(s.n_shared AS DOUBLE) / LEAST(sa.n, sb.n) >= 0.8
+ORDER BY id_a, id_b
+""",
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT dedup: pairs where the smaller document's
+    3-gram shingle set is >= 80% inside the larger's — the asymmetric
+    relation (quotes, boilerplate wrappers, excerpt pages) that
+    symmetric Jaccard under-scores: a 100-shingle doc fully contained
+    in a 1000-shingle doc has Jaccard 0.1 but containment 1.0, so the
+    LSH/Jaccard path never surfaces it. Candidates come from the
+    shingle-keyed INVERTED INDEX (the doc_decontaminate_splits shape,
+    turned within-corpus): explode distinct shingles, drop
+    stop-shingles appearing in > 50 docs (caps each shingle's pair
+    fan-out — the standard guard that keeps the self-join off the
+    corpus's common phrases), self-join on the shingle, count shared
+    per pair. Length blocking CANNOT generate these candidates — a
+    contained doc and its container are in different length windows by
+    construction — which is why this query exists alongside
+    doc_shingle_jaccard_blocked. All counts exact int64; the
+    containment ratio is one int/int double division, rounded."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    sh = t.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("toks"), 3)).alias("s")
+    )
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
+    keep = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") <= 50
+    ).select("shingle")
+    a = ex.join(keep, "shingle")
+    b = ex.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh_b"))
+    shared = (
+        a.join(b, (F.col("shingle") == F.col("sh_b")) & (F.col("doc_id") < F.col("id_b")))
+        .groupBy(F.col("doc_id").alias("id_a"), F.col("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    cont = F.col("n_shared").cast("double") / F.least("na", "nb")
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(cont >= 0.8)
+        .select(
+            "id_a", "id_b", "n_shared", F.round(cont, 6).alias("containment")
+        )
+        .orderBy("id_a", "id_b")
+    )

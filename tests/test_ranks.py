@@ -76,3 +76,41 @@ def test_no_partitionless_window_over_data(spark):
         assert "__rnk_bkt" in ln.split("windowspecdefinition")[1][:80], (
             f"row_number window not partitioned by bucket: {ln[:200]}"
         )
+
+
+def test_hypothesis_matches_python_sort(spark):
+    """Property: for ANY multiset of int64 values (hypothesis-generated,
+    duplicates and extremes included), the two-pass rank equals the
+    rank from a plain Python sort of (value, id) — checked against
+    ground truth computed OUTSIDE Spark, so a bug shared by both
+    window formulations cannot hide it."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            min_size=1,
+            max_size=120,
+        ),
+        descending=st.booleans(),
+    )
+    def check(vals, descending):
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "id long, v long")
+        got = {
+            r.id: r.rnk
+            for r in global_row_number(
+                df, "v", ("id",), "rnk", descending=descending
+            ).collect()
+        }
+        ordered = sorted(rows, key=lambda t: (-t[1] if descending else t[1], t[0]))
+        want = {rid: pos + 1 for pos, (rid, _) in enumerate(ordered)}
+        assert got == want
+
+    check()
