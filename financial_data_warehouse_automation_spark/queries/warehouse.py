@@ -260,42 +260,45 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     (build_warehouse.py's Open/Resolved ledger tracks only missing
     mappings). Money is summed as exact integer cents so the equality
     test between snapshots cannot be poisoned by double addition order.
-    Shape: both snapshots aggregate the SAME scan (Spark reuses the
-    exchange), full-outer join on the customer key, and the unchanged
-    majority is filtered before any downstream consumer — at 100 TB
-    snapshots would be stored aggregates and this is one co-partitioned
-    join + filter."""
+    Shape: the cutoffs are NESTED (every pre-1996 order is also
+    pre-1997), so BOTH snapshots come from ONE conditional aggregate
+    over one scan — no second scan, no full-outer join, one
+    customer-key shuffle total. Round 5 replaced the two-aggregate +
+    full-outer formulation: its docstring claimed Spark would reuse
+    the exchange, but the differing cutoff filters make the subtrees
+    non-identical, so the executed plan actually ran 4 scans and 6
+    exchanges (now 1 and 1 — pinned in test_plan_hygiene.py). A
+    customer 'added' between snapshots is one whose pre-A order count
+    is zero. The DuckDB oracle keeps the textbook two-snapshot FULL
+    OUTER JOIN formulation, so the hash also proves the rewrite
+    equivalent. At 100 TB with NON-nested snapshots, stored aggregates
+    + one co-partitioned join is the fallback."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
-
-    def snap(cutoff: str, prefix: str) -> DataFrame:
-        return (
-            o.where(F.col("o_orderdate") < cutoff)
-            .groupBy(F.col("o_custkey").alias(f"{prefix}_custkey"))
-            .agg(
-                F.count(F.lit(1)).alias(f"{prefix}_n"),
-                F.sum(cents).alias(f"{prefix}_cents"),
-            )
+    in_a = F.col("o_orderdate") < "1996-01-01"
+    per_cust = (
+        o.where(F.col("o_orderdate") < "1997-01-01")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.when(in_a, 1)).alias("a_n"),
+            F.coalesce(F.sum(F.when(in_a, cents)), F.lit(0)).alias("a_cents"),
+            F.count(F.lit(1)).alias("b_n"),
+            F.sum(cents).alias("b_cents"),
         )
-
-    a = snap("1996-01-01", "a")
-    b = snap("1997-01-01", "b")
+    )
     return (
-        a.join(b, a.a_custkey == b.b_custkey, "full_outer")
-        .where(
-            F.col("a_custkey").isNull()
+        per_cust.where(
+            (F.col("a_n") == 0)
             | (F.col("b_n") != F.col("a_n"))
             | (F.col("b_cents") != F.col("a_cents"))
         )
         .select(
-            F.coalesce("b_custkey", "a_custkey").alias("custkey"),
-            F.when(F.col("a_custkey").isNull(), "added")
+            "custkey",
+            F.when(F.col("a_n") == 0, "added")
             .otherwise("changed")
             .alias("change_type"),
-            (F.coalesce("b_n", F.lit(0)) - F.coalesce("a_n", F.lit(0)))
-            .cast("long")
-            .alias("delta_orders"),
-            (F.coalesce("b_cents", F.lit(0)) - F.coalesce("a_cents", F.lit(0)))
+            (F.col("b_n") - F.col("a_n")).cast("long").alias("delta_orders"),
+            (F.col("b_cents") - F.col("a_cents"))
             .cast("long")
             .alias("delta_cents"),
         )

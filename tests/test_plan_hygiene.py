@@ -167,6 +167,16 @@ def test_no_accidental_cartesian_anywhere(all_plans):
     assert not offenders, f"unexpected non-equi join plans: {offenders}"
 
 
+def test_snapshot_diff_single_pass(all_plans):
+    """warehouse_snapshot_diff's nested cutoffs fold both snapshots
+    into ONE conditional aggregate: the plan must contain no join
+    operator at all (the round-4 formulation full-outer-joined two
+    separately aggregated scans — its claimed exchange reuse never
+    happened because the cutoff filters made the subtrees differ)."""
+    plan = all_plans["warehouse_snapshot_diff"]
+    assert "Join" not in plan, "snapshot diff regressed to a join formulation"
+
+
 def test_no_unbounded_global_window_anywhere(all_plans):
     """Registry-wide sweep: no query's physical plan may contain a
     Window with an EMPTY partition spec over an uncapped input — the
