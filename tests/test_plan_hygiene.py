@@ -19,19 +19,73 @@ def _plan(spark, name, sf_dir) -> str:
 
 
 @pytest.fixture(scope="session")
-def all_plans(spark, sf_dir) -> dict[str, str]:
-    """Executed-plan text for every registered query, built ONCE per
-    test session — the registry-wide sweeps (cartesian, global-window)
-    all read from here instead of re-running the builders (some of
-    which, e.g. the streaming drains, are expensive)."""
+def all_plan_objs(spark, sf_dir) -> dict:
+    """Executed SparkPlan (JVM object) for every registered query,
+    built ONCE per test session — the registry-wide sweeps (cartesian,
+    global-window, single-row-broadcast proofs) all read from here
+    instead of re-running the builders (some of which, e.g. the
+    streaming drains, are expensive)."""
     plans = {}
     for name, spec in load_all().items():
         try:
             plans[name] = spec.builder(spark, sf_dir)._jdf.queryExecution(
-            ).executedPlan().toString()
+            ).executedPlan()
         except Exception:  # streaming-only / fixture-path builders
             continue
     return plans
+
+
+@pytest.fixture(scope="session")
+def all_plans(all_plan_objs) -> dict[str, str]:
+    return {n: p.toString() for n, p in all_plan_objs.items()}
+
+
+def _walk(node, depth=0):
+    """Preorder walk of a SparkPlan JVM tree, descending through AQE
+    wrappers (QueryStageExec carries its subtree in plan())."""
+    name = node.getClass().getSimpleName()
+    yield name, node, depth
+    if name.endswith("QueryStageExec"):
+        yield from _walk(node.plan(), depth + 1)
+        return
+    if name == "AdaptiveSparkPlanExec":
+        yield from _walk(node.executedPlan(), depth + 1)
+        return
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i), depth + 1)
+
+
+def _bnlj_broadcasts_single_row(plan_obj) -> bool:
+    """True iff EVERY BroadcastNestedLoopJoin in the plan broadcasts a
+    provably <= 1-row side: its broadcast child's shallowest aggregate
+    has NO grouping keys (a grouping-free aggregate emits exactly one
+    row). This replaces ~20 name-based allow-list entries with a
+    structural proof — a query that crossJoins a small-but-growing
+    frame no longer sails through on its name."""
+    for name, node, _ in _walk(plan_obj):
+        if name != "BroadcastNestedLoopJoinExec":
+            continue
+        ch = node.children()
+        ok = False
+        for i in range(ch.size()):
+            c = ch.apply(i)
+            croot = c.getClass().getSimpleName()
+            if not (
+                croot.startswith("BroadcastExchange")
+                or croot == "BroadcastQueryStageExec"
+                or croot == "ReusedExchangeExec"
+            ):
+                continue
+            # first aggregate in preorder = the final (outermost) agg
+            for sub_name, sub_node, _ in _walk(c):
+                if sub_name.endswith("AggregateExec"):
+                    ok = bool(sub_node.groupingExpressions().isEmpty())
+                    break
+            break
+        if not ok:
+            return False
+    return True
 
 
 def _unpartitioned_windows(plan: str) -> list[str]:
@@ -117,53 +171,39 @@ def test_lsh_join_is_bucketed_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_no_accidental_cartesian_anywhere(all_plans):
+def test_no_accidental_cartesian_anywhere(all_plans, all_plan_objs):
     """Registry-wide sweep: no query's physical plan may contain a
-    CartesianProduct, and BroadcastNestedLoopJoin is allowed only where
-    a non-equi join is the *intended* algorithm over a bounded
-    broadcast side (the range join; the subset-bounded brute-force
-    pair generators). Catches a refactor that silently drops an equi
-    condition and explodes at scale."""
-    bnlj_ok = {
+    CartesianProduct, and BroadcastNestedLoopJoin is allowed only if
+    (a) the broadcast side is PROVABLY single-row — a grouping-free
+    aggregate, verified structurally on the plan tree (the scalar
+    normalizer/threshold/bounds broadcasts ~20 queries use) — or
+    (b) the query is name-listed below as an intended non-equi join
+    over a bounded multi-row side (the range join; subset-bounded
+    brute-force pair generators; broadcast probe sets). Catches a
+    refactor that silently drops an equi condition and explodes at
+    scale — and, since round 5, one that crossJoins a small-but-
+    GROWING frame, which the old name-based allow-list would have
+    rubber-stamped."""
+    bnlj_bounded = {
         "events_range_join_quarters",   # quarter intervals: bounded build side
-        "gap_fill_pending_revenue",     # month spine × 5 priorities axis
+        "gap_fill_pending_revenue",     # month spine x 5 priorities axis
         "doc_jaccard_pairs_brute",      # 100-doc anchor subset, by design
-        "part_name_similarity",         # bounded sample × sample pairs
+        "part_name_similarity",         # bounded sample x sample pairs
         "embedding_near_dup_pairs",     # bounded probe set vs corpus
         "ann_cosine_topk_brute",        # broadcast probes over corpus
         "ann_cosine_topk_quantized",    # broadcast probes, int8 candidate gen
         "ann_cosine_topk_rhp",
         "ann_cosine_topk_ivf",
         "ann_cosine_topk_ivf_kmeans",
-        "kmeans_lloyd_step",             # broadcast k centroids over corpus
-        "doc_tfidf_top_terms",           # single-row N scalar broadcast
-        "doc_bm25_search",               # single-row N/avgdl scalar broadcast
-        "doc_unigram_logprob",           # single-row n_total scalar broadcast
-        "q22_idle_rich_customers",       # single-row scalar AVG threshold
-        "q11_important_parts",           # single-row global-total threshold
-        "doc_kl_divergence",             # single-row corpus-total broadcast
-        "part_basket_affinity",          # single-row order-total broadcast
-        "orders_benford_audit",          # single-row grand-total broadcast
-        "part_abc_pareto",               # single-row max/total broadcasts
-        "customer_rfm_segments",         # single-row min/max + n broadcasts
-        "customer_revenue_gini",         # single-row min/max bounds broadcast
-        "doc_shuffle_order",             # single-row min/max bounds broadcast
-        "doc_source_mixing_weights",     # single-row normalizer broadcast
-        "part_pagerank_step",            # single-row node-count broadcast
-        "events_stream_stream_left_join",  # single-row watermark threshold
-        "doc_importance_resample",       # single-row normalizer broadcast
-        "order_equidepth_bins",          # single-row bounds + n broadcasts
-        "orders_zorder_layout",          # single-row max broadcast (normalizer)
-        "warehouse_referential_audit",   # single-row count x count per check
-        "monthly_revenue_seasonality",   # single-row OLS coefficient broadcast
-        "orders_psi_drift",              # single-row baseline-total broadcast
+        "kmeans_lloyd_step",            # broadcast k centroids over corpus
     }
     offenders = {}
     for name, plan in all_plans.items():
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
-        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_ok:
-            offenders[name] = "BroadcastNestedLoopJoin"
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_bounded:
+            if not _bnlj_broadcasts_single_row(all_plan_objs[name]):
+                offenders[name] = "BNLJ whose broadcast side is not provably single-row"
     assert not offenders, f"unexpected non-equi join plans: {offenders}"
 
 
