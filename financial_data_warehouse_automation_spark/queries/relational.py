@@ -2669,3 +2669,101 @@ def part_reach_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, names=("lineitem",))
     return spark.sql(_REACH_SQL_BODY)
+
+
+@query(
+    "order_winsorized_stats",
+    tags=("agg", "robust-stats", "percentile", "feature-engineering"),
+    oracle="""
+WITH priced AS (
+  SELECT o_orderpriority AS priority,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+), ranked AS (
+  SELECT priority, cents,
+         ROW_NUMBER() OVER (PARTITION BY priority
+                            ORDER BY cents, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM priced
+), bounds AS (
+  SELECT priority,
+         CAST(MAX(n) AS BIGINT) AS n_orders,
+         MAX(CASE WHEN rn = (n + 99) // 100 THEN cents END) AS lo_cents,
+         MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS hi_cents
+  FROM ranked GROUP BY priority
+)
+SELECT p.priority, b.n_orders,
+       CAST(b.lo_cents AS BIGINT) AS lo_cents,
+       CAST(b.hi_cents AS BIGINT) AS hi_cents,
+       CAST(SUM(CASE WHEN p.cents < b.lo_cents OR p.cents > b.hi_cents
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+       ROUND(CAST(SUM(p.cents) AS DOUBLE) / b.n_orders, 2) AS mean_cents,
+       ROUND(CAST(SUM(LEAST(GREATEST(p.cents, b.lo_cents), b.hi_cents))
+                  AS DOUBLE) / b.n_orders, 2) AS mean_winsorized
+FROM priced p JOIN bounds b ON p.priority = b.priority
+GROUP BY 1, 2, 3, 4 ORDER BY 1
+""",
+)
+def order_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics per order priority: clamp order
+    value at the exact nearest-rank p01/p99 boundaries and report the
+    mean before/after plus how many rows the clamp touched — the
+    outlier-TREATMENT step that pairs with events_mad_anomalies'
+    outlier DETECTION (detect -> winsorize is the standard robust
+    feature-engineering chain; a 10^5x fat-finger order moves the raw
+    mean for its whole group, and the winsorized mean is what a
+    downstream model should see). Boundaries use the
+    order_price_percentiles nearest-rank pattern (integer rank pick,
+    no interpolating quantile — engine-identical), come back as a
+    5-row broadcast join onto the fact, and every moment is exact
+    int64 cents until the two final divisions (round-2). Shape: one
+    priority-partitioned window + one broadcast join + one aggregate;
+    no global sort anywhere."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    priced = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("priority").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("priority")
+    ranked = priced.select(
+        "priority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    n = F.col("n")
+    bounds = ranked.groupBy("priority").agg(
+        F.max(n).alias("n_orders"),
+        F.max(
+            F.when(F.col("rn") == F.floor((n + 99) / 100), F.col("cents"))
+        ).alias("lo_cents"),
+        F.max(
+            F.when(F.col("rn") == F.floor((99 * n + 99) / 100), F.col("cents"))
+        ).alias("hi_cents"),
+    )
+    j = priced.join(F.broadcast(bounds), "priority")
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
+    return (
+        j.groupBy("priority", "n_orders", "lo_cents", "hi_cents")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("cents") < F.col("lo_cents"))
+                    | (F.col("cents") > F.col("hi_cents")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_clamped"),
+            F.round(
+                F.sum("cents").cast("double") / F.first("n_orders"), 2
+            ).alias("mean_cents"),
+            F.round(
+                F.sum(clamped).cast("double") / F.first("n_orders"), 2
+            ).alias("mean_winsorized"),
+        )
+        .orderBy("priority")
+    )
