@@ -1413,3 +1413,99 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("click_day")
     )
+
+
+@query(
+    "events_scd2_point_in_time",
+    tags=("events", "scd2", "temporal-join", "cdc"),
+    oracle="""
+WITH states AS (
+  SELECT * FROM events WHERE event_type <> 'purchase'
+), ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER w AS prev_type
+  FROM states
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, ts, event_id, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+), scd2 AS (
+  SELECT user_id, event_type AS state,
+         epoch_us(ts) AS valid_from,
+         epoch_us(LEAD(ts) OVER w2) AS valid_to
+  FROM changes
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+), probes AS (
+  SELECT user_id, epoch_us(ts) AS pts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT s.state,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(p.cents) AS BIGINT) AS cents
+FROM probes p
+JOIN scd2 s
+  ON p.user_id = s.user_id
+ AND s.valid_from <= p.pts
+ AND (s.valid_to IS NULL OR p.pts < s.valid_to)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def events_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 dimension: each
+    purchase picks up the state whose validity interval
+    [valid_from, valid_to) contains its instant — the canonical
+    warehouse question ('what was the customer's state WHEN they
+    bought') that naive latest-state joins answer wrongly. The
+    dimension tracks the user's BROWSING state (the non-purchase event
+    types), so a purchase attributes to the activity it interrupted —
+    purchases before any browsing event simply have no interval and
+    drop out, like any fact preceding its dimension's history. The
+    dimension is user_state_scd2's lag/lead CDC compression inline;
+    the join is an EQUI join on user_id with the interval predicate as
+    a residual condition, so it plans as a keyed sort-merge join (one
+    shuffle per side), never a nested loop — intervals per user are
+    non-overlapping by construction, so each probe matches exactly one
+    row and the join cannot explode. Ties-include on valid_from means
+    a purchase that itself opens a state interval lands in that
+    interval (matching SQL ASOF semantics). Census by state; exact
+    int64 cents."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.where(F.col("event_type") != "purchase")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    scd2 = changes.select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to"),
+    )
+    probes = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("pts"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    j = probes.join(
+        scd2,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("valid_from") <= F.col("pts"))
+        & (F.col("valid_to").isNull() | (F.col("pts") < F.col("valid_to"))),
+    )
+    return (
+        j.groupBy("state")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum("cents").alias("cents"),
+        )
+        .orderBy("state")
+    )
