@@ -2767,3 +2767,93 @@ def order_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "part_inventory_balance",
+    tags=("window", "stateful", "inventory", "closed-form"),
+    oracle="""
+WITH flows AS (
+  SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+         CAST(SUM(CASE WHEN l_returnflag = 'R'
+                       THEN CAST(l_quantity AS BIGINT)
+                       ELSE -CAST(l_quantity AS BIGINT) END) AS BIGINT) AS net
+  FROM lineitem GROUP BY 1, 2
+), prefixed AS (
+  SELECT part, day, net,
+         SUM(net) OVER (PARTITION BY part ORDER BY day) AS prefix
+  FROM flows
+), running AS (
+  SELECT part, day, net, prefix,
+         MIN(prefix) OVER (PARTITION BY part ORDER BY day) AS run_min
+  FROM prefixed
+), clamped AS (
+  SELECT part, day, net,
+         prefix - LEAST(run_min, 0) AS balance
+  FROM running
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_part_days,
+       CAST(COUNT(DISTINCT part) AS BIGINT) AS n_parts,
+       CAST(SUM(balance) AS BIGINT) AS total_balance,
+       CAST(SUM(CASE WHEN balance = 0 AND net < 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stockout_days,
+       CAST(MAX(balance) AS BIGINT) AS max_balance
+FROM clamped
+""",
+)
+def part_inventory_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-at-zero running inventory balance per part (restocks =
+    returned lines, issues = shipped lines): the classic NON-ASSOCIATIVE
+    recurrence balance_t = max(0, balance_{t-1} + net_t) that plain
+    windows supposedly cannot express and that usually gets written as
+    a per-key Python recurrence (applyInPandas). It has a closed form:
+    balance_t = prefix_t - min(0, min_{s<=t} prefix_s) — the clamp only
+    ever 'forgives' the deepest debt seen so far — so TWO stacked
+    per-part windows (running sum, then running min of it) compute it
+    entirely JVM-side, whole-stage-codegenned, one shuffle on the part
+    key: the plan you want at 100 TB, where an Arrow recurrence would
+    serialize every part's history through Python. Same identity
+    family as events_cusum_drift's clamped drift statistic, here at
+    the part grain with a stockout census; the recurrence-vs-identity
+    equivalence is itself asserted in tests/test_round4_ops.py, and
+    the DuckDB oracle evaluates the identical closed form."""
+    from pyspark.sql import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    flows = (
+        l.groupBy(
+            F.col("l_partkey").alias("part"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.col("l_quantity").cast("bigint"),
+                ).otherwise(-F.col("l_quantity").cast("bigint"))
+            ).alias("net")
+        )
+    )
+    w = Window.partitionBy("part").orderBy("day")
+    running = flows.select(
+        "part",
+        "day",
+        "net",
+        F.sum("net").over(w).alias("prefix"),
+    ).withColumn("run_min", F.min("prefix").over(w))
+    clamped = running.select(
+        "part",
+        "net",
+        (F.col("prefix") - F.least(F.col("run_min"), F.lit(0))).alias(
+            "balance"
+        ),
+    )
+    return clamped.agg(
+        F.count(F.lit(1)).alias("n_part_days"),
+        F.count_distinct("part").alias("n_parts"),
+        F.sum("balance").alias("total_balance"),
+        F.sum(
+            F.when((F.col("balance") == 0) & (F.col("net") < 0), 1).otherwise(0)
+        ).alias("n_stockout_days"),
+        F.max("balance").alias("max_balance"),
+    )

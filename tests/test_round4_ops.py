@@ -270,3 +270,37 @@ def test_zorder_buckets_bound_both_dimensions(spark, sf_dir):
         assert r.max_day - r.min_day <= day_bound, r
     # and together the buckets cover every order exactly once
     assert got.n_orders.sum() == len(orders)
+
+
+def test_clamped_balance_identity_matches_recurrence(spark, sf_dir):
+    """The closed form balance_t = prefix_t - min(0, running_min) used
+    by part_inventory_balance must equal the literal recurrence
+    balance_t = max(0, balance_{t-1} + net_t), evaluated in pandas per
+    part — validating the IDENTITY itself, independent of the DuckDB
+    oracle (which evaluates the same closed form)."""
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li["day"] = pd.to_datetime(li["l_shipdate"]).dt.normalize()
+    li["net"] = li.apply(
+        lambda r: int(r.l_quantity)
+        if r.l_returnflag == "R"
+        else -int(r.l_quantity),
+        axis=1,
+    )
+    flows = (
+        li.groupby(["l_partkey", "day"], as_index=False)["net"].sum()
+        .sort_values(["l_partkey", "day"])
+    )
+    total = n_stockout = 0
+    for _, g in flows.groupby("l_partkey"):
+        bal = 0
+        for net in g["net"]:
+            bal = max(0, bal + net)
+            total += bal
+            if bal == 0 and net < 0:
+                n_stockout += 1
+    from financial_data_warehouse_automation_spark.registry import load_all
+
+    got = load_all()["part_inventory_balance"].builder(spark, sf_dir).first()
+    assert got.total_balance == total
+    assert got.n_stockout_days == n_stockout
+    assert got.n_part_days == len(flows)
