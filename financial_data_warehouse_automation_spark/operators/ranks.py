@@ -40,23 +40,60 @@ def global_row_number(
     """Add ``out_col`` = exact global ROW_NUMBER of each row under
     ``ORDER BY value_col [DESC], *tiebreak_cols`` without a global sort.
 
-    ``value_col`` must be integral (the bucket arithmetic is exact
-    int64; ``(v - min) * n_buckets`` must not overflow — fine for cents
-    up to ~2.8e17 at 32 buckets). ``tiebreak_cols`` sort ascending and
-    must make the full ordering total, or ranks are nondeterministic.
+    ``value_col`` must be integral and NON-NULL (a NULL would form a
+    null bucket that shifts every real bucket's offset and then drops
+    out of the bucket equi-join — silent corruption; the operator
+    raises per-row instead). The bucket arithmetic is exact int64:
+    keys must lie in ±2^62 and span at most 2^63/n_buckets values
+    (~2.8e17 at 32 buckets — any cents-scale key qualifies); a wider
+    range raises loudly rather than wrapping in non-ANSI mode and
+    silently breaking bucket monotonicity. ``tiebreak_cols`` sort
+    ascending and must make the full ordering total, or ranks are
+    nondeterministic.
     """
     bkt, b_idx, off = f"__{out_col}_bkt", f"__{out_col}_bidx", f"__{out_col}_off"
+    i64_max = (1 << 63) - 1
+    # Both guards are load-bearing branches of columns the plan must
+    # evaluate (not standalone assert columns Catalyst could prune):
+    # NULL value -> per-row raise; out-of-range span -> raise on the
+    # single bounds row. In the span check the conjuncts don't
+    # short-circuit, but if __hi - __lo wraps, the ±2^62 conjuncts are
+    # already false and the AND stays false, so the wrap is harmless.
+    val = F.when(
+        F.col(value_col).isNotNull(), F.col(value_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"global_row_number: NULL in {value_col!r} — ranks over "
+                "a nullable key are undefined; filter or coalesce first"
+            )
+        )
+    )
+    span_ok = F.col("__lo").isNull() | (  # NULL bounds = empty input
+        (F.col("__lo") >= -(1 << 62))
+        & (F.col("__hi") <= (1 << 62) - 1)
+        & ((F.col("__hi") - F.col("__lo") + 1) <= i64_max // n_buckets)
+    )
     bounds = df.agg(
         F.min(value_col).alias("__lo"), F.max(value_col).alias("__hi")
+    ).select(
+        F.when(span_ok, F.col("__lo"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"global_row_number: {value_col!r} range exceeds the "
+                    f"exact-int64 bucket bound (keys must lie in ±2^62 "
+                    f"and span <= 2^63/{n_buckets} values)"
+                )
+            )
+        )
+        .alias("__lo"),
+        F.col("__hi"),
     )
     # bucket index ascending in SORT order: for descending ranks the
     # largest value lands in bucket 0. span+1 keeps the max in-range.
     span = F.col("__hi") - F.col("__lo") + 1
-    pos = (
-        (F.col("__hi") - F.col(value_col))
-        if descending
-        else (F.col(value_col) - F.col("__lo"))
-    )
+    pos = (F.col("__hi") - val) if descending else (val - F.col("__lo"))
     bucketed = df.crossJoin(F.broadcast(bounds)).withColumn(
         bkt, F.floor(pos * n_buckets / span).cast("int")
     )

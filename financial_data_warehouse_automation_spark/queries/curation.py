@@ -25,7 +25,23 @@ _SQL_TOKS = "string_split_regex(trim(text), '\\s+')"
 # portable deterministic permutation both engines compute bit-identically
 # — engine hash builtins (xxhash64, duckdb hash()) differ, so shuffle
 # ORDER would be engine-defined and unverifiable.
+#
+# doc_id is masked to 31 bits BEFORE the multiply: (2^31-1) * KNUTH
+# ≈ 5.7e18 < int64 max, so the product can never overflow — without
+# the mask, doc_id >= ~3.48e9 (well within a 100 TB corpus) wraps
+# silently in non-ANSI Spark while DuckDB raises, and the two engines
+# diverge instead of failing. For doc_id < 2^31 the mask is the
+# identity, so small-scale results are unchanged. doc_id must be
+# non-negative (Spark % and DuckDB % agree only there; testdata and
+# any sane surrogate key satisfy it).
 _KNUTH = 2654435761
+
+
+def _hkey_spark(col: str = "doc_id") -> F.Column:
+    return ((F.col(col) % 2147483648) * _KNUTH) % 2147483648
+
+
+_HKEY_SQL = f"((doc_id % 2147483648) * {_KNUTH}) % 2147483648"
 
 
 @query(
@@ -33,7 +49,7 @@ _KNUTH = 2654435761
     tags=("text", "shuffle", "ordering", "llm-pipeline"),
     oracle=f"""
 WITH h AS (
-  SELECT doc_id, (doc_id * {_KNUTH}) % 2147483648 AS hkey
+  SELECT doc_id, {_HKEY_SQL} AS hkey
   FROM documents
 ), ranked AS (
   SELECT doc_id, hkey,
@@ -62,9 +78,7 @@ def doc_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     single rank being off moves a doc across classes and breaks two
     sums, so the oracle proves the entire permutation, not a sample."""
     d = load_table(spark, sf_dir, "documents")
-    h = d.select(
-        "doc_id", ((F.col("doc_id") * _KNUTH) % 2147483648).alias("hkey")
-    )
+    h = d.select("doc_id", _hkey_spark().alias("hkey"))
     ranked = global_row_number(h, "hkey", ("doc_id",), "rnk")
     return (
         ranked.groupBy((F.col("rnk") % 16).alias("slot"))
@@ -210,7 +224,7 @@ WITH st AS (
   FROM p CROSS JOIN tot t
 ), decided AS (
   SELECT d.doc_id, d.source,
-         (CAST((d.doc_id * {_KNUTH}) % 2147483648 AS DOUBLE)
+         (CAST(((d.doc_id % 2147483648) * {_KNUTH}) % 2147483648 AS DOUBLE)
           / CAST(2147483648 AS DOUBLE)) < k.pk AS kept
   FROM documents d JOIN keep_p k ON d.source = k.source
 )
@@ -264,9 +278,7 @@ def doc_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs"),
         ).alias("pk"),
     )
-    u = ((F.col("doc_id") * _KNUTH) % 2147483648).cast("double") / F.lit(
-        2147483648.0
-    )
+    u = _hkey_spark().cast("double") / F.lit(2147483648.0)
     decided = d.join(F.broadcast(keep_p), "source").select(
         "doc_id", "source", (u < F.col("pk")).alias("kept")
     )

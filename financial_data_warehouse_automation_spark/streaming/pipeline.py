@@ -52,6 +52,25 @@ def read_statement_line_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
     )
 
 
+def _missing_path(exc: AnalysisException) -> bool:
+    """True iff ``exc`` is the missing-input-path error (and nothing
+    else). Prefers ``getCondition()`` (Spark ≥ 4), falls back to the
+    deprecated ``getErrorClass()`` and finally to the legacy message
+    substring, so a Spark upgrade that renames one surface can't make
+    a legitimate first batch raise — or, worse, a real failure pass."""
+    for getter in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, getter, None)
+        if fn is None:
+            continue
+        try:
+            cond = fn()
+        except Exception:
+            cond = None
+        if cond:
+            return "PATH_NOT_FOUND" in cond
+    return "Path does not exist" in str(exc)
+
+
 def _upsert_batch(warehouse_path: str):
     def apply(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -59,7 +78,17 @@ def _upsert_batch(warehouse_path: str):
         try:
             existing = spark.read.parquet(warehouse_path)
             have_warehouse = True
-        except Exception:  # first batch: no warehouse yet
+        except AnalysisException as exc:
+            # Only the missing-path case means "first batch: no
+            # warehouse yet". Any other read failure (FS hiccup,
+            # corrupt footer, permissions) must FAIL the batch —
+            # foreachBatch re-runs it under the same batch_id —
+            # because the dynamic overwrite below would otherwise
+            # replace every (year, month) period present in this
+            # batch with ONLY the new facts, silently truncating
+            # previously accumulated rows in those periods.
+            if not _missing_path(exc):
+                raise
             existing = spark.createDataFrame([], facts.schema)
             have_warehouse = False
 
@@ -341,9 +370,7 @@ def mv_merge_batch(mv_path: str):
             # the batch (foreachBatch re-runs it with the same id) —
             # swallowing it here would make the dynamic overwrite
             # replace accumulated months with one batch's partial.
-            if "PATH_NOT_FOUND" not in (exc.getErrorClass() or "") and (
-                "Path does not exist" not in str(exc)
-            ):
+            if not _missing_path(exc):
                 raise
             existing = spark.createDataFrame([], partial.schema)
             applied = set()

@@ -78,6 +78,30 @@ def test_no_partitionless_window_over_data(spark):
         )
 
 
+def test_null_value_raises_instead_of_corrupting(spark):
+    """A NULL sort key would form a null bucket that shifts every real
+    bucket's offset and then silently drops out of the equi-join; the
+    operator must raise per-row instead."""
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 30)], "id long, v long")
+    with pytest.raises(Exception, match="NULL in 'v'"):
+        global_row_number(df, "v", ("id",), "rnk").collect()
+
+
+def test_overflow_wide_span_raises(spark):
+    """Keys spanning both int64 extremes make span = max - min + 1 wrap
+    negative in non-ANSI mode, silently breaking bucket monotonicity —
+    the bounds guard must raise loudly instead."""
+    lo, hi = -(2**62) - 5, 2**62 + 5
+    df = spark.createDataFrame([(1, lo), (2, 0), (3, hi)], "id long, v long")
+    with pytest.raises(Exception, match="range exceeds"):
+        global_row_number(df, "v", ("id",), "rnk").collect()
+
+
+def test_empty_input_yields_empty_output(spark):
+    df = spark.createDataFrame([], "id long, v long")
+    assert global_row_number(df, "v", ("id",), "rnk").count() == 0
+
+
 def test_hypothesis_matches_python_sort(spark):
     """Property: for ANY multiset of int64 values (hypothesis-generated,
     duplicates and extremes included), the two-pass rank equals the

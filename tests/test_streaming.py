@@ -84,6 +84,47 @@ def test_stream_ingest_exactly_once_and_idempotent(spark, dirs):
     assert final2.select(*key).distinct().count() == 10
 
 
+def test_upsert_batch_fails_loudly_on_poisoned_warehouse(spark, tmp_path):
+    """A warehouse read failure that is NOT the missing-path case must
+    fail the batch (foreachBatch re-runs it), never be treated as
+    'first batch: no warehouse yet' — that misread would make the
+    dynamic partition overwrite truncate every period in the batch to
+    only the new facts."""
+    from financial_data_warehouse_automation_spark.ingest.excel import LINE_SCHEMA
+    from financial_data_warehouse_automation_spark.streaming.pipeline import _upsert_batch
+
+    f1 = [r for r in INCOME_LINES if r[0].startswith("01.")]
+    batch_dir = str(tmp_path / "batch")
+    _write_drop_file(batch_dir, "f1.json", f1)
+    batch = spark.read.schema(LINE_SCHEMA).json(batch_dir)
+
+    # sanity: the genuinely-missing path still initializes an empty
+    # warehouse and writes the first batch
+    fresh = str(tmp_path / "fresh_wh")
+    _upsert_batch(fresh)(batch, 0)
+    assert spark.read.parquet(fresh).count() == 7
+
+    # corrupt footer: read fails with a non-PATH error -> batch raises,
+    # the poisoned file is left untouched (no overwrite happened)
+    poisoned = tmp_path / "poisoned_wh"
+    poisoned.mkdir()
+    garbage = poisoned / "part-00000.snappy.parquet"
+    garbage.write_bytes(b"this is not a parquet footer")
+    with pytest.raises(Exception):
+        _upsert_batch(str(poisoned))(batch, 0)
+    assert garbage.read_bytes() == b"this is not a parquet footer"
+    assert sorted(p.name for p in poisoned.iterdir()) == [garbage.name]
+
+    # empty dir: AnalysisException UNABLE_TO_INFER_SCHEMA, not
+    # PATH_NOT_FOUND -> must also raise (exercises _missing_path's
+    # condition check on a real AnalysisException), dir left empty
+    empty = tmp_path / "empty_wh"
+    empty.mkdir()
+    with pytest.raises(Exception):
+        _upsert_batch(str(empty))(batch, 0)
+    assert list(empty.iterdir()) == []
+
+
 def test_event_stream_window_equals_batch(spark, sf_dir, tmp_path):
     from financial_data_warehouse_automation_spark.tables import load_table
 
