@@ -168,7 +168,12 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, bands: int = 16, rows: int = 4
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows: int = 4,
+    max_bucket: int = 4096,
+    observation=None,
 ) -> DataFrame:
     """Banded LSH: hash each r-row slice of the signature; docs agreeing
     on any band become a candidate pair. Candidates come from a groupBy
@@ -176,7 +181,24 @@ def lsh_candidate_pairs(
     and the signature subtree is evaluated exactly once (a self-join
     formulation computes it on both sides; measured 2× slower end-to-end
     at sf0.1 because the exchanges are not canonically reusable).
-    Returns distinct (id_a, id_b) with id_a < id_b."""
+    Returns distinct (id_a, id_b) with id_a < id_b.
+
+    Hot-bucket cap: a band bucket larger than ``max_bucket`` (e.g. a
+    boilerplate template shared by millions of docs) would expand to
+    n²/2 pairs and dominate the job. Such buckets degrade to STAR
+    expansion — every id paired with the bucket's smallest id — which
+    is linear, deterministic, and preserves exactly the connectivity
+    the downstream dedup clustering (connected components) needs: the
+    bucket stays one component, only the redundant intra-bucket edges
+    are dropped. Pairs a verify stage would reject anyway are the only
+    loss; pair-level recall for sub-cap buckets is untouched. The cap
+    is never silent: pass a ``pyspark.sql.Observation`` (or metric
+    name) as ``observation`` and the action reports ``hot_buckets``
+    and ``pairs_capped`` (the count of intra-bucket edges replaced by
+    the star); with no argument the metrics still publish under
+    ``lsh_hot_buckets`` for listeners/UI. Oracle twins replaying the
+    banded construction in SQL assume every bucket is under the cap —
+    true at test scale by orders of magnitude (default 4096)."""
     # the whole bands array as ONE parsed expression — the nested
     # Column-composition loop (bands x ~10 py4j calls) was ~0.3s of
     # DataFrame construction per build; identical SQL semantics
@@ -197,11 +219,23 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    # All ordered pairs within a bucket: for each ids[i], pair with every
-    # later element. Bucket = one shared band hash, i.e. a near-dup
-    # group, so sizes stay small; a pathological giant bucket would be
-    # quadratic in EITHER formulation (the join buckets identically).
-    pairs = F.flatten(
+    n = F.size("ids")
+    hot = n > max_bucket
+    # pairs_capped = intra-bucket edges a hot bucket does NOT emit:
+    # n*(n-1)/2 all-pairs minus the n-1 star edges
+    buckets = buckets.observe(
+        observation if observation is not None else "lsh_hot_buckets",
+        F.coalesce(F.sum(hot.cast("long")), F.lit(0)).alias("hot_buckets"),
+        F.coalesce(
+            F.sum(F.when(hot, (n * (n - 1) / 2 - (n - 1)).cast("long"))),
+            F.lit(0),
+        ).alias("pairs_capped"),
+    )
+    # All ordered pairs within a sub-cap bucket: for each ids[i], pair
+    # with every later element. Bucket = one shared band hash, i.e. a
+    # near-dup group, so sizes stay small in a deduplicated corpus; a
+    # hot (over-cap) bucket degrades to the linear star instead.
+    all_pairs = F.flatten(
         F.transform(
             F.col("ids"),
             lambda x, i: F.transform(
@@ -210,6 +244,13 @@ def lsh_candidate_pairs(
             ),
         )
     )
+    star_pairs = F.transform(
+        F.slice(F.col("ids"), 2, F.size(F.col("ids"))),
+        lambda y: F.struct(
+            F.element_at(F.col("ids"), 1).alias("id_a"), y.alias("id_b")
+        ),
+    )
+    pairs = F.when(hot, star_pairs).otherwise(all_pairs)
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.id_a", "p.id_b")

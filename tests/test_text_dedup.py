@@ -59,3 +59,50 @@ def test_mllib_minhash_pair_count_bounded(spark):
     # 10x docs must not produce anything like (10x)^2 pairs; allow 2x
     # headroom over linear growth
     assert p2 <= max(p1, 1) * (d2 / d1) * 2, f"superlinear pair growth: {counts}"
+
+
+def test_hot_bucket_cap_degrades_to_linear_star(spark):
+    """A manufactured hot band bucket (many docs sharing one signature,
+    the boilerplate-template case) must expand linearly, not
+    quadratically: over-cap buckets emit star pairs to the smallest id
+    and the Observation reports exactly what was capped."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.operators.text import lsh_candidate_pairs
+
+    k, bands, rows, cap = 8, 2, 4, 8
+    hot_n, cold_sig = 20, [99, 98, 97, 96, 1, 2, 3, 4]
+    sig_rows = [(i, [7, 7, 7, 7, 7, 7, 7, 7]) for i in range(hot_n)]
+    # a small cold bucket (2 docs) must still all-pair as before
+    sig_rows += [(100, cold_sig), (101, cold_sig)]
+    sig = spark.createDataFrame(sig_rows, "doc_id long, signature array<long>")
+
+    obs = Observation("lsh_cap")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(
+            sig, "doc_id", bands=bands, rows=rows,
+            max_bucket=cap, observation=obs,
+        ).collect()
+    }
+    star = {(0, i) for i in range(1, hot_n)}
+    assert pairs == star | {(100, 101)}, (
+        "hot bucket must star-expand to the smallest id; cold bucket "
+        "must keep all-pairs"
+    )
+    # both bands of the hot signature form the same over-cap bucket;
+    # capped edges per band = C(20,2) - 19 = 171
+    assert obs.get == {"hot_buckets": 2, "pairs_capped": 342}
+
+    # connectivity preserved: the star keeps every doc reachable, so
+    # the downstream connected-components dedup sees ONE cluster
+    from financial_data_warehouse_automation_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [p for p in pairs if p != (100, 101)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(hot_n)], "id long")
+    comp = connected_components(verts, edges)
+    n_clusters = comp.select("component").distinct().count()
+    assert n_clusters == 1
