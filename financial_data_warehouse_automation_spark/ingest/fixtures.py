@@ -133,9 +133,24 @@ _FIXTURES = {
 }
 
 
+# Per-session memo of the fixture frames, .cache()d: the warehouse
+# build assembles ~10 tiny stages from these literals, and re-creating
+# + re-evaluating a local relation per query made the ingest headline
+# latency-bound (bench: ingest_warehouse_build was co-heaviest at
+# 1.74s, almost entirely fixture-stage setup). The frames are a few
+# dozen literal rows, so caching is free; keyed by session so a fresh
+# session never sees another session's cached plan.
+_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def spark_df(spark: SparkSession, name: str) -> DataFrame:
-    rows, schema = _FIXTURES[name]
-    return spark.createDataFrame(rows, schema)
+    key = (id(spark), name)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        rows, schema = _FIXTURES[name]
+        df = spark.createDataFrame(rows, schema).cache()
+        _DF_CACHE[key] = df
+    return df
 
 
 def _sql_lit(v) -> str:

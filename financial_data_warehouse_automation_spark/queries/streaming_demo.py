@@ -348,7 +348,11 @@ def events_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
         mv = spark.read.parquet(mv_path)
-        # materialize before the temp dir disappears
+        # materialize before the temp dir disappears. Driver-side
+        # collect is safe ONLY because the MV grain is bounded:
+        # |event_type| x |distinct days| rows (a few hundred at any
+        # SF) — do not copy this pattern for an unbounded frame; write
+        # to a durable path and return the lazy read instead.
         rows = (
             mv.select("event_type", "day", "n_events", "cents")
             .orderBy("event_type", "day")

@@ -570,17 +570,21 @@ def test_stream_left_outer_join_multibatch_equals_batch(spark, sf_dir, tmp_path)
 def test_transform_with_state_user_stats_equals_batch(spark, sf_dir, tmp_path):
     """transformWithStateInPandas (Spark 4 arbitrary-stateful API):
     the last emission per user must equal the batch per-user aggregate.
-    Env-gated like the openpyxl Excel path: the API's Python runner
-    needs protobuf, absent in this container — the test runs wherever
-    the dependency exists."""
+    The API's Python runner needs protobuf; where it is absent this
+    XFAILS (visible in the report, unlike a skip) rather than passing
+    vacuously. The canonical stateful path in this repo is the
+    applyInPandasWithState sessionizer (streaming/pipeline.py), which
+    covers the same arbitrary-state semantics with a driver-green
+    record and no extra dependency; transformWithState is the breadth
+    twin for Spark-4-native state TTL/timers."""
     from financial_data_warehouse_automation_spark.streaming.pipeline import (
         _tws_available,
         user_stats_tws,
     )
 
     if not _tws_available():
-        pytest.skip("google.protobuf not installed: transformWithState "
-                    "Python runner unavailable in this environment")
+        pytest.xfail("google.protobuf not installed: transformWithState "
+                     "Python runner unavailable in this environment")
 
     from financial_data_warehouse_automation_spark.tables import load_table
 
