@@ -10,7 +10,7 @@ Code.gs:147-166, *is* a broadcast hash join — SURVEY §2.3 J1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from financial_data_warehouse_automation_spark.queries._helpers import (
@@ -400,6 +400,233 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag")
     )
+
+
+@query(
+    "approx_distinct_parts_kmv",
+    tags=("agg", "approx", "sketch"),
+    oracle="""
+WITH dh AS (
+  SELECT DISTINCT l_returnflag AS returnflag,
+         CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM lineitem
+), ranked AS (
+  SELECT returnflag, h,
+         ROW_NUMBER() OVER (PARTITION BY returnflag ORDER BY h) AS rn
+  FROM dh
+)
+SELECT returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_hashes,
+       CAST(MAX(CASE WHEN rn = 256 THEN h END) AS BIGINT) AS kth_hash,
+       CAST(ROUND(CASE
+         WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+         ELSE 255.0 * 1152921504606846976.0
+              / CAST(MAX(CASE WHEN rn = 256 THEN h END) AS DOUBLE)
+       END, 4) AS DOUBLE) AS kmv_estimate
+FROM ranked GROUP BY 1 ORDER BY 1
+""",
+)
+def approx_distinct_parts_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values cardinality sketch, made DETERMINISTIC: the
+    exact-oracle twin of ``approx_distinct_parts`` (whose HLL++ sketch
+    is engine-specific and can only be rows-only checked). KMV hashes
+    each distinct key to uniform [0, 2^60) via md5 — identical in any
+    engine — keeps the k=256 smallest hashes per group, and estimates
+    distinct count as (k-1) * 2^60 / h_(k) (Bar-Yossef et al.'s KMV
+    estimator, ~1/sqrt(k) ≈ 6% relative error). Every intermediate is
+    a pure function of the data, so DuckDB replays the sketch
+    bit-for-bit and the driver hash-checks the ESTIMATE itself.
+
+    Scale shape: the k-smallest-per-group selection never funnels a
+    group through one task — stage 1 takes the k smallest within each
+    of 64 salt buckets (windows over ~D/64 rows, parallel), stage 2
+    re-ranks only the <= 64k surviving candidates per group. This is
+    the same capped two-pass idiom as operators/ranks.py; a plain
+    per-group window would sort every distinct hash in one partition
+    per group. Groups under k distinct values fall back to the exact
+    count (h_(k) undefined), emitting a NULL kth_hash in both engines.
+    """
+    k = 256
+    m_double = float(1 << 60)  # hash domain: 15 hex digits = 60 bits
+    l = load_table(spark, sf_dir, "lineitem")
+    h = F.conv(
+        F.substring(F.md5(F.col("l_partkey").cast("string").cast("binary")), 1, 15),
+        16, 10,
+    ).cast("long")
+    dh = l.select(
+        F.col("l_returnflag").alias("returnflag"), h.alias("h")
+    ).distinct()
+    salted = dh.withColumn("salt", F.pmod("h", F.lit(64)))
+    w1 = Window.partitionBy("returnflag", "salt").orderBy("h")
+    cand = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= k)
+        .drop("rn1", "salt")
+    )
+    w2 = Window.partitionBy("returnflag").orderBy("h")  # <= 64k rows/group
+    kth = (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == k)
+        .select("returnflag", F.col("h").alias("kth_hash"))
+    )
+    counts = dh.groupBy("returnflag").agg(F.count(F.lit(1)).alias("n_hashes"))
+    return (
+        counts.join(F.broadcast(kth), "returnflag", "left")
+        .select(
+            "returnflag",
+            F.col("n_hashes").cast("long").alias("n_hashes"),
+            F.col("kth_hash").cast("long").alias("kth_hash"),
+            F.round(
+                F.when(
+                    F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+                ).otherwise(
+                    F.lit((k - 1) * 1.0)
+                    * F.lit(m_double)
+                    / F.col("kth_hash").cast("double")
+                ),
+                4,
+            ).alias("kmv_estimate"),
+        )
+        .orderBy("returnflag")
+    )
+
+
+@query(
+    "part_freq_count_min",
+    tags=("agg", "approx", "sketch"),
+    oracle="""
+WITH g AS (SELECT unnest([0, 1, 2, 3]) AS j),
+sketch AS (
+  SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT g.j,
+           CAST(concat('0x', substr(md5(CAST(g.j AS VARCHAR) || ':' ||
+                CAST(l.l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+             AS cell
+    FROM lineitem l CROSS JOIN g
+  ) GROUP BY 1, 2
+), probes AS (
+  SELECT l_partkey AS partkey, CAST(COUNT(*) AS BIGINT) AS true_cnt
+  FROM lineitem WHERE l_partkey <= 25 GROUP BY 1
+), pc AS (
+  SELECT p.partkey, p.true_cnt, g.j,
+         CAST(concat('0x', substr(md5(CAST(g.j AS VARCHAR) || ':' ||
+              CAST(p.partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS cell
+  FROM probes p CROSS JOIN g
+)
+SELECT pc.partkey,
+       CAST(MAX(pc.true_cnt) AS BIGINT) AS true_cnt,
+       CAST(MIN(s.c) AS BIGINT) AS cms_est
+FROM pc JOIN sketch s ON s.j = pc.j AND s.cell = pc.cell
+GROUP BY 1 ORDER BY 1
+""",
+)
+def part_freq_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan), made
+    deterministic with md5 row-hashes so DuckDB replays the counters
+    bit-for-bit and the driver hash-checks the ESTIMATES. Depth 4 x
+    width 1024: each item increments one cell per row-hash; a key's
+    estimate is the MIN of its 4 cells — always >= the true count,
+    within eps*N with high probability.
+
+    Why a sketch at 100 TB: exact per-key counts shuffle every
+    distinct key; the CMS aggregate map-side-combines to <= 4096
+    counters PER TASK regardless of key cardinality, so the shuffle
+    carries a fixed 4x1024 grid per partition and the reduce side is
+    constant-size. The probe stage joins a fixed key set against the
+    broadcast 4096-row sketch. The (j, cell) explode multiplies scan
+    rows by depth before the combine — the classic CMS trade: 4x local
+    work for O(1) communication."""
+    depth, width = 4, 1024
+    l = load_table(spark, sf_dir, "lineitem")
+
+    def cell(j_col, key_col):
+        s = F.concat_ws(":", j_col.cast("string"), key_col.cast("string"))
+        return F.pmod(
+            F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(width),
+        )
+
+    ex = l.select(
+        "l_partkey",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j"),
+    )
+    sketch = ex.groupBy(
+        "j", cell(F.col("j"), F.col("l_partkey")).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    probes = (
+        l.where(F.col("l_partkey") <= 25)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    pc = probes.select(
+        "partkey",
+        "true_cnt",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j"),
+    ).withColumn("cell", cell(F.col("j"), F.col("partkey")))
+    return (
+        pc.join(F.broadcast(sketch), ["j", "cell"])
+        .groupBy("partkey")
+        .agg(
+            F.max("true_cnt").cast("long").alias("true_cnt"),
+            F.min("c").cast("long").alias("cms_est"),
+        )
+        .orderBy("partkey")
+    )
+
+
+@query(
+    "doc_priority_sample",
+    tags=("text", "sampling", "sketch", "llm-pipeline"),
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) + 1 AS u
+  FROM documents
+)
+SELECT doc_id, n_tokens, u
+FROM w
+ORDER BY CAST(n_tokens AS DOUBLE) / CAST(u AS DOUBLE) DESC, doc_id
+LIMIT 32
+""",
+)
+def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): a weighted
+    sample-without-replacement where item i gets priority w_i / u_i
+    (u_i uniform) and the k highest priorities win — the
+    token-weighted 'pick k representative documents' step of corpus
+    curation, with unbiased subset-sum estimates by construction.
+
+    Determinism across engines without transcendentals: u is an md5
+    60-bit integer (a pure function of doc_id, so the sample is
+    content-addressed and partition-invariant) and the priority is ONE
+    double division — IEEE-correctly-rounded in every engine, unlike
+    ln/pow whose libm rounding can differ — so the ordering is
+    bit-identical and the output columns are exact integers. The plan
+    is a TakeOrderedAndProject global top-k (per-partition heads, no
+    global sort), the same shape as top10_orders_global."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
+            16, 10,
+        ).cast("long")
+        + 1
+    )
+    w = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        u.alias("u"),
+    )
+    return w.orderBy(
+        (F.col("n_tokens").cast("double") / F.col("u").cast("double")).desc(),
+        "doc_id",
+    ).limit(32)
 
 
 # ---------------------------------------------------------------------------
