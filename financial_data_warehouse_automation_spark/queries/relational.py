@@ -629,6 +629,118 @@ def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(32)
 
 
+@query(
+    "orders_bloom_filter_probe",
+    tags=("join", "approx", "sketch", "prefilter"),
+    oracle="""
+WITH b_keys AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  WHERE EXTRACT(YEAR FROM o_orderdate) = 1995
+), p_keys AS (
+  SELECT DISTINCT o_custkey AS k FROM orders
+  WHERE EXTRACT(YEAR FROM o_orderdate) = 1996
+), g AS (SELECT unnest([0, 1, 2]) AS i),
+bloom AS (
+  SELECT pos // 32 AS w,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM (
+    SELECT CAST(concat('0x', substr(md5(CAST(g.i AS VARCHAR) || ':' ||
+           CAST(b.k AS VARCHAR)), 1, 15)) AS BIGINT) % 16384 AS pos
+    FROM b_keys b CROSS JOIN g
+  ) GROUP BY 1
+), pb AS (
+  SELECT k, pos, pos // 32 AS w FROM (
+    SELECT p.k,
+           CAST(concat('0x', substr(md5(CAST(g.i AS VARCHAR) || ':' ||
+           CAST(p.k AS VARCHAR)), 1, 15)) AS BIGINT) % 16384 AS pos
+    FROM p_keys p CROSS JOIN g
+  )
+), chk AS (
+  SELECT pb.k,
+         BOOL_AND((COALESCE(bloom.bits, 0) &
+                   (1::BIGINT << CAST(pb.pos % 32 AS INTEGER))) <> 0)
+           AS bloom_positive
+  FROM pb LEFT JOIN bloom ON bloom.w = pb.w GROUP BY 1
+)
+SELECT (b.k IS NOT NULL) AS exact_member, chk.bloom_positive,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM chk LEFT JOIN b_keys b ON b.k = chk.k
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def orders_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter, deterministic: a 16384-bit /
+    3-hash Bloom filter over 1995 buyers, probed with 1996 buyers, with
+    the md5 bit positions replayed exactly in DuckDB so the driver
+    hash-checks the sketch's membership decisions (including its false
+    positives — output is the exact×bloom 2x2 census; the
+    no-false-negative row (true, false) is structurally absent).
+
+    This is THE structure that replaces a shuffle at 100 TB: the build
+    side map-side-combines into a CONSTANT 512-word bit table (bit_or
+    partial agg), which broadcasts for free, and the probe side then
+    drops most non-members before any wide join — what Spark's runtime
+    bloom filter (spark.sql.optimizer.runtime.bloomFilter.*) injects
+    automatically for selective joins, built here explicitly so the
+    mechanics (k positions, bit_or words, bool_and probe) are visible
+    and verifiable."""
+    m, k_hashes = 16384, 3
+    o = load_table(spark, sf_dir, "orders")
+
+    def pos(i_col, key_col):
+        s = F.concat_ws(":", i_col.cast("string"), key_col.cast("string"))
+        return F.pmod(
+            F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(m),
+        )
+
+    def year_keys(y):
+        return (
+            o.where(F.year("o_orderdate") == y)
+            .select(F.col("o_custkey").alias("k"))
+            .distinct()
+        )
+
+    hashes = F.explode(F.array(*[F.lit(i) for i in range(k_hashes)])).alias("i")
+    b_keys, p_keys = year_keys(1995), year_keys(1996)
+    bloom = (
+        b_keys.select("k", hashes)
+        .withColumn("pos", pos(F.col("i"), F.col("k")))
+        .groupBy(F.expr("pos div 32").alias("w"))
+        .agg(
+            F.expr("bit_or(shiftleft(1L, cast(pos % 32 as int)))").alias("bits")
+        )
+    )
+    pb = (
+        p_keys.select("k", hashes)
+        .withColumn("pos", pos(F.col("i"), F.col("k")))
+        .withColumn("w", F.expr("pos div 32"))
+    )
+    chk = (
+        pb.join(F.broadcast(bloom), "w", "left")
+        .groupBy("k")
+        .agg(
+            F.expr(
+                "bool_and((coalesce(bits, 0L) & "
+                "shiftleft(1L, cast(pos % 32 as int))) != 0)"
+            ).alias("bloom_positive")
+        )
+    )
+    return (
+        chk.join(
+            b_keys.select(F.col("k").alias("bk")),
+            chk["k"] == F.col("bk"),
+            "left",
+        )
+        .groupBy(
+            F.col("bk").isNotNull().alias("exact_member"), "bloom_positive"
+        )
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("exact_member", "bloom_positive")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations (SURVEY §2.8 target additions).
 # ---------------------------------------------------------------------------
