@@ -18,8 +18,31 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+
+
+def is_missing_path_error(exc: AnalysisException) -> bool:
+    """True iff ``exc`` is the missing-input-path error (and nothing
+    else). Prefers ``getCondition()`` (Spark ≥ 4), falls back to the
+    deprecated ``getErrorClass()`` and finally to the legacy message
+    substring, so a Spark upgrade that renames one surface can't make
+    a legitimate first run raise — or, worse, a real failure pass.
+    Every read-or-initialize site in the repo narrows on this: a
+    corrupt footer / FS hiccup / permission error must FAIL, never be
+    mistaken for 'table doesn't exist yet'."""
+    for getter in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, getter, None)
+        if fn is None:
+            continue
+        try:
+            cond = fn()
+        except Exception:
+            cond = None
+        if cond:
+            return "PATH_NOT_FOUND" in cond
+    return "Path does not exist" in str(exc)
 
 
 def overwrite_table(
@@ -38,19 +61,26 @@ def read_table_or_empty(
     spark: SparkSession, path: str, schema: StructType
 ) -> DataFrame:
     """S9: re-scan own output; absent table ⇒ empty frame with the
-    declared schema (never a crash on first run)."""
+    declared schema (never a crash on first run). Any OTHER read
+    failure raises: an empty frame standing in for a corrupt/unreadable
+    table would flow into the rebuild and overwrite it."""
     try:
         return spark.read.schema(schema).parquet(path)
-    except Exception:
+    except AnalysisException as exc:
+        if not is_missing_path_error(exc):
+            raise
         return spark.createDataFrame([], schema)
 
 
 def ensure_table(spark: SparkSession, path: str, schema: StructType) -> None:
     """S13: create the table with its schema if it doesn't exist;
-    leave existing data untouched."""
+    leave existing data untouched. An unreadable EXISTING table raises
+    instead of being silently 'ensured'."""
     try:
         spark.read.parquet(path).limit(0).collect()
-    except Exception:
+    except AnalysisException as exc:
+        if not is_missing_path_error(exc):
+            raise
         spark.createDataFrame([], schema).write.mode("ignore").parquet(path)
 
 

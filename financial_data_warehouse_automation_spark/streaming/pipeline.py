@@ -52,23 +52,11 @@ def read_statement_line_stream(spark: SparkSession, drop_dir: str) -> DataFrame:
     )
 
 
-def _missing_path(exc: AnalysisException) -> bool:
-    """True iff ``exc`` is the missing-input-path error (and nothing
-    else). Prefers ``getCondition()`` (Spark ≥ 4), falls back to the
-    deprecated ``getErrorClass()`` and finally to the legacy message
-    substring, so a Spark upgrade that renames one surface can't make
-    a legitimate first batch raise — or, worse, a real failure pass."""
-    for getter in ("getCondition", "getErrorClass"):
-        fn = getattr(exc, getter, None)
-        if fn is None:
-            continue
-        try:
-            cond = fn()
-        except Exception:
-            cond = None
-        if cond:
-            return "PATH_NOT_FOUND" in cond
-    return "Path does not exist" in str(exc)
+# read-or-initialize sites must distinguish "no table yet" from every
+# other read failure; the narrow check lives with the batch sinks
+from financial_data_warehouse_automation_spark.operators.sinks import (
+    is_missing_path_error as _missing_path,
+)
 
 
 def _upsert_batch(warehouse_path: str):

@@ -29,6 +29,24 @@ def test_read_table_or_empty_first_run(spark, tmp_path):
     assert df.schema == schema
 
 
+def test_read_or_empty_raises_on_non_missing_failure(spark, tmp_path):
+    """Only the missing-path case may yield the empty frame: a corrupt
+    table read that returned empty would flow into a rebuild and
+    overwrite the table. Both S9 and S13 must fail loudly instead."""
+    import pytest
+
+    schema = spark.createDataFrame([(1, "x")], "k int, v string").schema
+    poisoned = tmp_path / "poisoned"
+    poisoned.mkdir()
+    (poisoned / "part-00000.snappy.parquet").write_bytes(b"not parquet")
+    with pytest.raises(Exception):
+        read_table_or_empty(spark, str(poisoned), schema).collect()
+    with pytest.raises(Exception):
+        ensure_table(spark, str(poisoned), schema)
+    # the poisoned dir is untouched — neither call wrote anything
+    assert [p.name for p in poisoned.iterdir()] == ["part-00000.snappy.parquet"]
+
+
 def test_ensure_table_idempotent(spark, tmp_path):
     path = str(tmp_path / "t")
     schema = spark.createDataFrame([(1, "x")], "k int, v string").schema
