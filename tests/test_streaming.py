@@ -262,15 +262,31 @@ def test_stream_dedup_within_watermark_equals_batch(spark, sf_dir, tmp_path):
     assert n_batch > 0
 
 
-def test_stateful_sessionize_stream_equals_batch(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_stateful_sessionize_stream_equals_batch(
+    spark, sf_dir, tmp_path, provider
+):
     """applyInPandasWithState sessionizer vs the batch lag+cumsum query:
     state carries open sessions across micro-batches, so the final
     (closed ∪ last-open-snapshot) set must equal batch sessionization
-    run over all the data at once."""
+    run over all the data at once. Parametrized over BOTH state-store
+    providers: the default HDFS-backed store and RocksDB — the
+    provider a 100 TB deployment runs (state spills off-heap instead
+    of living in executor JVM memory), exercised here so the repo's
+    canonical stateful operator is known-good on it."""
     from pyspark.sql import Window
 
     from financial_data_warehouse_automation_spark.streaming.pipeline import sessionize_stream
     from financial_data_warehouse_automation_spark.tables import load_table
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    if provider == "rocksdb":
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
 
     events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 40)
     # two chronological files → two micro-batches splitting sessions
@@ -290,17 +306,20 @@ def test_stateful_sessionize_stream_equals_batch(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        sessionize_stream(stream)
-        .writeStream.format("memory")
-        .queryName("sess")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName(f"sess_{provider}")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old)
 
-    emitted = spark.sql("SELECT * FROM sess")
+    emitted = spark.sql(f"SELECT * FROM sess_{provider}")
     # closed sessions, plus the final snapshot of each still-open one
     # (an open session re-emitted in a later batch supersedes earlier
     # snapshots — same (user, start), larger n_events)
