@@ -741,6 +741,75 @@ def orders_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "order_sampled_quantiles",
+    tags=("agg", "approx", "sampling", "quantile"),
+    oracle="""
+WITH s AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+         o_orderkey
+  FROM orders
+  WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2))
+             AS BIGINT) < 16
+), ranked AS (
+  SELECT price_cents,
+         ROW_NUMBER() OVER (ORDER BY price_cents, o_orderkey) AS rnk
+  FROM s
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_s FROM s),
+ps AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE),
+                      CAST(0.99 AS DOUBLE)]) AS p)
+SELECT ps.p,
+       CAST(CEIL(ps.p * t.n_s) AS BIGINT) AS sample_rank,
+       r.price_cents,
+       t.n_s AS sample_n
+FROM ps CROSS JOIN tot t
+JOIN ranked r ON r.rnk = CAST(CEIL(ps.p * t.n_s) AS BIGINT)
+ORDER BY ps.p
+""",
+)
+def order_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass approximate quantiles via a deterministic 1/16 sample:
+    the cheap sibling of the exact two-pass order_equidepth_bins, and
+    the deterministic stand-in for percentile_approx (whose t-digest
+    sketch is engine-specific and unverifiable). The sample is
+    content-addressed (first md5 byte of the key < 16), so it is the
+    SAME sample at any partition count and in any engine; nearest-rank
+    quantiles of the sample are then exact picks replayed identically
+    in DuckDB — the estimate itself hash-verifies. Sampling theory:
+    nearest-rank of a uniform 1/16 sample is within O(1/sqrt(n/16))
+    quantile distance of the true quantile.
+
+    Scale shape: the filter prunes ~94% of rows at the scan, and the
+    rank over the surviving sample uses the two-pass bucket-offset
+    global_row_number — no single-task sort anywhere, unlike a naive
+    global ROW_NUMBER (the plan a percentile query must not have)."""
+    from financial_data_warehouse_automation_spark.operators.ranks import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    u = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 2),
+        16, 10,
+    ).cast("long")
+    s = o.where(u < 16).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+        "o_orderkey",
+    )
+    ranked = global_row_number(s, "price_cents", ("o_orderkey",), "rnk")
+    tot = s.agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+    ps = spark.createDataFrame([(0.5,), (0.95,), (0.99,)], "p double")
+    targets = ps.crossJoin(F.broadcast(tot)).select(
+        "p",
+        F.ceil(F.col("p") * F.col("n_s")).cast("long").alias("sample_rank"),
+        "n_s",
+    )
+    return (
+        ranked.select("price_cents", F.col("rnk").alias("sample_rank"))
+        .join(F.broadcast(targets), "sample_rank")  # 3-row probe broadcast
+        .select("p", "sample_rank", "price_cents", F.col("n_s").alias("sample_n"))
+        .orderBy("p")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations (SURVEY §2.8 target additions).
 # ---------------------------------------------------------------------------

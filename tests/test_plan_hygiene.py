@@ -235,6 +235,7 @@ def test_no_unbounded_global_window_anywhere(all_plans):
         "customer_revenue_gini",
         "doc_shuffle_order",
         "order_equidepth_bins",
+        "order_sampled_quantiles",
         # post-limit frame: rank runs AFTER orderBy().limit(100)
         # (TakeOrderedAndProject), so the window sees <= 100 rows
         "doc_zipf_fit",
