@@ -1509,3 +1509,96 @@ def events_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+@query(
+    "events_ab_test_zscore",
+    tags=("events", "stats", "experiment"),
+    oracle="""
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                                      1, 1)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         CASE WHEN COUNT(*) FILTER (event_type = 'purchase') >= 14
+              THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY 1
+), s AS (
+  SELECT
+    CAST(COUNT(*) FILTER (variant = 'A') AS BIGINT) AS n_a,
+    CAST(SUM(converted) FILTER (variant = 'A') AS BIGINT) AS c_a,
+    CAST(COUNT(*) FILTER (variant = 'B') AS BIGINT) AS n_b,
+    CAST(SUM(converted) FILTER (variant = 'B') AS BIGINT) AS c_b
+  FROM u
+)
+SELECT n_a, c_a, n_b, c_b,
+       CAST(ROUND(
+         (CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+         / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                * (1 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                * (1.0 / n_a + 1.0 / n_b)), 6) AS DOUBLE) AS z_score
+FROM s
+""",
+)
+def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: hash-bucketed variant assignment (the
+    content-addressed split every experimentation platform uses — a
+    user keeps their variant on any cluster, any partition count, any
+    re-run), per-user conversion (any purchase event), and the pooled
+    two-proportion z-statistic.
+
+    Cross-engine determinism without a transcendental gap: the z-score
+    is divisions, multiplications and ONE sqrt — all IEEE-754
+    correctly-rounded operations (unlike ln/pow, sqrt is exact per the
+    standard), so both engines produce the identical double and the
+    statistic itself hash-verifies at round-6 (unit scale).
+
+    Shape: one user-keyed aggregate (conversion flag collapses each
+    user's events map-side), then a single global conditional
+    aggregate — no join, no window; the variant split is a column
+    expression, not a shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    variant = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1),
+            16, 10,
+        ).cast("long")
+        % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                )
+                >= 14
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .select("user_id", "converted", variant.alias("variant"))
+    )
+    a = F.col("variant") == "A"
+    s = u.agg(
+        F.sum(F.when(a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(a, F.col("converted")).otherwise(0)).cast("long").alias("c_a"),
+        F.sum(F.when(~a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(~a, F.col("converted")).otherwise(0)).cast("long").alias("c_b"),
+    )
+    pool = (F.col("c_a") + F.col("c_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (
+        F.col("c_a").cast("double") / F.col("n_a")
+        - F.col("c_b").cast("double") / F.col("n_b")
+    ) / F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return s.select(
+        "n_a", "c_a", "n_b", "c_b", F.round(z, 6).alias("z_score")
+    )
