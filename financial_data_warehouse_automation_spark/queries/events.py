@@ -1602,3 +1602,102 @@ def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n_a", "c_a", "n_b", "c_b", F.round(z, 6).alias("z_score")
     )
+
+
+@query(
+    "events_attribution_linear",
+    tags=("events", "attribution", "range-join", "funnel"),
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts AS cts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), j AS (
+  SELECT p.event_id, p.cents, c.cts, c.click_id
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id
+   AND c.cts <= p.ts AND c.cts > p.ts - INTERVAL 7 DAY
+), k AS (
+  SELECT event_id, cents, cts,
+         COUNT(cts) OVER (PARTITION BY event_id) AS n,
+         ROW_NUMBER() OVER (PARTITION BY event_id
+                            ORDER BY cts DESC, click_id DESC) AS rn
+  FROM j
+)
+SELECT CASE WHEN cts IS NULL THEN 'none'
+            ELSE strftime(cts, '%Y-%m-%d') END AS click_day,
+       CAST(SUM(CASE WHEN cts IS NULL THEN cents
+                ELSE cents // n
+                     + CASE WHEN rn = 1 THEN cents % n ELSE 0 END
+                END) AS BIGINT) AS credited_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_credits
+FROM k GROUP BY 1 ORDER BY 1
+""",
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-split) multi-touch attribution, the sibling of
+    events_attribution_last_touch: every click in the 7-day lookback
+    shares a purchase's revenue equally. Credit is allocated in EXACT
+    integer cents — each touch gets cents div n and the most recent
+    click absorbs the remainder (the installments-UDTF reconciliation
+    trick), so the credited ledger sums to the purchase total to the
+    cent, with no 1/n floating-point drift for the oracle to disagree
+    about.
+
+    Shape: a keyed range join (user equi key + 7-day interval
+    predicate — the row explosion is bounded by clicks-per-user-per-
+    week, never |purchases| x |clicks|), then two windows partitioned
+    by purchase id (partition size = that purchase's touch count).
+    Purchases with no in-window click keep full credit in the 'none'
+    bucket."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .groupBy(F.col("user_id").alias("c_user"), F.col("ts").alias("cts"))
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") <= F.col("ts"))
+        & (F.col("cts") > F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    )
+    w = Window.partitionBy("event_id")
+    wr = Window.partitionBy("event_id").orderBy(
+        F.desc("cts"), F.desc("click_id")
+    )
+    k = j.select(
+        "event_id",
+        "cents",
+        "cts",
+        F.count("cts").over(w).alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    credit = F.when(F.col("cts").isNull(), F.col("cents")).otherwise(
+        F.expr("cents div n")
+        + F.when(F.col("rn") == 1, F.expr("cents % n")).otherwise(F.lit(0))
+    )
+    return (
+        k.select(
+            F.when(F.col("cts").isNull(), "none")
+            .otherwise(F.date_format("cts", "yyyy-MM-dd"))
+            .alias("click_day"),
+            credit.alias("credit"),
+        )
+        .groupBy("click_day")
+        .agg(
+            F.sum("credit").cast("bigint").alias("credited_cents"),
+            F.count(F.lit(1)).alias("n_credits"),
+        )
+        .orderBy("click_day")
+    )
