@@ -650,3 +650,82 @@ def test_transform_with_state_user_stats_equals_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+def test_watermark_drops_late_rows_and_accounts_for_them(spark, tmp_path):
+    """Late-data semantics pinned end to end. Spark drops a late row
+    only once its window's state has been EVICTED (a row arriving late
+    while the window is still live merges in — allowed lateness), so
+    the scenario needs three ordered micro-batches: fill a window,
+    advance the watermark past it (finalizing+evicting it), then send
+    a row for the dead window. That row must be (a) excluded from the
+    emitted aggregate and (b) visible in numRowsDroppedByWatermark —
+    silent late-drop is the classic streaming surprise, so the repo
+    pins that the drop is both real and observable."""
+    import json as _json
+    import time
+
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        event_window_counts_stream,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double"
+    )
+    # The watermark computed from batch N's max event time is APPLIED
+    # during batch N+1, and eviction also happens during a batch — so
+    # the evicting batch and the late arrival must be SEPARATE batches:
+    files = [
+        # batch 0: the 12:00-12:15 window gets 3 events
+        [(i, f"2024-03-01 12:{m:02d}:00") for i, m in enumerate([0, 5, 10])],
+        # batch 1: 13:00 events; wm is still 11:40 during this batch,
+        # 12:35 is computed at its end
+        [(10, "2024-03-01 13:00:00"), (11, "2024-03-01 13:05:00")],
+        # batch 2: runs WITH wm=12:35 -> evicts+emits the 12:00 window
+        [(12, "2024-03-01 13:10:00")],
+        # batch 3: late row for the now-dead window -> dropped+counted
+        [(99, "2024-03-01 12:05:00")],
+    ]
+    src = str(tmp_path / "late_src")
+    for rows in files:
+        (
+            spark.createDataFrame(
+                [(e, t, 1, "click", 1.0) for e, t in rows],
+                "event_id long, ts string, user_id long, "
+                "event_type string, value double",
+            )
+            .withColumn("ts", F.to_timestamp("ts"))
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        time.sleep(1.1)  # distinct mtimes: file order = batch order
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        event_window_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in _json.loads(p.json).get("stateOperators", [])
+    )
+    assert dropped == 1, f"late row not dropped by watermark (dropped={dropped})"
+
+    emitted = {
+        r.bucket_start: r.n_events
+        for r in spark.sql("SELECT * FROM late_counts").collect()
+    }
+    # 2024-03-01 12:00:00 UTC; the late 12:05 row must NOT be in it
+    assert emitted.get(1709294400) == 3, emitted
