@@ -869,3 +869,81 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "embedding_power_iteration",
+    tags=("similarity", "vectors", "pca", "llm-pipeline"),
+    oracle="""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS qv
+  FROM embeddings
+), s AS (
+  SELECT qv, CAST(list_sum(qv) AS BIGINT) AS sv FROM q
+), t AS (
+  SELECT j AS dim_idx, CAST(SUM(qv[j] * sv) AS BIGINT) AS t_milli
+  FROM s, unnest(generate_series(1, len(qv))) AS tj(j)
+  GROUP BY 1
+), m AS (SELECT MAX(ABS(t_milli)) AS mx FROM t)
+SELECT t.dim_idx, t.t_milli,
+       CAST(ROUND(CAST(t.t_milli AS DOUBLE) / CAST(m.mx AS DOUBLE), 6)
+            AS DOUBLE) AS v_next
+FROM t CROSS JOIN m ORDER BY 1
+""",
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the principal component:
+    t = X^T (X v0) with v0 = the ones vector, computed the way
+    distributed PCA actually does it — TWO passes over the rows (a
+    per-row dot product s_i = x_i . v0, then the s_i-weighted column
+    sum), never materializing X^T X. Compare embedding_gram_matrix,
+    which materializes the dim^2 Gram cells; the matvec form is what
+    scales when dim is too large for a dim^2 shuffle.
+
+    Exactness: milli-unit int64 quantization (the gram-matrix
+    discipline) keeps every product and sum integer, so the aggregate
+    is shuffle-order independent; the result vector normalizes by its
+    max-|component| (an exact integer) instead of the L2 norm — the
+    L2 norm squared exceeds 2^53 and DuckDB's decimal->double cast is
+    not correctly rounded, while int/int division of exact values is
+    IEEE-identical everywhere. |t_j| <= ~1.6e9 per row, so int64
+    holds to ~5e9 rows (document-scale bound, same class as the gram
+    cell bound).
+
+    Shape: per-row fold for s_i (no shuffle), explode to (dim, prod)
+    with map-side combine to <= 64 cells per task, one dim-keyed
+    exchange of 64 groups, then a broadcast single-row max."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000, 0).cast("bigint"),
+        ).alias("qv")
+    )
+    s = q.withColumn("sv", F.expr("aggregate(qv, 0L, (a, x) -> a + x)"))
+    t = (
+        s.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(qv)), "
+                    "j -> struct(j AS dim_idx, qv[j - 1] * sv AS prod))"
+                )
+            ).alias("p")
+        )
+        .select("p.dim_idx", "p.prod")
+        .groupBy("dim_idx")
+        .agg(F.sum("prod").alias("t_milli"))
+    )
+    m = t.agg(F.max(F.abs(F.col("t_milli"))).alias("mx"))
+    return (
+        t.crossJoin(F.broadcast(m))
+        .select(
+            "dim_idx",
+            "t_milli",
+            F.round(
+                F.col("t_milli").cast("double") / F.col("mx").cast("double"), 6
+            ).alias("v_next"),
+        )
+        .orderBy("dim_idx")
+    )
