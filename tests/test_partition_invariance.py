@@ -23,6 +23,13 @@ CASES = (
     "part_abc_pareto",
     "monthly_revenue_seasonality",
     "order_winsorized_stats",
+    # round-6 content-addressed operators: the md5 sketch family and
+    # hash-bucketed experiment split claim layout independence outright
+    "approx_distinct_parts_kmv",
+    "part_freq_count_min",
+    "doc_priority_sample",
+    "order_sampled_quantiles",
+    "events_ab_test_zscore",
 )
 
 
