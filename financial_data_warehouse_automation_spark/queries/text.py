@@ -798,8 +798,16 @@ def doc_decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminate.
 
     Shape: per-split shingle sets joined on the shingle — a hash
-    shuffle on the n-gram, never doc×doc. At corpus scale the join key
-    becomes xxhash64(shingle) (8-byte shuffle rows instead of strings,
+    shuffle on the n-gram, never doc×doc. The two join inputs filter
+    the same shingle frame, so the scan+explode runs twice — but the
+    total shuffle volume is still ONE corpus worth (test 25% + train
+    75%), and a measured single-scan alternative (shingle-grain
+    aggregate with two filtered collect_sets, then pair expansion) was
+    22% SLOWER at sf0.1: per-shingle array state over mostly-unique
+    shingles costs more than the second explode, and it stays a wash
+    at scale where both formulations move the exploded corpus through
+    one total exchange. At corpus scale the join key becomes
+    xxhash64(shingle) (8-byte shuffle rows instead of strings,
     collision-verified on the string after the match); the string key
     keeps the query engine-agnostic here."""
     d = load_table(spark, sf_dir, "documents")
