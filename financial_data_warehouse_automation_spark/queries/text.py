@@ -1902,3 +1902,90 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "doc_simhash_neardup_pairs",
+    tags=("text", "dedup", "simhash", "llm-pipeline"),
+    oracle=r"""
+WITH docs AS (
+  SELECT doc_id,
+         list_transform(string_split_regex(trim(text), '\s+'),
+                        t -> md5(t)) AS hs
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 31), i ->
+           CASE WHEN 2 * len(list_filter(hs, h -> substr(h, i + 1, 1) >= '8'))
+                     - len(hs) > 0
+                THEN 1::BIGINT << i ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+  FROM docs
+), b AS (
+  SELECT doc_id, simhash, band,
+         (simhash >> (band * 8)) & 255 AS byte
+  FROM sig, unnest([0, 1, 2, 3]) AS t(band)
+)
+SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+FROM b a JOIN b c
+  ON a.band = c.band AND a.byte = c.byte AND a.doc_id < c.doc_id
+WHERE bit_count(xor(a.simhash, c.simhash)) <= 1
+ORDER BY 1, 2
+""",
+)
+def doc_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup DEDUP (not just the sketch): 32-bit md5-vote
+    SimHash per doc, banded into 4 bytes — by pigeonhole, any pair
+    within Hamming distance 3 shares at least one exact byte, so
+    bucketing on (band, byte) has FULL recall for the h<=1 threshold
+    used here — then exact bit_count(xor) verification inside the
+    bucket. Completes the dedup ladder's single-pass 8-bytes-per-doc
+    rung (MinHash-LSH needs k-wide signatures; SimHash is the memory-
+    light alternative, at the cost of weak precision on short docs —
+    visible here: a small-vocabulary corpus collides unrelated docs,
+    which is the documented reason MinHash stays the primary).
+
+    Shape: one scan -> sketch -> 4x explode -> (band, byte) groupBy;
+    candidate pairs expand INSIDE the bucket with the 8-byte sketch
+    carried along, so verification needs no join back to the corpus.
+    Bucket population is ~n/256 per band at this corpus size; at real
+    scale the band width grows with log2(n) (Manku et al.'s sorted
+    multi-table scheme) to keep buckets bounded — same cap discipline
+    as lsh_candidate_pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = d.select(
+        "doc_id", simhash_md5(tokens("text"), bits=32).alias("simhash")
+    )
+    b = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band"),
+    ).withColumn(
+        "byte",
+        F.expr(
+            "(simhash div element_at(array(1L, 256L, 65536L, 16777216L), "
+            "band + 1)) % 256"
+        ),
+    )
+    buckets = (
+        b.groupBy("band", "byte")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("es")
+        )
+        .where(F.size("es") >= 2)
+    )
+    pairs = F.expr("""
+      flatten(transform(es, (x, i) ->
+        transform(slice(es, i + 2, size(es)), y ->
+          struct(x.doc_id AS id_a, y.doc_id AS id_b,
+                 bit_count(x.simhash ^ y.simhash) AS hamming))))
+    """)
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", F.col("p.hamming").cast("long").alias("hamming"))
+        .where(F.col("hamming") <= 1)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
