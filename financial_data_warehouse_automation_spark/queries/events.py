@@ -236,8 +236,11 @@ def events_sessionization_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag → new-session
     flag → running sum = session id. The batch equivalent of
     session_window(ts, '30 minutes'); expressed via plain windows so the
-    DuckDB oracle can replicate it bit-for-bit."""
-    e = load_table(spark, sf_dir, "events")
+    DuckDB oracle can replicate it bit-for-bit. ``spread_by`` on
+    user_id pre-satisfies the window's clustering, so the lag/cumsum
+    run without a second exchange on the harness's single-row-group
+    scan (plan no-op on a split table)."""
+    e = load_table(spark, sf_dir, "events", spread_by=("user_id",))
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag("ts").over(w)

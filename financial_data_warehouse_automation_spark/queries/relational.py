@@ -58,8 +58,13 @@ ORDER BY l_returnflag, l_linestatus
 """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Filtered scan → hash aggregate; filter + projection push to parquet."""
-    l = load_table(spark, sf_dir, "lineitem")
+    """Filtered scan → hash aggregate; filter + projection push to
+    parquet. ``spread_by`` fans the decimal partial-agg work out of the
+    harness's single-row-group scan; plan no-op on a well-split table.
+    The spread key is a column the query already reads (extendedprice —
+    high-cardinality, skew-free) so column pruning is untouched: the
+    plan-hygiene suite pins the 7-column ReadSchema."""
+    l = load_table(spark, sf_dir, "lineitem", spread_by=("l_extendedprice",))
     one = F.lit("1.0").cast("decimal(2,1)")
     disc_price = money("l_extendedprice") * (one - rate("l_discount"))
     charge = disc_price * (one + rate("l_tax"))
@@ -119,8 +124,11 @@ def monthly_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (year, month, segment) groups); ~20% faster at sf0.1 and the gap
     widens with scale. No broadcast hint on customer: multi-GB at
     100 TB; AQE picks broadcast at small SFs on its own (VERDICT r1 #6).
+    ``spread_by`` on the join key: the order-grain pre-aggregate then
+    runs partition-local on the harness's single-row-group file, and on
+    a well-split table no exchange is added at all.
     """
-    l = load_table(spark, sf_dir, "lineitem")
+    l = load_table(spark, sf_dir, "lineitem", spread_by=("l_orderkey",))
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     one = F.lit("1.0").cast("decimal(2,1)")
@@ -167,8 +175,8 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-way star join; tiny dims broadcast so the only big-side shuffle
     is lineitem⋈orders (at 100 TB: bucket both on orderkey). Lineitem
     pre-aggregates to order grain before the join (same rationale as
-    monthly_segment_totals)."""
-    l = load_table(spark, sf_dir, "lineitem")
+    monthly_segment_totals, including its ``spread_by``)."""
+    l = load_table(spark, sf_dir, "lineitem", spread_by=("l_orderkey",))
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")

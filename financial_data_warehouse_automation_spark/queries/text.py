@@ -310,10 +310,11 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled exactly once, and the verify joins shuffle long arrays,
     not shingle strings). Rows-only check (hash permutations are
     engine-specific)."""
-    # Single-file parquet = one input partition; spread the CPU-heavy
-    # shingle/signature projection across cores. Hash on doc_id so the
-    # downstream per-doc work needs no further exchange.
-    d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    # Single-row-group parquet = one input partition; spread the
+    # CPU-heavy shingle/signature projection across cores (guarded
+    # no-op on a well-split table). Hash on doc_id so the downstream
+    # per-doc work needs no further exchange.
+    d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
     docs = d.select("doc_id", tokens("text").alias("toks"))
     shingled = docs.select("doc_id", word_shingles(F.col("toks"), 3).alias("sh"))
     sigs = minhash_signatures(
@@ -810,7 +811,11 @@ def doc_decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64(shingle) (8-byte shuffle rows instead of strings,
     collision-verified on the string after the match); the string key
     keeps the query engine-agnostic here."""
-    d = load_table(spark, sf_dir, "documents")
+    # Single-row-group parquet = one input partition; spread the
+    # CPU-heavy tokenize/shingle projection across cores (same guarded
+    # rationale as doc_minhash_lsh_pairs; measured 1.69s -> 1.18s at
+    # sf0.1). Both split branches share the one exchange.
+    d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
     nibble = F.substring(
         F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
     )

@@ -74,8 +74,11 @@ def upsert_keep_last_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: 'existing' warehouse (loads through 1995) upserted with a
     re-delivered 1995+ batch — overlapping keys (year 1995) must come
     out with src='new', proving last-write-wins; the src column is in
-    the hash so a wrong survivor fails loudly."""
-    o = load_table(spark, sf_dir, "orders")
+    the hash so a wrong survivor fails loudly. ``spread_by`` on
+    custkey: hash(custkey) satisfies the (custkey, year, month)
+    clustering, so both branch aggregates run partition-local on the
+    harness's single-row-group scan (plan no-op on a split table)."""
+    o = load_table(spark, sf_dir, "orders", spread_by=("o_custkey",))
     existing = _monthly_spend(
         o.where(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")), "old"
     )

@@ -21,12 +21,74 @@ TABLE_NAMES = (
 SMALL_DIMS = ("region", "nation")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Memoized analyzed relations. ``spark.read.parquet`` does file listing
+# + footer schema inference eagerly in the JVM (~70-125 ms per call on
+# this harness); a basket of queries re-loading the same immutable
+# tables pays it dozens of times. On a real cluster these tables live
+# in a catalog/metastore and the analyzed relation is resolved once —
+# this cache is the local-mode equivalent. Keyed by applicationId so a
+# restarted session (tests stop/start Spark) never sees a stale plan;
+# the testdata files themselves are read-only, so the listing can't go
+# stale within a session.
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_SPLIT_CACHE: dict[str, int] = {}
+
+
+def _scan_parallelism(path: str) -> int:
+    """Maximum number of tasks a parquet scan of ``path`` can fan out
+    to: Spark splits parquet files only at ROW-GROUP boundaries, so a
+    single-file single-row-group table (exactly what the harness
+    generator writes) is read by ONE task no matter how many cores the
+    session has — every expression evaluated in the scan stage runs
+    single-threaded. Footer metadata answers this cheaply on the
+    driver; falls back to 1 file = 1 split when pyarrow can't read it
+    (conservative: may fan out when it didn't strictly need to)."""
+    n = _SPLIT_CACHE.get(path)
+    if n is None:
+        try:
+            import pyarrow.parquet as pq
+
+            n = max(1, pq.ParquetFile(path).num_row_groups)
+        except Exception:
+            n = 1
+        _SPLIT_CACHE[path] = n
+    return n
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    spread_by: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Load a testdata table; the analyzed relation is memoized.
+
+    ``spread_by``: columns to hash-repartition on — APPLIED ONLY when
+    the underlying parquet cannot split to the session's parallelism
+    (see ``_scan_parallelism``). On a real cluster the table arrives in
+    thousands of row groups and this is a plan no-op (no exchange is
+    added), so CPU-heavy projections above the scan (shingling,
+    decimal arithmetic, decode) keep their shuffle-free shape at
+    100 TB; on the single-row-group harness files it spreads that work
+    across cores instead of leaving the whole scan stage on one
+    thread. Hash (not round-robin) partitioning so row placement is
+    content-addressed — deterministic at any partition count, which
+    the partition-invariance suite relies on."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _RELATION_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _RELATION_CACHE[key] = df
+    if spread_by:
+        target = spark.sparkContext.defaultParallelism
+        if _scan_parallelism(f"{sf_dir}/{name}.parquet") < target:
+            return df.repartition(target, *spread_by)
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
