@@ -159,8 +159,10 @@ def ann_cosine_topk_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     constants, so the full pipeline (bucket assignment included) replays
     in DuckDB with the same sign matrices inlined as literals and
     hash-matches; recall vs brute force is additionally asserted in
-    tests/test_similarity.py."""
-    e = load_table(spark, sf_dir, "embeddings")
+    tests/test_similarity.py. ``spread_by``: candidate cosines ride the
+    corpus-side scan partitioning through the broadcast joins — fan it
+    out when the file can't split (no-op on a well-split corpus)."""
+    e = load_table(spark, sf_dir, "embeddings", spread_by=("vec_id",))
     tables = [rademacher_signs(4, 64, seed=f"rhp{t}") for t in range(8)]
 
     def with_buckets(df: DataFrame, vec: str, id_alias: str, vec_alias: str) -> DataFrame:
@@ -242,8 +244,14 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_label_centroids discipline) instead of a float AVG, so
     cell assignment is reduction-order independent and the whole
     pipeline — coarse quantizer included — hash-matches the DuckDB
-    replay."""
-    e = load_table(spark, sf_dir, "embeddings")
+    replay.
+
+    ``spread_by``: the candidate join broadcasts the (tiny) probe
+    side, so without it every candidate cosine + window partial runs
+    INSIDE the corpus scan stage — one task on a single-row-group
+    file (measured 46s vs 6s at the 10× scale point; see PERF.md's
+    scaling section). Guarded no-op on a well-split corpus."""
+    e = load_table(spark, sf_dir, "embeddings", spread_by=("vec_id",))
     dims = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
     v6 = F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
     centroids = (
@@ -332,7 +340,7 @@ def ann_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", spread_by=("vec_id",))
     vecs = e.select("vec_id", "embedding", array_to_vector("embedding").alias("features"))
     km = KMeans(k=8, seed=42, featuresCol="features", predictionCol="cell")
     model = km.fit(vecs)
@@ -460,7 +468,7 @@ def ann_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable, unlike hash-sketch ANN variants."""
     from financial_data_warehouse_automation_spark.operators.vectors import int_dot, quantize_int8
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings", spread_by=("vec_id",))
     q, _ = quantize_int8(F.col("embedding"))
     corpus = e.select("vec_id", "embedding", q.alias("cq"))
     probes = (
