@@ -725,8 +725,10 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells (dim=64) per partition before a shuffle whose cardinality is
     dim^2, independent of corpus size. The alternative posexplode +
     self-join on vec_id shuffles the whole corpus twice; this plans as
-    scan -> generate -> partial agg -> tiny exchange."""
-    e = load_table(spark, sf_dir, "embeddings")
+    scan -> generate -> partial agg -> tiny exchange. ``spread_by``
+    fans the dim^2 expansion out of a single-row-group scan (guarded
+    no-op on a well-split corpus)."""
+    e = load_table(spark, sf_dir, "embeddings", spread_by=("vec_id",))
     pairs = F.expr("""
       flatten(transform(sequence(0, size(qv) - 1), i ->
         transform(sequence(i, size(qv) - 1), j ->

@@ -241,8 +241,10 @@ ORDER BY fingerprint
 def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing-lite) fingerprint groups: docs sharing a
     minimal sliding-window md5 — catches shared passages that exact
-    dedup misses; md5 keeps it engine-replicable."""
-    d = load_table(spark, sf_dir, "documents")
+    dedup misses; md5 keeps it engine-replicable. The per-doc rolling
+    md5 is CPU-heavy scan-stage work — ``spread_by`` fans it out of a
+    single-row-group file (guarded no-op on a well-split corpus)."""
+    d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
     fp = d.select(
         "doc_id",
         rolling_min_fingerprint("text", window=16, stride=4).alias("fingerprint"),
@@ -409,7 +411,7 @@ def doc_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm is expressible in pure DataFrame ops); rows-only check."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
     docs = d.select(
         "doc_id", word_shingles(tokens("text"), 3).alias("toks")
     ).where(F.size("toks") > 0)  # MinHashLSH rejects all-zero vectors
@@ -929,8 +931,15 @@ def doc_shingle_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the window can straddle a boundary); near-dup pairs in this
     corpus differ by ≤12 chars, and in general a 0.5-Jaccard pair
     cannot diverge much in length. Blocking turns O(n²) into
-    O(Σ bucket²) with an equi-join shuffle — the sorted-neighborhood
-    technique a full-corpus exact pass would actually use."""
+    O(Σ bucket²) with an equi-join shuffle — the classic
+    sorted-neighborhood technique. SCALE LIMIT (measured at the 10×
+    scale point, PERF.md): bucket occupancy grows linearly with the
+    corpus, so Σ bucket² grows quadratically (124M in-bucket pairs at
+    sf1, minutes of runtime) — at corpus scale use
+    doc_jaccard_prefix_filter, the AllPairs/PPJoin formulation that
+    provably finds the same pairs from a prefix-shingle-keyed shuffle
+    (25s at sf1), or the MinHash-LSH rung when approximation is
+    acceptable."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", "n_chars", tokens("text").alias("toks")).where(
         F.size("toks") >= 3
@@ -957,6 +966,97 @@ def doc_shingle_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jac"))
         .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "doc_jaccard_prefix_filter",
+    tags=("text", "dedup", "jaccard", "prefix-filter", "llm-pipeline"),
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         END AS s
+  FROM t
+), pre AS (
+  SELECT doc_id,
+         list_sort(list_transform(s, x -> md5(x) || x))[1 : len(s) // 2 + 1]
+           AS ks
+  FROM sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, unnest(ks) AS k FROM pre) a
+  JOIN (SELECT doc_id, unnest(ks) AS k FROM pre) b
+    ON a.k = b.k AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT id_a, id_b,
+         CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+           / greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1) AS jac
+  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+            JOIN sh sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, ROUND(jac, 6) AS jac
+FROM scored WHERE jac >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def doc_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT full-corpus 3-gram Jaccard near-dup pairs via PREFIX
+    FILTERING (Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW'07; the AllPairs/PPJoin family) — the scale-correct
+    exact rung of the dedup ladder, found by the 10x scale point:
+    doc_shingle_jaccard_blocked's length-window blocking is
+    O(sum bucket^2) and its buckets grow linearly with the corpus
+    (124M in-bucket pairs at the sf1 scale point; see PERF.md).
+
+    The theorem: order every doc's distinct shingles by a global total
+    order (md5 here, so both engines sort identically); at Jaccard
+    threshold tau = 0.5, any qualifying pair shares >= ceil(tau*|A|)
+    shingles, so it MUST collide inside the first
+    |A| - ceil(tau*|A|) + 1 = |A| div 2 + 1 shingles of each side.
+    Candidates therefore come from a shuffle keyed on PREFIX shingles
+    only (~half the corpus volume, near-linear for mostly-unique
+    shingles — the same posture as the decontamination scan), then the
+    exact Jaccard verifies candidates. No length blocking, so unlike
+    the blocked anchor this finds ALL qualifying pairs; at 10x data it
+    runs in seconds where the blocked formulation runs for minutes.
+    The md5-keyed prefix replays in DuckDB, so the pair set
+    hash-verifies end to end."""
+    d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
+    sets = d.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens("text"), 3)).alias("s"),
+    )
+    # global order = md5; append the shingle so collisions stay total
+    ranked = F.array_sort(
+        F.transform(F.col("s"), lambda x: F.concat(F.md5(x.cast("binary")), x))
+    )
+    pre = sets.select(
+        "doc_id",
+        F.slice(ranked, F.lit(1), F.expr("size(s) div 2 + 1")).alias("ks"),
+    )
+    ka = pre.select(F.col("doc_id").alias("id_a"), F.explode("ks").alias("k"))
+    kb = pre.select(F.col("doc_id").alias("id_b"), F.explode("ks").alias("k"))
+    cand = (
+        ka.join(kb, "k")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    jac = jaccard(F.col("sa"), F.col("sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jac"))
         .orderBy("id_a", "id_b")
     )
 
@@ -1376,7 +1476,10 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     never doc x doc, so it scales like the decontamination scan. Docs
     shorter than 8 tokens contribute their whole text as one shingle
     (same convention as word_shingles)."""
-    d = load_table(spark, sf_dir, "documents")
+    # the 8-gram shingle projection feeds BOTH join branches from the
+    # scan stage — fan it out of a single-row-group file (guarded
+    # no-op on a well-split corpus)
+    d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
     t = d.select("doc_id", tokens("text").alias("toks"))
     sh = t.select(
         "doc_id",
@@ -1876,7 +1979,7 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction — which is why this query exists alongside
     doc_shingle_jaccard_blocked. All counts exact int64; the
     containment ratio is one int/int double division, rounded."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
     t = d.select("doc_id", tokens("text").alias("toks")).where(
         F.size("toks") >= 3
     )
@@ -1957,7 +2060,9 @@ def doc_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the band width grows with log2(n) (Manku et al.'s sorted
     multi-table scheme) to keep buckets bounded — same cap discipline
     as lsh_candidate_pairs."""
-    d = load_table(spark, sf_dir, "documents")
+    # sketch computation is the CPU-heavy stage — fan it out of a
+    # single-row-group scan (guarded no-op on a well-split corpus)
+    d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
     sig = d.select(
         "doc_id", simhash_md5(tokens("text"), bits=32).alias("simhash")
     )

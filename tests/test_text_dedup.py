@@ -106,3 +106,29 @@ def test_hot_bucket_cap_degrades_to_linear_star(spark):
     comp = connected_components(verts, edges)
     n_clusters = comp.select("component").distinct().count()
     assert n_clusters == 1
+
+
+def test_prefix_filter_completeness_vs_blocked_anchor(spark, sf_dir):
+    """Prefix filtering is EXACT (AllPairs theorem), so its pair set
+    must contain every pair the length-blocked anchor finds — blocking
+    can only restrict the compare set further, never widen it. Equal
+    jac values on the shared pairs pin that both compute the same
+    similarity."""
+    from financial_data_warehouse_automation_spark.queries.text import (
+        doc_jaccard_prefix_filter,
+        doc_shingle_jaccard_blocked,
+    )
+
+    blocked = {
+        (r.id_a, r.id_b): r.jac
+        for r in doc_shingle_jaccard_blocked(spark, sf_dir).collect()
+    }
+    prefix = {
+        (r.id_a, r.id_b): r.jac
+        for r in doc_jaccard_prefix_filter(spark, sf_dir).collect()
+    }
+    assert blocked, "anchor found no near-dup pairs — trivial fixture"
+    missing = set(blocked) - set(prefix)
+    assert not missing, f"prefix filter missed exact pairs: {sorted(missing)[:5]}"
+    for pair in blocked:
+        assert prefix[pair] == blocked[pair], (pair, prefix[pair], blocked[pair])
