@@ -263,6 +263,103 @@ def events_sessionization_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sessionization_two_phase",
+    tags=("events", "window", "session", "skew"),
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                   OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       epoch_us(MIN(ts)) AS session_start,
+       epoch_us(MAX(ts)) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def events_sessionization_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKEW-RESILIENT sessionization, bit-identical to
+    events_sessionization_30min (same oracle SQL; equality also pinned
+    in tests/test_sessionization_two_phase.py, including a
+    multi-midnight bot chain). The plain formulation partitions the
+    window by user_id alone — at 100 TB a single bot/service account
+    with years of events serializes one executor and can OOM it, and
+    no AQE setting splits a window partition. Two exact passes fix the
+    bound:
+
+    1. Window over (user_id, DAY(ts)): each task holds at most one
+       user-day of events, whatever one user's total volume is.
+       Produces provisional sessions (contiguous event runs).
+    2. Merge at SESSION grain: consecutive provisional sessions of a
+       user merge iff the boundary gap <= 30 min. Exact because
+       sessions are contiguous runs, so the gap between provisional
+       session k's last event and k+1's first event IS a true
+       consecutive-event gap; within-chunk neighbors never merge (their
+       gap exceeded the threshold in pass 1), cross-midnight chains
+       merge transitively through the cumulative sum. The second
+       window runs on session-grain rows — orders of magnitude fewer
+       than events for any realistic cadence (a 1-event-per-second bot
+       compresses its whole day into one row), which is the skew bound.
+
+    This is the window-skew analogue of operators/skew.salted_join:
+    day is the salt, and the merge pass is the exact un-salting."""
+    e = load_table(spark, sf_dir, "events", spread_by=("user_id",))
+    gap_us = 1800 * 1_000_000
+    w1 = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w1)
+    is_new = F.when(
+        prev.isNull() | (F.unix_micros("ts") - F.unix_micros(prev) > gap_us), 1
+    ).otherwise(0)
+    ev = (
+        e.withColumn("chunk", F.date_trunc("DAY", F.col("ts")))
+        .withColumn("is_new", is_new)
+        .withColumn(
+            "sid1",
+            F.sum("is_new").over(
+                w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    prov = ev.groupBy("user_id", "chunk", "sid1").agg(
+        F.min(F.unix_micros("ts")).alias("start"),
+        F.max(F.unix_micros("ts")).alias("end"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("start", "end")
+    prev_end = F.lag("end").over(w2)
+    new2 = F.when(
+        prev_end.isNull() | (F.col("start") - prev_end > gap_us), 1
+    ).otherwise(0)
+    merged = prov.withColumn("new2", new2).withColumn(
+        "session_id",
+        F.sum("new2").over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        merged.groupBy("user_id", "session_id")
+        .agg(
+            F.min("start").alias("session_start"),
+            F.max("end").alias("session_end"),
+            F.sum("n").alias("n_events"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
     "events_asof_last_order",
     headline=True,
     tags=("events", "asof", "join", "interval"),

@@ -1,0 +1,89 @@
+"""Run EVERY registered query at a scale point and record wall time +
+row count — the whole-registry companion to bench.py, built for the
+fabricated 10× directory from tools/scale_testdata.py:
+
+    python tools/scale_testdata.py                  # once: build testdata_sf1
+    python tools/scale_sweep.py --sf-dir testdata_sf1 --log sweep_sf1.tsv
+
+The log is TSV (name, seconds, rows | ERR/SKIP + detail), appended and
+RESUMABLE: already-logged names are skipped, so a killed run continues
+where it stopped. Compare two logs (e.g. sf0.1 vs sf1) to get the
+per-query scaling ratio — the evidence behind PERF.md's scaling
+section, which found one quadratic formulation and seven single-task
+scan stages that no sf0.1 run could surface.
+
+Known-quadratic exactness anchors can be skipped up front with
+--skip name[,name...]; a SKIP line documents the reason in the log.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Exactness anchors whose cost is intentionally superlinear; sweeping
+# them at 10x wastes minutes proving what their docstrings already say.
+DEFAULT_SKIP = {
+    "doc_shingle_jaccard_blocked":
+        "known-quadratic: length buckets grow with the corpus "
+        "(use doc_jaccard_prefix_filter at scale)",
+}
+
+
+def main() -> None:
+    from financial_data_warehouse_automation_spark.registry import load_all
+    from financial_data_warehouse_automation_spark.session import get_spark
+
+    sf_dir = os.path.join(REPO, "testdata_sf1")
+    log_path = os.path.join(REPO, "sweep_sf1.tsv")
+    skip = dict(DEFAULT_SKIP)
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--sf-dir":
+            sf_dir = argv[i + 1]; i += 2
+        elif argv[i] == "--log":
+            log_path = argv[i + 1]; i += 2
+        elif argv[i] == "--skip":
+            for n in argv[i + 1].split(","):
+                skip.setdefault(n, "skipped via --skip")
+            i += 2
+        elif argv[i] == "--no-skip":
+            skip.clear(); i += 1
+        else:
+            raise SystemExit(f"unknown arg {argv[i]}")
+
+    done = set()
+    if os.path.exists(log_path):
+        done = {line.split("\t")[0] for line in open(log_path)}
+
+    spark = get_spark("scale-sweep")
+    specs = load_all()
+    out = open(log_path, "a")
+    n_run = n_err = 0
+    for name in sorted(specs):
+        if name in done:
+            continue
+        if name in skip:
+            print(f"{name}\tSKIP\t{skip[name]}", file=out, flush=True)
+            continue
+        t0 = time.perf_counter()
+        try:
+            rows = specs[name].builder(spark, sf_dir).count()
+            el = time.perf_counter() - t0
+            print(f"{name}\t{el:.2f}\t{rows}", file=out, flush=True)
+            print(f"{name}\t{el:.2f}\t{rows}")
+            n_run += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}\tERR\t{type(e).__name__}: {str(e)[:160]}",
+                  file=out, flush=True)
+            n_err += 1
+    print(f"{n_run} ran, {n_err} errors, log at {log_path}")
+
+
+if __name__ == "__main__":
+    main()
