@@ -62,22 +62,10 @@ REPLICATED = ("customer", "orders", "lineitem", "part", "supplier",
 PASSTHROUGH = ("region", "nation")
 
 
-def main() -> None:
-    mult = 10
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "testdata_sf1")
-    argv = sys.argv[1:]
-    i = 0
-    while i < len(argv):
-        if argv[i] == "--mult":
-            mult = int(argv[i + 1]); i += 2
-        elif argv[i] == "--out":
-            out = argv[i + 1]; i += 2
-        else:
-            raise SystemExit(f"unknown arg {argv[i]}")
+def scale(src: str, out: str, mult: int, row_group: int = ROW_GROUP) -> None:
     os.makedirs(out, exist_ok=True)
 
-    src_tables = {t: pq.read_table(f"{SRC}/{t}.parquet") for t in REPLICATED}
+    src_tables = {t: pq.read_table(f"{src}/{t}.parquet") for t in REPLICATED}
     bases: dict[tuple[str, str], int] = {}
     for fam, cols in KEY_FAMILIES.items():
         base = 1 + max(
@@ -87,17 +75,17 @@ def main() -> None:
             bases[(t, c)] = base
 
     for t in PASSTHROUGH:
-        pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"),
-                       f"{out}/{t}.parquet", row_group_size=ROW_GROUP)
+        pq.write_table(pq.read_table(f"{src}/{t}.parquet"),
+                       f"{out}/{t}.parquet", row_group_size=row_group)
         print(f"{t}: passthrough")
 
     for t in REPLICATED:
-        src = src_tables[t]
+        base_tbl = src_tables[t]
         copies = []
         for i_copy in range(mult):
             cols = {}
-            for name in src.column_names:
-                col = src[name]
+            for name in base_tbl.column_names:
+                col = base_tbl[name]
                 if (t, name) in bases:
                     col = pc.add(col, i_copy * bases[(t, name)])
                 elif t == "documents" and name == "text" and i_copy > 0:
@@ -109,13 +97,32 @@ def main() -> None:
                     arrs = col.to_pylist()
                     k = i_copy % (len(arrs[0]) or 1)
                     col = pa.array([v[k:] + v[:k] for v in arrs],
-                                   type=src.schema.field(name).type)
+                                   type=base_tbl.schema.field(name).type)
                 cols[name] = col
-            copies.append(pa.table(cols, schema=src.schema))
+            copies.append(pa.table(cols, schema=base_tbl.schema))
         big = pa.concat_tables(copies)
-        pq.write_table(big, f"{out}/{t}.parquet", row_group_size=ROW_GROUP)
+        pq.write_table(big, f"{out}/{t}.parquet", row_group_size=row_group)
         f = pq.ParquetFile(f"{out}/{t}.parquet")
         print(f"{t}: {f.metadata.num_rows} rows, {f.num_row_groups} row groups")
+
+
+def main() -> None:
+    mult = 10
+    src = SRC
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "testdata_sf1")
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--mult":
+            mult = int(argv[i + 1]); i += 2
+        elif argv[i] == "--out":
+            out = argv[i + 1]; i += 2
+        elif argv[i] == "--src":
+            src = argv[i + 1]; i += 2
+        else:
+            raise SystemExit(f"unknown arg {argv[i]}")
+    scale(src, out, mult)
 
 
 if __name__ == "__main__":
