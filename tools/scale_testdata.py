@@ -62,10 +62,33 @@ REPLICATED = ("customer", "orders", "lineitem", "part", "supplier",
 PASSTHROUGH = ("region", "nation")
 
 
-def scale(src: str, out: str, mult: int, row_group: int = ROW_GROUP) -> None:
+def scale(src: str, out: str, mult: int, row_group: int = ROW_GROUP,
+          hot_frac: float = 0.0) -> None:
+    """``hot_frac`` > 0 additionally redirects that fraction of EVERY
+    copy's orders (and events) to one hot customer — the lowest
+    custkey — producing a join/aggregation key carrying hot_frac of
+    the fact table. FK selectivity stays intact (the hot key exists);
+    what changes is the key histogram, which is exactly what AQE's
+    skew-join split and the salted_join operator are for. Use it to
+    measure skew posture, not correctness (oracle artifacts always run
+    on the driver's uniform testdata)."""
     os.makedirs(out, exist_ok=True)
 
     src_tables = {t: pq.read_table(f"{src}/{t}.parquet") for t in REPLICATED}
+    if hot_frac > 0:
+        import numpy as np
+
+        hot_key = pc.min(src_tables["customer"]["c_custkey"]).as_py()
+        for t, c in (("orders", "o_custkey"), ("events", "user_id")):
+            tbl = src_tables[t]
+            keys = np.asarray(tbl[c].combine_chunks())
+            # deterministic pick: hash-free stride over row position
+            stride = max(1, int(round(1 / hot_frac)))
+            keys = keys.copy()
+            keys[::stride] = hot_key
+            src_tables[t] = tbl.set_column(
+                tbl.schema.get_field_index(c), c,
+                pa.array(keys, type=tbl.schema.field(c).type))
     bases: dict[tuple[str, str], int] = {}
     for fam, cols in KEY_FAMILIES.items():
         base = 1 + max(
@@ -109,6 +132,7 @@ def scale(src: str, out: str, mult: int, row_group: int = ROW_GROUP) -> None:
 def main() -> None:
     mult = 10
     src = SRC
+    hot_frac = 0.0
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "testdata_sf1")
     argv = sys.argv[1:]
@@ -120,9 +144,11 @@ def main() -> None:
             out = argv[i + 1]; i += 2
         elif argv[i] == "--src":
             src = argv[i + 1]; i += 2
+        elif argv[i] == "--hot-frac":
+            hot_frac = float(argv[i + 1]); i += 2
         else:
             raise SystemExit(f"unknown arg {argv[i]}")
-    scale(src, out, mult)
+    scale(src, out, mult, hot_frac=hot_frac)
 
 
 if __name__ == "__main__":
