@@ -314,8 +314,16 @@ def events_sessionization_two_phase(spark: SparkSession, sf_dir: str) -> DataFra
        compresses its whole day into one row), which is the skew bound.
 
     This is the window-skew analogue of operators/skew.salted_join:
-    day is the salt, and the merge pass is the exact un-salting."""
-    e = load_table(spark, sf_dir, "events", spread_by=("user_id",))
+    day is the salt, and the merge pass is the exact un-salting.
+
+    ``spread_by`` is deliberately event_id, NOT user_id: a user_id
+    hash-partitioning would SATISFY the pass-1 window's
+    (user_id, chunk) clustering (subset rule), suppressing the
+    chunk-level exchange and re-serializing a hot user in one task —
+    exactly the bound this query exists to break (review finding,
+    round 6). Spreading on event_id leaves the window to add its own
+    (user_id, chunk) exchange, which is the skew-splitting shape."""
+    e = load_table(spark, sf_dir, "events", spread_by=("event_id",))
     gap_us = 1800 * 1_000_000
     w1 = Window.partitionBy("user_id", "chunk").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w1)

@@ -54,3 +54,17 @@ def test_two_phase_merges_multi_midnight_chain(spark, tmp_path):
     assert len([k for k in got if k[0] == 1]) == 1, "bot chain must be one session"
     assert got[(1, 1)][2] == 300
     assert len([k for k in got if k[0] == 2]) == 5
+
+
+def test_two_phase_pass1_exchanges_on_user_and_chunk(spark, sf_dir):
+    """The skew bound is a PLAN property: pass 1 must exchange on
+    (user_id, chunk), not inherit a user_id-only partitioning — a
+    user_id spread would satisfy the window's clustering via the
+    subset rule and re-serialize a hot user in one task (round-6
+    review finding)."""
+    import re
+
+    df = events_sessionization_two_phase(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert re.search(r"hashpartitioning\(user_id[^)]*chunk", plan), plan

@@ -1,14 +1,16 @@
 """Contract tests for tables.load_table: relation memoization and the
 scale-guarded ``spread_by`` fan-out.
 
-The guard's whole point is captured here mechanically: a well-split
-parquet (many row groups) must see NO repartition exchange — that is
-the 100 TB shape — while the harness's single-row-group files must fan
-out to the session's parallelism.
+The guard's whole point is captured here mechanically: a parquet whose
+footer metadata AND byte size support the session's parallelism must
+see NO repartition exchange — that is the 100 TB shape — while files
+that cannot split that far (single row group, OR many row groups under
+Spark's 4 MB openCost split floor) must fan out.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -16,11 +18,6 @@ from financial_data_warehouse_automation_spark.tables import (
     _scan_parallelism,
     load_table,
 )
-
-
-def _executed_plan(df) -> str:
-    df.collect()
-    return df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_relation_is_memoized_per_session(spark, sf_dir):
@@ -37,35 +34,64 @@ def test_unknown_table_rejected(spark, sf_dir):
 def test_spread_by_fans_out_single_row_group(spark, sf_dir):
     # The generator writes one row group per file, so the scan alone
     # can never exceed 1 task; spread_by must add the hash exchange.
-    assert _scan_parallelism(f"{sf_dir}/orders.parquet") == 1
+    assert _scan_parallelism(spark, f"{sf_dir}/orders.parquet") == 1
     df = load_table(spark, sf_dir, "orders", spread_by=("o_custkey",))
-    assert "hashpartitioning(o_custkey" in df._jdf.queryExecution().executedPlan().toString().lower()
-    n = df.rdd.getNumPartitions()
-    assert n == spark.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "hashpartitioning(o_custkey" in plan
+    assert df.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
 
 
-def test_spread_by_noop_on_well_split_table(spark, tmp_path):
-    # Build a documents.parquet with MORE row groups than the session's
-    # parallelism: the guard must add no exchange (the cluster shape).
+def _write_docs(path, n_rows: int, payload_bytes: int, row_groups: int) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    target = spark.sparkContext.defaultParallelism
+    rng = np.random.default_rng(7)
+    # incompressible hex payload so parquet size tracks payload size
+    text = [
+        rng.bytes(payload_bytes // 2).hex() for _ in range(n_rows)
+    ]
     pdf = pd.DataFrame(
-        {"doc_id": range(256), "text": ["w " * 4] * 256, "source": ["s"] * 256}
+        {"doc_id": range(n_rows), "text": text, "source": ["s"] * n_rows}
     )
     pq.write_table(
         pa.Table.from_pandas(pdf, preserve_index=False),
-        str(tmp_path / "documents.parquet"),
-        row_group_size=max(1, 256 // (target + 1)),
+        str(path),
+        row_group_size=max(1, n_rows // row_groups),
+        compression="none",
     )
-    assert _scan_parallelism(str(tmp_path / "documents.parquet")) >= target
+
+
+def test_spread_by_noop_on_well_split_table(spark, tmp_path):
+    # Enough row groups AND enough bytes that Spark's split planner
+    # (openCost floor 4 MB) reaches the session's parallelism: the
+    # guard must add no exchange — the cluster shape.
+    target = spark.sparkContext.defaultParallelism
+    # target splits need > target * 4 MB of file bytes
+    n_rows = 2 * target * 16
+    _write_docs(tmp_path / "documents.parquet", n_rows,
+                payload_bytes=300_000, row_groups=2 * target)
+    assert _scan_parallelism(
+        spark, str(tmp_path / "documents.parquet")) >= target
     df = load_table(spark, str(tmp_path), "documents", spread_by=("doc_id",))
     plan = df._jdf.queryExecution().executedPlan().toString().lower()
     assert "exchange" not in plan, (
         "spread_by must be a plan no-op when the scan already splits "
         f"to >= {target} tasks:\n{plan}"
     )
+
+
+def test_spread_by_fires_on_small_many_row_group_file(spark, tmp_path):
+    # Review finding: many row groups in a SMALL file still plan few
+    # tasks (openCost floor), so row-group count alone over-reports
+    # parallelism. A 16-row-group file of a few hundred KB must spread.
+    target = spark.sparkContext.defaultParallelism
+    _write_docs(tmp_path / "documents.parquet", 2 * target * 16,
+                payload_bytes=64, row_groups=2 * target)
+    assert _scan_parallelism(
+        spark, str(tmp_path / "documents.parquet")) < target
+    df = load_table(spark, str(tmp_path), "documents", spread_by=("doc_id",))
+    plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    assert "hashpartitioning(doc_id" in plan
 
 
 def test_spread_by_preserves_rows(spark, sf_dir):

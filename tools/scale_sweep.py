@@ -57,9 +57,19 @@ def main() -> None:
         else:
             raise SystemExit(f"unknown arg {argv[i]}")
 
+    # resume: only SUCCESSFUL lines count as done — ERRed queries are
+    # retried on the next run (a transient failure must not silently
+    # shrink the sweep), and a SKIP line only sticks while the name is
+    # still in the skip set (so --no-skip really re-runs it)
     done = set()
     if os.path.exists(log_path):
-        done = {line.split("\t")[0] for line in open(log_path)}
+        for line in open(log_path):
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2 and parts[1] == "ERR":
+                continue
+            if len(parts) >= 2 and parts[1] == "SKIP" and parts[0] not in skip:
+                continue
+            done.add(parts[0])
 
     spark = get_spark("scale-sweep")
     specs = load_all()

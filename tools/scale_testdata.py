@@ -64,31 +64,22 @@ PASSTHROUGH = ("region", "nation")
 
 def scale(src: str, out: str, mult: int, row_group: int = ROW_GROUP,
           hot_frac: float = 0.0) -> None:
-    """``hot_frac`` > 0 additionally redirects that fraction of EVERY
-    copy's orders (and events) to one hot customer — the lowest
-    custkey — producing a join/aggregation key carrying hot_frac of
-    the fact table. FK selectivity stays intact (the hot key exists);
-    what changes is the key histogram, which is exactly what AQE's
-    skew-join split and the salted_join operator are for. Use it to
-    measure skew posture, not correctness (oracle artifacts always run
-    on the driver's uniform testdata)."""
+    """``hot_frac`` > 0 additionally redirects that fraction of ALL
+    orders (and events) — across every copy, AFTER key offsetting — to
+    ONE hot customer (copy 0's lowest custkey), producing a single
+    join/aggregation key that really carries hot_frac of the fact
+    table. FK selectivity stays intact (the hot key exists in copy 0's
+    customer shard); what changes is the key histogram, which is
+    exactly what AQE's skew-join split and the salted_join operator
+    are for. The fraction is applied as a positional mask accurate to
+    1/1000, not a rounded stride. Use it to measure skew posture, not
+    correctness (oracle artifacts always run on the driver's uniform
+    testdata)."""
     os.makedirs(out, exist_ok=True)
 
     src_tables = {t: pq.read_table(f"{src}/{t}.parquet") for t in REPLICATED}
-    if hot_frac > 0:
-        import numpy as np
-
-        hot_key = pc.min(src_tables["customer"]["c_custkey"]).as_py()
-        for t, c in (("orders", "o_custkey"), ("events", "user_id")):
-            tbl = src_tables[t]
-            keys = np.asarray(tbl[c].combine_chunks())
-            # deterministic pick: hash-free stride over row position
-            stride = max(1, int(round(1 / hot_frac)))
-            keys = keys.copy()
-            keys[::stride] = hot_key
-            src_tables[t] = tbl.set_column(
-                tbl.schema.get_field_index(c), c,
-                pa.array(keys, type=tbl.schema.field(c).type))
+    hot_key = pc.min(src_tables["customer"]["c_custkey"]).as_py()
+    hot_cols = {("orders", "o_custkey"), ("events", "user_id")}
     bases: dict[tuple[str, str], int] = {}
     for fam, cols in KEY_FAMILIES.items():
         base = 1 + max(
@@ -111,11 +102,32 @@ def scale(src: str, out: str, mult: int, row_group: int = ROW_GROUP,
                 col = base_tbl[name]
                 if (t, name) in bases:
                     col = pc.add(col, i_copy * bases[(t, name)])
-                elif t == "documents" and name == "text" and i_copy > 0:
-                    # suffix every token with the copy index: within-copy
-                    # similarity exact, cross-copy similarity zero
+                    if hot_frac > 0 and (t, name) in hot_cols:
+                        # post-offset remap to the GLOBAL hot key, so
+                        # the skew concentrates in one key — not one
+                        # diluted key per copy (review finding, r6)
+                        import numpy as np
+
+                        keys = np.asarray(col.combine_chunks()
+                                          if hasattr(col, "combine_chunks")
+                                          else col).copy()
+                        # Bresenham spread: exactly floor(n*frac) rows
+                        # regardless of n (a blocked `i % 1000` mask
+                        # over-selects whenever n % 1000 != 0)
+                        pos = np.arange(len(keys), dtype=np.float64)
+                        mask = np.floor((pos + 1) * hot_frac) > np.floor(
+                            pos * hot_frac)
+                        keys[mask] = hot_key
+                        col = pa.array(
+                            keys, type=base_tbl.schema.field(name).type)
+                elif t == "documents" and name == "text":
+                    # suffix every token with \x1f + copy index — ALL
+                    # copies including 0, so 'x1'+'1' can never collide
+                    # with 'x'+'11' and cross-copy similarity is
+                    # exactly zero (review finding, r6); within-copy
+                    # dup structure is preserved verbatim
                     col = pc.replace_substring_regex(
-                        col, r"(\S+)", rf"\1{i_copy}")
+                        col, r"(\S+)", "\\1\x1f" + str(i_copy))
                 elif t == "embeddings" and name == "embedding" and i_copy:
                     arrs = col.to_pylist()
                     k = i_copy % (len(arrs[0]) or 1)
@@ -124,7 +136,11 @@ def scale(src: str, out: str, mult: int, row_group: int = ROW_GROUP,
                 cols[name] = col
             copies.append(pa.table(cols, schema=base_tbl.schema))
         big = pa.concat_tables(copies)
-        pq.write_table(big, f"{out}/{t}.parquet", row_group_size=row_group)
+        # per-table sizing: even the smallest replicated table must
+        # carry enough row groups to split (documents/embeddings at
+        # default mult stay < 64k rows — review finding, r6)
+        rg = min(row_group, max(1024, big.num_rows // 16))
+        pq.write_table(big, f"{out}/{t}.parquet", row_group_size=rg)
         f = pq.ParquetFile(f"{out}/{t}.parquet")
         print(f"{t}: {f.metadata.num_rows} rows, {f.num_row_groups} row groups")
 
