@@ -7,11 +7,14 @@ operators consume: one row per cell-row with ``file_name``,
 The reader is stdlib-only (``zipfile`` + ``xml.etree``): an ``.xlsx``
 is a zip of SpreadsheetML XML parts, so no third-party dependency is
 required and the path is exercisable in any container. Coverage:
-shared strings, inline strings, cached formula strings, booleans, and
+shared strings, inline strings, cached formula strings, booleans,
 numbers (rendered the way ``str()`` of the Python value would — the
-reference's string-first semantics, Code.gs:219-227); sheet order
-follows the workbook part, row/column gaps are preserved as ``None``
-so ``row_idx`` stays positional.
+reference's string-first semantics, Code.gs:219-227), and
+date/time-styled serials (styles.xml numFmt detection → rendered as
+``str()`` of the datetime, matching what openpyxl ``data_only``
+yielded); sheet order follows the workbook part, row/column gaps are
+preserved as ``None`` so ``row_idx`` stays positional (implicit
+``<row>``/``<c>`` elements continue from the previous position).
 
 Workbooks are driver-side small files in the reference's world (≤ a few
 hundred rows per sheet); the bronze boundary converts them to Parquet
@@ -73,6 +76,60 @@ def _sheet_parts(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
     return out
 
 
+# Built-in numFmtIds Excel renders as dates/times (ECMA-376 §18.8.30,
+# the same set openpyxl treats as dates); custom formats are detected
+# by date tokens in the format code.
+_BUILTIN_DATE_FMTS = frozenset(
+    list(range(14, 23)) + list(range(27, 37)) + list(range(45, 48))
+    + list(range(50, 59))
+)
+_EXCEL_EPOCH_ORDINAL = 693594  # datetime(1899, 12, 30).toordinal()
+
+
+def _date_styles(zf: zipfile.ZipFile) -> frozenset[int]:
+    """cellXfs indices whose number format is a date/time format.
+
+    openpyxl (data_only) converted these serials to datetimes; the
+    stdlib reader must not silently surface raw serial strings instead
+    (review finding). Styles are optional — workbooks without
+    xl/styles.xml have no date styles."""
+    try:
+        root = ET.fromstring(zf.read("xl/styles.xml"))
+    except KeyError:
+        return frozenset()
+    custom_date: set[int] = set()
+    for fmt in root.iter(f"{_M}numFmt"):
+        code = fmt.get("formatCode", "")
+        # strip quoted literals and [] sections, then look for date tokens
+        bare = re.sub(r'"[^"]*"|\[[^\]]*\]|\\.', "", code)
+        if re.search(r"[ymdhsYMDHS]", bare):
+            custom_date.add(int(fmt.get("numFmtId", "-1")))
+    styles: set[int] = set()
+    cell_xfs = root.find(f"{_M}cellXfs")
+    if cell_xfs is not None:
+        for i, xf in enumerate(cell_xfs.iter(f"{_M}xf")):
+            fmt_id = int(xf.get("numFmtId", "0"))
+            if fmt_id in _BUILTIN_DATE_FMTS or fmt_id in custom_date:
+                styles.add(i)
+    return frozenset(styles)
+
+
+def _render_serial_datetime(raw: str) -> str:
+    """Render a date-styled serial the way ``str()`` of openpyxl's
+    datetime/time would: 1899-12-30 epoch, day fraction = time; pure
+    time formats (serial < 1) render as a bare time."""
+    import datetime as _dt
+
+    serial = float(raw)
+    days = int(serial)
+    frac = round((serial - days) * 86400 * 1_000_000)  # µs in the day
+    tm = (_dt.datetime.min + _dt.timedelta(microseconds=frac)).time()
+    if 0 <= serial < 1:
+        return str(tm)
+    d = _dt.date.fromordinal(_EXCEL_EPOCH_ORDINAL + days)
+    return str(_dt.datetime.combine(d, tm))
+
+
 def _render_number(raw: str) -> str:
     """Render a numeric cell the way ``str()`` of the Python value
     would (int when integral, shortest-repr float otherwise) so the
@@ -85,7 +142,10 @@ def _render_number(raw: str) -> str:
         return raw
 
 
-def _cell_value(cell: ET.Element, shared: list[str]) -> str | None:
+def _cell_value(
+    cell: ET.Element, shared: list[str],
+    date_styles: frozenset[int] = frozenset(),
+) -> str | None:
     kind = cell.get("t", "n")
     if kind == "inlineStr":
         holder = cell.find(f"{_M}is")
@@ -102,6 +162,11 @@ def _cell_value(cell: ET.Element, shared: list[str]) -> str | None:
         return "True" if raw.strip() == "1" else "False"
     if kind in ("str", "e"):  # cached formula string / error literal
         return raw
+    if int(cell.get("s", "-1")) in date_styles:
+        try:
+            return _render_serial_datetime(raw)
+        except (ValueError, OverflowError):
+            return _render_number(raw)
     return _render_number(raw)
 
 
@@ -123,12 +188,17 @@ def _read_workbook_rows(path: str) -> Iterator[tuple]:
     fname = path.rsplit("/", 1)[-1]
     with zipfile.ZipFile(path) as zf:
         shared = _shared_strings(zf)
+        date_styles = _date_styles(zf)
         for sheet_name, member in _sheet_parts(zf):
             rows: dict[int, list[str | None]] = {}
-            for i, row in enumerate(
-                ET.fromstring(zf.read(member)).iter(f"{_M}row"), start=1
-            ):
-                r_idx = int(row.get("r", i))
+            # r is optional on <row> just like on <c>: an implicit row
+            # continues from the PREVIOUS row's position + 1, not from
+            # its enumeration index (a '<row r="5">…</row><row>…</row>'
+            # sheet puts the second row at 6, not 2 — review finding)
+            next_row = 1
+            for row in ET.fromstring(zf.read(member)).iter(f"{_M}row"):
+                r_idx = int(row.get("r", next_row))
+                next_row = r_idx + 1
                 cells: list[str | None] = [None] * _N_COLS
                 next_col = 0
                 for cell in row.iter(f"{_M}c"):
@@ -136,7 +206,7 @@ def _read_workbook_rows(path: str) -> Iterator[tuple]:
                     next_col = c_idx + 1
                     if c_idx >= _N_COLS:
                         continue
-                    v = _cell_value(cell, shared)
+                    v = _cell_value(cell, shared, date_styles)
                     cells[c_idx] = v.strip() if v is not None else None
                 rows[r_idx] = cells
             # positional row_idx is data (S5 ordering): emit 1..max_row

@@ -138,15 +138,21 @@ _FIXTURES = {
 # + re-evaluating a local relation per query made the ingest headline
 # latency-bound (bench: ingest_warehouse_build was co-heaviest at
 # 1.74s, almost entirely fixture-stage setup). The frames are a few
-# dozen literal rows, so caching is free; keyed by session so a fresh
-# session never sees another session's cached plan.
-_DF_CACHE: dict[tuple[int, str], DataFrame] = {}
+# dozen literal rows, so caching is free; keyed by applicationId so a
+# fresh session never sees another session's cached plan, and entries
+# from any OTHER session are evicted on insert — a process that
+# creates/stops sessions repeatedly must not pin dead sessions (and
+# their JVM-side cached blocks) for its lifetime (review finding).
+_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def spark_df(spark: SparkSession, name: str) -> DataFrame:
-    key = (id(spark), name)
+    app = spark.sparkContext.applicationId
+    key = (app, name)
     df = _DF_CACHE.get(key)
     if df is None:
+        for k in [k for k in _DF_CACHE if k[0] != app]:
+            del _DF_CACHE[k]
         rows, schema = _FIXTURES[name]
         df = spark.createDataFrame(rows, schema).cache()
         _DF_CACHE[key] = df

@@ -187,14 +187,20 @@ def lsh_candidate_pairs(
     boilerplate template shared by millions of docs) would expand to
     n²/2 pairs and dominate the job. Such buckets degrade to STAR
     expansion — every id paired with the bucket's smallest id — which
-    is linear, deterministic, and preserves exactly the connectivity
-    the downstream dedup clustering (connected components) needs: the
-    bucket stays one component, only the redundant intra-bucket edges
-    are dropped. Pairs a verify stage would reject anyway are the only
-    loss; pair-level recall for sub-cap buckets is untouched. The cap
-    is never silent: pass a ``pyspark.sql.Observation`` (or metric
-    name) as ``observation`` and the action reports ``hot_buckets``
-    and ``pairs_capped`` (the count of intra-bucket edges replaced by
+    is linear and deterministic. RECALL CAVEAT (review finding): the
+    star preserves connectivity only at CANDIDATE level. A downstream
+    Jaccard-verify stage (doc_minhash_lsh_pairs) filters edges
+    independently, so if the hub doc is dissimilar to two docs that
+    are similar to each other, both star edges fail verification and
+    the true pair is lost — over-cap buckets trade within-bucket pair
+    recall for linear cost, which is the standard, unavoidable deal
+    (n²/2 pairs cannot be kept linearly). Two mitigations: size
+    bands×rows so real buckets stay under the cap (the knob that
+    grows with corpus size), and run dedup CLUSTERING on candidates
+    rather than verified pairs when caps fire. The cap is never
+    silent: pass a ``pyspark.sql.Observation`` (or metric name) as
+    ``observation`` and the action reports ``hot_buckets`` and
+    ``pairs_capped`` (the count of intra-bucket edges replaced by
     the star); with no argument the metrics still publish under
     ``lsh_hot_buckets`` for listeners/UI. Oracle twins replaying the
     banded construction in SQL assume every bucket is under the cap —

@@ -1652,8 +1652,11 @@ def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: hash-bucketed variant assignment (the
     content-addressed split every experimentation platform uses — a
     user keeps their variant on any cluster, any partition count, any
-    re-run), per-user conversion (any purchase event), and the pooled
-    two-proportion z-statistic.
+    re-run), per-user conversion (>= 14 purchase events — the
+    threshold is LOAD-BEARING: "any purchase" converts 100% of this
+    dataset and collapses the pooled variance to a DIVIDE_BY_ZERO
+    under ANSI mode; 14 splits users both ways at every SF), and the
+    pooled two-proportion z-statistic.
 
     Cross-engine determinism without a transcendental gap: the z-score
     is divisions, multiplications and ONE sqrt — all IEEE-754

@@ -923,8 +923,13 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: per-row fold for s_i (no shuffle), explode to (dim, prod)
     with map-side combine to <= 64 cells per task, one dim-keyed
-    exchange of 64 groups, then a broadcast single-row max."""
-    e = load_table(spark, sf_dir, "embeddings")
+    exchange of 64 groups, then a broadcast single-row max.
+
+    Empty-vector rows are filtered up front: Spark's sequence(1, 0)
+    yields a DESCENDING [1, 0] while DuckDB's generate_series(1, 0)
+    is empty, so an unguarded empty embedding would emit spurious
+    dim_idx 0/1 NULL rows only on the Spark side (review finding)."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.size("embedding") > 0)
     q = e.select(
         F.transform(
             "embedding",

@@ -27,9 +27,11 @@ SMALL_DIMS = ("region", "nation")
 # tables pays it dozens of times. On a real cluster these tables live
 # in a catalog/metastore and the analyzed relation is resolved once —
 # this cache is the local-mode equivalent. Keyed by applicationId so a
-# restarted session (tests stop/start Spark) never sees a stale plan;
-# the testdata files themselves are read-only, so the listing can't go
-# stale within a session.
+# restarted session (tests stop/start Spark) never sees a stale plan,
+# and other sessions' entries are evicted on insert so stopped
+# sessions aren't pinned for process lifetime; the testdata files
+# themselves are read-only, so the listing can't go stale within a
+# session.
 _RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _SPLIT_CACHE: dict[str, int] = {}
 
@@ -94,9 +96,12 @@ def load_table(
     the partition-invariance suite relies on."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
     df = _RELATION_CACHE.get(key)
     if df is None:
+        for k in [k for k in _RELATION_CACHE if k[0] != app]:
+            del _RELATION_CACHE[k]
         if name == "events":
             df = _load_events(spark, sf_dir)
         else:

@@ -61,6 +61,8 @@ def _write_xlsx(path: str, sheets) -> None:
                 for run in v[1]
             )
             return f"<c{ref_attr} t=\"s\"><v>{si(frag)}</v></c>"
+        if isinstance(v, tuple) and v[0] == "date":
+            return f"<c{ref_attr} s=\"1\"><v>{v[1]!r}</v></c>"
         if isinstance(v, bool):
             return f"<c{ref_attr} t=\"b\"><v>{1 if v else 0}</v></c>"
         if isinstance(v, (int, float)):
@@ -144,6 +146,12 @@ def _write_xlsx(path: str, sheets) -> None:
         zf.writestr("xl/workbook.xml", decl + workbook)
         zf.writestr("xl/_rels/workbook.xml.rels", decl + wb_rels)
         zf.writestr("xl/sharedStrings.xml", decl + shared_xml)
+        styles = (
+            f'<styleSheet xmlns="{_MAIN}"><cellXfs count="2">'
+            '<xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/>'
+            "</cellXfs></styleSheet>"
+        )
+        zf.writestr("xl/styles.xml", decl + styles)
         for i, xml in enumerate(sheet_xmls, 1):
             zf.writestr(f"xl/worksheets/sheet{i}.xml", decl + xml)
 
@@ -258,3 +266,48 @@ def test_cell_type_and_layout_coverage(spark, tmp_path):
         6: ("no-ref-a", None, "no-ref-c", None, None),
         7: ("1000.0", None, None, None, None),
     }
+
+
+def test_date_styled_serials_render_as_datetimes(spark, tmp_path):
+    """A date-formatted numeric cell must surface as the datetime
+    string openpyxl (data_only) produced, never the raw Excel serial
+    (review finding: the stdlib rewrite silently dropped number-format
+    handling)."""
+    path = str(tmp_path / "dates.xlsx")
+    _write_xlsx(path, [
+        ("S", [(1, {0: ("date", 45306), 1: ("date", 45306.5), 2: 45306})]),
+    ])
+    from financial_data_warehouse_automation_spark.ingest.excel import read_workbooks
+
+    row = read_workbooks(spark, [path]).collect()[0]
+    assert row.col_a == "2024-01-15 00:00:00"
+    assert row.col_b == "2024-01-15 12:00:00"
+    assert row.col_c == "45306", "unstyled numbers stay raw"
+
+
+def test_implicit_row_continues_from_previous_position(spark, tmp_path):
+    """A <row> without r continues from the previous row's position + 1
+    (review finding: the enumeration-index fallback put it at its
+    element index, overwriting earlier rows)."""
+    import zipfile as _zf
+
+    path = str(tmp_path / "rows.xlsx")
+    _write_xlsx(path, [("S", [(5, {0: "at5"})])])
+    # patch the sheet: append an implicit row AFTER the r="5" row
+    with _zf.ZipFile(path) as z:
+        parts = {n: z.read(n) for n in z.namelist()}
+    sheet = parts["xl/worksheets/sheet1.xml"].decode()
+    sheet = sheet.replace(
+        "</sheetData>",
+        '<row><c t="inlineStr"><is><t>implicit</t></is></c></row></sheetData>',
+    )
+    parts["xl/worksheets/sheet1.xml"] = sheet.encode()
+    with _zf.ZipFile(path, "w") as z:
+        for n, b in parts.items():
+            z.writestr(n, b)
+
+    from financial_data_warehouse_automation_spark.ingest.excel import read_workbooks
+
+    rows = {r.row_idx: r.col_a for r in read_workbooks(spark, [path]).collect()}
+    assert rows[5] == "at5"
+    assert rows[6] == "implicit", f"implicit row must land at 6, got {rows}"
