@@ -264,6 +264,82 @@ def lsh_candidate_pairs(
     )
 
 
+def allpairs_prefix_candidates(
+    sets: DataFrame, id_col: str = "doc_id", set_col: str = "s",
+    tau: float = 0.5,
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for exact Jaccard >= ``tau`` via
+    PREFIX FILTERING in canonical document-frequency order (Bayardo et
+    al., "Scaling Up All Pairs Similarity Search", WWW'07).
+
+    ``sets`` holds (id, array<string> of DISTINCT set elements). Any
+    total order over elements makes the prefix filter CORRECT (a
+    qualifying pair must collide inside each side's first
+    |A| - ceil(tau*|A|) + 1 elements); df-ASCENDING order is what
+    makes it SUB-quadratic: prefixes then hold each doc's rarest
+    elements, so candidate join keys have low fan-out by construction.
+    A random order puts corpus-common elements in ~half of all
+    prefixes — one hot key then yields O(n²) candidates (measured:
+    the md5-ordered round-6 form was the slowest query in the sf1
+    sweep at 21.6s on a corpus with NO true stop-shingles; df order
+    cut candidates ~an order of magnitude — PERF.md round 7).
+
+    Also applies the result-neutral symmetric LENGTH filter
+    (tau*|A| <= |B| <= |A|/tau). Ties in df break by (md5, element),
+    so the order — and therefore the candidate set — is deterministic
+    and replayable in any engine that sorts strings bytewise.
+
+    Shape: explode → df aggregate → df join-back → per-doc sort+slice
+    → prefix-keyed shuffle. Three shuffles, all keyed on high-
+    cardinality columns (element / id); no stage is ever doc×doc."""
+    ex = sets.select(F.col(id_col), F.explode(set_col).alias("x"))
+    dfreq = ex.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
+    keyed = ex.join(dfreq, "x").select(
+        F.col(id_col),
+        F.concat(
+            F.lpad(F.col("df").cast("string"), 12, "0"),
+            F.md5(F.col("x").cast("binary")),
+            F.col("x"),
+        ).alias("kx"),
+    )
+    pre = (
+        keyed.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list("kx")).alias("arr"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .select(
+            F.col(id_col),
+            F.slice(
+                "arr",
+                F.lit(1),
+                F.col("sz") - F.ceil(tau * F.col("sz")).cast("int") + F.lit(1),
+            ).alias("ks"),
+            "sz",
+        )
+    )
+    ka = pre.select(
+        F.col(id_col).alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.explode("ks").alias("k"),
+    )
+    kb = pre.select(
+        F.col(id_col).alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.explode("ks").alias("k"),
+    )
+    return (
+        ka.join(kb, "k")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") >= F.ceil(tau * F.col("sz_a")))
+            & (F.col("sz_a") >= F.ceil(tau * F.col("sz_b")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def jaccard(tok_a: Column, tok_b: Column) -> Column:
     """Exact token-set Jaccard via array HOFs (distinct semantics)."""
     inter = F.size(F.array_intersect(tok_a, tok_b))

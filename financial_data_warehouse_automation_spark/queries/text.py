@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from financial_data_warehouse_automation_spark.operators.text import (
     EN_STOPWORDS,
+    allpairs_prefix_candidates,
     bpe_ish_token_count,
     jaccard,
     lsh_candidate_pairs,
@@ -984,16 +985,25 @@ WITH t AS (
                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
          END AS s
   FROM t
+), ex AS (
+  SELECT doc_id, unnest(s) AS x FROM sh
+), dfreq AS (
+  SELECT x, COUNT(*) AS df FROM ex GROUP BY x
+), keyed AS (
+  SELECT ex.doc_id,
+         lpad(CAST(dfreq.df AS VARCHAR), 12, '0') || md5(ex.x) || ex.x AS kx
+  FROM ex JOIN dfreq USING (x)
 ), pre AS (
   SELECT doc_id,
-         list_sort(list_transform(s, x -> md5(x) || x))[1 : len(s) // 2 + 1]
-           AS ks
-  FROM sh
+         list_sort(list(kx))[1 : COUNT(*) // 2 + 1] AS ks,
+         COUNT(*) AS sz
+  FROM keyed GROUP BY doc_id
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM (SELECT doc_id, unnest(ks) AS k FROM pre) a
-  JOIN (SELECT doc_id, unnest(ks) AS k FROM pre) b
+  FROM (SELECT doc_id, sz, unnest(ks) AS k FROM pre) a
+  JOIN (SELECT doc_id, sz, unnest(ks) AS k FROM pre) b
     ON a.k = b.k AND a.doc_id < b.doc_id
+   AND 2 * b.sz >= a.sz AND 2 * a.sz >= b.sz
 ), scored AS (
   SELECT id_a, id_b,
          CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
@@ -1016,39 +1026,36 @@ def doc_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (124M in-bucket pairs at the sf1 scale point; see PERF.md).
 
     The theorem: order every doc's distinct shingles by a global total
-    order (md5 here, so both engines sort identically); at Jaccard
-    threshold tau = 0.5, any qualifying pair shares >= ceil(tau*|A|)
-    shingles, so it MUST collide inside the first
+    order; at Jaccard threshold tau = 0.5, any qualifying pair shares
+    >= ceil(tau*|A|) shingles, so it MUST collide inside the first
     |A| - ceil(tau*|A|) + 1 = |A| div 2 + 1 shingles of each side.
     Candidates therefore come from a shuffle keyed on PREFIX shingles
-    only (~half the corpus volume, near-linear for mostly-unique
-    shingles — the same posture as the decontamination scan), then the
-    exact Jaccard verifies candidates. No length blocking, so unlike
-    the blocked anchor this finds ALL qualifying pairs; at 10x data it
-    runs in seconds where the blocked formulation runs for minutes.
-    The md5-keyed prefix replays in DuckDB, so the pair set
+    only, then the exact Jaccard verifies candidates. No length
+    blocking, so unlike the blocked anchor this finds ALL qualifying
+    pairs.
+
+    The global order is (document-frequency ASC, md5, shingle) — the
+    canonical AllPairs ordering, and the property that makes the
+    prefix filter SUB-quadratic rather than merely correct: prefixes
+    then hold each doc's RAREST shingles, so every candidate join key
+    has low fan-out by construction. A random (md5-only) order — the
+    round-6 formulation — put corpus-common shingles into ~half of all
+    prefixes and that one hot key generated quadratically many
+    candidates (21.6s at the sf1 scale point; see PERF.md). Any total
+    order preserves the theorem, so the FINAL pair set is unchanged —
+    only the candidate count moves. Two further standard prunes, both
+    result-neutral: the symmetric LENGTH filter (J >= tau forces
+    tau*|A| <= |B| <= |A|/tau, i.e. 2|B| >= |A| and 2|A| >= |B| at
+    tau = 0.5) drops candidates verification would reject anyway, and
+    df ties break by (md5, shingle) so both engines sort identically.
+    The df CTE replays verbatim in DuckDB, so the pair set
     hash-verifies end to end."""
     d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
     sets = d.select(
         "doc_id",
         F.array_distinct(word_shingles(tokens("text"), 3)).alias("s"),
     )
-    # global order = md5; append the shingle so collisions stay total
-    ranked = F.array_sort(
-        F.transform(F.col("s"), lambda x: F.concat(F.md5(x.cast("binary")), x))
-    )
-    pre = sets.select(
-        "doc_id",
-        F.slice(ranked, F.lit(1), F.expr("size(s) div 2 + 1")).alias("ks"),
-    )
-    ka = pre.select(F.col("doc_id").alias("id_a"), F.explode("ks").alias("k"))
-    kb = pre.select(F.col("doc_id").alias("id_b"), F.explode("ks").alias("k"))
-    cand = (
-        ka.join(kb, "k")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = allpairs_prefix_candidates(sets, "doc_id", "s", tau=0.5)
     sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
     jac = jaccard(F.col("sa"), F.col("sb"))

@@ -132,3 +132,76 @@ def test_prefix_filter_completeness_vs_blocked_anchor(spark, sf_dir):
     assert not missing, f"prefix filter missed exact pairs: {sorted(missing)[:5]}"
     for pair in blocked:
         assert prefix[pair] == blocked[pair], (pair, prefix[pair], blocked[pair])
+
+
+def test_prefix_filter_df_order_kills_stop_shingle_fanout(spark):
+    """A corpus-common element (boilerplate shingle shared by EVERY
+    doc) must not generate candidates. Under df-ascending order the
+    stop element sorts LAST in every doc's ranking, so it never enters
+    a prefix (prefix = the |s| div 2 + 1 RAREST elements once docs
+    have >2 elements); under the round-6 md5-random order it landed in
+    ~half of all prefixes and that one join key expanded to O(n²)
+    candidates. Planted true near-dups (sharing rare elements) must
+    still surface — any total order preserves the recall theorem."""
+    from financial_data_warehouse_automation_spark.operators.text import (
+        allpairs_prefix_candidates,
+    )
+
+    n = 40
+    rows = [
+        (i, [f"u{i}a", f"u{i}b", f"u{i}c", "COMMON"]) for i in range(n)
+    ]
+    # one planted near-dup pair sharing rare elements (Jaccard 1.0)
+    rows += [(100, ["x1", "x2", "x3", "COMMON"]),
+             (101, ["x1", "x2", "x3", "COMMON"])]
+    sets = spark.createDataFrame(rows, "doc_id long, s array<string>")
+    cand = {
+        (r.id_a, r.id_b)
+        for r in allpairs_prefix_candidates(sets, "doc_id", "s").collect()
+    }
+    assert cand == {(100, 101)}, (
+        f"stop shingle leaked into prefixes: {len(cand)} candidates "
+        "(md5-random order would give ~190 here)"
+    )
+
+
+def test_prefix_filter_exact_vs_brute(spark):
+    """Full-recall check on an adversarial mixed corpus: the prefix
+    filter + verify must equal brute-force all-pairs Jaccard at
+    tau=0.5 — including pairs whose overlap includes common
+    elements."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.operators.text import (
+        allpairs_prefix_candidates,
+        jaccard,
+    )
+
+    corpora = [
+        (0, ["a", "b", "c", "d"]),
+        (1, ["a", "b", "c", "e"]),       # J=0.6 with 0
+        (2, ["a", "b"]),                  # sz=2: COMMON-heavy short doc
+        (3, ["a", "b"]),                  # J=1.0 with 2
+        (4, ["z"]),                       # singleton
+        (5, ["z"]),                       # J=1.0 with 4
+        (6, ["c", "d", "e", "f", "g"]),
+        (7, ["q", "r", "s"]),
+    ]
+    brute = set()
+    for (ia, sa), (ib, sb) in combinations(corpora, 2):
+        j = len(set(sa) & set(sb)) / len(set(sa) | set(sb))
+        if j >= 0.5:
+            brute.add((ia, ib))
+    sets = spark.createDataFrame(corpora, "doc_id long, s array<string>")
+    cand = allpairs_prefix_candidates(sets, "doc_id", "s")
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    got = {
+        (r.id_a, r.id_b)
+        for r in cand.join(sa, "id_a").join(sb, "id_b")
+        .where(jaccard(F.col("sa"), F.col("sb")) >= 0.5)
+        .collect()
+    }
+    assert got == brute, f"prefix filter missed pairs: {brute - got}"
