@@ -397,6 +397,65 @@ def simhash_md5(toks: Column, bits: int = 32) -> Column:
     return out
 
 
+def simhash_block_pairs(
+    sig: DataFrame, id_col: str = "doc_id", sig_col: str = "simhash",
+    bits: int = 32, max_hamming: int = 1,
+) -> DataFrame:
+    """Exact near-dup pairs (hamming <= ``max_hamming``) over SimHash
+    signatures via Manku-style BLOCK bucketing (Manku, Jain & Das
+    Sarma, WWW'07): split the ``bits``-wide signature into d+1 equal
+    blocks; by pigeonhole any pair within hamming distance d agrees
+    exactly on at least one block, so an equi-join on (band, block)
+    has full recall, then bit_count(xor) verifies exactly.
+
+    Scale posture: block keys span 2^(bits/(d+1)) values — for the
+    32-bit / d=1 default, 2^16 keys, so occupancy is n/65536 and
+    falls 256x below a byte-keyed banding. Candidates expand through
+    a SHUFFLE JOIN, never a per-bucket collect_list array: pairs
+    stream through SortMergeJoin tasks and AQE's skew-join split
+    handles residual hot blocks. The block count is the knob that
+    grows with log2(n) for wider signatures/thresholds.
+
+    Returns distinct (id_a, id_b, hamming:long) with id_a < id_b."""
+    nblocks = max_hamming + 1
+    if bits % nblocks != 0:
+        raise ValueError(f"bits={bits} not divisible by d+1={nblocks}")
+    width = bits // nblocks
+    base = 1 << width
+    divisors = "array(" + ", ".join(
+        f"{1 << (width * i)}L" for i in range(nblocks)
+    ) + ")"
+    b = sig.select(
+        F.col(id_col),
+        F.col(sig_col).alias("_sig"),
+        F.explode(F.array(*[F.lit(i) for i in range(nblocks)])).alias("band"),
+    ).withColumn(
+        "block",
+        F.expr(f"(_sig div element_at({divisors}, band + 1)) % {base}"),
+    )
+    a = b.select(
+        F.col(id_col).alias("id_a"), F.col("_sig").alias("sig_a"),
+        "band", "block",
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"), F.col("_sig").alias("sig_b"),
+        "band", "block",
+    )
+    return (
+        a.join(c, ["band", "block"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Fingerprints
 # ---------------------------------------------------------------------------

@@ -205,3 +205,74 @@ def test_prefix_filter_exact_vs_brute(spark):
         .collect()
     }
     assert got == brute, f"prefix filter missed pairs: {brute - got}"
+
+
+def test_simhash_block_pairs_exact_vs_brute(spark):
+    """Block-bucketed simhash pairs must equal brute-force hamming<=1
+    over an adversarial signature set: exact dups, single-bit flips in
+    BOTH halves (each caught by the other block), 2-bit flips
+    (excluded), and values crafted to collide on one block while far
+    in hamming (must be verified away)."""
+    from itertools import combinations
+
+    from financial_data_warehouse_automation_spark.operators.text import (
+        simhash_block_pairs,
+    )
+
+    sigs = [
+        (0, 0x12345678), (1, 0x12345678),              # exact dup
+        (2, 0x12345679),                                # low-bit flip of 0
+        (3, 0x12345678 ^ (1 << 20)),                    # high-half flip of 0
+        (4, 0x12345678 ^ 3),                            # 2 bits: excluded
+        (5, 0x0000FFFF), (6, 0xFFFFFFFF & 0x7FFFFFFF),  # share no block
+        (7, 0xABCD5678),                                # low block == 0's, far
+        (8, 0x1234FFFF),                                # high block == 0's, far
+    ]
+    brute = {
+        (a, b)
+        for (a, sa), (b, sb) in combinations(sigs, 2)
+        if bin(sa ^ sb).count("1") <= 1
+    }
+    sig = spark.createDataFrame(sigs, "doc_id long, simhash long")
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_block_pairs(sig, max_hamming=1).collect()
+    }
+    assert got == brute, f"mismatch: extra={got - brute} missing={brute - got}"
+
+
+def test_simhash_block_occupancy_splits_hot_byte(spark):
+    """The round-6 hazard: a corpus where every doc shares one 8-bit
+    byte. The old (band, byte) banding put ALL n docs in a single
+    bucket (quadratic expansion inside one collect_list row); 16-bit
+    block keys split them by the other 8 bits, so no block key's
+    population exceeds the true-duplicate group size."""
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.operators.text import (
+        simhash_block_pairs,
+    )
+
+    # 200 docs, all with low byte 0x7F, bits 8..15 spread over 100
+    # values, high half unique per doc -> old low-byte bucket = 200
+    # docs; new low-BLOCK key (bits 0..15) has <= 2 docs per value.
+    rows = [(i, (i << 16) | ((i % 100) << 8) | 0x7F) for i in range(200)]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    b = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"),
+                         (F.col("simhash") % 65536).alias("block")),
+                F.struct(F.lit(1).alias("band"),
+                         (F.col("simhash") / 65536).cast("long").alias("block")),
+            )
+        ).alias("bb"),
+    )
+    max_occ = (
+        b.groupBy("bb.band", "bb.block").count().agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_occ <= 2, f"block occupancy {max_occ} — hot byte leaked through"
+    # and the pair output is the true near-dup set (empty: all far)
+    assert simhash_block_pairs(sig, max_hamming=1).count() == 0
