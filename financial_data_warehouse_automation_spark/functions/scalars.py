@@ -217,3 +217,18 @@ def composite_key(*cols: Column | str, sep: str = "|") -> Column:
         for c in cols
     ]
     return F.concat_ws(sep, *rendered)
+
+
+def md5_prefix_int(c: Column, n_hex: int = 15) -> Column:
+    """First ``n_hex`` hex digits of md5(``c``) as a non-negative int64
+    — the repo's deterministic, engine-replayable uniform hash (DuckDB
+    mirror: ``CAST(concat('0x', substr(md5(x), 1, n)) AS ...)`` or
+    equivalent). Used for KMV/Count-Min/Bloom sketch cells, content-
+    addressed sampling, shuffle keys, and fake perceptual hashes.
+    ``n_hex <= 15`` keeps the value under 2^60, inside int64 with
+    headroom for modular arithmetic under ANSI mode. The caller
+    supplies the exact input column (including any ``cast("string")
+    .cast("binary")`` wrapping) so oracle SQL stays bit-identical."""
+    if not 1 <= n_hex <= 15:
+        raise ValueError(f"n_hex={n_hex} outside int64-safe 1..15")
+    return F.conv(F.substring(F.md5(c), 1, n_hex), 16, 10).cast("long")

@@ -197,12 +197,16 @@ def lsh_candidate_pairs(
     (n²/2 pairs cannot be kept linearly). Two mitigations: size
     bands×rows so real buckets stay under the cap (the knob that
     grows with corpus size), and run dedup CLUSTERING on candidates
-    rather than verified pairs when caps fire. The cap is never
-    silent: pass a ``pyspark.sql.Observation`` (or metric name) as
+    rather than verified pairs when caps fire. Observability is
+    OPT-IN: pass a ``pyspark.sql.Observation`` (or metric name) as
     ``observation`` and the action reports ``hot_buckets`` and
     ``pairs_capped`` (the count of intra-bucket edges replaced by
-    the star); with no argument the metrics still publish under
-    ``lsh_hot_buckets`` for listeners/UI. Oracle twins replaying the
+    the star). With no argument the observe node — and its two
+    aggregate expressions over every bucket — is omitted entirely:
+    the always-on variant cost +23% on the driver bench
+    (BENCH_r06 2.15s vs r05 1.74s; PERF.md round 7), which is the
+    wrong default for a hot path whose cap fires ~never on honest
+    data. Oracle twins replaying the
     banded construction in SQL assume every bucket is under the cap —
     true at test scale by orders of magnitude (default 4096)."""
     # the whole bands array as ONE parsed expression — the nested
@@ -227,16 +231,17 @@ def lsh_candidate_pairs(
     )
     n = F.size("ids")
     hot = n > max_bucket
-    # pairs_capped = intra-bucket edges a hot bucket does NOT emit:
-    # n*(n-1)/2 all-pairs minus the n-1 star edges
-    buckets = buckets.observe(
-        observation if observation is not None else "lsh_hot_buckets",
-        F.coalesce(F.sum(hot.cast("long")), F.lit(0)).alias("hot_buckets"),
-        F.coalesce(
-            F.sum(F.when(hot, (n * (n - 1) / 2 - (n - 1)).cast("long"))),
-            F.lit(0),
-        ).alias("pairs_capped"),
-    )
+    if observation is not None:
+        # pairs_capped = intra-bucket edges a hot bucket does NOT emit:
+        # n*(n-1)/2 all-pairs minus the n-1 star edges
+        buckets = buckets.observe(
+            observation,
+            F.coalesce(F.sum(hot.cast("long")), F.lit(0)).alias("hot_buckets"),
+            F.coalesce(
+                F.sum(F.when(hot, (n * (n - 1) / 2 - (n - 1)).cast("long"))),
+                F.lit(0),
+            ).alias("pairs_capped"),
+        )
     # All ordered pairs within a sub-cap bucket: for each ids[i], pair
     # with every later element. Bucket = one shared band hash, i.e. a
     # near-dup group, so sizes stay small in a deduplicated corpus; a

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from financial_data_warehouse_automation_spark.operators.asof import asof_join_last, asof_join_next
 from financial_data_warehouse_automation_spark.queries._helpers import money
+from financial_data_warehouse_automation_spark.functions.scalars import md5_prefix_int
 from financial_data_warehouse_automation_spark.registry import query
 from financial_data_warehouse_automation_spark.tables import load_table
 
@@ -1670,11 +1671,7 @@ def events_ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression, not a shuffle."""
     e = load_table(spark, sf_dir, "events")
     variant = F.when(
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 1),
-            16, 10,
-        ).cast("long")
-        % 2
+        md5_prefix_int(F.col("user_id").cast("string").cast("binary"), 1) % 2
         == 0,
         "A",
     ).otherwise("B")

@@ -17,6 +17,7 @@ from financial_data_warehouse_automation_spark.operators.multimodal import (
     sample_frames,
     synth_media_table,
 )
+from financial_data_warehouse_automation_spark.functions.scalars import md5_prefix_int
 from financial_data_warehouse_automation_spark.registry import query
 from financial_data_warehouse_automation_spark.tables import load_table
 
@@ -355,9 +356,7 @@ def media_shared_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     phash = m.select(
         F.col("media_id").alias("p_id"),
-        F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("phash"),
+        md5_prefix_int(F.col("payload")).alias("phash"),
     )
     ha = phash.select(F.col("p_id").alias("a_id"), F.col("phash").alias("ph_a"))
     hb = phash.select(F.col("p_id").alias("b_id"), F.col("phash").alias("ph_b"))

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from financial_data_warehouse_automation_spark.functions.scalars import md5_prefix_int
 from financial_data_warehouse_automation_spark.queries._helpers import (
     davg,
     dsum,
@@ -458,10 +459,7 @@ def approx_distinct_parts_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 256
     m_double = float(1 << 60)  # hash domain: 15 hex digits = 60 bits
     l = load_table(spark, sf_dir, "lineitem")
-    h = F.conv(
-        F.substring(F.md5(F.col("l_partkey").cast("string").cast("binary")), 1, 15),
-        16, 10,
-    ).cast("long")
+    h = md5_prefix_int(F.col("l_partkey").cast("string").cast("binary"))
     dh = l.select(
         F.col("l_returnflag").alias("returnflag"), h.alias("h")
     ).distinct()
@@ -550,11 +548,7 @@ def part_freq_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def cell(j_col, key_col):
         s = F.concat_ws(":", j_col.cast("string"), key_col.cast("string"))
-        return F.pmod(
-            F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10)
-            .cast("long"),
-            F.lit(width),
-        )
+        return F.pmod(md5_prefix_int(s.cast("binary")), F.lit(width))
 
     ex = l.select(
         "l_partkey",
@@ -619,13 +613,7 @@ def doc_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort), the same shape as top10_orders_global."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15),
-            16, 10,
-        ).cast("long")
-        + 1
-    )
+    u = md5_prefix_int(F.col("doc_id").cast("string").cast("binary")) + 1
     w = d.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
@@ -697,11 +685,7 @@ def orders_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pos(i_col, key_col):
         s = F.concat_ws(":", i_col.cast("string"), key_col.cast("string"))
-        return F.pmod(
-            F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10)
-            .cast("long"),
-            F.lit(m),
-        )
+        return F.pmod(md5_prefix_int(s.cast("binary")), F.lit(m))
 
     def year_keys(y):
         return (
@@ -794,10 +778,7 @@ def order_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_warehouse_automation_spark.operators.ranks import global_row_number
 
     o = load_table(spark, sf_dir, "orders")
-    u = F.conv(
-        F.substring(F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 2),
-        16, 10,
-    ).cast("long")
+    u = md5_prefix_int(F.col("o_orderkey").cast("string").cast("binary"), 2)
     s = o.where(u < 16).select(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
         "o_orderkey",

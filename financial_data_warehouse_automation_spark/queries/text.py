@@ -30,6 +30,7 @@ from financial_data_warehouse_automation_spark.operators.text import (
     tokens,
     word_shingles,
 )
+from financial_data_warehouse_automation_spark.functions.scalars import md5_prefix_int
 from financial_data_warehouse_automation_spark.registry import query
 from financial_data_warehouse_automation_spark.tables import load_table
 
@@ -1093,10 +1094,7 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample. One tiny-dim broadcast join, no shuffle of the corpus."""
     d = load_table(spark, sf_dir, "documents")
     cnt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
-    u = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2),
-        16, 10,
-    ).cast("long")
+    u = md5_prefix_int(F.col("doc_id").cast("string").cast("binary"), 2)
     return (
         d.join(F.broadcast(cnt), "lang")
         .where(u * F.col("cnt") < F.lit(256 * 64))
@@ -1817,10 +1815,7 @@ def doc_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("s")
     )
-    h31 = F.pmod(
-        F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint"),
-        F.lit(1 << 31),
-    )
+    h31 = F.pmod(md5_prefix_int(F.col("s")), F.lit(1 << 31))
     hs = sh.select("doc_id", h31.alias("h31"))
     mins = hs.groupBy("doc_id").agg(
         *[
