@@ -47,17 +47,29 @@ _RID = (
 )
 
 
+def _rich_text(holder: ET.Element) -> str:
+    """Text of an <si> or <is>: a plain <t>, or rich-text runs
+    (<r><t>..</t></r>). Only top-level <t> and <r>/<t> children count —
+    iterating every DESCENDANT <t> would also pick up <rPh> phonetic
+    guide runs (furigana in East-Asian workbooks), appending phonetic
+    text that Excel and openpyxl never surface (advisor finding)."""
+    parts = []
+    t = holder.find(f"{_M}t")
+    if t is not None:
+        parts.append(t.text or "")
+    for r in holder.findall(f"{_M}r"):
+        rt = r.find(f"{_M}t")
+        if rt is not None:
+            parts.append(rt.text or "")
+    return "".join(parts)
+
+
 def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     try:
         root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
     except KeyError:
         return []
-    # an <si> may be plain (<t>) or rich-text runs (<r><t>..</t></r>);
-    # concatenating every descendant <t> covers both
-    return [
-        "".join(t.text or "" for t in si.iter(f"{_M}t"))
-        for si in root.iter(f"{_M}si")
-    ]
+    return [_rich_text(si) for si in root.iter(f"{_M}si")]
 
 
 def _sheet_parts(zf: zipfile.ZipFile) -> list[tuple[str, str]]:
@@ -84,6 +96,20 @@ _BUILTIN_DATE_FMTS = frozenset(
     + list(range(50, 59))
 )
 _EXCEL_EPOCH_ORDINAL = 693594  # datetime(1899, 12, 30).toordinal()
+_EXCEL_1904_ORDINAL = 695056   # datetime(1904, 1, 1).toordinal()
+
+
+def _date1904(zf: zipfile.ZipFile) -> bool:
+    """Mac-origin workbooks declare <workbookPr date1904="1"/> — their
+    serials count from 1904-01-01, ~4 years after the default epoch.
+    Ignoring the flag silently mis-renders every date (advisor
+    finding); openpyxl honors it, so the stdlib reader must too."""
+    try:
+        root = ET.fromstring(zf.read("xl/workbook.xml"))
+    except KeyError:
+        return False
+    pr = root.find(f"{_M}workbookPr")
+    return pr is not None and pr.get("date1904", "0").lower() in ("1", "true")
 
 
 def _date_styles(zf: zipfile.ZipFile) -> frozenset[int]:
@@ -114,19 +140,27 @@ def _date_styles(zf: zipfile.ZipFile) -> frozenset[int]:
     return frozenset(styles)
 
 
-def _render_serial_datetime(raw: str) -> str:
+def _render_serial_datetime(raw: str, epoch_ordinal: int = _EXCEL_EPOCH_ORDINAL) -> str:
     """Render a date-styled serial the way ``str()`` of openpyxl's
-    datetime/time would: 1899-12-30 epoch, day fraction = time; pure
-    time formats (serial < 1) render as a bare time."""
+    datetime/time would: 1899-12-30 epoch (1904-01-01 for date1904
+    workbooks), day fraction = time; pure time formats (serial < 1)
+    render as a bare time."""
     import datetime as _dt
 
     serial = float(raw)
     days = int(serial)
     frac = round((serial - days) * 86400 * 1_000_000)  # µs in the day
+    carried = frac >= 86_400_000_000
+    if carried:
+        # rounding can land exactly on midnight (serial within ~0.5µs
+        # below a day boundary) — carry into the date instead of
+        # emitting 00:00:00 on the PREVIOUS day (advisor finding)
+        days += 1
+        frac = 0
     tm = (_dt.datetime.min + _dt.timedelta(microseconds=frac)).time()
-    if 0 <= serial < 1:
+    if 0 <= serial < 1 and not carried:
         return str(tm)
-    d = _dt.date.fromordinal(_EXCEL_EPOCH_ORDINAL + days)
+    d = _dt.date.fromordinal(epoch_ordinal + days)
     return str(_dt.datetime.combine(d, tm))
 
 
@@ -145,13 +179,14 @@ def _render_number(raw: str) -> str:
 def _cell_value(
     cell: ET.Element, shared: list[str],
     date_styles: frozenset[int] = frozenset(),
+    epoch_ordinal: int = _EXCEL_EPOCH_ORDINAL,
 ) -> str | None:
     kind = cell.get("t", "n")
     if kind == "inlineStr":
         holder = cell.find(f"{_M}is")
         if holder is None:
             return None
-        return "".join(t.text or "" for t in holder.iter(f"{_M}t"))
+        return _rich_text(holder)
     v = cell.find(f"{_M}v")
     if v is None or v.text is None:
         return None
@@ -164,7 +199,7 @@ def _cell_value(
         return raw
     if int(cell.get("s", "-1")) in date_styles:
         try:
-            return _render_serial_datetime(raw)
+            return _render_serial_datetime(raw, epoch_ordinal)
         except (ValueError, OverflowError):
             return _render_number(raw)
     return _render_number(raw)
@@ -189,6 +224,7 @@ def _read_workbook_rows(path: str) -> Iterator[tuple]:
     with zipfile.ZipFile(path) as zf:
         shared = _shared_strings(zf)
         date_styles = _date_styles(zf)
+        epoch = _EXCEL_1904_ORDINAL if _date1904(zf) else _EXCEL_EPOCH_ORDINAL
         for sheet_name, member in _sheet_parts(zf):
             rows: dict[int, list[str | None]] = {}
             # r is optional on <row> just like on <c>: an implicit row
@@ -206,7 +242,7 @@ def _read_workbook_rows(path: str) -> Iterator[tuple]:
                     next_col = c_idx + 1
                     if c_idx >= _N_COLS:
                         continue
-                    v = _cell_value(cell, shared, date_styles)
+                    v = _cell_value(cell, shared, date_styles, epoch)
                     cells[c_idx] = v.strip() if v is not None else None
                 rows[r_idx] = cells
             # positional row_idx is data (S5 ordering): emit 1..max_row

@@ -1755,6 +1755,13 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent, with no 1/n floating-point drift for the oracle to disagree
     about.
 
+    Negative cents (refund purchases) are SAFE here: Spark's ``div``/
+    ``%`` and DuckDB's ``//``/``%`` both truncate toward zero with
+    remainder following the dividend (verified on every sign
+    combination — tests/test_attribution.py pins it), so the per-
+    bucket split stays engine-identical; either way div*n + rem ==
+    cents, so totals could never drift.
+
     Shape: a keyed range join (user equi key + 7-day interval
     predicate — the row explosion is bounded by clicks-per-user-per-
     week, never |purchases| x |clicks|), then two windows partitioned

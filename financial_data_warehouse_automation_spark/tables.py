@@ -33,7 +33,14 @@ SMALL_DIMS = ("region", "nation")
 # themselves are read-only, so the listing can't go stale within a
 # session.
 _RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
-_SPLIT_CACHE: dict[str, int] = {}
+# Keyed by (applicationId, path): the computed split count depends on
+# session confs (openCostInBytes / maxPartitionBytes) and
+# defaultParallelism, so a later session with different settings must
+# not reuse a stale fan-out decision (perf-only, never correctness —
+# advisor finding). Conf changes WITHIN a session are not tracked:
+# reading confs per call would put py4j round trips on every
+# load_table, and the repo never varies them mid-session.
+_SPLIT_CACHE: dict[tuple[str, str], int] = {}
 
 
 def _scan_parallelism(spark: SparkSession, path: str) -> int:
@@ -52,8 +59,12 @@ def _scan_parallelism(spark: SparkSession, path: str) -> int:
     Footer metadata + session confs answer both cheaply on the driver;
     falls back to 1 split when pyarrow can't read the footer
     (conservative: may fan out when it didn't strictly need to)."""
-    n = _SPLIT_CACHE.get(path)
+    app = spark.sparkContext.applicationId
+    key = (app, path)
+    n = _SPLIT_CACHE.get(key)
     if n is None:
+        for k in [k for k in _SPLIT_CACHE if k[0] != app]:
+            del _SPLIT_CACHE[k]
         try:
             import os
 
@@ -71,7 +82,7 @@ def _scan_parallelism(spark: SparkSession, path: str) -> int:
             n = min(row_groups, n_splits)
         except Exception:
             n = 1
-        _SPLIT_CACHE[path] = n
+        _SPLIT_CACHE[key] = n
     return n
 
 

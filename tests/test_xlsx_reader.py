@@ -311,3 +311,83 @@ def test_implicit_row_continues_from_previous_position(spark, tmp_path):
     rows = {r.row_idx: r.col_a for r in read_workbooks(spark, [path]).collect()}
     assert rows[5] == "at5"
     assert rows[6] == "implicit", f"implicit row must land at 6, got {rows}"
+
+
+def test_phonetic_runs_excluded():
+    """<rPh> phonetic guide runs (furigana) must not leak into cell
+    text — Excel and openpyxl surface only the base runs."""
+    import xml.etree.ElementTree as ET
+
+    from financial_data_warehouse_automation_spark.ingest.excel import _rich_text
+
+    si = ET.fromstring(
+        f'<si xmlns="{_MAIN}"><r><t>漢字</t></r>'
+        "<rPh sb=\"0\" eb=\"2\"><t>かんじ</t></rPh>"
+        '<phoneticPr fontId="1"/></si>'
+    )
+    assert _rich_text(si) == "漢字"
+    plain = ET.fromstring(f'<si xmlns="{_MAIN}"><t>plain</t></si>')
+    assert _rich_text(plain) == "plain"
+
+
+def test_serial_midnight_carry():
+    """A serial within ~0.5µs below midnight rounds to exactly 24h of
+    microseconds; the day must carry instead of rendering 00:00:00 on
+    the previous date. Exact midnight time-only serials still render
+    as a bare time."""
+    import datetime as dt
+
+    from financial_data_warehouse_automation_spark.ingest.excel import (
+        _EXCEL_EPOCH_ORDINAL,
+        _render_serial_datetime,
+    )
+
+    out = _render_serial_datetime("45000.999999999999")
+    expect = dt.datetime.combine(
+        dt.date.fromordinal(_EXCEL_EPOCH_ORDINAL + 45001), dt.time()
+    )
+    assert out == str(expect), out
+    assert _render_serial_datetime("0.0") == "00:00:00"
+    # pure-time serial that carries becomes the epoch's next day
+    out = _render_serial_datetime("0.999999999999")
+    assert out == str(
+        dt.datetime.combine(
+            dt.date.fromordinal(_EXCEL_EPOCH_ORDINAL + 1), dt.time()
+        )
+    )
+
+
+def test_date1904_epoch(tmp_path):
+    """Workbooks flagged <workbookPr date1904="1"/> count serials from
+    1904-01-01; the flag must be read and the epoch switched."""
+    import datetime as dt
+    import zipfile as zfmod
+
+    from financial_data_warehouse_automation_spark.ingest.excel import (
+        _EXCEL_1904_ORDINAL,
+        _date1904,
+        _render_serial_datetime,
+    )
+
+    p = str(tmp_path / "wb.zip")
+    with zfmod.ZipFile(p, "w") as zf:
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{_MAIN}"><workbookPr date1904="1"/>'
+            "<sheets/></workbook>",
+        )
+    with zfmod.ZipFile(p) as zf:
+        assert _date1904(zf) is True
+    with zfmod.ZipFile(p, "w") as zf:
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{_MAIN}"><sheets/></workbook>',
+        )
+    with zfmod.ZipFile(p) as zf:
+        assert _date1904(zf) is False
+    out = _render_serial_datetime("100.5", _EXCEL_1904_ORDINAL)
+    assert out == str(
+        dt.datetime.combine(
+            dt.date.fromordinal(_EXCEL_1904_ORDINAL + 100), dt.time(12)
+        )
+    )
