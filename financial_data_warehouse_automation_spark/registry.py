@@ -52,98 +52,92 @@ REGISTRY: dict[str, QuerySpec] = {}
 # The driver's correctness gate verifies queries in dict order and has
 # only ever recorded a 50-entry prefix per round. load_all() reorders
 # via this tuple so every recorded slot is deliberately chosen.
-# Round 6's prefix (generated by tools/next_verify_prefix.py, which
-# tracks LAST-SEEN driver status per query so regressions re-enter the
-# failed bucket):
+# Round 7's prefix (tools/next_verify_prefix.py output, amended per the
+# round-6 verdict):
 #
-# 1. The 9 oracle-backed queries no driver round has ever recorded
-#    (all registered after the round-5 prefix froze; all local-green
-#    at both SFs): the curation trio (source mixing, BPE pair census,
-#    importance resampling), last-touch attribution, the SCD2
-#    point-in-time join, equi-depth bins, winsorized stats, the
-#    floor-at-zero inventory balance, and the watermark-bounded
-#    stream-stream LEFT join. Recording these completes the cumulative
-#    driver contract for every oracle-backed query in the registry.
-# 2. Rotation re-checks of the OLDEST green anchors (oldest
-#    last-green round first, then name — r2-era ingest band, event
-#    JSON/windowing, set ops, pivots/rollups, media band, TPC-H
-#    shapes), so no query's newest green record ages beyond two
-#    rounds. Tail slots swap in round-6 additions as they register,
-#    mirroring the round-5 flagship policy: fresh operators carry
-#    more risk than untouched r2 greens.
+# 1. The 4 rows-only-by-design queries get their ONE deliberate driver
+#    row each (verdict task 3): the driver's weaker rows-only check
+#    records row-count + schema (hash can never match with no oracle —
+#    that is expected and documented, not a failure). Each is anchored
+#    by an exact oracle-backed twin that IS driver-green:
+#      approx_distinct_parts <-> approx_distinct_parts_kmv (r6 green)
+#        and distinct_counts_per_segment;
+#      ann_cosine_topk_ivf_kmeans <-> ann_cosine_topk_ivf;
+#      doc_minhash_lsh_pairs / doc_minhash_mllib <-> doc_minhash_md5_pairs
+#        (r5 green) + the recall-vs-anchor pytest.
+#    After this round the cumulative driver record covers all 205
+#    registered queries and these four never take a slot again.
+# 2. Rotation re-checks of the OLDEST green anchors (oldest last-green
+#    round first, then name): the two date-function re-checks displaced
+#    in r6 (order_date_parts, order_interval_math), the r5-displaced
+#    set-op/SQL band, then the r3/r4 text-analysis, embedding, window,
+#    and profiling bands — no query's newest green record ages beyond
+#    two rounds. The four oldest rotation candidates
+#    (segment_revenue_correlation, set_intersect_all_parts,
+#    top3_orders_per_segment, unpivot_revenue_by_flag) queue for r8 to
+#    make room for bucket 1.
 #
-# Rows-only-by-design sketches (approx_distinct_parts, IVF-kmeans,
-# hand-rolled + MLlib MinHash-LSH) are excluded: the driver's weaker
-# rows-only check can never hash-match (its record shows
-# err="no_oracle", NOT a failure), and each is anchored by an exact
-# oracle-backed twin plus recall tests:
-#   approx_distinct_parts  <-> distinct_counts_per_segment (exact
-#       twin, driver-green) and approx_distinct_parts_kmv (same
-#       sketch-style estimate made deterministic via md5 k-minimum
-#       values, exact oracle);
-#   ann_cosine_topk_ivf_kmeans <-> ann_cosine_topk_ivf;
-#   doc_minhash_lsh_pairs / doc_minhash_mllib <-> doc_minhash_md5_pairs.
+# doc_jaccard_prefix_filter and doc_simhash_neardup_pairs were rebuilt
+# this round (df-ordered AllPairs prefix; Manku 16-bit block join) but
+# keep their r6 green slots out of the prefix: both re-verified locally
+# at both SFs against unchanged-result oracles, and fresh NEVER-checked
+# rows outrank re-checks of 1-round-old greens under the 50-slot budget.
 # Local ground truth for every query at BOTH scale factors:
 # CORRECTNESS_LOCAL_sf001.json / CORRECTNESS_LOCAL_sf01.json
 # (regenerate with tools/verify_oracle.py --json).
 VERIFY_FIRST: tuple[str, ...] = (
-    "doc_source_mixing_weights",
-    "doc_bpe_pair_step",
-    "doc_importance_resample",
-    "events_attribution_last_touch",
-    "events_scd2_point_in_time",
-    "order_equidepth_bins",
-    "order_winsorized_stats",
-    "part_inventory_balance",
-    "events_stream_stream_left_join",
-    "events_daily_stats",
-    "events_from_json_struct",
-    "events_json_extract",
-    "events_range_join_quarters",
-    "events_retention_cohorts",
-    "events_sliding_30m_15m",
-    "events_tumbling_15min",
-    "grouping_sets_flag_year",
-    "ingest_balance_sheet",
-    "ingest_dept_enrichment",
-    "ingest_file_listing",
-    "ingest_gl_dim",
-    "ingest_income_statement",
-    "ingest_missing_gl_qa",
-    "ingest_quarantine",
-    "ingest_warehouse_build",
-    "lateral_top2_orders",
-    "media_decode_checksums",
-    "media_frame_samples",
-    "media_grouped_stats_udaf",
-    "media_metadata_stats",
-    "media_resize",
-    "minmax_by_order_per_segment",
-    "monthly_segment_totals",
-    # order_date_parts' rotation slot went to the round's new exact
-    # dedup rung (fresh operators outrank low-risk date-function
-    # re-checks); order_date_parts re-queues next round
-    "doc_jaccard_prefix_filter",
-    # order_interval_math's rotation slot likewise went to the round's
-    # skew-resilient sessionization variant; it re-queues next round
-    "events_sessionization_two_phase",
-    "part_name_similarity",
-    "pivot_returnflag_by_year",
-    "price_percentiles_per_status",
-    "pricing_summary",
-    "region_revenue",
-    "session_funnel_conversion",
-    # --- round-6 additions take the tail slots (fresh operators carry
-    # more risk than untouched rotations; displaced re-checks queue)
-    "embedding_power_iteration",
-    "doc_simhash_neardup_pairs",
-    "events_attribution_linear",
-    "events_ab_test_zscore",
-    "approx_distinct_parts_kmv",
-    "part_freq_count_min",
-    "doc_priority_sample",
-    "orders_bloom_filter_probe",
-    "order_sampled_quantiles",
+    # bucket 1: the rows-only quartet's single deliberate record
+    "doc_minhash_lsh_pairs",
+    "doc_minhash_mllib",
+    "ann_cosine_topk_ivf_kmeans",
+    "approx_distinct_parts",
+    # bucket 2: rotation re-checks, oldest green first
+    "order_date_parts",
+    "order_interval_math",
+    "rollup_flag_status",
+    "set_except_all_lineitems",
+    "set_except_churned",
+    "set_intersect_buyers",
+    "sql_shipping_priority",
+    "top10_orders_global",
+    "user_state_scd2",
+    "ann_cosine_topk_brute",
+    "ann_cosine_topk_quantized",
+    "conditional_agg_filter",
+    "dedup_cluster_components",
+    "dim_dedupe_first",
+    "doc_bpe_token_counts",
+    "doc_curation_pipeline",
+    "doc_decontaminate_splits",
+    "doc_exact_dedup",
+    "doc_fingerprint_dedup",
+    "doc_jaccard_pairs_brute",
+    "doc_lang_id_agreement",
+    "doc_quality_scores",
+    "doc_repetition_filter",
+    "doc_shingle_jaccard_blocked",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "doc_top_bigrams",
+    "doc_vocab_df",
+    "embedding_hof_breadth",
+    "embedding_near_dup_pairs",
+    "embedding_norms",
+    "events_map_breadth",
+    "events_stream_sessionize",
+    "events_stream_tumbling_15min",
+    "gap_fill_pending_revenue",
+    "interpolate_monthly_revenue",
+    "lag_lead_segment_revenue",
+    "latest_order_per_customer",
+    "moving_avg_3m_segment",
+    "ntile_acctbal_quartiles",
+    "null_safe_join_semantics",
+    "pctrank_top_customers",
+    "profile_customer_table",
+    "qa_ledger_transitions",
+    "rank_orders_per_customer",
 )
 
 
