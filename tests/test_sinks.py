@@ -122,3 +122,40 @@ def test_schema_evolution_merge_and_union(spark, tmp_path):
     assert set(unioned.columns) == {"gl_code", "year", "month", "amount", "grp"}
     assert unioned.count() == 2
     assert unioned.where(F.col("grp").isNull()).count() == 1
+
+
+def test_missing_path_detection_uses_live_spark_surface(spark, tmp_path):
+    """is_missing_path_error must classify a REAL missing-path
+    AnalysisException from this Spark version via its structured
+    condition — and must still distinguish a genuine failure. If a
+    Spark upgrade drops getCondition()/getErrorClass() or renames
+    PATH_NOT_FOUND, this fails here instead of silently treating every
+    read error as 'table doesn't exist yet' (or a first run as a
+    crash)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from financial_data_warehouse_automation_spark.operators.sinks import is_missing_path_error
+
+    with pytest.raises(AnalysisException) as ei:
+        spark.read.parquet(str(tmp_path / "definitely_absent")).collect()
+    exc = ei.value
+    # the structured surface (not the message fallback) must answer:
+    # at least one getter exists and returns a PATH_NOT_FOUND condition
+    conds = []
+    for getter in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, getter, None)
+        if fn is not None:
+            try:
+                conds.append(fn())
+            except Exception:
+                pass
+    assert any(c and "PATH_NOT_FOUND" in c for c in conds), (
+        f"structured error surface changed: {conds!r} — update "
+        "is_missing_path_error before the message fallback rots"
+    )
+    assert is_missing_path_error(exc) is True
+    # a non-path AnalysisException must NOT be swallowed
+    with pytest.raises(AnalysisException) as ei2:
+        spark.sql("SELECT no_such_column FROM range(1)").collect()
+    assert is_missing_path_error(ei2.value) is False
