@@ -940,9 +940,10 @@ def doc_shingle_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so Σ bucket² grows quadratically (124M in-bucket pairs at
     sf1, minutes of runtime) — at corpus scale use
     doc_jaccard_prefix_filter, the AllPairs/PPJoin formulation that
-    provably finds the same pairs from a prefix-shingle-keyed shuffle
-    (25s at sf1), or the MinHash-LSH rung when approximation is
-    acceptable."""
+    provably finds the same pairs from a df-ordered prefix-shingle
+    shuffle (~16s at sf1 and bounded-fanout on boilerplate corpora
+    since round 7 — PERF.md), or the MinHash-LSH rung when
+    approximation is acceptable."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", "n_chars", tokens("text").alias("toks")).where(
         F.size("toks") >= 3

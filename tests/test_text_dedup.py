@@ -276,3 +276,96 @@ def test_simhash_block_occupancy_splits_hot_byte(spark):
     assert max_occ <= 2, f"block occupancy {max_occ} — hot byte leaked through"
     # and the pair output is the true near-dup set (empty: all far)
     assert simhash_block_pairs(sig, max_hamming=1).count() == 0
+
+
+def test_prefix_filter_property_random_set_families(spark):
+    """Property (hypothesis): for ANY family of element sets, prefix-
+    filter candidates ⊇ all pairs with Jaccard >= tau, and candidate
+    verification equals brute force. One Spark job per example batch;
+    few examples, wide coverage via set-family generation."""
+    from itertools import combinations
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.operators.text import (
+        allpairs_prefix_candidates,
+        jaccard,
+    )
+
+    elements = st.sampled_from([f"e{i}" for i in range(12)])
+    families = st.lists(
+        st.frozensets(elements, min_size=1, max_size=8),
+        min_size=2, max_size=12,
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(families)
+    def run(fam):
+        rows = [(i, sorted(s)) for i, s in enumerate(fam)]
+        brute = {
+            (ia, ib)
+            for (ia, sa), (ib, sb) in combinations(rows, 2)
+            if len(set(sa) & set(sb)) / len(set(sa) | set(sb)) >= 0.5
+        }
+        sets = spark.createDataFrame(rows, "doc_id long, s array<string>")
+        cand = allpairs_prefix_candidates(sets, "doc_id", "s")
+        sa_df = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+        sb_df = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+        got = {
+            (r.id_a, r.id_b)
+            for r in cand.join(sa_df, "id_a").join(sb_df, "id_b")
+            .where(jaccard(F.col("sa"), F.col("sb")) >= 0.5)
+            .collect()
+        }
+        assert got == brute, f"missing={brute - got} extra={got - brute}"
+
+    run()
+
+
+def test_simhash_block_pairs_property_random_signatures(spark):
+    """Property (hypothesis): for ANY 32-bit signature multiset,
+    block-join pairs == brute-force hamming<=1 pairs (recall by
+    pigeonhole, precision by exact verify)."""
+    from itertools import combinations
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from financial_data_warehouse_automation_spark.operators.text import (
+        simhash_block_pairs,
+    )
+
+    # mix of independent values and single-bit perturbations of a base
+    base = st.integers(min_value=0, max_value=(1 << 32) - 1)
+    sig_lists = st.lists(base, min_size=2, max_size=10).flatmap(
+        lambda bs: st.lists(
+            st.tuples(st.sampled_from(bs), st.integers(0, 33)),
+            min_size=2, max_size=14,
+        ).map(
+            lambda ps: [
+                b ^ (1 << f) if f < 32 else b for b, f in ps
+            ]
+        )
+    )
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(sig_lists)
+    def run(vals):
+        rows = list(enumerate(vals))
+        brute = {
+            (a, b)
+            for (a, sa), (b, sb) in combinations(rows, 2)
+            if bin(sa ^ sb).count("1") <= 1
+        }
+        sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+        got = {
+            (r.id_a, r.id_b)
+            for r in simhash_block_pairs(sig, max_hamming=1).collect()
+        }
+        assert got == brute, f"missing={brute - got} extra={got - brute}"
+
+    run()
