@@ -3009,27 +3009,34 @@ def source_linegen_pushdown_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_REACH_SQL_BODY = """
-WITH RECURSIVE op AS (
+_REACH_EDGE_SQL = """
+WITH op AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ), e0 AS (
   SELECT a.l_partkey AS a, b.l_partkey AS b
   FROM op a JOIN op b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
-), e AS (
-  SELECT a AS src, b AS dst FROM e0
-  UNION ALL SELECT b AS src, a AS dst FROM e0
-), seeds AS (
+)
+SELECT a AS src, b AS dst FROM e0
+UNION ALL SELECT b AS src, a AS dst FROM e0
+"""
+
+# The BFS text proper. {prelude} inlines the edge CTEs in the oracle
+# and is empty on the Spark side; {e} is the edge relation — the
+# materialized temp view in Spark, the `e` CTE in the oracle. The walk
+# text itself is engine-identical.
+_REACH_WALK_SQL = """
+WITH RECURSIVE {prelude}seeds AS (
   SELECT src AS seed FROM (
-    SELECT src, COUNT(*) AS dg FROM e GROUP BY 1
+    SELECT src, COUNT(*) AS dg FROM {e} GROUP BY 1
     ORDER BY dg DESC, src LIMIT 20
   ) hubs
 ), walk(seed, node, hop) AS (
   SELECT seed, seed, 0 FROM seeds
   UNION ALL
-  SELECT w.seed, e.dst, w.hop + 1
-  FROM walk w JOIN e ON e.src = w.node
+  SELECT DISTINCT w.seed, e.dst, w.hop + 1
+  FROM walk w JOIN {e} e ON e.src = w.node
   WHERE w.hop < 3
 ), reach AS (
   SELECT seed, node, MIN(hop) AS hop FROM walk GROUP BY 1, 2
@@ -3041,11 +3048,20 @@ SELECT hop,
 FROM reach GROUP BY 1 ORDER BY 1
 """
 
+_REACH_ORACLE = _REACH_WALK_SQL.format(
+    prelude=_REACH_EDGE_SQL.strip().replace(
+        "WITH op AS", "op AS", 1
+    ).replace(
+        ")\nSELECT a AS src", "), e AS (\nSELECT a AS src", 1
+    ) + "\n), ",
+    e="e",
+)
+
 
 @query(
     "part_reach_3hops",
     tags=("graph", "sql", "recursive-cte", "bfs"),
-    oracle=_REACH_SQL_BODY,
+    oracle=_REACH_ORACLE,
 )
 def part_reach_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded multi-source BFS as a RECURSIVE CTE (Spark 4 WITH
@@ -3053,19 +3069,37 @@ def part_reach_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     free, run through the same front door as sql_shipping_priority):
     from the 20 highest-degree hub parts, walk the co-purchase graph
     up to 3 hops and report the min-hop reachability census per ring.
-    The IDENTICAL SQL text runs as the DuckDB oracle. Iterative-DF
-    siblings: part_pagerank_step (fixed-point arithmetic),
+    The walk text is engine-identical (_REACH_WALK_SQL runs verbatim
+    in DuckDB with the edge CTEs inlined). Iterative-DF siblings:
+    part_pagerank_step (fixed-point arithmetic),
     dedup_cluster_components (unbounded closure); the recursion here
     is Spark's own loop-until-empty-frontier execution of the UNION
     ALL step — each iteration is one frontier-to-edges equi-join.
-    Scale: frontier size is bounded by (seeds x deg^hops) with
-    seeds and depth fixed — the standard guard that keeps a
-    recursive graph query from becoming all-pairs; the edge set
+    Two scale guards, both found by the 10x sweep where this was the
+    slowest query (21s, round 7):
+      * the edge set is built ONCE and localCheckpoint'ed — a
+        recursive CTE re-evaluates every non-recursive relation it
+        references per iteration, so the distinct+self-join+groupBy
+        edge build over lineitem was running 4x (seeds + 3 hops),
+        ~14s of the 21. Materializing the (basket-bounded, ~1% of
+        lineitem) edge list is the canonical iterative-graph
+        lineage cut — what GraphX/MLlib do between supersteps.
+      * the recursive member is SELECT DISTINCT, so each frontier is
+        the level SET (<= seeds x |V| rows), never the walk MULTISET
+        (seeds x deg^hops paths); min-hop only needs each
+        (seed, node) witnessed once per level, so `reach` — and the
+        query result — is unchanged.
+    Depth and seed count stay fixed — the standard guard that keeps
+    a recursive graph query from becoming all-pairs; the edge set
     reuses the basket-bounded pair expansion."""
     from financial_data_warehouse_automation_spark.tables import register_views
 
     register_views(spark, sf_dir, names=("lineitem",))
-    return spark.sql(_REACH_SQL_BODY)
+    edges = spark.sql(_REACH_EDGE_SQL).localCheckpoint(eager=True)
+    edges.createOrReplaceTempView("part_copurchase_edges")
+    return spark.sql(
+        _REACH_WALK_SQL.format(prelude="", e="part_copurchase_edges")
+    )
 
 
 @query(
