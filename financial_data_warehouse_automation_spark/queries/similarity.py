@@ -165,24 +165,50 @@ def ann_cosine_topk_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings", spread_by=("vec_id",))
     tables = [rademacher_signs(4, 64, seed=f"rhp{t}") for t in range(8)]
 
-    def with_buckets(df: DataFrame, vec: str, id_alias: str, vec_alias: str) -> DataFrame:
-        buckets = F.array(*[rhp_bucket(vec, planes) for planes in tables])
+    def with_buckets(df: DataFrame, id_alias: str) -> DataFrame:
+        # Slim bucket rows: id + (table, bucket) ONLY. The candidate
+        # join and the (qid, vec_id) dedup then shuffle 3 scalars per
+        # row instead of two 64-float vectors — the bucket join's
+        # volume is L x n rows regardless of dimension, and the
+        # vectors are fetched once per UNIQUE candidate afterwards.
+        buckets = F.array(*[rhp_bucket("embedding", planes) for planes in tables])
         return df.select(
             F.col("vec_id").alias(id_alias),
-            F.col(vec).alias(vec_alias),
             F.posexplode(buckets).alias("table_idx", "bucket"),
         )
 
-    probes = with_buckets(e.where(F.col("vec_id") % 50 == 0), "embedding", "qid", "qvec")
-    corpus = with_buckets(e, "embedding", "vec_id", "cvec")
-    cands = (
-        probes.join(corpus, ["table_idx", "bucket"])
-        .where(F.col("qid") != F.col("vec_id"))
-        .select("qid", "qvec", "vec_id", "cvec")
+    probe_ids = with_buckets(e.where(F.col("vec_id") % 50 == 0), "qid")
+    corpus_ids = with_buckets(e, "cid")
+    cand_ids = (
+        probe_ids.join(corpus_ids, ["table_idx", "bucket"])
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", F.col("cid").alias("vec_id"))
         .dropDuplicates(["qid", "vec_id"])
     )
-    scored = cands.select(
-        "qid", "vec_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos")
+    # Vectors + pair-invariant norms join back by key: the corpus side
+    # is a keyed shuffle join (never a broadcast of a growing table),
+    # the probe side broadcasts. One fold per unique pair — cosine()
+    # here would refold both norms per pair; the division keeps
+    # cosine()'s (qnorm * cnorm) operand order so the hash is
+    # unchanged.
+    corpus_v = e.select(
+        "vec_id", F.col("embedding").alias("cvec"),
+        l2_norm(F.col("embedding")).alias("cnorm"),
+    )
+    probes_v = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+        l2_norm(F.col("embedding")).alias("qnorm"),
+    )
+    scored = (
+        cand_ids.join(corpus_v, "vec_id")
+        .join(F.broadcast(probes_v), "qid")
+        .select(
+            "qid", "vec_id",
+            (
+                dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -267,25 +293,36 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("cell"), "centroid")
     )
     probes = e.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+        l2_norm(F.col("embedding")).alias("qnorm"),
     )
     cell_rank = Window.partitionBy("qid").orderBy(F.desc("cell_cos"), F.asc("cell"))
     probe_cells = (
         probes.crossJoin(F.broadcast(centroids))
         .select(
-            "qid", "qvec", "cell",
+            "qid", "qvec", "qnorm", "cell",
             cosine(F.col("qvec"), F.col("centroid")).alias("cell_cos"),
         )
         .withColumn("cell_rn", F.row_number().over(cell_rank))
         .where(F.col("cell_rn") <= 3)
-        .select("qid", "qvec", "cell")
+        .select("qid", "qvec", "qnorm", "cell")
     )
+    # Corpus norm once per row at scan; the nprobe-cell candidate
+    # stage then does one fold per pair, not three (pair-invariant
+    # norms, bit-identical division — see brute_force_topk).
     cands = probe_cells.join(
-        e.select(F.col("vec_id"), F.col("label").alias("cell"), F.col("embedding")),
+        e.select(
+            F.col("vec_id"), F.col("label").alias("cell"), F.col("embedding"),
+            l2_norm(F.col("embedding")).alias("cnorm"),
+        ),
         "cell",
     ).where(F.col("qid") != F.col("vec_id"))
     scored = cands.select(
-        "qid", "vec_id", cosine(F.col("qvec"), F.col("embedding")).alias("cos")
+        "qid", "vec_id",
+        (
+            dot(F.col("qvec"), F.col("embedding"))
+            / (F.col("qnorm") * F.col("cnorm"))
+        ).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -350,22 +387,29 @@ def ann_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell int, centroid array<double>",
     )
     probes = assigned.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+        l2_norm(F.col("embedding")).alias("qnorm"),
     )
     cell_rank = Window.partitionBy("qid").orderBy(F.desc("cell_cos"), F.asc("cell"))
     probe_cells = (
         probes.crossJoin(F.broadcast(centroids))
         .select(
-            "qid", "qvec", "cell",
+            "qid", "qvec", "qnorm", "cell",
             cosine(F.col("qvec"), F.col("centroid")).alias("cell_cos"),
         )
         .withColumn("cell_rn", F.row_number().over(cell_rank))
         .where(F.col("cell_rn") <= 2)
-        .select("qid", "qvec", "cell")
+        .select("qid", "qvec", "qnorm", "cell")
     )
-    cands = probe_cells.join(assigned, "cell").where(F.col("qid") != F.col("vec_id"))
+    cands = probe_cells.join(
+        assigned.withColumn("cnorm", l2_norm(F.col("embedding"))), "cell"
+    ).where(F.col("qid") != F.col("vec_id"))
     scored = cands.select(
-        "qid", "vec_id", cosine(F.col("qvec"), F.col("embedding")).alias("cos")
+        "qid", "vec_id",
+        (
+            dot(F.col("qvec"), F.col("embedding"))
+            / (F.col("qnorm") * F.col("cnorm"))
+        ).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -465,37 +509,66 @@ def ann_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision for the final top-5. Because the quantization arithmetic
     is bit-identical across engines (operators/vectors.py
     quantize_int8), the whole path — including the candidate cut — is
-    hash-checkable, unlike hash-sketch ANN variants."""
+    hash-checkable, unlike hash-sketch ANN variants.
+
+    Scale shape (reworked round 7, was 16.2s at sf1 — slower than
+    brute): the candidate rank previously carried BOTH float vectors
+    and BOTH int8 arrays per (probe, candidate) row through the qid
+    exchange — ~2 KB/row × |Q|·n, where brute ships 3 scalars. Now the
+    rank stage is scalars only (qid, vec_id, iscore) — WindowGroupLimit
+    takes partial top-20s map-side before the exchange — and the
+    full-precision vectors are joined back ONLY for the 20·|Q|
+    survivors (broadcast of the tiny id set against the corpus scan,
+    no corpus shuffle). Norms are per-row scan columns, not per-pair
+    folds. Same iscore ordering + vec_id tie-break ⇒ identical
+    candidate set, identical rescore arithmetic, identical hash."""
     from financial_data_warehouse_automation_spark.operators.vectors import int_dot, quantize_int8
 
     e = load_table(spark, sf_dir, "embeddings", spread_by=("vec_id",))
     q, _ = quantize_int8(F.col("embedding"))
-    corpus = e.select("vec_id", "embedding", q.alias("cq"))
     probes = (
         e.where(F.col("vec_id") % 50 == 0)
         .select(
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qvec"),
+            l2_norm(F.col("embedding")).alias("qnorm"),
             q.alias("qq"),
         )
     )
     par = spark.sparkContext.defaultParallelism
-    cand = (
-        corpus.repartition(par)
-        .crossJoin(F.broadcast(probes))
+    cand_ids = (
+        e.select("vec_id", q.alias("cq"))
+        .repartition(par)
+        .crossJoin(F.broadcast(probes.select("qid", "qq")))
         .where(F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid", "vec_id",
+            int_dot(F.col("qq"), F.col("cq")).alias("iscore"),
+        )
         .withColumn(
             "crank",
             F.row_number().over(
                 Window.partitionBy("qid").orderBy(
-                    int_dot(F.col("qq"), F.col("cq")).desc(), F.col("vec_id")
+                    F.desc("iscore"), F.col("vec_id")
                 )
             ),
         )
         .where(F.col("crank") <= 20)
+        .select("qid", "vec_id")
     )
-    rescored = cand.select(
-        "qid", "vec_id", cosine(F.col("qvec"), F.col("embedding")).alias("cos")
+    rescored = (
+        e.select(
+            "vec_id", "embedding", l2_norm(F.col("embedding")).alias("cnorm")
+        )
+        .join(F.broadcast(cand_ids), "vec_id")
+        .join(F.broadcast(probes.select("qid", "qvec", "qnorm")), "qid")
+        .select(
+            "qid", "vec_id",
+            (
+                dot(F.col("qvec"), F.col("embedding"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos"),
+        )
     )
     return (
         rescored.withColumn(
