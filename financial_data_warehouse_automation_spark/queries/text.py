@@ -1478,37 +1478,41 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 8-gram novelty — the 'new information rate' used to
     prioritize documents during corpus curation: the fraction of a
     doc's distinct 8-grams whose minimum owning doc_id is the doc
-    itself (first writer wins). Shape: one shingle scan, one shuffle
-    keyed on the 8-gram to elect owners, one doc-keyed aggregate —
-    never doc x doc, so it scales like the decontamination scan. Docs
-    shorter than 8 tokens contribute their whole text as one shingle
-    (same convention as word_shingles)."""
-    # the 8-gram shingle projection feeds BOTH join branches from the
-    # scan stage — fan it out of a single-row-group file (guarded
-    # no-op on a well-split corpus)
+    itself (first writer wins). Shape: one shingle-keyed shuffle to
+    elect owners (map-side-combined MIN), then a doc-grain count of
+    election wins — never doc x doc. The exploded-rows ⋈ owners join
+    the definition suggests is algebraically unnecessary (cut round
+    7, 13.1s → ~5s at sf1): n_novel per doc is just GROUP BY owner
+    over the election result, and n_grams is size(grams) at scan —
+    so no doc×gram row ever carries its 8-gram string through a
+    second shuffle. Docs whose every gram is owned elsewhere get
+    n_novel = 0 via the doc-grain left join. Docs shorter than 8
+    tokens contribute their whole text as one shingle (same
+    convention as word_shingles)."""
     d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
     t = d.select("doc_id", tokens("text").alias("toks"))
     sh = t.select(
         "doc_id",
         F.array_distinct(word_shingles(F.col("toks"), 8)).alias("grams"),
     )
+    per_doc = sh.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
     exploded = sh.select("doc_id", F.explode("grams").alias("shingle"))
-    owned = exploded.groupBy("shingle").agg(F.min("doc_id").alias("owner"))
+    novel = (
+        exploded.groupBy("shingle")
+        .agg(F.min("doc_id").alias("owner"))
+        .groupBy("owner")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
     return (
-        exploded.join(owned, "shingle")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("owner") == F.col("doc_id"), 1).otherwise(0)
-            ).cast("long").alias("n_novel"),
-        )
+        per_doc.join(novel, per_doc["doc_id"] == novel["owner"], "left")
         .select(
             "doc_id",
             "n_grams",
-            "n_novel",
-            F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6)
-            .alias("novelty"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6),
         )
         .orderBy("doc_id")
     )
@@ -1982,7 +1986,21 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     contained doc and its container are in different length windows by
     construction — which is why this query exists alongside
     doc_shingle_jaccard_blocked. All counts exact int64; the
-    containment ratio is one int/int double division, rounded."""
+    containment ratio is one int/int double division, rounded.
+
+    The index is literal (reshaped round 7, was a shingle-keyed
+    self-join shipping the UNFILTERED side through the exchange):
+    one shingle-keyed aggregate collects the posting list, the df cap
+    (list size <= 50) bounds every list BEFORE any pair exists, and
+    the within-list pair expansion is two stacked explodes + an
+    id_a < id_b filter — plain Generate operators that stay inside
+    whole-stage codegen (a nested transform/flatten/struct HOF
+    version measured 3x SLOWER than the old self-join; HOF lambdas
+    drop the projection out of codegen). No second corpus-wide
+    shuffle, and the pair aggregate moves 2 int64s per row. The
+    collect_list here is safe where simhash's was not: df-capped
+    lists are bounded by construction, hot buckets there were
+    corpus-linear."""
     d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
     t = d.select("doc_id", tokens("text").alias("toks")).where(
         F.size("toks") >= 3
@@ -1992,15 +2010,18 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = sh.select("doc_id", F.size("s").alias("n"))
     ex = sh.select("doc_id", F.explode("s").alias("shingle"))
-    keep = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).where(
-        F.col("df") <= 50
-    ).select("shingle")
-    a = ex.join(keep, "shingle")
-    b = ex.select(F.col("doc_id").alias("id_b"), F.col("shingle").alias("sh_b"))
-    shared = (
-        a.join(b, (F.col("shingle") == F.col("sh_b")) & (F.col("doc_id") < F.col("id_b")))
-        .groupBy(F.col("doc_id").alias("id_a"), F.col("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    posting = (
+        ex.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= 50))
+    )
+    pairs = (
+        posting.select(F.explode("docs").alias("id_a"), "docs")
+        .select("id_a", F.explode("docs").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    shared = pairs.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
