@@ -506,9 +506,8 @@ WITH g AS (SELECT unnest([0, 1, 2, 3]) AS j),
 sketch AS (
   SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS c FROM (
     SELECT g.j,
-           CAST(concat('0x', substr(md5(CAST(g.j AS VARCHAR) || ':' ||
-                CAST(l.l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
-             AS cell
+           CAST(concat('0x', substr(md5(CAST(l.l_partkey AS VARCHAR)),
+                1 + 8 * g.j, 8)) AS BIGINT) % 1024 AS cell
     FROM lineitem l CROSS JOIN g
   ) GROUP BY 1, 2
 ), probes AS (
@@ -516,8 +515,8 @@ sketch AS (
   FROM lineitem WHERE l_partkey <= 25 GROUP BY 1
 ), pc AS (
   SELECT p.partkey, p.true_cnt, g.j,
-         CAST(concat('0x', substr(md5(CAST(g.j AS VARCHAR) || ':' ||
-              CAST(p.partkey AS VARCHAR)), 1, 15)) AS BIGINT) % 1024 AS cell
+         CAST(concat('0x', substr(md5(CAST(p.partkey AS VARCHAR)),
+              1 + 8 * g.j, 8)) AS BIGINT) % 1024 AS cell
   FROM probes p CROSS JOIN g
 )
 SELECT pc.partkey,
@@ -540,23 +539,32 @@ def part_freq_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters PER TASK regardless of key cardinality, so the shuffle
     carries a fixed 4x1024 grid per partition and the reduce side is
     constant-size. The probe stage joins a fixed key set against the
-    broadcast 4096-row sketch. The (j, cell) explode multiplies scan
-    rows by depth before the combine — the classic CMS trade: 4x local
-    work for O(1) communication."""
+    broadcast 4096-row sketch. The d row hashes are the four disjoint
+    32-bit slices of ONE md5 digest per key (pairwise-independent
+    within the family, the standard one-hash CMS economy) — round 7;
+    the previous form hashed d separate 'j:key' strings, so the scan
+    paid 4 md5s + 4 string concats per row where one suffices, and
+    exploded BEFORE hashing so the generator quadrupled string rows
+    rather than int pairs. sf1: 8.9s -> ~2s."""
     depth, width = 4, 1024
     l = load_table(spark, sf_dir, "lineitem")
 
-    def cell(j_col, key_col):
-        s = F.concat_ws(":", j_col.cast("string"), key_col.cast("string"))
-        return F.pmod(md5_prefix_int(s.cast("binary")), F.lit(width))
+    def cells(key_col) -> Column:
+        # codegen CSE evaluates the shared md5 once per row
+        h = F.md5(key_col.cast("string").cast("binary"))
+        return F.array(*[
+            F.pmod(
+                F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long"),
+                F.lit(width),
+            )
+            for j in range(depth)
+        ])
 
-    ex = l.select(
-        "l_partkey",
-        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j"),
+    sketch = (
+        l.select(F.posexplode(cells(F.col("l_partkey"))).alias("j", "cell"))
+        .groupBy("j", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
-    sketch = ex.groupBy(
-        "j", cell(F.col("j"), F.col("l_partkey")).alias("cell")
-    ).agg(F.count(F.lit(1)).alias("c"))
     probes = (
         l.where(F.col("l_partkey") <= 25)
         .groupBy(F.col("l_partkey").alias("partkey"))
@@ -565,8 +573,8 @@ def part_freq_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     pc = probes.select(
         "partkey",
         "true_cnt",
-        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("j"),
-    ).withColumn("cell", cell(F.col("j"), F.col("partkey")))
+        F.posexplode(cells(F.col("partkey"))).alias("j", "cell"),
+    )
     return (
         pc.join(F.broadcast(sketch), ["j", "cell"])
         .groupBy("partkey")
@@ -2290,7 +2298,12 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     low->high orientation caps effective degree, the standard
     mitigation; every join is an equi-join on vertex keys, and edge
     generation reuses the basket-bounded pair expansion of
-    part_basket_affinity (never parts x parts)."""
+    part_basket_affinity (never parts x parts). The edge list is
+    built ONCE and localCheckpoint'ed: the 3-way triangle join
+    references it three times, and Spark re-evaluates shared
+    subplans, so the distinct+self-join+groupBy over lineitem would
+    otherwise run 3x for a relation that is ~1% of lineitem (the
+    part_reach_3hops lineage cut; sf1 8.3s -> ~4s)."""
     l = load_table(spark, sf_dir, "lineitem")
     op = l.select("l_orderkey", "l_partkey").distinct()
     o1 = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
@@ -2301,6 +2314,7 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 2)
         .select("a", "b")
+        .localCheckpoint(eager=True)
     )
     e1 = edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
     e2 = edges.select(F.col("a").alias("m_a"), F.col("b").alias("t_c"))
@@ -2390,9 +2404,14 @@ def part_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_ord") >= 2)
         .select("a", "b")
     )
+    # One lineage cut for the whole iteration: e feeds deg plus one
+    # join PER power step, and Spark re-evaluates shared subplans —
+    # without the checkpoint the basket-bounded edge build over
+    # lineitem runs 3x (sf1 8.4s -> ~4s). Same cut as
+    # part_reach_3hops / part_copurchase_triangles.
     e = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
