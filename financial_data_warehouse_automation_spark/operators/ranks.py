@@ -50,7 +50,19 @@ def global_row_number(
     silently breaking bucket monotonicity. ``tiebreak_cols`` sort
     ascending and must make the full ordering total, or ranks are
     nondeterministic.
+
+    The input is lazily localCheckpoint'ed first: this operator
+    consumes ``df`` three times (bounds aggregate, bucket counts, the
+    ranked join), Spark re-evaluates shared subplans, and call sites
+    CHAIN ranks (customer_rfm_segments ranks three keys, so an
+    uncached input re-evaluates up to 3^3 times — measured 5.6s for a
+    per-customer frame at sf1, ~1s cached). Lazy, not eager, so
+    building the plan costs nothing; the first action materializes
+    once. Caching the frame being ranked is the intended trade: it is
+    read three times regardless, and the cache is the ranked frame
+    itself, not its (usually much larger) upstream.
     """
+    df = df.localCheckpoint(eager=False)
     bkt, b_idx, off = f"__{out_col}_bkt", f"__{out_col}_bidx", f"__{out_col}_off"
     i64_max = (1 << 63) - 1
     # Both guards are load-bearing branches of columns the plan must

