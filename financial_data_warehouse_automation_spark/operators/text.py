@@ -290,21 +290,36 @@ def allpairs_prefix_candidates(
     cut candidates ~an order of magnitude — PERF.md round 7).
 
     Also applies the result-neutral symmetric LENGTH filter
-    (tau*|A| <= |B| <= |A|/tau). Ties in df break by (md5, element),
-    so the order — and therefore the candidate set — is deterministic
-    and replayable in any engine that sorts strings bytewise.
+    (tau*|A| <= |B| <= |A|/tau). Ties in df break by the first 15 hex
+    chars (60 bits) of md5(element); the raw element tail would be
+    dead weight in every downstream payload (the per-doc sort, the
+    prefix arrays, the candidate-join shuffle keys). A 60-bit
+    tiebreak COLLISION between distinct elements is recall-safe, not
+    just improbable: colliding elements carry IDENTICAL keys, so
+    wherever the ambiguous sort puts them, each doc's prefix KEY SET
+    is unchanged, and a qualifying pair still collides on that shared
+    key value — collisions can only ADD candidates, and verification
+    is exact. The final pair set does not depend on WHICH total order
+    both sides use, only that it is one global order, so the oracle
+    may order by (df, full md5, element) while this side uses the
+    slim key: the verified pairs hash-match.
 
     Shape: explode → df aggregate → df join-back → per-doc sort+slice
     → prefix-keyed shuffle. Three shuffles, all keyed on high-
-    cardinality columns (element / id); no stage is ever doc×doc."""
-    ex = sets.select(F.col(id_col), F.explode(set_col).alias("x"))
+    cardinality columns (element / id); no stage is ever doc×doc.
+    The exploded element stream feeds both the df aggregate and the
+    join-back, and Spark re-evaluates shared subplans, so it is
+    lazily localCheckpoint'ed (one explode over the corpus, not
+    two)."""
+    ex = sets.select(
+        F.col(id_col), F.explode(set_col).alias("x")
+    ).localCheckpoint(eager=False)
     dfreq = ex.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
     keyed = ex.join(dfreq, "x").select(
         F.col(id_col),
         F.concat(
             F.lpad(F.col("df").cast("string"), 12, "0"),
-            F.md5(F.col("x").cast("binary")),
-            F.col("x"),
+            F.substring(F.md5(F.col("x").cast("binary")), 1, 15),
         ).alias("kx"),
     )
     pre = (

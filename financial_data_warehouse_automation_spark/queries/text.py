@@ -1050,14 +1050,20 @@ def doc_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     result-neutral: the symmetric LENGTH filter (J >= tau forces
     tau*|A| <= |B| <= |A|/tau, i.e. 2|B| >= |A| and 2|A| >= |B| at
     tau = 0.5) drops candidates verification would reject anyway, and
-    df ties break by (md5, shingle) so both engines sort identically.
-    The df CTE replays verbatim in DuckDB, so the pair set
-    hash-verifies end to end."""
+    df ties break by md5 (collision-free over distinct shingles, so
+    already total; the oracle's extra raw-shingle tiebreak is
+    vacuous). Only the VERIFIED pair set must match across engines —
+    and it does: any global total order yields a candidate superset
+    of the qualifying pairs, and verification is exact. The shingle
+    sets feed the candidate generator AND both verify sides, and
+    Spark re-evaluates shared subplans, so they are lazily
+    localCheckpoint'ed — one tokenize+shingle pass over the corpus
+    instead of three (round 7)."""
     d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
     sets = d.select(
         "doc_id",
         F.array_distinct(word_shingles(tokens("text"), 3)).alias("s"),
-    )
+    ).localCheckpoint(eager=False)
     cand = allpairs_prefix_candidates(sets, "doc_id", "s", tau=0.5)
     sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
@@ -1138,11 +1144,19 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds the literal key, leaving a nested loop over exactly one
     build row — free at any scale, allowlisted in the plan sweep). At
     scale this is two hash aggregates and a window partitioned by
-    doc — WindowGroupLimit pushes rk<=3 below the shuffle."""
+    doc — WindowGroupLimit pushes rk<=3 below the shuffle. The corpus
+    is tokenized ONCE: df is COUNT(*) over the tf relation (each
+    (doc, term) row appears exactly once, so counting rows per term
+    IS countDistinct(doc_id) over the token stream), and tf is
+    localCheckpoint'ed because it feeds both df and the score join —
+    Spark re-evaluates shared subplans, so the uncached form ran the
+    tokenize+explode+aggregate chain twice (round 7)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("one", F.lit(1))
     scored = (
         tf.join(df_, "term")
