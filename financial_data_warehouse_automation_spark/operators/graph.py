@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from financial_data_warehouse_automation_spark.lineage import cut
+
 
 def connected_components(
     vertices: DataFrame,
@@ -43,7 +45,8 @@ def connected_components(
     )
     labels = vertices.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("component")
-    ).localCheckpoint()
+    )
+    labels = cut(labels, eager=True)
 
     for _ in range(max_iters):
         neighbor = (
@@ -54,8 +57,8 @@ def connected_components(
             labels.unionByName(neighbor)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
+        new_labels = cut(new_labels, eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from financial_data_warehouse_automation_spark.lineage import cut
+
 
 def global_row_number(
     df: DataFrame,
@@ -62,7 +64,7 @@ def global_row_number(
     read three times regardless, and the cache is the ranked frame
     itself, not its (usually much larger) upstream.
     """
-    df = df.localCheckpoint(eager=False)
+    df = cut(df, eager=False)
     bkt, b_idx, off = f"__{out_col}_bkt", f"__{out_col}_bidx", f"__{out_col}_off"
     i64_max = (1 << 63) - 1
     # Both guards are load-bearing branches of columns the plan must

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from financial_data_warehouse_automation_spark.lineage import cut
+
 # Small english function-word set for quality / language heuristics.
 EN_STOPWORDS = (
     "the", "a", "an", "of", "and", "to", "in", "is", "on", "for",
@@ -311,9 +313,10 @@ def allpairs_prefix_candidates(
     join-back, and Spark re-evaluates shared subplans, so it is
     lazily localCheckpoint'ed (one explode over the corpus, not
     two)."""
-    ex = sets.select(
-        F.col(id_col), F.explode(set_col).alias("x")
-    ).localCheckpoint(eager=False)
+    ex = cut(
+        sets.select(F.col(id_col), F.explode(set_col).alias("x")),
+        eager=False,
+    )
     dfreq = ex.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
     keyed = ex.join(dfreq, "x").select(
         F.col(id_col),

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from financial_data_warehouse_automation_spark.functions.scalars import md5_prefix_int
+from financial_data_warehouse_automation_spark.lineage import cut
 from financial_data_warehouse_automation_spark.queries._helpers import (
     davg,
     dsum,
@@ -1728,8 +1729,8 @@ def part_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = (
         l.groupBy("l_orderkey")
         .agg(F.collect_set("l_partkey").alias("parts"))
-        .localCheckpoint(eager=True)
     )
+    baskets = cut(baskets, eager=True)
     pairs = (
         baskets.select(F.explode("parts").alias("part_a"), "parts")
         .select("part_a", F.explode("parts").alias("part_b"))
@@ -2318,8 +2319,8 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 2)
         .select("a", "b")
-        .localCheckpoint(eager=True)
     )
+    edges = cut(edges, eager=True)
     e1 = edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
     e2 = edges.select(F.col("a").alias("m_a"), F.col("b").alias("t_c"))
     e3 = edges.select(F.col("a").alias("c_a"), F.col("b").alias("c_b"))
@@ -2415,7 +2416,8 @@ def part_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # part_reach_3hops / part_copurchase_triangles.
     e = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
+    e = cut(e, eager=True)
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
@@ -3118,7 +3120,7 @@ def part_reach_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_warehouse_automation_spark.tables import register_views
 
     register_views(spark, sf_dir, names=("lineitem",))
-    edges = spark.sql(_REACH_EDGE_SQL).localCheckpoint(eager=True)
+    edges = cut(spark.sql(_REACH_EDGE_SQL), eager=True)
     edges.createOrReplaceTempView("part_copurchase_edges")
     return spark.sql(
         _REACH_WALK_SQL.format(prelude="", e="part_copurchase_edges")

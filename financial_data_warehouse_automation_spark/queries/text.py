@@ -31,6 +31,7 @@ from financial_data_warehouse_automation_spark.operators.text import (
     word_shingles,
 )
 from financial_data_warehouse_automation_spark.functions.scalars import md5_prefix_int
+from financial_data_warehouse_automation_spark.lineage import cut
 from financial_data_warehouse_automation_spark.registry import query
 from financial_data_warehouse_automation_spark.tables import load_table
 
@@ -1063,7 +1064,8 @@ def doc_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = d.select(
         "doc_id",
         F.array_distinct(word_shingles(tokens("text"), 3)).alias("s"),
-    ).localCheckpoint(eager=False)
+    )
+    sets = cut(sets, eager=False)
     cand = allpairs_prefix_candidates(sets, "doc_id", "s", tau=0.5)
     sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
     sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
@@ -1153,9 +1155,10 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize+explode+aggregate chain twice (round 7)."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint(eager=False)
+    tf = cut(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
+        eager=False,
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("one", F.lit(1))
     scored = (

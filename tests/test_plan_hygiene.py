@@ -24,15 +24,28 @@ def all_plan_objs(spark, sf_dir) -> dict:
     built ONCE per test session — the registry-wide sweeps (cartesian,
     global-window, single-row-broadcast proofs) all read from here
     instead of re-running the builders (some of which, e.g. the
-    streaming drains, are expensive)."""
-    plans = {}
-    for name, spec in load_all().items():
-        try:
-            plans[name] = spec.builder(spark, sf_dir)._jdf.queryExecution(
-            ).executedPlan()
-        except Exception:  # streaming-only / fixture-path builders
-            continue
-    return plans
+    streaming drains, are expensive).
+
+    Built with SPARK_GRAFT_NO_CHECKPOINT=1 (financial_data_warehouse_automation_spark.lineage.cut
+    becomes identity): a localCheckpoint replaces its subtree with a
+    Scan ExistingRDD node, which would hide the pre-cut stages — the
+    graph edge builds, rank inputs, basket aggregation — from exactly
+    the hazards this file exists to reject. Audit the FULL plan;
+    production keeps the cuts."""
+    import os
+
+    os.environ["SPARK_GRAFT_NO_CHECKPOINT"] = "1"
+    try:
+        plans = {}
+        for name, spec in load_all().items():
+            try:
+                plans[name] = spec.builder(spark, sf_dir)._jdf.queryExecution(
+                ).executedPlan()
+            except Exception:  # streaming-only / fixture-path builders
+                continue
+        return plans
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_CHECKPOINT", None)
 
 
 @pytest.fixture(scope="session")
@@ -188,6 +201,9 @@ def test_no_accidental_cartesian_anywhere(all_plans, all_plan_objs):
         "events_range_join_quarters",   # quarter intervals: bounded build side
         "gap_fill_pending_revenue",     # month spine x 5 priorities axis
         "doc_jaccard_pairs_brute",      # 100-doc anchor subset, by design
+        "dedup_cluster_components",     # same 100-doc bounded edge build
+                                        # (visible since the audit sees
+                                        # through lineage cuts)
         "part_name_similarity",         # bounded sample x sample pairs
         "embedding_near_dup_pairs",     # bounded probe set vs corpus
         "ann_cosine_topk_brute",        # broadcast probes over corpus
