@@ -456,6 +456,11 @@ def simhash_block_pairs(
         "block",
         F.expr(f"(_sig div element_at({divisors}, band + 1)) % {base}"),
     )
+    # both self-join sides reference b, and Spark re-evaluates shared
+    # subplans — without the cut the caller's SIGNATURE pipeline (md5
+    # per token for the oracle-replayable variant) runs twice. The
+    # cached relation is d+1 rows of 4 longs per doc.
+    b = cut(b, eager=False)
     a = b.select(
         F.col(id_col).alias("id_a"), F.col("_sig").alias("sig_a"),
         "band", "block",

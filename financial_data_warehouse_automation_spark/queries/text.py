@@ -1869,6 +1869,11 @@ def doc_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+    # self-join: both sides reference bands, and Spark re-evaluates
+    # shared subplans — without the cut the md5-per-shingle signature
+    # build runs twice. Cached relation: 4 rows of (id, int, 32-char
+    # hash) per doc.
+    bands = cut(bands, eager=False)
     a = bands.select(
         F.col("doc_id").alias("id_a"),
         F.col("band_idx").alias("bi_a"),
