@@ -18,6 +18,7 @@ from financial_data_warehouse_automation_spark.operators.multimodal import (
     synth_media_table,
 )
 from financial_data_warehouse_automation_spark.functions.scalars import md5_prefix_int
+from financial_data_warehouse_automation_spark.lineage import cut
 from financial_data_warehouse_automation_spark.registry import query
 from financial_data_warehouse_automation_spark.tables import load_table
 
@@ -342,7 +343,11 @@ def media_shared_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim joined back per pair."""
     d = load_table(spark, sf_dir, "documents")
     m = synth_media_table(d)
-    frames = sample_frames(m, frame_bytes=256)
+    # both self-join sides reference frames, and Spark re-evaluates
+    # shared subplans — without the cut the Arrow-batched frame
+    # extraction (the Python-worker stage, the expensive part) runs
+    # TWICE. Cached relation: (media_id, frame hash) scalars.
+    frames = cut(sample_frames(m, frame_bytes=256), eager=False)
     a = frames.select(
         F.col("media_id").alias("id_a"), F.col("frame_md5").alias("h_a")
     )

@@ -19,6 +19,7 @@ from financial_data_warehouse_automation_spark.operators.vectors import (
     rademacher_signs,
     rhp_bucket,
 )
+from financial_data_warehouse_automation_spark.lineage import cut
 from financial_data_warehouse_automation_spark.registry import query
 from financial_data_warehouse_automation_spark.tables import load_table
 
@@ -911,6 +912,11 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             rhp_bucket("embedding", planes).alias("bucket"),
         )
         bucketed = part if bucketed is None else bucketed.unionByName(part)
+    # both self-join sides reference bucketed, and Spark re-evaluates
+    # shared subplans — without the cut the 2-table x 4-plane RHP fold
+    # runs twice per vector (7 embeddings scans in the executed plan,
+    # found by the round-7 duplicate-scan census)
+    bucketed = cut(bucketed, eager=False)
     a = bucketed.select(
         F.col("tbl"), F.col("bucket"), F.col("label"),
         F.col("vec_id").alias("id_a"),
@@ -930,12 +936,23 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    ex = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    ey = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    ex = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    ey = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
     dropped = (
         cand.join(ex, "id_a")
         .join(ey, "id_b")
-        .where(cosine(F.col("va"), F.col("vb")) >= 0.25)
+        # pair-invariant norms at scan: 1 fold per verify pair, not 3
+        # (same bit-identical division as the ANN band, round 7)
+        .where(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= 0.25
+        )
         .select(F.col("id_b"))
         .distinct()
     )
