@@ -402,11 +402,14 @@ def warehouse_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts for every FK relationship in one report — the structural
     extension of the reference's missing-GL-mapping QA (its ledger
     tracks exactly one such relationship; build_warehouse.py:86-99).
-    Each orphan count is a left-anti join: fact side streams, dim side
-    broadcasts when bounded, AQE decides otherwise — no NOT IN
-    correlated re-scan. At 100 TB each check is one scan of the child
-    + one anti-join; checks share nothing so they parallelize as
-    independent jobs under the same action."""
+    All of a child table's checks run in ONE streamed pass (round 7;
+    the per-check anti-join form scanned lineitem SIX times — 2 scans
+    x 3 relationships): left-join every parent's DISTINCT key set
+    (distinct makes the n:1 row-preservation provable, so COUNT(*) is
+    still n_child), then one conditional aggregate counts NULL parent
+    keys per relationship. At 100 TB that is one fact scan + k dim
+    joins (broadcast when bounded, AQE decides otherwise) instead of
+    2k fact scans; no NOT IN correlated re-scan anywhere."""
     checks = [
         ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
         ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
@@ -414,15 +417,46 @@ def warehouse_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
         ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
     ]
-    reports = []
+    by_child: dict[str, list[tuple[str, str, str, str]]] = {}
     for rel, child, ck, parent, pk in checks:
-        c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(pk)
-        orphans = c.join(p, c[ck] == p[pk], "left_anti")
+        by_child.setdefault(child, []).append((rel, ck, parent, pk))
+    reports = []
+    for child, chks in by_child.items():
+        joined = load_table(spark, sf_dir, child)
+        for i, (rel, ck, parent, pk) in enumerate(chks):
+            p = (
+                load_table(spark, sf_dir, parent)
+                .select(F.col(pk).alias(f"__pk{i}"))
+                .distinct()
+            )
+            joined = joined.join(p, joined[ck] == F.col(f"__pk{i}"), "left")
+        agg = joined.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            *[
+                F.count(
+                    F.when(F.col(f"__pk{i}").isNull(), F.lit(1))
+                ).alias(f"__orph{i}")
+                for i in range(len(chks))
+            ],
+        )
+        # all of this child's report rows from the ONE agg row (a
+        # select-per-relationship would re-reference agg and re-run
+        # the fact scan per row — the trap this rewrite removes)
         reports.append(
-            c.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
-                orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
-            ).select(F.lit(rel).alias("relationship"), "n_child", "n_orphans")
+            agg.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(rel).alias("relationship"),
+                                F.col("n_child").alias("n_child"),
+                                F.col(f"__orph{i}").alias("n_orphans"),
+                            )
+                            for i, (rel, ck, parent, pk) in enumerate(chks)
+                        ]
+                    )
+                ).alias("r")
+            ).select("r.relationship", "r.n_child", "r.n_orphans")
         )
     out = reports[0]
     for r in reports[1:]:
