@@ -2030,6 +2030,9 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = t.select(
         "doc_id", F.array_distinct(word_shingles(F.col("toks"), 3)).alias("s")
     )
+    # sizes and the exploded index both derive from sh, and Spark
+    # re-evaluates shared subplans — cut so tokenize+shingle runs once
+    sh = cut(sh, eager=False)
     sizes = sh.select("doc_id", F.size("s").alias("n"))
     ex = sh.select("doc_id", F.explode("s").alias("shingle"))
     posting = (
