@@ -1754,6 +1754,10 @@ def doc_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "token")
         .agg(F.count(F.lit(1)).alias("n_st"))
     )
+    # st feeds both marginals, the grand total, AND the final join;
+    # Spark re-evaluates shared subplans, so the tokenize+aggregate
+    # ran four times. Cached relation: (source x vocab) counts.
+    st = cut(st, eager=False)
     s_tot = st.groupBy(F.col("source").alias("s_src")).agg(
         F.sum("n_st").alias("n_s")
     )
