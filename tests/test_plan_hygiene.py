@@ -223,6 +223,24 @@ def test_no_accidental_cartesian_anywhere(all_plans, all_plan_objs):
     assert not offenders, f"unexpected non-equi join plans: {offenders}"
 
 
+def test_referential_audit_single_fact_scan(all_plans):
+    """warehouse_referential_audit streams each child table ONCE
+    through all its FK checks (the round-7 rework): a regression to
+    per-relationship anti-joins — or a select-per-relationship that
+    re-references the one-row agg — shows up as lineitem scanned more
+    than once. As the fact table, lineitem is the scan that matters
+    at 100 TB."""
+    import re
+
+    plan = all_plans["warehouse_referential_audit"]
+    lineitem_scans = len(
+        re.findall(r"FileScan parquet [^\n]*lineitem\.parquet", plan)
+    )
+    assert lineitem_scans == 1, (
+        f"referential audit scans lineitem {lineitem_scans}x (want 1)"
+    )
+
+
 def test_snapshot_diff_single_pass(all_plans):
     """warehouse_snapshot_diff's nested cutoffs fold both snapshots
     into ONE conditional aggregate: the plan must contain no join

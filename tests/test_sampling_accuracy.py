@@ -51,3 +51,32 @@ def test_priority_sample_favors_heavy_docs(spark, sf_dir):
     )
     sample_avg = sum(r.n_tokens for r in rows) / len(rows)
     assert sample_avg > avg_tokens
+
+
+def test_count_min_never_underestimates(spark, sf_dir):
+    """The Count-Min invariant: a key's estimate is the MIN of d
+    counter cells it hashes into, each of which counts AT LEAST every
+    occurrence of the key itself — so cms_est >= true_cnt for every
+    probe, with equality when no other key collides in all d cells.
+    Also pins the one-hash slicing (round 7): the d cells come from
+    disjoint 32-bit slices of one md5, so a regression that reuses the
+    same slice d times would collapse the sketch's independence and
+    show up here as gross overestimates on this small table."""
+    from financial_data_warehouse_automation_spark.queries.relational import part_freq_count_min
+
+    rows = part_freq_count_min(spark, sf_dir).collect()
+    assert rows, "probe set is empty"
+    for r in rows:
+        assert r.cms_est >= r.true_cnt, (
+            f"CMS underestimated key {r.partkey}: {r.cms_est} < {r.true_cnt}"
+        )
+    # error bound: eps = e/width with prob 1-(1/e)^d; at width 1024 and
+    # this table's N the slack is tiny — allow 2*N/width absolute.
+    n_total = sum(r.true_cnt for r in rows)
+    # N here is the full column count, not just probes
+    from financial_data_warehouse_automation_spark.tables import load_table
+    n_all = load_table(spark, sf_dir, "lineitem").count()
+    for r in rows:
+        assert r.cms_est - r.true_cnt <= max(2 * n_all / 1024, 8), (
+            f"CMS estimate for {r.partkey} beyond the eps*N bound"
+        )
