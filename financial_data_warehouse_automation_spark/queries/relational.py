@@ -2309,18 +2309,9 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     subplans, so the distinct+self-join+groupBy over lineitem would
     otherwise run 3x for a relation that is ~1% of lineitem (the
     part_reach_3hops lineage cut; sf1 8.3s -> ~4s)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    op = l.select("l_orderkey", "l_partkey").distinct()
-    o1 = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    o2 = op.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("pb"))
-    edges = (
-        o1.join(o2, (F.col("k") == F.col("k2")) & (F.col("pa") < F.col("pb")))
-        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .select("a", "b")
-    )
-    edges = cut(edges, eager=True)
+    from financial_data_warehouse_automation_spark.operators.graph import copurchase_edges
+
+    edges = copurchase_edges(spark, sf_dir)
     e1 = edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
     e2 = edges.select(F.col("a").alias("m_a"), F.col("b").alias("t_c"))
     e3 = edges.select(F.col("a").alias("c_a"), F.col("b").alias("c_b"))
@@ -2398,22 +2389,13 @@ def part_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject. At 100x edges each iteration is still one
     shuffle on the vertex key; rank state is O(nodes), never collected
     to the driver (the node-count scalar is the only broadcast)."""
-    l = load_table(spark, sf_dir, "lineitem")
-    op = l.select("l_orderkey", "l_partkey").distinct()
-    o1 = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    o2 = op.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("pb"))
-    e0 = (
-        o1.join(o2, (F.col("k") == F.col("k2")) & (F.col("pa") < F.col("pb")))
-        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
-        .agg(F.count(F.lit(1)).alias("n_ord"))
-        .where(F.col("n_ord") >= 2)
-        .select("a", "b")
-    )
-    # One lineage cut for the whole iteration: e feeds deg plus one
-    # join PER power step, and Spark re-evaluates shared subplans —
-    # without the checkpoint the basket-bounded edge build over
-    # lineitem runs 3x (sf1 8.4s -> ~4s). Same cut as
-    # part_reach_3hops / part_copurchase_triangles.
+    from financial_data_warehouse_automation_spark.operators.graph import copurchase_edges
+
+    # the shared memoized edge build (one per session, checkpointed);
+    # the symmetrized relation still gets its own cut — e feeds deg
+    # plus one join PER power step, and Spark re-evaluates shared
+    # subplans (8.4s -> ~4s at sf1 without it).
+    e0 = copurchase_edges(spark, sf_dir)
     e = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
         e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
@@ -3120,7 +3102,12 @@ def part_reach_3hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_data_warehouse_automation_spark.tables import register_views
 
     register_views(spark, sf_dir, names=("lineitem",))
-    edges = cut(spark.sql(_REACH_EDGE_SQL), eager=True)
+    from financial_data_warehouse_automation_spark.operators.graph import copurchase_edges
+
+    e0 = copurchase_edges(spark, sf_dir)
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
     edges.createOrReplaceTempView("part_copurchase_edges")
     return spark.sql(
         _REACH_WALK_SQL.format(prelude="", e="part_copurchase_edges")
