@@ -71,6 +71,115 @@ def connected_components(
     return labels.select(F.col("node").alias(id_col), "component")
 
 
+def connected_components_two_phase(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    swap-in ``connected_components``' docstring prescribes for
+    ADVERSARIAL-DIAMETER graphs: min-label propagation needs
+    O(diameter) rounds (a 10M-node path graph = 10M rounds), while
+    star contraction converges in O(log² n) — each large-star hangs
+    every node off its neighborhood minimum, each small-star
+    collapses the low side, and the edge set monotonically flattens
+    into one star per component.
+
+    Per round: two groupBys keyed on the node id — the same
+    shuffle-friendliness as propagation, but the ROUND COUNT no
+    longer depends on graph shape. Convergence = the small-star
+    output reaches a fixpoint (count + per-edge checksum both
+    stable); ``lineage.cut`` bounds every iteration's plan.
+
+    Returns (id, component) with component = the min node id of the
+    component, isolated vertices their own — bit-identical to
+    ``connected_components`` (pinned by equality tests on random,
+    path, and bridged-clique graphs)."""
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(
+            edges.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v"))
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    e = cut(sym, eager=True)
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        # the reduce is over the UNDIRECTED neighborhood — the paper's
+        # map emits both directions; rounds hand us one-directional
+        # rows, so symmetrize first.
+        bi = ed.union(
+            ed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        # m(u) = min over Γ(u) ∪ {u}; emit (v, m) for v ∈ Γ(u), v > u
+        m = bi.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            bi.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # operate on v <= u orientation; m = min(S ∪ {u}); emit
+        # (x, m) for every x ∈ S ∪ {u}, x != m
+        le = ed.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        m = le.groupBy("u").agg(F.min("v").alias("m"))  # v <= u, so min(S∪{u}) = min(v)
+        nbr = (
+            le.join(m, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = m.where(F.col("u") != F.col("m")).select(
+            "u", F.col("m").alias("v")
+        )
+        return nbr.union(self_edge).distinct()
+
+    prev_sig = None
+    for _ in range(max_iters):
+        e = cut(small_star(large_star(e)), eager=True)
+        # 31-bit mask before the sum: ANSI mode (Spark 4 default)
+        # makes a raw sum of xxhash64 values a job-killing overflow
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.pmod(
+                        F.xxhash64(F.col("u"), F.col("v")),
+                        F.lit(1 << 31),
+                    )
+                ),
+                F.lit(0),
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # e is now a star forest: (node, component-min). Isolated vertices
+    # (and each component's hub itself) label themselves.
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return (
+        vertices.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
+
+
 # One definition of the co-purchase graph instead of three copies: the
 # edge build (distinct order->part, basket-bounded self-join, >= 2
 # shared orders) is the expensive prefix of part_reach_3hops,

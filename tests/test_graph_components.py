@@ -1,0 +1,91 @@
+"""connected_components_two_phase (large-star/small-star, Kiveris et
+al. SoCC'14) — the O(log² n)-round components variant for graphs whose
+DIAMETER defeats min-label propagation's O(diameter) rounds.
+
+Three pins: bit-equality with the propagation operator on shallow
+graphs (seeded random + bridged cliques), ground truth on a path graph
+whose diameter EXCEEDS propagation's default iteration cap (the exact
+case this operator exists for), and isolated-vertex handling."""
+
+from __future__ import annotations
+
+import random
+
+
+def _labels(df) -> dict:
+    return {r["id"]: r["component"] for r in df.collect()}
+
+
+def _truth(n_vertices, edges) -> dict:
+    parent = list(range(n_vertices))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component label = min id reachable
+    comp = {}
+    for v in range(n_vertices):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+
+def test_two_phase_equals_propagation_on_shallow_graphs(spark):
+    from financial_data_warehouse_automation_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    rng = random.Random(7)
+    n = 80
+    edges = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(90)})
+    edges = [(a, b) for a, b in edges if a != b]
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got_prop = _labels(connected_components(verts, edf))
+    got_two = _labels(connected_components_two_phase(verts, edf))
+    assert got_two == got_prop == _truth(n, edges)
+
+
+def test_two_phase_survives_high_diameter_path(spark):
+    """A 60-node path has diameter 59 > propagation's default 25
+    rounds; star contraction needs O(log² n) and must still produce
+    the exact answer (everything labeled 0)."""
+    from financial_data_warehouse_automation_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    n = 60
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = _labels(connected_components_two_phase(verts, edf, max_iters=12))
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_two_phase_bridged_cliques_and_isolates(spark):
+    from financial_data_warehouse_automation_spark.operators.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    # two 5-cliques {0..4} and {10..14} bridged by (4, 10); isolates 20, 21
+    edges = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges += [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    edges += [(4, 10)]
+    ids = list(range(5)) + list(range(10, 15)) + [20, 21]
+    verts = spark.createDataFrame([(i,) for i in ids], "id long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got_two = _labels(connected_components_two_phase(verts, edf))
+    got_prop = _labels(connected_components(verts, edf))
+    want = {i: 0 for i in list(range(5)) + list(range(10, 15))}
+    want.update({20: 20, 21: 21})
+    assert got_two == got_prop == want
