@@ -89,3 +89,40 @@ def test_two_phase_bridged_cliques_and_isolates(spark):
     want = {i: 0 for i in list(range(5)) + list(range(10, 15))}
     want.update({20: 20, 21: 21})
     assert got_two == got_prop == want
+
+
+def test_two_phase_matches_pipeline_dedup_clusters(spark, sf_dir):
+    """Integration: on the REAL near-dup pair graph the registry's
+    dedup_cluster_components query builds (bounded 100-doc Jaccard
+    edges), star contraction must produce the exact per-doc component
+    labels the propagation-backed query returns."""
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+    from financial_data_warehouse_automation_spark.operators.text import jaccard, tokens
+    from financial_data_warehouse_automation_spark.queries.text import dedup_cluster_components
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    want = {
+        r["doc_id"]: r["component"]
+        for r in dedup_cluster_components(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    t = d.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    edges = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(jaccard(F.col("ta"), F.col("tb")) >= 0.65)
+        .select("id_a", "id_b")
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components_two_phase(
+            t.select("doc_id"), edges,
+            id_col="doc_id", src_col="id_a", dst_col="id_b",
+        ).collect()
+    }
+    assert got == want
