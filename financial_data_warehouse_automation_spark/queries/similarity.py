@@ -358,11 +358,24 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ≈ 0.44), so the 0.35 threshold exercises the operator on its
     closest pairs."""
     e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        # per-row norms, 1 fold per pair — same bit-identical division
+        # as the rest of the ANN band (round 7)
+        .select(
+            "id_a", "id_b",
+            (
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
+        )
         .where(F.col("cos") >= 0.35)
         .orderBy("id_a", "id_b")
     )
