@@ -1885,6 +1885,10 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
+    # per_part feeds bounds, bucketing, and the totals; Spark
+    # re-evaluates shared subplans, so the uncut form scanned lineitem
+    # 5x (scan census, round 7). Part-grain, bounded — cut it.
+    per_part = cut(per_part, eager=False)
     # pass 1: magnitude buckets (descending revenue order == ascending
     # bucket index); bounds from one tiny aggregate
     bounds = per_part.agg(F.max("cents").alias("max_c"))
