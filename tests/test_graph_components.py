@@ -126,3 +126,27 @@ def test_two_phase_matches_pipeline_dedup_clusters(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_copurchase_edges_memoized_per_session(spark, sf_dir):
+    """The shared edge build returns the SAME checkpointed DataFrame on
+    repeat calls within a session (one build for the driver gate / the
+    sweep), and audit mode bypasses the memo so plan sweeps never see
+    a mode-mismatched cached plan."""
+    import os
+
+    from financial_data_warehouse_automation_spark.operators.graph import copurchase_edges
+
+    e1 = copurchase_edges(spark, sf_dir)
+    e2 = copurchase_edges(spark, sf_dir)
+    assert e1 is e2
+    os.environ["SPARK_GRAFT_NO_CHECKPOINT"] = "1"
+    try:
+        e3 = copurchase_edges(spark, sf_dir)
+        assert e3 is not e1
+        assert "ExistingRDD" not in e3._jdf.queryExecution(
+        ).executedPlan().toString()
+    finally:
+        os.environ.pop("SPARK_GRAFT_NO_CHECKPOINT", None)
+    # values identical either way
+    assert sorted(map(tuple, e3.collect())) == sorted(map(tuple, e1.collect()))
