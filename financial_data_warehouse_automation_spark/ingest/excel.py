@@ -150,15 +150,20 @@ def _render_serial_datetime(raw: str, epoch_ordinal: int = _EXCEL_EPOCH_ORDINAL)
     serial = float(raw)
     days = int(serial)
     frac = round((serial - days) * 86400 * 1_000_000)  # µs in the day
-    carried = frac >= 86_400_000_000
-    if carried:
+    if frac >= 86_400_000_000:
         # rounding can land exactly on midnight (serial within ~0.5µs
         # below a day boundary) — carry into the date instead of
         # emitting 00:00:00 on the PREVIOUS day (advisor finding)
         days += 1
         frac = 0
     tm = (_dt.datetime.min + _dt.timedelta(microseconds=frac)).time()
-    if 0 <= serial < 1 and not carried:
+    if 0 <= serial < 1:
+        # pure-time serials stay bare times even when the carry fires:
+        # openpyxl returns a time object for ANY 0 <= serial < 1 (its
+        # timedelta normalizes the ~1-day µs total to days=1/time 00:00
+        # and days_to_time reads only the sub-day fields), so parity
+        # demands '00:00:00', not a datetime on the epoch date
+        # (advisor finding, round 8).
         return str(tm)
     d = _dt.date.fromordinal(epoch_ordinal + days)
     return str(_dt.datetime.combine(d, tm))

@@ -147,6 +147,7 @@ def connected_components_two_phase(
         return nbr.union(self_edge).distinct()
 
     prev_sig = None
+    converged = False
     for _ in range(max_iters):
         e = cut(small_star(large_star(e)), eager=True)
         # 31-bit mask before the sum: ANSI mode (Spark 4 default)
@@ -165,8 +166,21 @@ def connected_components_two_phase(
         ).collect()[0]
         sig = (sig["n"], sig["h"])
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # A non-fixpoint edge set can hold MULTIPLE (node, label) rows
+        # per node, so the final left join would fan out and emit
+        # duplicate ids with non-minimum labels — a silent contract
+        # violation (advisor finding). Propagation merely degrades to
+        # stale labels; star contraction must fail loudly instead.
+        raise RuntimeError(
+            "connected_components_two_phase: star-forest fixpoint not "
+            f"reached within max_iters={max_iters}; result would be "
+            "malformed (duplicate ids). Raise max_iters — convergence "
+            "is O(log^2 n) rounds."
+        )
     # e is now a star forest: (node, component-min). Isolated vertices
     # (and each component's hub itself) label themselves.
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))

@@ -312,7 +312,19 @@ def allpairs_prefix_candidates(
     The exploded element stream feeds both the df aggregate and the
     join-back, and Spark re-evaluates shared subplans, so it is
     lazily localCheckpoint'ed (one explode over the corpus, not
-    two)."""
+    two).
+
+    The recall-critical bounds ceil(tau*|A|) are computed as
+    ceil(round(tau*sz, 9)) — the raw float product can land one ulp
+    ABOVE the exact rational (e.g. 0.1*30 = 3.0000000000000004), and
+    a bare ceil then inflates the bound, shortening the prefix below
+    the theorem's length and over-tightening the length filter —
+    silently DROPPING qualifying pairs (advisor finding; pinned by
+    test_prefix_filter_tau_float_ceil_exact). round-9 is safe both
+    ways: a true bound is an integer or has fractional part >= 1/sz
+    (>= 1e-9 for any real corpus), while float error is ~1 ulp
+    (~1e-15 relative), so rounding to 9 decimals restores the exact
+    value without ever crossing a true bound."""
     ex = cut(
         sets.select(F.col(id_col), F.explode(set_col).alias("x")),
         eager=False,
@@ -336,7 +348,9 @@ def allpairs_prefix_candidates(
             F.slice(
                 "arr",
                 F.lit(1),
-                F.col("sz") - F.ceil(tau * F.col("sz")).cast("int") + F.lit(1),
+                F.col("sz")
+                - F.ceil(F.round(tau * F.col("sz"), 9)).cast("int")
+                + F.lit(1),
             ).alias("ks"),
             "sz",
         )
@@ -355,8 +369,8 @@ def allpairs_prefix_candidates(
         ka.join(kb, "k")
         .where(
             (F.col("id_a") < F.col("id_b"))
-            & (F.col("sz_b") >= F.ceil(tau * F.col("sz_a")))
-            & (F.col("sz_a") >= F.ceil(tau * F.col("sz_b")))
+            & (F.col("sz_b") >= F.ceil(F.round(tau * F.col("sz_a"), 9)))
+            & (F.col("sz_a") >= F.ceil(F.round(tau * F.col("sz_b"), 9)))
         )
         .select("id_a", "id_b")
         .distinct()

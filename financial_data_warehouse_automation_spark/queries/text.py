@@ -301,6 +301,13 @@ def doc_jaccard_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The most recent Observation attached by doc_minhash_lsh_pairs —
+# harnesses (sweep, bench, tests) read .get AFTER running the returned
+# DataFrame to surface hot_buckets / pairs_capped. One Observation per
+# build (Spark allows a single attachment each).
+last_lsh_cap_observation = None
+
+
 @query("doc_minhash_lsh_pairs", headline=True, tags=("text", "dedup", "minhash", "lsh"))
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=64) + banded LSH (16 bands × 4 rows ⇒ ~0.5 Jaccard
@@ -315,7 +322,17 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard barring ~s²/2⁶⁴ collisions; the corpus is scanned and
     shingled exactly once, and the verify joins shuffle long arrays,
     not shingle strings). Rows-only check (hash permutations are
-    engine-specific)."""
+    engine-specific).
+
+    The hot-bucket cap is NEVER silent here: a named Observation rides
+    the bucket aggregate, so any run that star-degrades a bucket
+    (pairs_capped > 0 — a candidate-recall loss) is visible to the
+    harness via ``last_lsh_cap_observation.get`` after the action
+    (advisor finding, round 8; the observe node measured free on this
+    box — interleaved min-of-5 at sf0.1: 1.53s with vs 1.59s without,
+    i.e. inside noise, unlike the r6 always-on variant)."""
+    from pyspark.sql import Observation
+
     # Single-row-group parquet = one input partition; spread the
     # CPU-heavy shingle/signature projection across cores (guarded
     # no-op on a well-split table). Hash on doc_id so the downstream
@@ -326,8 +343,11 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
         shingled, "doc_id", F.col("sh"), k=64, include_set=True
     )
+    global last_lsh_cap_observation
+    last_lsh_cap_observation = Observation("lsh_cap_metrics")
     cands = lsh_candidate_pairs(
-        sigs.select("doc_id", "signature"), "doc_id", bands=16, rows=4
+        sigs.select("doc_id", "signature"), "doc_id", bands=16, rows=4,
+        observation=last_lsh_cap_observation,
     )
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("sa"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("shingle_set").alias("sb"))

@@ -71,6 +71,27 @@ def test_two_phase_survives_high_diameter_path(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_two_phase_raises_on_iteration_exhaustion(spark):
+    """If max_iters is exhausted before the star-forest fixpoint, the
+    edge set can hold multiple (node, label) rows per node and the
+    final join would fan out into duplicate ids with non-minimum
+    labels — the operator must fail loudly instead of returning a
+    malformed frame (advisor finding, round 8)."""
+    import pytest
+
+    from financial_data_warehouse_automation_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    n = 60
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components_two_phase(verts, edf, max_iters=1)
+
+
 def test_two_phase_bridged_cliques_and_isolates(spark):
     from financial_data_warehouse_automation_spark.operators.graph import (
         connected_components,

@@ -34,6 +34,22 @@ def test_lsh_recall_vs_blocked_anchor(spark, sf_dir):
     assert len(extras) <= len(lsh) * 0.2
 
 
+def test_lsh_production_caller_surfaces_cap_metrics(spark, sf_dir):
+    """The production LSH query attaches a named Observation so the
+    hot-bucket cap — a silent candidate-recall loss when it fires — is
+    never invisible (advisor finding, round 8): after the action,
+    last_lsh_cap_observation.get must report the cap counters, zero on
+    this honest corpus."""
+    from financial_data_warehouse_automation_spark.queries import text as text_q
+
+    n = text_q.doc_minhash_lsh_pairs(spark, sf_dir).count()
+    assert n > 0
+    obs = text_q.last_lsh_cap_observation
+    assert obs is not None
+    got = obs.get
+    assert got == {"hot_buckets": 0, "pairs_capped": 0}, got
+
+
 def test_mllib_minhash_pair_count_bounded(spark):
     """The MLlib approxSimilarityJoin must emit a near-dup-sized pair
     set, not an all-pairs join. Round 3 shipped it over saturating
@@ -323,6 +339,35 @@ def test_prefix_filter_property_random_set_families(spark):
         assert got == brute, f"missing={brute - got} extra={got - brute}"
 
     run()
+
+
+def test_prefix_filter_tau_float_ceil_exact(spark):
+    """Generic-tau bound exactness (advisor finding, round 8): the
+    recall bound ceil(tau*sz) must be computed on the EXACT rational,
+    not the raw float product — tau=3/17, sz=85 gives
+    3/17*85 = 15.000000000000002 in binary, so a bare ceil yields 16
+    and the symmetric length filter demands |B| >= 16, silently
+    dropping the qualifying pair (|B|=15 ⊂ |A|=85, J = 15/85 = tau
+    exactly). With the round-before-ceil fix the pair must surface as
+    a candidate."""
+    from financial_data_warehouse_automation_spark.operators.text import (
+        allpairs_prefix_candidates,
+    )
+
+    tau = 3 / 17
+    a_set = [f"e{i}" for i in range(85)]
+    b_set = a_set[:15]  # |inter|=15, |union|=85 -> J = 15/85 = 3/17
+    sets = spark.createDataFrame(
+        [(0, a_set), (1, b_set)], "doc_id long, s array<string>"
+    )
+    cand = {
+        (r.id_a, r.id_b)
+        for r in allpairs_prefix_candidates(sets, "doc_id", "s", tau=tau)
+        .collect()
+    }
+    assert (0, 1) in cand, (
+        "float-inflated ceil(tau*sz) dropped a qualifying pair"
+    )
 
 
 def test_simhash_block_pairs_property_random_signatures(spark):

@@ -348,13 +348,12 @@ def test_serial_midnight_carry():
     )
     assert out == str(expect), out
     assert _render_serial_datetime("0.0") == "00:00:00"
-    # pure-time serial that carries becomes the epoch's next day
-    out = _render_serial_datetime("0.999999999999")
-    assert out == str(
-        dt.datetime.combine(
-            dt.date.fromordinal(_EXCEL_EPOCH_ORDINAL + 1), dt.time()
-        )
-    )
+    # pure-time serial that carries stays a BARE midnight time:
+    # openpyxl returns a time object for any 0 <= serial < 1 (its
+    # timedelta normalization folds the carried day away), so parity
+    # means '00:00:00', not a datetime on the epoch date (advisor
+    # finding, round 8)
+    assert _render_serial_datetime("0.999999999999") == "00:00:00"
 
 
 def test_date1904_epoch(tmp_path):
