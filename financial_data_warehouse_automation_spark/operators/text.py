@@ -325,36 +325,7 @@ def allpairs_prefix_candidates(
     (>= 1e-9 for any real corpus), while float error is ~1 ulp
     (~1e-15 relative), so rounding to 9 decimals restores the exact
     value without ever crossing a true bound."""
-    ex = cut(
-        sets.select(F.col(id_col), F.explode(set_col).alias("x")),
-        eager=False,
-    )
-    dfreq = ex.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
-    keyed = ex.join(dfreq, "x").select(
-        F.col(id_col),
-        F.concat(
-            F.lpad(F.col("df").cast("string"), 12, "0"),
-            F.substring(F.md5(F.col("x").cast("binary")), 1, 15),
-        ).alias("kx"),
-    )
-    pre = (
-        keyed.groupBy(id_col)
-        .agg(
-            F.array_sort(F.collect_list("kx")).alias("arr"),
-            F.count(F.lit(1)).alias("sz"),
-        )
-        .select(
-            F.col(id_col),
-            F.slice(
-                "arr",
-                F.lit(1),
-                F.col("sz")
-                - F.ceil(F.round(tau * F.col("sz"), 9)).cast("int")
-                + F.lit(1),
-            ).alias("ks"),
-            "sz",
-        )
-    )
+    pre = _allpairs_prefix_arrays(sets, id_col, set_col, tau)
     ka = pre.select(
         F.col(id_col).alias("id_a"),
         F.col("sz").alias("sz_a"),
@@ -373,6 +344,108 @@ def allpairs_prefix_candidates(
             & (F.col("sz_a") >= F.ceil(F.round(tau * F.col("sz_b"), 9)))
         )
         .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _allpairs_prefix_arrays(
+    sets: DataFrame, id_col: str, set_col: str, tau: float,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, ks, sz [, carry...]) prefix frame shared by the batch and
+    incremental AllPairs candidate generators: df-ordered slim keys,
+    per-doc sort, prefix slice of the |s| - ceil(tau*|s|) + 1 rarest
+    elements. ``carry`` columns (e.g. a new-batch flag) ride along
+    untouched."""
+    ex = cut(
+        sets.select(
+            F.col(id_col), *[F.col(c) for c in carry],
+            F.explode(set_col).alias("x"),
+        ),
+        eager=False,
+    )
+    dfreq = ex.groupBy("x").agg(F.count(F.lit(1)).alias("df"))
+    keyed = ex.join(dfreq, "x").select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.concat(
+            F.lpad(F.col("df").cast("string"), 12, "0"),
+            F.substring(F.md5(F.col("x").cast("binary")), 1, 15),
+        ).alias("kx"),
+    )
+    return (
+        keyed.groupBy(id_col, *carry)
+        .agg(
+            F.array_sort(F.collect_list("kx")).alias("arr"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            F.slice(
+                "arr",
+                F.lit(1),
+                F.col("sz")
+                - F.ceil(F.round(tau * F.col("sz"), 9)).cast("int")
+                + F.lit(1),
+            ).alias("ks"),
+            "sz",
+        )
+    )
+
+
+def allpairs_prefix_candidates_delta(
+    sets: DataFrame, id_col: str = "doc_id", set_col: str = "s",
+    delta_col: str = "is_new", tau: float = 0.5,
+) -> DataFrame:
+    """INCREMENTAL AllPairs candidates: (id_a, id_b) pairs with
+    Jaccard possibly >= ``tau`` where AT LEAST ONE side has
+    ``delta_col`` true — the candidate set an incremental dedup run
+    needs when a delta batch arrives on top of an already-deduped
+    corpus (new-vs-all and new-vs-new; old-vs-old pairs were found by
+    the previous run and are never re-generated).
+
+    Completeness (same theorem as :func:`allpairs_prefix_candidates`):
+    prefixes are computed over the FULL corpus (base + delta) under
+    one global df-ascending order, so any qualifying pair collides
+    inside both prefixes; probing only delta-side prefix entries
+    against all entries therefore reaches every qualifying pair with a
+    delta member. The probe side is the delta batch only, so join
+    fan-in scales with |delta|, not |corpus| — the full-corpus side of
+    the join is the same prefix frame a rebuild would shuffle, but the
+    expensive pair expansion + verify work is delta-proportional.
+    At 100 TB the df counts and prefix arrays of the base corpus are
+    maintained incrementally (df is additive per element; a doc's
+    prefix changes only when global df order shifts across its
+    boundary — the standard practical relaxation is recomputing
+    prefixes per run from the stored df table, which is one agg over
+    the element stream); here both runs recompute from parquet, and
+    the INVARIANT the oracle pins is the one that matters:
+    base pairs ∪ delta-involving pairs == full-rebuild pairs."""
+    pre = _allpairs_prefix_arrays(
+        sets, id_col, set_col, tau, carry=(delta_col,)
+    )
+    kd = pre.where(F.col(delta_col)).select(
+        F.col(id_col).alias("id_d"),
+        F.col("sz").alias("sz_d"),
+        F.explode("ks").alias("k"),
+    )
+    ko = pre.select(
+        F.col(id_col).alias("id_o"),
+        F.col("sz").alias("sz_o"),
+        F.explode("ks").alias("k"),
+    )
+    return (
+        kd.join(ko, "k")
+        .where(
+            (F.col("id_d") != F.col("id_o"))
+            & (F.col("sz_o") >= F.ceil(F.round(tau * F.col("sz_d"), 9)))
+            & (F.col("sz_d") >= F.ceil(F.round(tau * F.col("sz_o"), 9)))
+        )
+        .select(
+            F.least("id_d", "id_o").alias("id_a"),
+            F.greatest("id_d", "id_o").alias("id_b"),
+        )
         .distinct()
     )
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from financial_data_warehouse_automation_spark.operators.text import (
     EN_STOPWORDS,
     allpairs_prefix_candidates,
+    allpairs_prefix_candidates_delta,
     bpe_ish_token_count,
     jaccard,
     lsh_candidate_pairs,
@@ -786,6 +787,69 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_cluster_two_phase",
+    tags=("text", "dedup", "graph", "components", "two-phase"),
+    oracle=f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_distinct({_SQL_TOKS}) AS toks
+  FROM documents WHERE doc_id < 100
+), edges AS (
+  SELECT a.doc_id AS ea, b.doc_id AS eb
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+          / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1) >= 0.65
+), sym AS (
+  SELECT ea AS src, eb AS dst FROM edges
+  UNION
+  SELECT eb, ea FROM edges
+), reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT d.doc_id AS doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.dst), d.doc_id)) AS component
+FROM t d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+ORDER BY doc_id
+""",
+)
+def dedup_cluster_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_cluster_components' ADVERSARIAL-DIAMETER twin: the same
+    near-dup pair graph (Jaccard >= 0.65 on the bounded anchor subset)
+    collapsed into components by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., SoCC'14; operators/graph.py
+    connected_components_two_phase) instead of min-label propagation.
+    Propagation needs O(diameter) synchronous rounds — fine for
+    shallow dedup graphs, fatal for chain-shaped ones (a 10M-node
+    near-dup chain = 10M shuffles); star contraction converges in
+    O(log² n) rounds regardless of shape, so this is the swap-in a
+    100 TB curation pipeline schedules when cluster shape is unknown.
+    Component labels (min reachable doc_id) are identical to the
+    propagation query by construction, so the SAME recursive-CTE
+    oracle replays both: transitive closure over the symmetric edge
+    set, then min reachable id per doc."""
+    from financial_data_warehouse_automation_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    t = d.select("doc_id", F.array_distinct(tokens("text")).alias("toks"))
+    a = t.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("tb"))
+    edges = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard(F.col("ta"), F.col("tb")).alias("jac"))
+        .where(F.col("jac") >= 0.65)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components_two_phase(
+        t.select("doc_id"), edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    return comp.orderBy("doc_id")
+
+
+@query(
     "doc_decontaminate_splits",
     headline=True,
     tags=("text", "dedup", "decontamination", "llm-pipeline"),
@@ -948,23 +1012,73 @@ ORDER BY id_a, id_b
 """,
 )
 def doc_shingle_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram shingle Jaccard near-dup pairs with length-window
-    blocking — the oracle-checked anchor for the MinHash-LSH path
-    (same shingles, same threshold). Docs only compare within ±25
-    chars of length (each doc emits two width-25 buckets, so no pair
-    inside the window can straddle a boundary); near-dup pairs in this
-    corpus differ by ≤12 chars, and in general a 0.5-Jaccard pair
-    cannot diverge much in length. Blocking turns O(n²) into
-    O(Σ bucket²) with an equi-join shuffle — the classic
-    sorted-neighborhood technique. SCALE LIMIT (measured at the 10×
-    scale point, PERF.md): bucket occupancy grows linearly with the
-    corpus, so Σ bucket² grows quadratically (124M in-bucket pairs at
-    sf1, minutes of runtime) — at corpus scale use
-    doc_jaccard_prefix_filter, the AllPairs/PPJoin formulation that
-    provably finds the same pairs from a df-ordered prefix-shingle
-    shuffle (~16s at sf1 and bounded-fanout on boilerplate corpora
-    since round 7 — PERF.md), or the MinHash-LSH rung when
-    approximation is acceptable."""
+    """Exact 3-gram shingle Jaccard near-dup pairs restricted to a
+    ±1 length-window (docs compare only when their n_chars-div-25
+    buckets are adjacent or equal) — the oracle-checked anchor for the
+    MinHash-LSH path (same shingles, same threshold).
+
+    RESULT CONTRACT unchanged since round 2; the PLAN was rebuilt in
+    round 8. The original formulation materialized the length buckets
+    and expanded pairs inside them — O(Σ bucket²) with buckets growing
+    linearly with the corpus (124M in-bucket pairs at sf1; the sweep
+    had to SKIP it at 10×). Candidates now come from the df-ordered
+    AllPairs prefix filter (provably a SUPERSET of all pairs with
+    J >= 0.5, length window or not — operators/text.py), and the
+    window is applied as a predicate on the verified pairs:
+    |n_chars_a div 25 − n_chars_b div 25| <= 1 is exactly "the two
+    per-doc bucket pairs {k, k+1} intersect", so the output is
+    row-identical to the bucket-expansion plan (pinned by
+    test_blocked_rewrite_equals_quadratic against the retained
+    quadratic formulation, and by the unchanged DuckDB oracle, which
+    still replays the bucket join). Sub-quadratic at corpus scale —
+    the sweep runs it at sf1 instead of SKIPping.
+    """
+    d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
+    t = d.select("doc_id", "n_chars", tokens("text").alias("toks")).where(
+        F.size("toks") >= 3
+    )
+    sh = cut(
+        t.select(
+            "doc_id",
+            "n_chars",
+            F.array_distinct(word_shingles(F.col("toks"), 3)).alias("s"),
+        ),
+        eager=False,
+    )
+    cand = allpairs_prefix_candidates(
+        sh.select("doc_id", "s"), "doc_id", "s", tau=0.5
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("s").alias("sa"),
+        F.col("n_chars").alias("nc_a"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("s").alias("sb"),
+        F.col("n_chars").alias("nc_b"),
+    )
+    jac = jaccard(F.col("sa"), F.col("sb"))
+    window = (
+        F.abs(F.expr("nc_a div 25") - F.expr("nc_b div 25")) <= 1
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(window & (jac >= 0.5))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jac"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _shingle_jaccard_blocked_quadratic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ORIGINAL bucket-expansion plan of doc_shingle_jaccard_blocked
+    (each doc exploded into two width-25 length buckets, all pairs
+    within a bucket compared) — retained as the independent pytest
+    anchor the prefix-filter plans are pinned against. O(Σ bucket²)
+    with linearly growing buckets: NEVER register or sweep this at
+    scale; the registered query computes the identical result
+    sub-quadratically."""
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", "n_chars", tokens("text").alias("toks")).where(
         F.size("toks") >= 3
@@ -1095,6 +1209,108 @@ def doc_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id_b")
         .where(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jac"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "doc_jaccard_incremental_pairs",
+    tags=("text", "dedup", "jaccard", "incremental", "llm-pipeline"),
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         END AS s
+  FROM t
+), ex AS (
+  SELECT doc_id, unnest(s) AS x FROM sh
+), dfreq AS (
+  SELECT x, COUNT(*) AS df FROM ex GROUP BY x
+), keyed AS (
+  SELECT ex.doc_id,
+         lpad(CAST(dfreq.df AS VARCHAR), 12, '0') || md5(ex.x) || ex.x AS kx
+  FROM ex JOIN dfreq USING (x)
+), pre AS (
+  SELECT doc_id,
+         list_sort(list(kx))[1 : COUNT(*) // 2 + 1] AS ks,
+         COUNT(*) AS sz
+  FROM keyed GROUP BY doc_id
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, sz, unnest(ks) AS k FROM pre) a
+  JOIN (SELECT doc_id, sz, unnest(ks) AS k FROM pre) b
+    ON a.k = b.k AND a.doc_id < b.doc_id
+   AND 2 * b.sz >= a.sz AND 2 * a.sz >= b.sz
+), scored AS (
+  SELECT id_a, id_b,
+         CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+           / greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1) AS jac
+  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+            JOIN sh sb ON sb.doc_id = cand.id_b
+)
+SELECT id_a, id_b, ROUND(jac, 6) AS jac,
+       CASE WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 1)
+                 NOT IN ('c', 'd', 'e', 'f')
+             AND substr(md5(CAST(id_b AS VARCHAR)), 1, 1)
+                 NOT IN ('c', 'd', 'e', 'f')
+            THEN 'base' ELSE 'incr' END AS found_in
+FROM scored WHERE jac >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def doc_jaccard_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact near-dup maintenance — the shape a production
+    100 TB curation pipeline actually runs when new documents arrive on
+    an already-deduped corpus: instead of rebuilding the full pair set,
+    run the AllPairs candidate join with the NEW batch as the probe
+    side (new-vs-all + new-vs-new; old-vs-old pairs are never
+    re-generated), verify, and merge with the previous run's pairs.
+
+    The batch split is content-addressed (md5(doc_id) first nibble in
+    c-f ⇒ the ~25% "new" delta, the rest the deduped base), so
+    membership is a pure function any engine replays. The Spark side
+    executes BOTH runs the pipeline would: (1) the prior batch build —
+    AllPairs over base only; (2) the incremental step —
+    delta-probe-vs-all candidates over one global df order
+    (operators/text.py allpairs_prefix_candidates_delta), each pair
+    tagged with the run that found it. The oracle is the FULL REBUILD
+    (doc_jaccard_prefix_filter's plan over base ∪ delta) with the tag
+    recomputed from membership — so the driver hash-match proves the
+    incremental invariant: base pairs ∪ delta-involving pairs equals
+    the from-scratch pair set, with no pair double-found (the two
+    phases are disjoint by the delta-membership tag). PERF.md records
+    the incremental-vs-rebuild cost ratio."""
+    d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
+    nibble = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    )
+    sets = d.select(
+        "doc_id",
+        nibble.isin("c", "d", "e", "f").alias("is_new"),
+        F.array_distinct(word_shingles(tokens("text"), 3)).alias("s"),
+    )
+    sets = cut(sets, eager=False)
+    base = sets.where(~F.col("is_new")).select("doc_id", "s")
+    cand = allpairs_prefix_candidates(base, "doc_id", "s", tau=0.5).select(
+        "id_a", "id_b", F.lit("base").alias("found_in")
+    ).unionByName(
+        allpairs_prefix_candidates_delta(
+            sets, "doc_id", "s", "is_new", tau=0.5
+        ).select("id_a", "id_b", F.lit("incr").alias("found_in"))
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    jac = jaccard(F.col("sa"), F.col("sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jac"), "found_in")
         .orderBy("id_a", "id_b")
     )
 

@@ -52,92 +52,87 @@ REGISTRY: dict[str, QuerySpec] = {}
 # The driver's correctness gate verifies queries in dict order and has
 # only ever recorded a 50-entry prefix per round. load_all() reorders
 # via this tuple so every recorded slot is deliberately chosen.
-# Round 7's prefix (tools/next_verify_prefix.py output, amended per the
-# round-6 verdict):
+# Round 8's prefix (tools/next_verify_prefix.py output, amended):
 #
-# 1. The 4 rows-only-by-design queries get their ONE deliberate driver
-#    row each (verdict task 3): the driver's weaker rows-only check
-#    records row-count + schema (hash can never match with no oracle —
-#    that is expected and documented, not a failure). Each is anchored
-#    by an exact oracle-backed twin that IS driver-green:
-#      approx_distinct_parts <-> approx_distinct_parts_kmv (r6 green)
-#        and distinct_counts_per_segment;
-#      ann_cosine_topk_ivf_kmeans <-> ann_cosine_topk_ivf;
-#      doc_minhash_lsh_pairs / doc_minhash_mllib <-> doc_minhash_md5_pairs
-#        (r5 green) + the recall-vs-anchor pytest.
-#    After this round the cumulative driver record covers all 205
-#    registered queries and these four never take a slot again.
-# 2. Rotation re-checks of the OLDEST green anchors (oldest last-green
-#    round first, then name): the two date-function re-checks displaced
-#    in r6 (order_date_parts, order_interval_math), the r5-displaced
-#    set-op/SQL band, then the r3/r4 text-analysis, embedding, window,
-#    and profiling bands — no query's newest green record ages beyond
-#    two rounds. The four oldest rotation candidates
+# 1. NEW queries first — each needs its first driver record in the
+#    same round it lands (the r6 lesson: an operator without a
+#    registry entry AND a verify slot is a blind spot):
+#      dedup_cluster_two_phase — the large-star/small-star components
+#        operator's registry debut (r7 shipped it operator+tests only);
+#      doc_jaccard_incremental_pairs — the incremental dedup-ladder
+#        maintenance step (base pairs ∪ delta-vs-all == full rebuild).
+# 2. PLAN-REBUILT queries whose driver record predates the rebuild:
+#      doc_shingle_jaccard_blocked — r8 replaced the quadratic bucket
+#        expansion with prefix-filter candidates + the window predicate
+#        (identical rows; the sweep now runs it at sf1);
+#      doc_jaccard_prefix_filter — the generic-tau ceil bound was
+#        hardened (exact at tau=0.5, but the operator changed).
+# 3. Rotation re-checks of the OLDEST green anchors (oldest last-green
+#    round first, then name): the four r7-displaced queue heads
 #    (segment_revenue_correlation, set_intersect_all_parts,
-#    top3_orders_per_segment, unpivot_revenue_by_flag) queue for r8 to
-#    make room for bucket 1.
+#    top3_orders_per_segment, unpivot_revenue_by_flag), then the
+#    r4/r5-era text/embedding/events/TPC-H bands. The two tail slots
+#    this amendment displaces (q4_priority_with_returns,
+#    q6_forecast_revenue) queue for r9 as the oldest remaining greens.
 #
-# doc_jaccard_prefix_filter and doc_simhash_neardup_pairs were rebuilt
-# this round (df-ordered AllPairs prefix; Manku 16-bit block join) but
-# keep their r6 green slots out of the prefix: both re-verified locally
-# at both SFs against unchanged-result oracles, and fresh NEVER-checked
-# rows outrank re-checks of 1-round-old greens under the 50-slot budget.
-# Local ground truth for every query at BOTH scale factors:
-# CORRECTNESS_LOCAL_sf001.json / CORRECTNESS_LOCAL_sf01.json
+# The rows-only quartet got its one deliberate record in r7 and never
+# takes a slot again. Local ground truth for every query at BOTH scale
+# factors: CORRECTNESS_LOCAL_sf001.json / CORRECTNESS_LOCAL_sf01.json
 # (regenerate with tools/verify_oracle.py --json).
 VERIFY_FIRST: tuple[str, ...] = (
-    # bucket 1: the rows-only quartet's single deliberate record
-    "doc_minhash_lsh_pairs",
-    "doc_minhash_mllib",
-    "ann_cosine_topk_ivf_kmeans",
-    "approx_distinct_parts",
-    # bucket 2: rotation re-checks, oldest green first
-    "order_date_parts",
-    "order_interval_math",
-    "rollup_flag_status",
-    "set_except_all_lineitems",
-    "set_except_churned",
-    "set_intersect_buyers",
-    "sql_shipping_priority",
-    "top10_orders_global",
-    "user_state_scd2",
-    "ann_cosine_topk_brute",
-    "ann_cosine_topk_quantized",
-    "conditional_agg_filter",
-    "dedup_cluster_components",
-    "dim_dedupe_first",
-    "doc_bpe_token_counts",
-    "doc_curation_pipeline",
-    "doc_decontaminate_splits",
-    "doc_exact_dedup",
-    "doc_fingerprint_dedup",
-    "doc_jaccard_pairs_brute",
-    "doc_lang_id_agreement",
-    "doc_quality_scores",
-    "doc_repetition_filter",
+    # bucket 1: new queries' first driver record
+    "dedup_cluster_two_phase",
+    "doc_jaccard_incremental_pairs",
+    # bucket 2: plan-rebuilt this round
     "doc_shingle_jaccard_blocked",
-    "doc_stratified_sample",
-    "doc_tfidf_top_terms",
-    "doc_token_stats",
-    "doc_top_bigrams",
-    "doc_vocab_df",
-    "embedding_hof_breadth",
-    "embedding_near_dup_pairs",
-    "embedding_norms",
-    "events_map_breadth",
-    "events_stream_sessionize",
-    "events_stream_tumbling_15min",
-    "gap_fill_pending_revenue",
-    "interpolate_monthly_revenue",
-    "lag_lead_segment_revenue",
-    "latest_order_per_customer",
-    "moving_avg_3m_segment",
-    "ntile_acctbal_quartiles",
-    "null_safe_join_semantics",
-    "pctrank_top_customers",
-    "profile_customer_table",
-    "qa_ledger_transitions",
-    "rank_orders_per_customer",
+    "doc_jaccard_prefix_filter",
+    # bucket 3: rotation re-checks, oldest green first
+    "segment_revenue_correlation",
+    "set_intersect_all_parts",
+    "top3_orders_per_segment",
+    "unpivot_revenue_by_flag",
+    "upsert_keep_last",
+    "ann_cosine_topk_ivf",
+    "ann_cosine_topk_rhp",
+    "currency_parse_roundtrip",
+    "doc_bm25_search",
+    "doc_chunk_sliding",
+    "doc_ngram_novelty",
+    "doc_pack_chunks",
+    "doc_pack_greedy_bins",
+    "doc_pii_scrub",
+    "doc_simhash_sketch",
+    "doc_train_test_split",
+    "doc_unigram_logprob",
+    "doc_zipf_fit",
+    "embedding_gram_matrix",
+    "embedding_label_centroids",
+    "embedding_quality_classifier",
+    "events_rolling_distinct_users",
+    "events_sessionization_30min",
+    "events_stream_dedup",
+    "events_stream_static_enrich",
+    "events_stream_stream_join",
+    "events_variant_extract",
+    "events_zscore_anomalies",
+    "kmeans_lloyd_step",
+    "media_audio_energy",
+    "merge_with_tombstones",
+    "order_price_percentiles",
+    "order_total_reconciliation",
+    "order_value_histogram",
+    "q10_returned_items",
+    "q12_delay_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
 )
 
 

@@ -204,6 +204,8 @@ def test_no_accidental_cartesian_anywhere(all_plans, all_plan_objs):
         "dedup_cluster_components",     # same 100-doc bounded edge build
                                         # (visible since the audit sees
                                         # through lineage cuts)
+        "dedup_cluster_two_phase",      # same bounded edge build feeding
+                                        # star contraction
         "part_name_similarity",         # bounded sample x sample pairs
         "embedding_near_dup_pairs",     # bounded probe set vs corpus
         "ann_cosine_topk_brute",        # broadcast probes over corpus

@@ -129,15 +129,17 @@ def test_prefix_filter_completeness_vs_blocked_anchor(spark, sf_dir):
     must contain every pair the length-blocked anchor finds — blocking
     can only restrict the compare set further, never widen it. Equal
     jac values on the shared pairs pin that both compute the same
-    similarity."""
+    similarity. The anchor here is the INDEPENDENT quadratic
+    bucket-expansion plan (not the registered query, whose round-8
+    plan itself runs on prefix-filter candidates)."""
     from financial_data_warehouse_automation_spark.queries.text import (
+        _shingle_jaccard_blocked_quadratic,
         doc_jaccard_prefix_filter,
-        doc_shingle_jaccard_blocked,
     )
 
     blocked = {
         (r.id_a, r.id_b): r.jac
-        for r in doc_shingle_jaccard_blocked(spark, sf_dir).collect()
+        for r in _shingle_jaccard_blocked_quadratic(spark, sf_dir).collect()
     }
     prefix = {
         (r.id_a, r.id_b): r.jac
@@ -148,6 +150,29 @@ def test_prefix_filter_completeness_vs_blocked_anchor(spark, sf_dir):
     assert not missing, f"prefix filter missed exact pairs: {sorted(missing)[:5]}"
     for pair in blocked:
         assert prefix[pair] == blocked[pair], (pair, prefix[pair], blocked[pair])
+
+
+def test_blocked_rewrite_equals_quadratic(spark, sf_dir):
+    """The registered doc_shingle_jaccard_blocked (round 8: prefix-
+    filter candidates + length-window predicate) must be ROW-IDENTICAL
+    to the original quadratic bucket-expansion plan — same pairs, same
+    jac values. This is the equivalence that let the sweep stop
+    SKIPping the query at 10×."""
+    from financial_data_warehouse_automation_spark.queries.text import (
+        _shingle_jaccard_blocked_quadratic,
+        doc_shingle_jaccard_blocked,
+    )
+
+    old = {
+        (r.id_a, r.id_b): r.jac
+        for r in _shingle_jaccard_blocked_quadratic(spark, sf_dir).collect()
+    }
+    new = {
+        (r.id_a, r.id_b): r.jac
+        for r in doc_shingle_jaccard_blocked(spark, sf_dir).collect()
+    }
+    assert old, "anchor found no near-dup pairs — trivial fixture"
+    assert new == old
 
 
 def test_prefix_filter_df_order_kills_stop_shingle_fanout(spark):
@@ -337,6 +362,72 @@ def test_prefix_filter_property_random_set_families(spark):
             .collect()
         }
         assert got == brute, f"missing={brute - got} extra={got - brute}"
+
+    run()
+
+
+def test_incremental_prefix_filter_equals_rebuild(spark):
+    """The incremental invariant: base-batch pairs ∪ delta-involving
+    pairs (from allpairs_prefix_candidates_delta over one global df
+    order) must equal the full-rebuild pair set, for ANY split —
+    including deltas whose arrival shifts global df order (the delta
+    adds copies of previously-rare elements) and delta-delta pairs."""
+    from itertools import combinations
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.operators.text import (
+        allpairs_prefix_candidates,
+        allpairs_prefix_candidates_delta,
+        jaccard,
+    )
+
+    elements = st.sampled_from([f"e{i}" for i in range(10)])
+    families = st.lists(
+        st.tuples(st.frozensets(elements, min_size=1, max_size=6),
+                  st.booleans()),
+        min_size=2, max_size=10,
+    )
+
+    def verified(cand, sets):
+        sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+        sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+        return {
+            (r.id_a, r.id_b)
+            for r in cand.join(sa, "id_a").join(sb, "id_b")
+            .where(jaccard(F.col("sa"), F.col("sb")) >= 0.5)
+            .collect()
+        }
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(families)
+    def run(fam):
+        rows = [(i, sorted(s), bool(new)) for i, (s, new) in enumerate(fam)]
+        brute = {
+            (ia, ib)
+            for (ia, sa, _), (ib, sb, _) in combinations(rows, 2)
+            if len(set(sa) & set(sb)) / len(set(sa) | set(sb)) >= 0.5
+        }
+        sets = spark.createDataFrame(
+            rows, "doc_id long, s array<string>, is_new boolean"
+        )
+        base = sets.where(~F.col("is_new")).select("doc_id", "s")
+        got_base = verified(
+            allpairs_prefix_candidates(base, "doc_id", "s"), base
+        )
+        got_delta = verified(
+            allpairs_prefix_candidates_delta(sets, "doc_id", "s", "is_new"),
+            sets,
+        )
+        # disjoint phases, and their union is the full rebuild
+        assert not (got_base & got_delta)
+        assert got_base | got_delta == brute, (
+            f"missing={brute - (got_base | got_delta)} "
+            f"extra={(got_base | got_delta) - brute}"
+        )
 
     run()
 

@@ -3,35 +3,42 @@ row count — the whole-registry companion to bench.py, built for the
 fabricated 10× directory from tools/scale_testdata.py:
 
     python tools/scale_testdata.py                  # once: build testdata_sf1
-    python tools/scale_sweep.py --sf-dir testdata_sf1 --log sweep_sf1.tsv
+    python tools/scale_sweep.py --sf-dir testdata_sf1 --log sweep_sf1.tsv \
+        --reps 3
 
-The log is TSV (name, seconds, rows | ERR/SKIP + detail), appended and
-RESUMABLE: already-logged names are skipped, so a killed run continues
-where it stopped. Compare two logs (e.g. sf0.1 vs sf1) to get the
-per-query scaling ratio — the evidence behind PERF.md's scaling
-section, which found one quadratic formulation and seven single-task
-scan stages that no sf0.1 run could surface.
+The log is TSV: ``name  min_sec  rows  median_sec  reps`` (ERR/SKIP +
+detail in the second column on failure), appended and RESUMABLE:
+already-logged names are skipped, so a killed run continues where it
+stopped. Compare two logs (e.g. sf0.1 vs sf1) to get the per-query
+scaling ratio — the evidence behind PERF.md's scaling section, which
+found one quadratic formulation and seven single-task scan stages that
+no sf0.1 run could surface.
 
-Known-quadratic exactness anchors can be skipped up front with
---skip name[,name...]; a SKIP line documents the reason in the log.
+``--reps N`` (default 3) runs each query N times back-to-back and logs
+the MIN and MEDIAN — single-rep sweeps on this box carry 2-3 random
+contention spikes per pass (round 7 needed three full sweeps and
+manual cross-sweep minima; the min column IS the honest composite
+input, per-query deltas should quote it). Reps must agree on the row
+count; disagreement logs an ERR (a nondeterministic query is a bug,
+not noise). Queries can be skipped up front with --skip name[,name...];
+a SKIP line documents the reason in the log.
 """
 
 from __future__ import annotations
 
 import os
+import statistics
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-# Exactness anchors whose cost is intentionally superlinear; sweeping
-# them at 10x wastes minutes proving what their docstrings already say.
-DEFAULT_SKIP = {
-    "doc_shingle_jaccard_blocked":
-        "known-quadratic: length buckets grow with the corpus "
-        "(use doc_jaccard_prefix_filter at scale)",
-}
+# Exactness anchors whose cost is intentionally superlinear would be
+# listed here; the set is EMPTY since round 8 (doc_shingle_jaccard_
+# blocked — the one entry rounds 5-7 carried — now runs on prefix-
+# filter candidates and sweeps fine at 10×).
+DEFAULT_SKIP: dict[str, str] = {}
 
 
 def main() -> None:
@@ -41,6 +48,7 @@ def main() -> None:
     sf_dir = os.path.join(REPO, "testdata_sf1")
     log_path = os.path.join(REPO, "sweep_sf1.tsv")
     skip = dict(DEFAULT_SKIP)
+    reps = 3
     argv = sys.argv[1:]
     i = 0
     while i < len(argv):
@@ -48,6 +56,8 @@ def main() -> None:
             sf_dir = argv[i + 1]; i += 2
         elif argv[i] == "--log":
             log_path = argv[i + 1]; i += 2
+        elif argv[i] == "--reps":
+            reps = max(1, int(argv[i + 1])); i += 2
         elif argv[i] == "--skip":
             for n in argv[i + 1].split(","):
                 skip.setdefault(n, "skipped via --skip")
@@ -81,12 +91,24 @@ def main() -> None:
         if name in skip:
             print(f"{name}\tSKIP\t{skip[name]}", file=out, flush=True)
             continue
-        t0 = time.perf_counter()
+        times: list[float] = []
+        counts: set[int] = set()
         try:
-            rows = specs[name].builder(spark, sf_dir).count()
-            el = time.perf_counter() - t0
-            print(f"{name}\t{el:.2f}\t{rows}", file=out, flush=True)
-            print(f"{name}\t{el:.2f}\t{rows}")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                counts.add(specs[name].builder(spark, sf_dir).count())
+                times.append(time.perf_counter() - t0)
+            if len(counts) != 1:
+                raise RuntimeError(
+                    f"row count varies across reps: {sorted(counts)}"
+                )
+            rows = counts.pop()
+            line = (
+                f"{name}\t{min(times):.2f}\t{rows}"
+                f"\t{statistics.median(times):.2f}\t{len(times)}"
+            )
+            print(line, file=out, flush=True)
+            print(line)
             n_run += 1
         except Exception as e:  # noqa: BLE001
             print(f"{name}\tERR\t{type(e).__name__}: {str(e)[:160]}",
