@@ -273,7 +273,7 @@ def lsh_candidate_pairs(
 
 def allpairs_prefix_candidates(
     sets: DataFrame, id_col: str = "doc_id", set_col: str = "s",
-    tau: float = 0.5,
+    tau: float = 0.5, positional: bool = True,
 ) -> DataFrame:
     """Candidate (id_a, id_b) pairs for exact Jaccard >= ``tau`` via
     PREFIX FILTERING in canonical document-frequency order (Bayardo et
@@ -324,39 +324,120 @@ def allpairs_prefix_candidates(
     ways: a true bound is an integer or has fractional part >= 1/sz
     (>= 1e-9 for any real corpus), while float error is ~1 ulp
     (~1e-15 relative), so rounding to 9 decimals restores the exact
-    value without ever crossing a true bound."""
+    value without ever crossing a true bound.
+
+    ``positional=True`` (default) additionally applies the PPJoin
+    POSITIONAL filter (Xiao, Wang, Lin & Yu, "Efficient Similarity
+    Joins for Near Duplicate Detection", WWW'08) at pair grain —
+    measured 1211:1 candidates:verified at the 10x scale point, so
+    pruning candidates BEFORE the full-array verify join is where the
+    time goes. See :func:`_positional_keep` for the completeness
+    proof (including why within-doc duplicate slim keys exempt a pair
+    from pruning). The filter rides the same (id_a, id_b) shuffle the
+    old ``.distinct()`` used — a groupBy with four extra aggregates —
+    so candidate generation costs the same and verification shrinks.
+    ``positional=False`` restores the plain AllPairs candidate set
+    (the fallback; final verified pairs are identical either way,
+    pinned by test_positional_filter_final_pairs_unchanged)."""
     pre = _allpairs_prefix_arrays(sets, id_col, set_col, tau)
     ka = pre.select(
         F.col(id_col).alias("id_a"),
         F.col("sz").alias("sz_a"),
-        F.explode("ks").alias("k"),
+        F.col("dup").alias("dup_a"),
+        F.posexplode("ks").alias("p0_a", "k"),
     )
     kb = pre.select(
         F.col(id_col).alias("id_b"),
         F.col("sz").alias("sz_b"),
-        F.explode("ks").alias("k"),
+        F.col("dup").alias("dup_b"),
+        F.posexplode("ks").alias("p0_b", "k"),
     )
-    return (
-        ka.join(kb, "k")
-        .where(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("sz_b") >= F.ceil(F.round(tau * F.col("sz_a"), 9)))
-            & (F.col("sz_a") >= F.ceil(F.round(tau * F.col("sz_b"), 9)))
-        )
-        .select("id_a", "id_b")
-        .distinct()
+    joined = ka.join(kb, "k").where(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("sz_b") >= F.ceil(F.round(tau * F.col("sz_a"), 9)))
+        & (F.col("sz_a") >= F.ceil(F.round(tau * F.col("sz_b"), 9)))
     )
+    if not positional:
+        return joined.select("id_a", "id_b").distinct()
+    agg = joined.groupBy("id_a", "id_b").agg(
+        F.count_distinct(F.struct("p0_a", "p0_b")).alias("m"),
+        (F.max("p0_a") + 1).alias("i_star"),
+        (F.max("p0_b") + 1).alias("j_star"),
+        F.first("sz_a").alias("sz_a"),
+        F.first("sz_b").alias("sz_b"),
+        F.max("dup_a").alias("dup_a"),
+        F.max("dup_b").alias("dup_b"),
+    )
+    return agg.where(_positional_keep(tau)).select("id_a", "id_b")
+
+
+def _positional_keep(tau: float) -> Column:
+    """The PPJoin positional-filter keep predicate over the per-pair
+    collision aggregate (m, i_star, j_star, sz_a, sz_b, dup_a, dup_b).
+
+    THEOREM (candidate completeness). Let each doc's DISTINCT elements
+    be keyed and sorted ascending by the global slim key; sz = element
+    count; prefix = the first sz - ceil(tau*sz) + 1 slots. For a
+    candidate pair let R = the set of prefix key collisions, m = |R|
+    (as distinct position pairs), i* = 1 + max row position on the A
+    side, j* = same on the B side. If NEITHER doc's key array holds a
+    duplicated key value (dup flags false), then the true overlap
+    O = |A ∩ B| satisfies
+
+        O  <=  m + min(sz_a - i*, sz_b - j*).
+
+    Proof. Each element c of A ∩ B occupies one slot per doc at
+    positions (i_c, j_c). Split on whether c is in BOTH prefixes.
+    (1) If i_c <= p_a and j_c <= p_b then (i_c, j_c) ∈ R, and the map
+    c -> (i_c, j_c) is injective (one slot per element), so at most m
+    such elements. (2) Otherwise w.l.o.g. i_c > p_a >= i*. With no
+    duplicate keys the arrays are STRICTLY increasing, so
+    key(c) = A[i_c] > A[i*] = the largest collision key = B[j*],
+    hence j_c > j* and i_c > i* both hold; distinct such c occupy
+    distinct positions beyond (i*, j*) in both docs, so at most
+    min(sz_a - i*, sz_b - j*) of them. ∎
+
+    Since Jaccard >= tau forces O >= ceil(tau/(1+tau) * (sz_a+sz_b))
+    (O(1+tau) >= tau(sz_a+sz_b), O integer), a pair whose bound falls
+    below that threshold cannot verify and is safely pruned.
+
+    The DUPLICATE-KEY exemption is load-bearing, not cosmetic: with a
+    duplicated key value, step (2)'s strict inequality degrades to >=
+    and a common element equal to the last collision key can hide at a
+    position <= j* without being a collision — the exact subtlety that
+    deferred this filter in round 7 ("common elements before the first
+    collision can exist"). A within-doc duplicate requires a 60-bit
+    md5 collision between two distinct elements of ONE document, so
+    the exemption fires ~never; when it does, the pair is simply kept
+    and exact verification decides. The m aggregate counts DISTINCT
+    position pairs so double-oriented rows (the incremental variant
+    probes delta-vs-all, which yields each delta-delta collision
+    twice) never inflate... and an inflated m would only ever RAISE
+    the bound, which keeps pairs — overcounting is recall-safe by
+    construction. tau/(1+tau) is rational (n/(n+d) for tau = n/d), so
+    the same round-before-ceil discipline keeps the threshold exact.
+    """
+    alpha = F.ceil(
+        F.round(tau / (1.0 + tau) * (F.col("sz_a") + F.col("sz_b")), 9)
+    )
+    bound = F.col("m") + F.least(
+        F.col("sz_a") - F.col("i_star"), F.col("sz_b") - F.col("j_star")
+    )
+    return F.col("dup_a") | F.col("dup_b") | (bound >= alpha)
 
 
 def _allpairs_prefix_arrays(
     sets: DataFrame, id_col: str, set_col: str, tau: float,
     carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, ks, sz [, carry...]) prefix frame shared by the batch and
-    incremental AllPairs candidate generators: df-ordered slim keys,
-    per-doc sort, prefix slice of the |s| - ceil(tau*|s|) + 1 rarest
-    elements. ``carry`` columns (e.g. a new-batch flag) ride along
-    untouched."""
+    """(id, ks, sz, dup [, carry...]) prefix frame shared by the batch
+    and incremental AllPairs candidate generators: df-ordered slim
+    keys, per-doc sort, prefix slice of the |s| - ceil(tau*|s|) + 1
+    rarest elements. ``dup`` flags a doc whose key array holds a
+    duplicated key value (a 60-bit tiebreak collision between two of
+    ITS OWN distinct elements) — the positional filter must exempt
+    such pairs from pruning (see :func:`_positional_keep`). ``carry``
+    columns (e.g. a new-batch flag) ride along untouched."""
     ex = cut(
         sets.select(
             F.col(id_col), *[F.col(c) for c in carry],
@@ -390,13 +471,14 @@ def _allpairs_prefix_arrays(
                 + F.lit(1),
             ).alias("ks"),
             "sz",
+            (F.size("arr") != F.size(F.array_distinct("arr"))).alias("dup"),
         )
     )
 
 
 def allpairs_prefix_candidates_delta(
     sets: DataFrame, id_col: str = "doc_id", set_col: str = "s",
-    delta_col: str = "is_new", tau: float = 0.5,
+    delta_col: str = "is_new", tau: float = 0.5, positional: bool = True,
 ) -> DataFrame:
     """INCREMENTAL AllPairs candidates: (id_a, id_b) pairs with
     Jaccard possibly >= ``tau`` where AT LEAST ONE side has
@@ -428,14 +510,16 @@ def allpairs_prefix_candidates_delta(
     kd = pre.where(F.col(delta_col)).select(
         F.col(id_col).alias("id_d"),
         F.col("sz").alias("sz_d"),
-        F.explode("ks").alias("k"),
+        F.col("dup").alias("dup_d"),
+        F.posexplode("ks").alias("p0_d", "k"),
     )
     ko = pre.select(
         F.col(id_col).alias("id_o"),
         F.col("sz").alias("sz_o"),
-        F.explode("ks").alias("k"),
+        F.col("dup").alias("dup_o"),
+        F.posexplode("ks").alias("p0_o", "k"),
     )
-    return (
+    joined = (
         kd.join(ko, "k")
         .where(
             (F.col("id_d") != F.col("id_o"))
@@ -445,9 +529,38 @@ def allpairs_prefix_candidates_delta(
         .select(
             F.least("id_d", "id_o").alias("id_a"),
             F.greatest("id_d", "id_o").alias("id_b"),
+            # orient the positional payload with the pair so (a, b)
+            # rows from both probe directions aggregate consistently
+            F.when(F.col("id_d") < F.col("id_o"), F.col("p0_d"))
+             .otherwise(F.col("p0_o")).alias("p0_a"),
+            F.when(F.col("id_d") < F.col("id_o"), F.col("p0_o"))
+             .otherwise(F.col("p0_d")).alias("p0_b"),
+            F.when(F.col("id_d") < F.col("id_o"), F.col("sz_d"))
+             .otherwise(F.col("sz_o")).alias("sz_a"),
+            F.when(F.col("id_d") < F.col("id_o"), F.col("sz_o"))
+             .otherwise(F.col("sz_d")).alias("sz_b"),
+            F.when(F.col("id_d") < F.col("id_o"), F.col("dup_d"))
+             .otherwise(F.col("dup_o")).alias("dup_a"),
+            F.when(F.col("id_d") < F.col("id_o"), F.col("dup_o"))
+             .otherwise(F.col("dup_d")).alias("dup_b"),
         )
-        .distinct()
     )
+    if not positional:
+        return joined.select("id_a", "id_b").distinct()
+    agg = joined.groupBy("id_a", "id_b").agg(
+        # distinct position pairs: a delta-delta collision arrives once
+        # per probe direction; both orientations carry the SAME
+        # (p0_a, p0_b) after the reorientation above, so the distinct
+        # count is the true m
+        F.count_distinct(F.struct("p0_a", "p0_b")).alias("m"),
+        (F.max("p0_a") + 1).alias("i_star"),
+        (F.max("p0_b") + 1).alias("j_star"),
+        F.first("sz_a").alias("sz_a"),
+        F.first("sz_b").alias("sz_b"),
+        F.max("dup_a").alias("dup_a"),
+        F.max("dup_b").alias("dup_b"),
+    )
+    return agg.where(_positional_keep(tau)).select("id_a", "id_b")
 
 
 def jaccard(tok_a: Column, tok_b: Column) -> Column:

@@ -1032,6 +1032,14 @@ def doc_shingle_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic formulation, and by the unchanged DuckDB oracle, which
     still replays the bucket join). Sub-quadratic at corpus scale —
     the sweep runs it at sf1 instead of SKIPping.
+
+    positional=False deliberately: the window predicate sits FIRST in
+    the verify conjunction, so codegen short-circuits the expensive
+    array Jaccard for the (majority) cross-window candidates — the
+    cheap-verify regime where the PPJoin aggregation costs more than
+    it saves (measured at sf1: 4.8s plain vs 7.4s positional;
+    doc_jaccard_prefix_filter, whose verify cannot short-circuit,
+    shows the opposite, 9.7 → 6.1s).
     """
     d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
     t = d.select("doc_id", "n_chars", tokens("text").alias("toks")).where(
@@ -1046,7 +1054,7 @@ def doc_shingle_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False,
     )
     cand = allpairs_prefix_candidates(
-        sh.select("doc_id", "s"), "doc_id", "s", tau=0.5
+        sh.select("doc_id", "s"), "doc_id", "s", tau=0.5, positional=False
     )
     sa = sh.select(
         F.col("doc_id").alias("id_a"), F.col("s").alias("sa"),

@@ -461,6 +461,91 @@ def test_prefix_filter_tau_float_ceil_exact(spark):
     )
 
 
+def test_positional_filter_final_pairs_unchanged(spark, sf_dir):
+    """The PPJoin positional filter prunes only candidates that exact
+    verification would reject (completeness theorem in
+    _positional_keep), so the VERIFIED pair set with positional=True
+    must equal positional=False on the real corpus — while the
+    candidate count may only shrink."""
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.lineage import cut
+    from financial_data_warehouse_automation_spark.operators.text import (
+        allpairs_prefix_candidates,
+        jaccard,
+        tokens,
+        word_shingles,
+    )
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sets = cut(
+        d.select(
+            "doc_id",
+            F.array_distinct(word_shingles(tokens("text"), 3)).alias("s"),
+        ),
+        eager=False,
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+
+    def verified(positional):
+        cand = allpairs_prefix_candidates(
+            sets, "doc_id", "s", tau=0.5, positional=positional
+        )
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in cand.join(sa, "id_a").join(sb, "id_b")
+            .where(jaccard(F.col("sa"), F.col("sb")) >= 0.5)
+            .collect()
+        }
+        return cand.count(), pairs
+
+    n_plain, pairs_plain = verified(False)
+    n_pos, pairs_pos = verified(True)
+    assert pairs_plain, "no verified pairs — trivial fixture"
+    assert pairs_pos == pairs_plain
+    assert n_pos <= n_plain, (n_pos, n_plain)
+
+
+def test_positional_filter_prunes_late_collision_candidate(spark):
+    """Adversarial prune case: two docs share only {c, w}; the df order
+    puts c at the LAST prefix slot of each side and w outside both
+    prefixes, so the single collision gives bound m=1 + min(sz-i*) =
+    1+1 = 2 < alpha = ceil((4+4)/3) = 3 — the pair cannot reach
+    overlap 3 and must be pruned by the positional filter (it was a
+    candidate under the plain prefix filter and would have cost an
+    array verify)."""
+    from financial_data_warehouse_automation_spark.operators.text import (
+        allpairs_prefix_candidates,
+    )
+
+    rows = [
+        (0, ["u1", "u2", "c", "w"]),
+        (1, ["v1", "v2", "c", "w"]),
+    ]
+    # raise df(w) far above df(c) so w sorts AFTER c (df-ascending)
+    # and lands outside both prefixes (prefix len = 4 - 2 + 1 = 3)
+    rows += [(100 + i, [f"f{i}a", f"f{i}b", "w"]) for i in range(8)]
+    sets = spark.createDataFrame(rows, "doc_id long, s array<string>")
+    plain = {
+        (r.id_a, r.id_b)
+        for r in allpairs_prefix_candidates(
+            sets, "doc_id", "s", positional=False
+        ).collect()
+    }
+    pos = {
+        (r.id_a, r.id_b)
+        for r in allpairs_prefix_candidates(
+            sets, "doc_id", "s", positional=True
+        ).collect()
+    }
+    assert (0, 1) in plain, "fixture broken: pair not even a candidate"
+    assert (0, 1) not in pos, "positional filter failed to prune"
+    # and J(0,1) = 2/6 < 0.5, so the pruned pair is a true reject
+    assert not {p for p in plain - pos if p != (0, 1)} - plain
+
+
 def test_simhash_block_pairs_property_random_signatures(spark):
     """Property (hypothesis): for ANY 32-bit signature multiset,
     block-join pairs == brute-force hamming<=1 pairs (recall by
