@@ -2033,11 +2033,9 @@ def doc_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_K, _MH_BANDS, _MH_ROWS = 16, 4, 4
 _MH_B = [(0x9E3779B97F4A7C15 * (i + 1)) % (1 << 60) for i in range(_MH_K)]
 
-
-@query(
-    "doc_minhash_md5_pairs",
-    tags=("text", "dedup", "minhash", "lsh", "llm-pipeline"),
-    oracle=f"""
+# The banded CTE chain shared by doc_minhash_md5_pairs and its
+# incremental twin — one definition so the oracles can never drift.
+_MH_BANDS_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
 ), sh AS (
@@ -2061,27 +2059,15 @@ WITH toks AS (
   SELECT doc_id, i // {_MH_ROWS} AS band_idx,
          md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS band_hash
   FROM mins GROUP BY doc_id, i // {_MH_ROWS}
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a JOIN bands b
-  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
- AND a.doc_id < b.doc_id
-ORDER BY id_a, id_b
-""",
-)
-def doc_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The banded MinHash-LSH candidate generator with an EXACT DuckDB
-    oracle: identical 3-token shingles, an md5-derived 60-bit base hash
-    (portable to DuckDB, unlike xxhash64), the same golden-ratio
-    permutation family (k=16, 4 bands x 4 rows), and byte-identical
-    band hashes — so the driver's hash check certifies the ALGORITHM
-    (shingling, permutation mins, banding, bucket pairing), not just
-    row counts. The production pipeline (doc_minhash_lsh_pairs, k=64,
-    xxhash64, one-shuffle bucket expansion) stays the perf path; this
-    twin is its cross-engine proof, the RHP-LSH inlined-literals
-    pattern applied to MinHash. Plan shape is still banded: the pair
-    join keys on (band_idx, band_hash) — never doc x doc."""
-    d = load_table(spark, sf_dir, "documents")
+)"""
+
+
+def _md5_minhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) for the md5-twin MinHash — the
+    engine-replicable banded LSH index. A PER-DOC pure function (no
+    corpus-level state), which is precisely what makes the banded
+    index incrementally maintainable: rows computed for a base corpus
+    never change when a delta batch arrives."""
     sh = d.select(
         "doc_id", F.explode(word_shingles(tokens("text"), 3)).alias("s")
     )
@@ -2095,7 +2081,7 @@ def doc_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_MH_K)
         ]
     )
-    bands = mins.select(
+    return mins.select(
         "doc_id",
         F.explode(
             F.array(
@@ -2117,11 +2103,37 @@ def doc_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+@query(
+    "doc_minhash_md5_pairs",
+    tags=("text", "dedup", "minhash", "lsh", "llm-pipeline"),
+    oracle=_MH_BANDS_SQL + """
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+""",
+)
+def doc_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded MinHash-LSH candidate generator with an EXACT DuckDB
+    oracle: identical 3-token shingles, an md5-derived 60-bit base hash
+    (portable to DuckDB, unlike xxhash64), the same golden-ratio
+    permutation family (k=16, 4 bands x 4 rows), and byte-identical
+    band hashes — so the driver's hash check certifies the ALGORITHM
+    (shingling, permutation mins, banding, bucket pairing), not just
+    row counts. The production pipeline (doc_minhash_lsh_pairs, k=64,
+    xxhash64, one-shuffle bucket expansion) stays the perf path; this
+    twin is its cross-engine proof, the RHP-LSH inlined-literals
+    pattern applied to MinHash. Plan shape is still banded: the pair
+    join keys on (band_idx, band_hash) — never doc x doc."""
+    d = load_table(spark, sf_dir, "documents")
     # self-join: both sides reference bands, and Spark re-evaluates
     # shared subplans — without the cut the md5-per-shingle signature
     # build runs twice. Cached relation: 4 rows of (id, int, 32-char
     # hash) per doc.
-    bands = cut(bands, eager=False)
+    bands = cut(_md5_minhash_bands(d), eager=False)
     a = bands.select(
         F.col("doc_id").alias("id_a"),
         F.col("band_idx").alias("bi_a"),
