@@ -96,6 +96,16 @@ def connected_components_two_phase(
     output reaches a fixpoint (count + per-edge checksum both
     stable); ``lineage.cut`` bounds every iteration's plan.
 
+    ``max_iters`` budgets work rounds PLUS one confirmation round
+    (r8 advisor): the fixpoint is only observable as a round whose
+    output signature equals the previous round's, so a graph whose
+    star forest stabilizes on round k needs max_iters >= k + 1 —
+    effective work rounds = max_iters − 1, and max_iters=1 always
+    raises (even on an already-contracted input, whose first round
+    is the confirmation). This is the deliberate safe-side trade:
+    the alternative (trusting an unconfirmed final round) could
+    return a non-fixpoint edge set with duplicate ids.
+
     Returns (id, component) with component = the min node id of the
     component, isolated vertices their own — bit-identical to
     ``connected_components`` (pinned by equality tests on random,
@@ -177,9 +187,11 @@ def connected_components_two_phase(
         # stale labels; star contraction must fail loudly instead.
         raise RuntimeError(
             "connected_components_two_phase: star-forest fixpoint not "
-            f"reached within max_iters={max_iters}; result would be "
-            "malformed (duplicate ids). Raise max_iters — convergence "
-            "is O(log^2 n) rounds."
+            f"CONFIRMED within max_iters={max_iters} (one round of the "
+            "budget is the confirming no-op round, so effective work "
+            f"rounds = {max_iters - 1}); result would be malformed "
+            "(duplicate ids). Raise max_iters — convergence is "
+            "O(log^2 n) work rounds + 1 confirmation."
         )
     # e is now a star forest: (node, component-min). Isolated vertices
     # (and each component's hub itself) label themselves.

@@ -324,7 +324,17 @@ def allpairs_prefix_candidates(
     ways: a true bound is an integer or has fractional part >= 1/sz
     (>= 1e-9 for any real corpus), while float error is ~1 ulp
     (~1e-15 relative), so rounding to 9 decimals restores the exact
-    value without ever crossing a true bound.
+    value without ever crossing a true bound. VALIDITY BOUND (r8
+    advisor): that cancellation argument needs the ABSOLUTE float
+    error (~ tau*sz * 1e-16) to stay under the 5e-10 rounding
+    granularity, i.e. tau*sz below ~5e6 — fine for any document
+    (sz = distinct shingles per doc, not corpus size), since a doc
+    with >5M distinct shingles is ~gigabytes of text and should be
+    chunked long before a similarity join. If that regime ever
+    matters, pass tau as an exact rational and compare with integer
+    arithmetic (sz_b * den >= num * sz_a) instead. Registered
+    queries use tau = 0.5, where tau*sz is exactly representable at
+    ANY sz and the round is a no-op.
 
     ``positional=True`` (default) additionally applies the PPJoin
     POSITIONAL filter (Xiao, Wang, Lin & Yu, "Efficient Similarity

@@ -258,6 +258,46 @@ ORDER BY qid, rank
 """
 
 
+def _ivf_probe_cells(e: DataFrame) -> DataFrame:
+    """Shared IVF coarse-quantizer stage: per-label round-6-decimal
+    centroids (reduction-order independent — the
+    embedding_label_centroids discipline), probes = vec_id % 50,
+    each probe keeps its top-3 cells by centroid cosine. Returns
+    (qid, qvec, qnorm, cell), 3 rows per probe. Factored verbatim out
+    of ann_cosine_topk_ivf (round 9) so the staged rerank query runs
+    the IDENTICAL coarse stage — expressions unchanged, so the
+    registered IVF query's plan and hash are unaffected."""
+    dims = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
+    v6 = F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
+    centroids = (
+        dims.groupBy("label", "pos")
+        .agg((F.sum(v6).cast("double") / F.count(F.lit(1))).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell"), "centroid")
+    )
+    probes = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+        l2_norm(F.col("embedding")).alias("qnorm"),
+    )
+    cell_rank = Window.partitionBy("qid").orderBy(F.desc("cell_cos"), F.asc("cell"))
+    return (
+        probes.crossJoin(F.broadcast(centroids))
+        .select(
+            "qid", "qvec", "qnorm", "cell",
+            cosine(F.col("qvec"), F.col("centroid")).alias("cell_cos"),
+        )
+        .withColumn("cell_rn", F.row_number().over(cell_rank))
+        .where(F.col("cell_rn") <= 3)
+        .select("qid", "qvec", "qnorm", "cell")
+    )
+
+
 @query(
     "ann_cosine_topk_ivf",
     tags=("similarity", "ann", "ivf"),
@@ -279,35 +319,7 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     file (measured 46s vs 6s at the 10× scale point; see PERF.md's
     scaling section). Guarded no-op on a well-split corpus."""
     e = load_table(spark, sf_dir, "embeddings", spread_by=("vec_id",))
-    dims = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
-    v6 = F.round(F.col("v").cast("double"), 6).cast("decimal(18,6)")
-    centroids = (
-        dims.groupBy("label", "pos")
-        .agg((F.sum(v6).cast("double") / F.count(F.lit(1))).alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
-            ).alias("centroid")
-        )
-        .select(F.col("label").alias("cell"), "centroid")
-    )
-    probes = e.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
-        l2_norm(F.col("embedding")).alias("qnorm"),
-    )
-    cell_rank = Window.partitionBy("qid").orderBy(F.desc("cell_cos"), F.asc("cell"))
-    probe_cells = (
-        probes.crossJoin(F.broadcast(centroids))
-        .select(
-            "qid", "qvec", "qnorm", "cell",
-            cosine(F.col("qvec"), F.col("centroid")).alias("cell_cos"),
-        )
-        .withColumn("cell_rn", F.row_number().over(cell_rank))
-        .where(F.col("cell_rn") <= 3)
-        .select("qid", "qvec", "qnorm", "cell")
-    )
+    probe_cells = _ivf_probe_cells(e)
     # Corpus norm once per row at scan; the nprobe-cell candidate
     # stage then does one fold per pair, not three (pair-invariant
     # norms, bit-identical division — see brute_force_topk).
@@ -576,6 +588,139 @@ def ann_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(cand_ids), "vec_id")
         .join(F.broadcast(probes.select("qid", "qvec", "qnorm")), "qid")
+        .select(
+            "qid", "vec_id",
+            (
+                dot(F.col("qvec"), F.col("embedding"))
+                / (F.col("qnorm") * F.col("cnorm"))
+            ).alias("cos"),
+        )
+    )
+    return (
+        rescored.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("cos"), "vec_id")
+            ),
+        )
+        .where(F.col("rank") <= 5)
+        .select("qid", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    )
+
+
+_SQL_IVF_RERANK = f"""
+WITH dims AS (
+  SELECT label, i AS pos,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(18,6)) AS v
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+), cent AS (
+  SELECT label AS cell, pos, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS c
+  FROM dims GROUP BY 1, 2
+), centroids AS (
+  SELECT cell, list(c ORDER BY pos) AS centroid FROM cent GROUP BY cell
+), probes AS (
+  SELECT vec_id AS qid, embedding AS qvec,
+         {_SQL_Q.format(v='embedding')} AS qq
+  FROM embeddings WHERE vec_id % 50 = 0
+), probe_cells AS (
+  SELECT qid, qq, cell FROM (
+    SELECT p.qid, p.qq, cc.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.qid
+             ORDER BY {_sql_dot('p.qvec', 'cc.centroid')}
+                      / ({_sql_norm('p.qvec')} * {_sql_norm('cc.centroid')}) DESC,
+                      cc.cell
+           ) AS cell_rn
+    FROM probes p CROSS JOIN centroids cc
+  ) WHERE cell_rn <= 3
+), corpus AS (
+  SELECT vec_id, label, {_SQL_Q.format(v='embedding')} AS cq FROM embeddings
+), cand AS (
+  SELECT pc.qid, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY pc.qid
+           ORDER BY {_SQL_IDOT.format(a='pc.qq', b='e.cq')} DESC,
+                    e.vec_id
+         ) AS crank
+  FROM probe_cells pc JOIN corpus e
+    ON e.label = pc.cell AND pc.qid <> e.vec_id
+), rescored AS (
+  SELECT c.qid, c.vec_id,
+         {_sql_dot('p.qvec', 'e.embedding')}
+           / ({_sql_norm('p.qvec')} * {_sql_norm('e.embedding')}) AS cos
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN probes p ON p.qid = c.qid
+  WHERE c.crank <= 20
+)
+SELECT qid, rank, vec_id, cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank
+  FROM rescored
+) WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+@query(
+    "ann_cosine_topk_ivf_rerank",
+    tags=("similarity", "ann", "ivf", "rerank", "int8"),
+    oracle=_SQL_IVF_RERANK,
+)
+def ann_cosine_topk_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged retrieval funnel — the production shape a retrieval
+    pipeline actually runs (new round 9, verdict task 5): coarse IVF
+    cell probe → CHEAP candidate rank → exact rerank of survivors →
+    top-k. Three stages, each cutting the work of the next:
+
+    1. coarse quantizer: the ladder's IVF cells (per-label round-6
+       decimal centroids, nprobe=3 via _ivf_probe_cells — expressions
+       shared verbatim with the registered ann_cosine_topk_ivf), so
+       the scan is nprobe/ncells of the corpus;
+    2. cheap rank: int8-quantized integer dot (exact, bit-identical
+       across engines — operators/vectors.py quantize_int8) over only
+       the nprobe-cell candidates, scalars-only through the qid
+       exchange (WindowGroupLimit takes partial top-20s map-side),
+       keep top-20 per probe;
+    3. exact rerank: full-precision cosine for just 20·|Q| survivor
+       pairs (vectors joined back via two broadcasts — the corpus is
+       never shuffled), final top-5.
+
+    vs brute: brute exact-scores n−1 candidates per probe; this
+    funnel exact-scores 20 (and integer-scores only the ~3/ncells
+    fraction the cells admit) — the candidates-per-probe numbers are
+    in PERF.md. Every stage is deterministic (cosine/int-dot
+    tie-broken by id), so unlike hash-sketch ANN the WHOLE funnel —
+    coarse cut included — hash-matches the DuckDB replay."""
+    from financial_data_warehouse_automation_spark.operators.vectors import int_dot, quantize_int8
+
+    e = load_table(spark, sf_dir, "embeddings", spread_by=("vec_id",))
+    probe_cells = _ivf_probe_cells(e)
+    qq, _ = quantize_int8(F.col("qvec"))
+    pc_q = probe_cells.select("qid", "cell", qq.alias("qq"))
+    cq, _ = quantize_int8(F.col("embedding"))
+    corpus_q = e.select("vec_id", F.col("label").alias("cell"), cq.alias("cq"))
+    cand_ids = (
+        corpus_q.join(F.broadcast(pc_q), "cell")
+        .where(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id", int_dot(F.col("qq"), F.col("cq")).alias("iscore"))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("iscore"), F.col("vec_id"))
+            ),
+        )
+        .where(F.col("crank") <= 20)
+        .select("qid", "vec_id")
+    )
+    probes = e.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"),
+        l2_norm(F.col("embedding")).alias("qnorm"),
+    )
+    rescored = (
+        e.select("vec_id", "embedding", l2_norm(F.col("embedding")).alias("cnorm"))
+        .join(F.broadcast(cand_ids), "vec_id")
+        .join(F.broadcast(probes), "qid")
         .select(
             "qid", "vec_id",
             (

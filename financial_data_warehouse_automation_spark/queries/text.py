@@ -302,10 +302,13 @@ def doc_jaccard_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The most recent Observation attached by doc_minhash_lsh_pairs —
-# harnesses (sweep, bench, tests) read .get AFTER running the returned
-# DataFrame to surface hot_buckets / pairs_capped. One Observation per
-# build (Spark allows a single attachment each).
+# Deprecated alias for the most recent Observation attached by
+# doc_minhash_lsh_pairs. The per-build handle is the API: the query
+# stashes its Observation on the returned DataFrame as
+# ``df.lsh_cap_observation`` (r8 advisor finding — a shared global
+# orphans the prior build's Observation if the query is built twice
+# before either runs, and races under concurrent builds). This module
+# global still tracks the LATEST build for the sequential harness.
 last_lsh_cap_observation = None
 
 
@@ -328,10 +331,14 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hot-bucket cap is NEVER silent here: a named Observation rides
     the bucket aggregate, so any run that star-degrades a bucket
     (pairs_capped > 0 — a candidate-recall loss) is visible to the
-    harness via ``last_lsh_cap_observation.get`` after the action
-    (advisor finding, round 8; the observe node measured free on this
-    box — interleaved min-of-5 at sf0.1: 1.53s with vs 1.59s without,
-    i.e. inside noise, unlike the r6 always-on variant)."""
+    harness via ``<returned df>.lsh_cap_observation.get`` after the
+    action — the handle is PER BUILD, stashed on the returned
+    DataFrame, so concurrent or repeated builds each keep their own
+    Observation (r8+r9 advisor findings; the observe node measured
+    free on this box — interleaved min-of-5 at sf0.1: 1.53s with vs
+    1.59s without, i.e. inside noise, unlike the r6 always-on
+    variant). ``last_lsh_cap_observation`` mirrors the latest build
+    for the sequential harness."""
     from pyspark.sql import Observation
 
     # Single-row-group parquet = one input partition; spread the
@@ -344,11 +351,12 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
         shingled, "doc_id", F.col("sh"), k=64, include_set=True
     )
+    obs = Observation("lsh_cap_metrics")
     global last_lsh_cap_observation
-    last_lsh_cap_observation = Observation("lsh_cap_metrics")
+    last_lsh_cap_observation = obs
     cands = lsh_candidate_pairs(
         sigs.select("doc_id", "signature"), "doc_id", bands=16, rows=4,
-        observation=last_lsh_cap_observation,
+        observation=obs,
     )
     sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("shingle_set").alias("sa"))
     sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("shingle_set").alias("sb"))
@@ -357,7 +365,9 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", jaccard(F.col("sa"), F.col("sb")).alias("jac"))
         .where(F.col("jac") >= 0.5)
     )
-    return verified.orderBy("id_a", "id_b")
+    result = verified.orderBy("id_a", "id_b")
+    result.lsh_cap_observation = obs
+    return result
 
 
 @query(

@@ -52,87 +52,82 @@ REGISTRY: dict[str, QuerySpec] = {}
 # The driver's correctness gate verifies queries in dict order and has
 # only ever recorded a 50-entry prefix per round. load_all() reorders
 # via this tuple so every recorded slot is deliberately chosen.
-# Round 8's prefix (tools/next_verify_prefix.py output, amended):
+# Round 9's prefix (tools/next_verify_prefix.py output, amended):
 #
 # 1. NEW queries first — each needs its first driver record in the
-#    same round it lands (the r6 lesson: an operator without a
-#    registry entry AND a verify slot is a blind spot):
-#      dedup_cluster_two_phase — the large-star/small-star components
-#        operator's registry debut (r7 shipped it operator+tests only);
-#      doc_jaccard_incremental_pairs — the incremental dedup-ladder
-#        maintenance step (base pairs ∪ delta-vs-all == full rebuild).
-# 2. PLAN-REBUILT queries whose driver record predates the rebuild:
-#      doc_shingle_jaccard_blocked — r8 replaced the quadratic bucket
-#        expansion with prefix-filter candidates + the window predicate
-#        (identical rows; the sweep now runs it at sf1);
-#      doc_jaccard_prefix_filter — the generic-tau ceil bound was
-#        hardened (exact at tau=0.5, but the operator changed).
+#    same round it lands (the r6 lesson):
+#      ann_cosine_topk_ivf_rerank — the staged retrieval funnel
+#        (IVF cells → int8 coarse rank top-20 → exact cosine top-5).
+# 2. PLAN-TOUCHED queries whose driver record predates the change:
+#      ann_cosine_topk_ivf — its coarse stage was factored verbatim
+#        into _ivf_probe_cells (shared with the rerank query); the
+#        plan is expression-identical and locally oracle-green, but
+#        the driver should confirm.
 # 3. Rotation re-checks of the OLDEST green anchors (oldest last-green
-#    round first, then name): the four r7-displaced queue heads
-#    (segment_revenue_correlation, set_intersect_all_parts,
-#    top3_orders_per_segment, unpivot_revenue_by_flag), then the
-#    r4/r5-era text/embedding/events/TPC-H bands. The two tail slots
-#    this amendment displaces (q4_priority_with_returns,
-#    q6_forecast_revenue) queue for r9 as the oldest remaining greens.
+#    round first, then name): the two r8-displaced queue heads
+#    (q4_priority_with_returns, q6_forecast_revenue), then the
+#    r5/r6-era TPC-H/window/text/events bands. The two tail slots
+#    this amendment displaces (q11_important_parts, q15_top_supplier)
+#    queue for r10 as the oldest remaining greens.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
 # takes a slot again. Local ground truth for every query at BOTH scale
 # factors: CORRECTNESS_LOCAL_sf001.json / CORRECTNESS_LOCAL_sf01.json
 # (regenerate with tools/verify_oracle.py --json).
 VERIFY_FIRST: tuple[str, ...] = (
-    # bucket 1: new queries' first driver record
-    "dedup_cluster_two_phase",
-    "doc_jaccard_incremental_pairs",
-    # bucket 2: plan-rebuilt this round
-    "doc_shingle_jaccard_blocked",
-    "doc_jaccard_prefix_filter",
-    # bucket 3: rotation re-checks, oldest green first
-    "segment_revenue_correlation",
-    "set_intersect_all_parts",
-    "top3_orders_per_segment",
-    "unpivot_revenue_by_flag",
-    "upsert_keep_last",
+    # bucket 1: new query, first driver record
+    "ann_cosine_topk_ivf_rerank",
+    # bucket 2: coarse stage factored into _ivf_probe_cells this round
     "ann_cosine_topk_ivf",
-    "ann_cosine_topk_rhp",
-    "currency_parse_roundtrip",
-    "doc_bm25_search",
-    "doc_chunk_sliding",
-    "doc_ngram_novelty",
-    "doc_pack_chunks",
-    "doc_pack_greedy_bins",
-    "doc_pii_scrub",
-    "doc_simhash_sketch",
-    "doc_train_test_split",
-    "doc_unigram_logprob",
-    "doc_zipf_fit",
-    "embedding_gram_matrix",
-    "embedding_label_centroids",
-    "embedding_quality_classifier",
-    "events_rolling_distinct_users",
-    "events_sessionization_30min",
-    "events_stream_dedup",
-    "events_stream_static_enrich",
-    "events_stream_stream_join",
-    "events_variant_extract",
-    "events_zscore_anomalies",
-    "kmeans_lloyd_step",
-    "media_audio_energy",
-    "merge_with_tombstones",
-    "order_price_percentiles",
-    "order_total_reconciliation",
-    "order_value_histogram",
-    "q10_returned_items",
-    "q12_delay_priority",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
+    # bucket 3: rotation re-checks, oldest green first
+    "q4_priority_with_returns",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "rolling_median_monthly_revenue",
+    "skew_salted_segment_revenue",
+    "top_customers_concat_per_nation",
+    "trailing_30d_customer_revenue",
+    "ytd_running_total",
+    "cube_brand_size",
+    "customer_ltv_cohorts",
+    "customer_order_full_outer",
+    "customer_revenue_gini",
+    "customer_rfm_segments",
+    "customers_with_big_orders_semi",
+    "customers_without_orders_anti",
+    "distinct_counts_per_segment",
+    "doc_containment_pairs",
+    "doc_dedup_dropset",
+    "doc_kl_divergence",
+    "doc_length_buckets",
+    "doc_minhash_md5_pairs",
+    "doc_shuffle_order",
+    "doc_vocab_top100",
+    "embedding_semantic_dedup",
+    "events_asof_last_order",
+    "events_asof_next_order",
+    "events_cusum_drift",
+    "events_day_gaps",
+    "events_ewma_daily",
+    "events_mad_anomalies",
+    "events_markov_transitions",
+    "events_session_window_builtin",
+    "events_stream_mv_refresh",
+    "events_top_paths_3step",
+    "media_feature_histograms",
+    "media_shared_frame_neardup",
+    "monthly_revenue_seasonality",
+    "mv_incremental_refresh",
+    "orders_benford_audit",
+    "orders_installments_udtf",
+    "orders_psi_drift",
+    "orders_zorder_layout",
+    "part_abc_pareto",
+    "part_basket_affinity",
+    "part_copurchase_triangles",
+    "part_pagerank_step",
+    "part_reach_3hops",
 )
 
 

@@ -213,6 +213,8 @@ def test_no_accidental_cartesian_anywhere(all_plans, all_plan_objs):
         "ann_cosine_topk_rhp",
         "ann_cosine_topk_ivf",
         "ann_cosine_topk_ivf_kmeans",
+        "ann_cosine_topk_ivf_rerank",   # broadcast centroid set (coarse
+                                        # stage shared with _ivf variants)
         "kmeans_lloyd_step",            # broadcast k centroids over corpus
     }
     offenders = {}

@@ -85,6 +85,37 @@ def test_dedup_structure_grows_linearly_not_quadratically(scaled, sf_dir):
     assert scaled_dups == 3 * base
 
 
+def test_copy0_text_verbatim_and_suffix_confined_to_later_copies(scaled, sf_dir):
+    # r8 verdict finding: suffixing EVERY copy (including 0) left
+    # literal-keyword queries (doc_bm25_search) probing an empty
+    # vocabulary at scale. Copy 0 must stay VERBATIM — its text
+    # multiset equals the base corpus exactly — while copies 1..N−1
+    # carry the \x1f suffix that keeps cross-copy similarity at zero.
+    con = duckdb.connect()
+    n0 = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/documents.parquet' "
+        "WHERE contains(text, chr(31))"
+    ).fetchone()[0] == 0, "base corpus must be \\x1f-free for the invariant"
+    plain, suffixed = con.execute(
+        f"SELECT COUNT(*) FILTER (NOT contains(text, chr(31))), "
+        f"COUNT(*) FILTER (contains(text, chr(31))) "
+        f"FROM '{scaled}/documents.parquet'"
+    ).fetchone()
+    assert (plain, suffixed) == (n0, 2 * n0)
+    # verbatim = multiset equality, not mere \x1f-freedom
+    mismatch = con.execute(f"""
+      WITH b AS (SELECT text, COUNT(*) AS n FROM '{sf_dir}/documents.parquet' GROUP BY 1),
+           s AS (SELECT text, COUNT(*) AS n FROM '{scaled}/documents.parquet'
+                 WHERE NOT contains(text, chr(31)) GROUP BY 1)
+      SELECT COUNT(*) FROM b FULL JOIN s USING (text)
+      WHERE b.n IS DISTINCT FROM s.n
+    """).fetchone()[0]
+    assert mismatch == 0, "copy 0 text multiset must equal the base corpus"
+
+
 def test_files_split_into_row_groups(scaled):
     import pyarrow.parquet as pq
 

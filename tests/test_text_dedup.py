@@ -13,6 +13,8 @@ synthetic near-dups sit far above threshold.
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_lsh_recall_vs_blocked_anchor(spark, sf_dir):
     from financial_data_warehouse_automation_spark.queries.text import (
@@ -37,16 +39,20 @@ def test_lsh_recall_vs_blocked_anchor(spark, sf_dir):
 def test_lsh_production_caller_surfaces_cap_metrics(spark, sf_dir):
     """The production LSH query attaches a named Observation so the
     hot-bucket cap — a silent candidate-recall loss when it fires — is
-    never invisible (advisor finding, round 8): after the action,
-    last_lsh_cap_observation.get must report the cap counters, zero on
-    this honest corpus."""
+    never invisible (advisor finding, round 8): after the action, the
+    PER-BUILD handle ``df.lsh_cap_observation.get`` must report the
+    cap counters, zero on this honest corpus. Per-build rather than a
+    shared global (r8 advisor): build a SECOND frame before running
+    the first — each must keep its own live Observation."""
     from financial_data_warehouse_automation_spark.queries import text as text_q
 
-    n = text_q.doc_minhash_lsh_pairs(spark, sf_dir).count()
+    df1 = text_q.doc_minhash_lsh_pairs(spark, sf_dir)
+    df2 = text_q.doc_minhash_lsh_pairs(spark, sf_dir)
+    assert df1.lsh_cap_observation is not df2.lsh_cap_observation
+    assert text_q.last_lsh_cap_observation is df2.lsh_cap_observation
+    n = df1.count()
     assert n > 0
-    obs = text_q.last_lsh_cap_observation
-    assert obs is not None
-    got = obs.get
+    got = df1.lsh_cap_observation.get
     assert got == {"hot_buckets": 0, "pairs_capped": 0}, got
 
 
@@ -319,11 +325,17 @@ def test_simhash_block_occupancy_splits_hot_byte(spark):
     assert simhash_block_pairs(sig, max_hamming=1).count() == 0
 
 
-def test_prefix_filter_property_random_set_families(spark):
+@pytest.mark.parametrize("tau", [0.5, 0.7, 3 / 17])
+def test_prefix_filter_property_random_set_families(spark, tau):
     """Property (hypothesis): for ANY family of element sets, prefix-
     filter candidates ⊇ all pairs with Jaccard >= tau, and candidate
     verification equals brute force. One Spark job per example batch;
-    few examples, wide coverage via set-family generation."""
+    few examples, wide coverage via set-family generation.
+    Parametrized over tau ∈ {0.5, 0.7, 3/17} (round-9 verdict task 6):
+    the generic-tau ceil fix was pinned at the bound-arithmetic level
+    by test_prefix_filter_tau_float_ceil_exact; this closes the loop
+    end-to-end on the operator's generic-tau surface, including a tau
+    whose float products land one ulp off the exact rational."""
     from itertools import combinations
 
     from hypothesis import HealthCheck, given, settings
@@ -349,16 +361,16 @@ def test_prefix_filter_property_random_set_families(spark):
         brute = {
             (ia, ib)
             for (ia, sa), (ib, sb) in combinations(rows, 2)
-            if len(set(sa) & set(sb)) / len(set(sa) | set(sb)) >= 0.5
+            if len(set(sa) & set(sb)) / len(set(sa) | set(sb)) >= tau
         }
         sets = spark.createDataFrame(rows, "doc_id long, s array<string>")
-        cand = allpairs_prefix_candidates(sets, "doc_id", "s")
+        cand = allpairs_prefix_candidates(sets, "doc_id", "s", tau=tau)
         sa_df = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
         sb_df = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
         got = {
             (r.id_a, r.id_b)
             for r in cand.join(sa_df, "id_a").join(sb_df, "id_b")
-            .where(jaccard(F.col("sa"), F.col("sb")) >= 0.5)
+            .where(jaccard(F.col("sa"), F.col("sb")) >= tau)
             .collect()
         }
         assert got == brute, f"missing={brute - got} extra={got - brute}"
@@ -542,8 +554,14 @@ def test_positional_filter_prunes_late_collision_candidate(spark):
     }
     assert (0, 1) in plain, "fixture broken: pair not even a candidate"
     assert (0, 1) not in pos, "positional filter failed to prune"
-    # and J(0,1) = 2/6 < 0.5, so the pruned pair is a true reject
-    assert not {p for p in plain - pos if p != (0, 1)} - plain
+    # every pruned pair must be a TRUE reject: exact Jaccard < 0.5
+    # (here J(0,1) = 2/6); asserted directly, per r8 advisor finding
+    # that the prior set-difference form was vacuously true.
+    by_id = {doc_id: set(toks) for doc_id, toks in rows}
+    for a, b in plain - pos:
+        sa, sb = by_id[a], by_id[b]
+        j = len(sa & sb) / len(sa | sb)
+        assert j < 0.5, f"positional filter pruned a TRUE pair {(a, b)} J={j}"
 
 
 def test_simhash_block_pairs_property_random_signatures(spark):

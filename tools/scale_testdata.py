@@ -12,12 +12,15 @@ selectivity while cardinalities grow linearly:
   each copy is a disjoint, internally-consistent shard.
 - bounded dims (region, nation) are NOT replicated: their role at any
   scale is "broadcastable", and growing them would change plan shape.
-- document text gets every token suffixed with the copy index, so
+- document text: copy 0 is kept VERBATIM (so literal-keyword queries
+  like BM25 search still match real vocabulary at scale); copies
+  1..N−1 get every token suffixed with \x1f + the copy index, so
   WITHIN-copy dup/near-dup structure is preserved exactly ×N while
-  CROSS-copy similarity drops to zero (shingles differ). Naive
-  replication would make every doc an exact dup of its N−1 clones and
-  blow the LSH candidate count up quadratically — a different
-  workload, not a bigger one.
+  CROSS-copy similarity drops to zero (original text never contains
+  \x1f, so no suffixed token can collide with a verbatim or
+  differently-suffixed one). Naive replication would make every doc
+  an exact dup of its N−1 clones and blow the LSH candidate count up
+  quadratically — a different workload, not a bigger one.
 - embeddings roll the vector by i positions (norms and pairwise
   geometry within a copy unchanged; cross-copy neighbors decorrelate).
 - timestamps are left alone: more data per period is the realistic
@@ -120,12 +123,18 @@ def scale(src: str, out: str, mult: int, row_group: int = ROW_GROUP,
                         keys[mask] = hot_key
                         col = pa.array(
                             keys, type=base_tbl.schema.field(name).type)
-                elif t == "documents" and name == "text":
-                    # suffix every token with \x1f + copy index — ALL
-                    # copies including 0, so 'x1'+'1' can never collide
-                    # with 'x'+'11' and cross-copy similarity is
-                    # exactly zero (review finding, r6); within-copy
-                    # dup structure is preserved verbatim
+                elif t == "documents" and name == "text" and i_copy:
+                    # suffix every token with \x1f + copy index for
+                    # copies 1..N−1 ONLY; copy 0 stays VERBATIM
+                    # (review finding, r8). The \x1f separator alone
+                    # guarantees the invariant: original text never
+                    # contains \x1f, so copy 0 tokens can't equal any
+                    # suffixed token, and 'x1'+'\x1f1' can never
+                    # collide with 'x'+'\x1f11' — cross-copy
+                    # similarity is exactly zero while literal-term
+                    # vocabulary (e.g. BM25 keyword probes) survives
+                    # at scale. Within-copy dup structure is preserved
+                    # verbatim in every copy.
                     col = pc.replace_substring_regex(
                         col, r"(\S+)", "\\1\x1f" + str(i_copy))
                 elif t == "embeddings" and name == "embedding" and i_copy:
