@@ -22,6 +22,11 @@ input, per-query deltas should quote it). Reps must agree on the row
 count; disagreement logs an ERR (a nondeterministic query is a bug,
 not noise). Queries can be skipped up front with --skip name[,name...];
 a SKIP line documents the reason in the log.
+
+``--only name[,name...]`` restricts the pass to the listed queries —
+the re-measure path for the bench discipline (any >15% regression on
+an untouched plan gets a fresh-session re-check; quote the min across
+passes, each pass itself a same-session min-of-N).
 """
 
 from __future__ import annotations
@@ -49,6 +54,7 @@ def main() -> None:
     log_path = os.path.join(REPO, "sweep_sf1.tsv")
     skip = dict(DEFAULT_SKIP)
     reps = 3
+    only: set[str] | None = None
     argv = sys.argv[1:]
     i = 0
     while i < len(argv):
@@ -64,6 +70,8 @@ def main() -> None:
             i += 2
         elif argv[i] == "--no-skip":
             skip.clear(); i += 1
+        elif argv[i] == "--only":
+            only = set(argv[i + 1].split(",")); i += 2
         else:
             raise SystemExit(f"unknown arg {argv[i]}")
 
@@ -86,6 +94,8 @@ def main() -> None:
     out = open(log_path, "a")
     n_run = n_err = 0
     for name in sorted(specs):
+        if only is not None and name not in only:
+            continue
         if name in done:
             continue
         if name in skip:
