@@ -41,6 +41,21 @@ def test_kmeans_ivf_recall(topk_pairs):
     assert len(brute & km) / len(brute) >= 0.2
 
 
+def test_ivf_rerank_recall(topk_pairs):
+    """The staged funnel (IVF cells → int8 top-20 → exact rescore)
+    must track its own coarse stage almost perfectly — the int8
+    integer dot is a faithful proxy for cosine at top-20 depth
+    (measured 1.000 at sf0.01; floor 0.8 catches a broken coarse
+    rank, not quantization drift) — and inherit the IVF rung's
+    brute-force recall floor (cell cut is the only loss source)."""
+    brute = topk_pairs("ann_cosine_topk_brute")
+    ivf = topk_pairs("ann_cosine_topk_ivf")
+    rr = topk_pairs("ann_cosine_topk_ivf_rerank")
+    assert brute and ivf
+    assert len(ivf & rr) / len(ivf) >= 0.8
+    assert len(brute & rr) / len(brute) >= 0.2
+
+
 def test_semantic_dedup_candidates_subset_of_exact(spark, sf_dir):
     """embedding_semantic_dedup's RHP-sub-bucketed drop set must be a
     SUBSET of the exact within-label threshold dedup (sub-bucketing can

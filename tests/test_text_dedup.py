@@ -520,6 +520,56 @@ def test_positional_filter_final_pairs_unchanged(spark, sf_dir):
     assert n_pos <= n_plain, (n_pos, n_plain)
 
 
+def test_hashed_element_pipeline_equals_string_formulation(spark, sf_dir):
+    """The registered prefix-filter query runs over xxhash64 element
+    images (round 9); Jaccard counts are invariant under the injective
+    mapping, so its (id_a, id_b, jac) rows must equal a
+    string-formulated twin EXACTLY on the real corpus — including jac
+    VALUES, which a hash collision inside any pair's union would
+    perturb. The DuckDB oracle pins the same equivalence cross-engine;
+    this pins it in-engine with no oracle in the loop."""
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.lineage import cut
+    from financial_data_warehouse_automation_spark.operators.text import (
+        allpairs_prefix_candidates,
+        jaccard,
+        tokens,
+        word_shingles,
+    )
+    from financial_data_warehouse_automation_spark.queries.text import (
+        doc_jaccard_prefix_filter,
+    )
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    hashed = {
+        (r.id_a, r.id_b, r.jac)
+        for r in doc_jaccard_prefix_filter(spark, sf_dir).collect()
+    }
+
+    d = load_table(spark, sf_dir, "documents")
+    sets = cut(
+        d.select(
+            "doc_id",
+            F.array_distinct(word_shingles(tokens("text"), 3)).alias("s"),
+        ),
+        eager=False,
+    )
+    cand = allpairs_prefix_candidates(sets, "doc_id", "s", tau=0.5)
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    jac = jaccard(F.col("sa"), F.col("sb"))
+    string_rows = {
+        (r.id_a, r.id_b, r.jac)
+        for r in cand.join(sa, "id_a").join(sb, "id_b")
+        .where(jac >= 0.5)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jac"))
+        .collect()
+    }
+    assert hashed, "no verified pairs — trivial fixture"
+    assert hashed == string_rows
+
+
 def test_positional_filter_prunes_late_collision_candidate(spark):
     """Adversarial prune case: two docs share only {c, w}; the df order
     puts c at the LAST prefix slot of each side and w outside both
