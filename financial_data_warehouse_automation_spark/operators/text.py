@@ -19,7 +19,7 @@ run on a full corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from financial_data_warehouse_automation_spark.lineage import cut
@@ -737,4 +737,83 @@ def rolling_min_fingerprint(col: Column | str, window: int = 16, stride: int = 4
     idx = F.sequence(F.lit(0), n_win - 1)
     return F.array_min(
         F.transform(idx, lambda i: F.md5(c.substr(i * stride + 1, F.lit(window))))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span detection (substring-level dedup)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_kgram_spans(
+    docs: DataFrame, k: int = 8, min_span: int = 10
+) -> DataFrame:
+    """Maximal cross-document duplicate token spans — the exact
+    substring-dedup shape of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better" (ACL 2022), re-expressed as a k-gram
+    join instead of a suffix array.
+
+    Returns ``(id_a, id_b, start_a, start_b, span_len)`` with
+    ``id_a < id_b``: one row per MAXIMAL run of ≥ ``min_span`` tokens
+    shared verbatim (positions 1-based; a span may repeat at several
+    offsets — each alignment is its own row).
+
+    Shape: tokenize → positional k-gram shingles → self-join keyed on
+    the k-gram (n-gram-keyed like decontamination — never doc×doc) →
+    gaps-and-islands along each alignment diagonal ``ia − ib``
+    (``grp = ia − row_number()`` groups consecutive matches) → one
+    tiny groupBy per island.  Why runs of consecutive k-gram matches
+    ARE the maximal shared spans: if grams at diagonal positions i and
+    i+2 both match, every token in [i+1, i+k] matches (covered by the
+    two matched windows at the same offset), so gram i+1 must match
+    too — islands can never be separated by a gap of one, and each
+    island's token union is exactly one maximal shared span of length
+    run + k − 1.
+
+    The join key is ``xxhash64(gram)`` so the shuffle carries 8 bytes,
+    not k-token strings — same injective-image convention as the
+    hashed exact-Jaccard pipelines (a 64-bit collision would surface
+    as an oracle hash-mismatch; the DuckDB oracle joins on the gram
+    STRINGS, an independent check).  At 100 TB the one scale knob this
+    deliberately omits is a document-frequency cap on hot k-grams (a
+    boilerplate gram in m docs yields m² pair rows); production runs
+    cap df like the decontamination query and LSH hot-bucket cap —
+    here exactness is the point and the oracle must agree.
+    """
+    t = docs.select("doc_id", tokens("text").alias("toks")).where(
+        F.size("toks") >= k
+    )
+    sh = t.select(
+        "doc_id", F.posexplode(word_shingles(F.col("toks"), k)).alias("p", "g")
+    )
+    e = sh.select(
+        "doc_id",
+        (F.col("p") + 1).cast("long").alias("i"),
+        F.xxhash64("g").alias("h"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.i").alias("ia"),
+        F.col("b.i").alias("ib"),
+    )
+    diag = (F.col("ia") - F.col("ib")).alias("diag")
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("ia")
+    isl = m.select("id_a", "id_b", "ia", "ib", diag).withColumn(
+        "grp", F.col("ia") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("id_a", "id_b", "diag", "grp")
+        .agg(
+            F.min("ia").alias("start_a"),
+            F.min("ib").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_len"),
+        )
+        .where(F.col("span_len") >= min_span)
+        .select("id_a", "id_b", "start_a", "start_b", "span_len")
     )

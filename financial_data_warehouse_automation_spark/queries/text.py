@@ -19,6 +19,7 @@ from financial_data_warehouse_automation_spark.operators.text import (
     allpairs_prefix_candidates,
     allpairs_prefix_candidates_delta,
     bpe_ish_token_count,
+    duplicate_kgram_spans,
     jaccard,
     lsh_candidate_pairs,
     mean_token_len,
@@ -2418,3 +2419,158 @@ def doc_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_block_pairs(
         sig, "doc_id", "simhash", bits=32, max_hamming=1
     ).orderBy("id_a", "id_b")
+
+
+_SQL_SPAN_ISLANDS = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+  FROM t WHERE len(toks) >= 8
+), g AS (
+  SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS gram FROM pos
+), m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.i AS ia, b.i AS ib
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+), isl AS (
+  SELECT id_a, id_b, ia, ib, ia - ib AS diag,
+         ia - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, ia - ib ORDER BY ia)
+           AS grp
+  FROM m
+)
+"""
+
+
+@query(
+    "doc_duplicate_span_pairs",
+    tags=("text", "dedup", "substring", "llm-pipeline"),
+    oracle=_SQL_SPAN_ISLANDS
+    + r"""
+SELECT id_a, id_b, MIN(ia) AS start_a, MIN(ib) AS start_b,
+       CAST(COUNT(*) + 7 AS BIGINT) AS span_len
+FROM isl GROUP BY id_a, id_b, diag, grp
+HAVING COUNT(*) + 7 >= 10
+ORDER BY id_a, id_b, start_a, start_b
+""",
+)
+def doc_duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. ACL 2022): every maximal
+    token span of ≥ 10 tokens shared verbatim between two documents,
+    with both alignment offsets. This is the op that catches partial
+    duplication — boilerplate headers, quoted paragraphs, template
+    reuse — that whole-document keys (md5 / MinHash over full token
+    sets) structurally miss.
+
+    Plan: the work is one 8-byte-keyed k-gram self-join (decontaminate
+    shape, never doc×doc) plus a per-(pair, diagonal) window over only
+    the matched grams — at sf0.01 that's ~1.2k match rows feeding the
+    window, and the match volume scales with actual shared text, not
+    with corpus size². See operators/text.py:duplicate_kgram_spans for
+    the maximality proof and the 100 TB df-cap note."""
+    d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
+    return duplicate_kgram_spans(d, k=8, min_span=10).orderBy(
+        "id_a", "id_b", "start_a", "start_b"
+    )
+
+
+@query(
+    "doc_span_dedup_coverage",
+    tags=("text", "dedup", "substring", "llm-pipeline"),
+    oracle=_SQL_SPAN_ISLANDS
+    + r""", sp AS (
+  SELECT id_b AS doc_id, MIN(ib) AS s, MIN(ib) + COUNT(*) + 7 - 1 AS e
+  FROM isl GROUP BY id_a, id_b, diag, grp
+  HAVING COUNT(*) + 7 >= 10
+), prev AS (
+  SELECT doc_id, s, e,
+         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM sp
+), flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END
+           AS new_isl
+  FROM prev
+), grped AS (
+  SELECT doc_id, s, e,
+         SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS mgrp
+  FROM flagged
+), merged AS (
+  SELECT doc_id, MAX(e) - MIN(s) + 1 AS cov
+  FROM grped GROUP BY doc_id, mgrp
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS dup_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_spans
+  FROM merged GROUP BY doc_id
+), nt AS (
+  SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+)
+SELECT p.doc_id, n_tokens, dup_tokens, n_spans,
+       CAST(ROUND(CAST(dup_tokens AS DOUBLE) / n_tokens, 6) AS DOUBLE)
+         AS dup_ratio
+FROM per_doc p JOIN nt USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def doc_span_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of each document substring-dedup would strip: merge the
+    duplicate spans landing on the LATER doc of each pair (first
+    writer owns the text, same convention as doc_ngram_novelty) into
+    a per-doc interval union, and report covered tokens + ratio.
+    This is the corpus-curation decision number — 'doc 47 is 92%
+    removable duplication' — that span PAIRS alone don't give you.
+
+    Interval union via the classic running-max gaps-and-islands: a
+    span starts a new island iff its start exceeds the max end seen so
+    far (window ordered by (s, e); exact-duplicate intervals can never
+    open an island under any tie order, so the union is
+    order-deterministic). All windows are doc_id-partitioned; the
+    span-finding cost dominates and is shared with
+    doc_duplicate_span_pairs."""
+    d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
+    spans = duplicate_kgram_spans(d, k=8, min_span=10)
+    iv = spans.select(
+        F.col("id_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_len") - 1).alias("e"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_isl",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    )
+    grped = flagged.withColumn(
+        "mgrp",
+        F.sum("new_isl").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = grped.groupBy("doc_id", "mgrp").agg(
+        (F.max("e") - F.min("s") + 1).alias("cov")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.sum("cov").cast("long").alias("dup_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+    nt = d.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return (
+        per_doc.join(nt, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_tokens",
+            "n_spans",
+            F.round(
+                F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

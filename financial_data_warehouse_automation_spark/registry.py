@@ -75,8 +75,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 # factors: CORRECTNESS_LOCAL_sf001.json / CORRECTNESS_LOCAL_sf01.json
 # (regenerate with tools/verify_oracle.py --json).
 VERIFY_FIRST: tuple[str, ...] = (
-    # bucket 1: new query, first driver record
+    # bucket 1: new queries, first driver record
     "ann_cosine_topk_ivf_rerank",
+    "doc_duplicate_span_pairs",
+    "doc_span_dedup_coverage",
     # bucket 2: coarse stage factored into _ivf_probe_cells this round
     "ann_cosine_topk_ivf",
     # bucket 3: rotation re-checks, oldest green first

@@ -658,3 +658,79 @@ def test_simhash_block_pairs_property_random_signatures(spark):
         assert got == brute, f"missing={brute - got} extra={got - brute}"
 
     run()
+
+
+def test_duplicate_kgram_spans_hand_built_maximal():
+    """Hand-built corpus: spans are MAXIMAL, both offsets are right,
+    separate islands stay separate, and sub-threshold spans drop."""
+    from financial_data_warehouse_automation_spark.operators.text import duplicate_kgram_spans
+    from financial_data_warehouse_automation_spark.session import get_spark
+
+    spark = get_spark("fdwa-tests")
+    w = [f"w{i}" for i in range(40)]  # 40 unique filler words
+    shared12 = [f"s{i}" for i in range(12)]   # 12-token shared run
+    shared9 = [f"t{i}" for i in range(9)]     # 9-token run: < min_span
+    docs = [
+        # doc 1: shared12 at positions 4..15, shared9 at 20..28
+        (1, " ".join(w[0:3] + shared12 + w[3:7] + shared9 + w[7:12])),
+        # doc 2: shared12 at positions 1..12, shared9 at 17..25
+        (2, " ".join(shared12 + w[20:24] + shared9 + w[24:30])),
+        # doc 3: no overlap of >= 8 consecutive tokens with anyone
+        (3, " ".join(w[30:40] + ["x1", "x2", "x3"])),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {
+        (r.id_a, r.id_b, r.start_a, r.start_b, r.span_len)
+        for r in duplicate_kgram_spans(d, k=8, min_span=10).collect()
+    }
+    # Only the 12-token run survives min_span=10; the 9-token run has
+    # 2 consecutive 8-gram matches -> span 9 < 10, dropped.
+    assert rows == {(1, 2, 4, 1, 12)}
+    # Lower the threshold: the 9-token island appears as its own span
+    # (not merged across the mismatching gap).
+    rows9 = {
+        (r.id_a, r.id_b, r.start_a, r.start_b, r.span_len)
+        for r in duplicate_kgram_spans(d, k=8, min_span=9).collect()
+    }
+    assert rows9 == {(1, 2, 4, 1, 12), (1, 2, 20, 17, 9)}
+
+
+def test_span_dedup_coverage_merges_overlaps():
+    """Two overlapping spans from different partners must be
+    interval-unioned, not double-counted."""
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.operators.text import (
+        duplicate_kgram_spans,
+        tokens,
+    )
+    from financial_data_warehouse_automation_spark.session import get_spark
+
+    spark = get_spark("fdwa-tests")
+    run = [f"r{i}" for i in range(20)]  # 20-token run
+    filler = [f"f{i}" for i in range(10)]
+    docs = [
+        (1, " ".join(run[0:14])),            # covers run[0..13]
+        (2, " ".join(run[6:20])),            # covers run[6..19]
+        (3, " ".join(filler + run)),         # later doc holds all 20
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    spans = duplicate_kgram_spans(d, k=8, min_span=10)
+    got = {
+        (r.id_a, r.id_b, r.start_b, r.span_len)
+        for r in spans.where(F.col("id_b") == 3).collect()
+    }
+    # doc1 shares run[0..13] -> doc3 positions 11..24 (len 14);
+    # doc2 shares run[6..19] -> doc3 positions 17..30 (len 14).
+    assert got == {(1, 3, 11, 14), (2, 3, 17, 14)}
+    # Coverage on doc 3 must be the union 11..30 = 20 tokens, not 28.
+    iv = spans.where(F.col("id_b") == 3).select(
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_len") - 1).alias("e"),
+    )
+    lo, hi, n = iv.agg(F.min("s"), F.max("e"), F.count(F.lit(1))).first()
+    assert (lo, hi, n) == (11, 30, 2)
+    n_tok = d.where(F.col("doc_id") == 3).select(
+        F.size(tokens("text"))
+    ).first()[0]
+    assert n_tok == 30
