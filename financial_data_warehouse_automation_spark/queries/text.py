@@ -1231,6 +1231,15 @@ def doc_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~30-char strings: 8.15 → 4.28s interleaved min at the 10x scale
     point, same 2,560 pairs."""
     d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
+    return _prefix_filter_pairs(d).orderBy("id_a", "id_b")
+
+
+def _prefix_filter_pairs(d: DataFrame) -> DataFrame:
+    """The full-corpus exact-Jaccard pair pipeline shared VERBATIM by
+    doc_jaccard_prefix_filter (which just orders it) and
+    doc_neardup_dropset (which clusters it): 3-gram shingles →
+    xxhash64 images → AllPairs/PPJoin prefix candidates at tau=0.5 →
+    exact verify. Returns unordered ``(id_a, id_b, jac)``."""
     sets = d.select(
         "doc_id",
         xxhash64_set(word_shingles(tokens("text"), 3)).alias("s"),
@@ -1245,7 +1254,6 @@ def doc_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id_b")
         .where(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jac"))
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -1354,6 +1362,138 @@ def doc_jaccard_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jac"), "found_in")
         .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "doc_neardup_dropset",
+    tags=("text", "dedup", "jaccard", "components", "llm-pipeline"),
+    oracle=r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         END AS s
+  FROM t
+), ex AS (
+  SELECT doc_id, unnest(s) AS x FROM sh
+), dfreq AS (
+  SELECT x, COUNT(*) AS df FROM ex GROUP BY x
+), keyed AS (
+  SELECT ex.doc_id,
+         lpad(CAST(dfreq.df AS VARCHAR), 12, '0') || md5(ex.x) || ex.x AS kx
+  FROM ex JOIN dfreq USING (x)
+), pre AS (
+  SELECT doc_id,
+         list_sort(list(kx))[1 : COUNT(*) // 2 + 1] AS ks,
+         COUNT(*) AS sz
+  FROM keyed GROUP BY doc_id
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, sz, unnest(ks) AS k FROM pre) a
+  JOIN (SELECT doc_id, sz, unnest(ks) AS k FROM pre) b
+    ON a.k = b.k AND a.doc_id < b.doc_id
+   AND 2 * b.sz >= a.sz AND 2 * a.sz >= b.sz
+), pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+            JOIN sh sb ON sb.doc_id = cand.id_b
+  WHERE CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+          / greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1) >= 0.5
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+), comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical
+  FROM reach GROUP BY src
+), sizes AS (
+  SELECT canonical, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY canonical
+)
+SELECT c.doc_id, c.canonical, s.cluster_size,
+       CAST(d.n_chars AS BIGINT) AS reclaimed_chars
+FROM comp c JOIN sizes s USING (canonical)
+     JOIN documents d ON d.doc_id = c.doc_id
+WHERE c.doc_id <> c.canonical
+ORDER BY c.doc_id
+""",
+)
+def doc_neardup_dropset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END fuzzy dedup decision — pairs are evidence,
+    clusters are structure, but what a curation pipeline executes is a
+    DROP LIST. This composes the registry's two scale-correct halves
+    into that artifact: full-corpus exact 3-gram Jaccard pairs at
+    tau=0.5 via AllPairs/PPJoin prefix filtering (shared verbatim with
+    doc_jaccard_prefix_filter through _prefix_filter_pairs), collapsed
+    into clusters by alternating large-star/small-star contraction
+    (Kiveris et al. SoCC'14, operators/graph.py) — then keep the
+    minimum doc_id of each cluster and emit every other member with
+    its canonical, its cluster size, and the characters reclaimed by
+    dropping it. The exact-rung sibling is doc_dedup_dropset (md5
+    identity); this is the near-dup version the md5 key cannot see.
+
+    Scale posture at every stage: pair generation is sub-quadratic
+    (prefix-filtered, never doc x doc), component rounds are O(log^2 n)
+    regardless of near-dup chain shape, and the drop decision itself is
+    one groupBy over cluster labels plus a thin join back to the
+    corpus for n_chars — only PAIR ENDPOINTS enter the component step
+    (singletons are their own canonical by definition and are never
+    dropped), so CC input scales with duplication found, not corpus
+    size. The oracle replays the same pipeline independently: string
+    Jaccard (vs Spark's xxhash64 images), recursive-CTE transitive
+    closure (vs star contraction), min-reachable-id canonicals — a
+    hash-match is a cross-engine proof of the whole pipeline, not one
+    stage."""
+    d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
+    return _neardup_dropset(d).orderBy("doc_id")
+
+
+def _neardup_dropset(d: DataFrame) -> DataFrame:
+    """doc_neardup_dropset's pipeline over any ``(doc_id, text,
+    n_chars)`` frame (unit-tested on hand-built cluster shapes in
+    tests/test_text_dedup.py): prefix-filter pairs → two-phase CC over
+    pair endpoints only → drop rows with canonical / cluster_size /
+    reclaimed_chars."""
+    from financial_data_warehouse_automation_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    pairs = _prefix_filter_pairs(d).select("id_a", "id_b")
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    comp = connected_components_two_phase(
+        nodes, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        comp.where(F.col("doc_id") != F.col("component"))
+        .join(sizes, "component")
+        .join(
+            d.select(
+                "doc_id", F.col("n_chars").cast("long").alias("reclaimed_chars")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            F.col("component").alias("canonical"),
+            "cluster_size",
+            "reclaimed_chars",
+        )
     )
 
 

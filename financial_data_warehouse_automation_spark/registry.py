@@ -79,8 +79,11 @@ VERIFY_FIRST: tuple[str, ...] = (
     "ann_cosine_topk_ivf_rerank",
     "doc_duplicate_span_pairs",
     "doc_span_dedup_coverage",
-    # bucket 2: coarse stage factored into _ivf_probe_cells this round
+    "doc_neardup_dropset",
+    # bucket 2: plans factored this round (coarse IVF stage into
+    # _ivf_probe_cells; pair pipeline into _prefix_filter_pairs)
     "ann_cosine_topk_ivf",
+    "doc_jaccard_prefix_filter",
     # bucket 3: rotation re-checks, oldest green first
     "q4_priority_with_returns",
     "q6_forecast_revenue",

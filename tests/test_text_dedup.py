@@ -734,3 +734,38 @@ def test_span_dedup_coverage_merges_overlaps():
         F.size(tokens("text"))
     ).first()[0]
     assert n_tok == 30
+
+
+def test_neardup_dropset_chain_pair_singleton(spark):
+    """End-to-end dropset semantics on hand-built cluster shapes: a
+    3-doc CHAIN (consecutive Jaccard >= 0.5, ends < 0.5) collapses to
+    ONE cluster under its minimum id, a 2-doc pair keeps its min, and
+    a singleton never appears in the drop list."""
+    from financial_data_warehouse_automation_spark.queries.text import _neardup_dropset
+
+    w = [f"w{i}" for i in range(18)]
+    x = [f"x{i}" for i in range(10)]
+    texts = {
+        # chain: J(1,2) = J(2,3) = 7/13 >= 0.5 but J(1,3) = 4/16 < 0.5
+        1: " ".join(w[0:12]),
+        2: " ".join(w[3:15]),
+        3: " ".join(w[6:18]),
+        # pair: 7 of 8 shingles shared after the last-token swap -> 7/9
+        4: " ".join(x),
+        5: " ".join(x[:9] + ["y0"]),
+        # singleton
+        6: " ".join(f"z{i}" for i in range(10)),
+    }
+    d = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in texts.items()],
+        "doc_id long, text string, n_chars int",
+    )
+    got = {
+        (r.doc_id, r.canonical, r.cluster_size, r.reclaimed_chars)
+        for r in _neardup_dropset(d).collect()
+    }
+    assert got == {
+        (2, 1, 3, len(texts[2])),
+        (3, 1, 3, len(texts[3])),
+        (5, 4, 2, len(texts[5])),
+    }
