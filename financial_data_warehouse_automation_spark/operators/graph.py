@@ -19,10 +19,33 @@ a handful of rounds.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from financial_data_warehouse_automation_spark.lineage import cut
+
+# Rounds unrolled when SPARK_GRAFT_NO_CHECKPOINT=1 (plan-audit mode).
+# In audit mode cut() is identity, so every per-round convergence
+# probe (the sig/changed collect) would EXECUTE a job over the
+# round's full uncut lineage — and star contraction references its
+# input ~16x per round, so round k's probe re-runs the upstream
+# pipeline O(16^k) times. Queries that stack CC on a real pair
+# pipeline (doc_neardup_dropset*) took minutes-to-unbounded under
+# the audit. Audit consumers (tests/test_plan_hygiene.py,
+# tools/scan_census.py) read executedPlan() only and never a value,
+# so audit mode instead unrolls a FIXED two rounds with no driver
+# probes: the returned plan still contains every per-round
+# join/shuffle shape (each round is structurally identical), builds
+# in compile time, and its (possibly non-converged) values are
+# never consumed. Production mode is unchanged: data-dependent
+# rounds, checkpointed, loud on exhaustion.
+_AUDIT_UNROLL_ROUNDS = 2
+
+
+def _audit_mode() -> bool:
+    return os.environ.get("SPARK_GRAFT_NO_CHECKPOINT") == "1"
 
 
 def connected_components(
@@ -48,7 +71,8 @@ def connected_components(
     )
     labels = cut(labels, eager=True)
 
-    for _ in range(max_iters):
+    audit = _audit_mode()
+    for _ in range(_AUDIT_UNROLL_ROUNDS if audit else max_iters):
         neighbor = (
             sym.join(labels, sym.dst == labels.node)
             .select(F.col("src").alias("node"), "component")
@@ -59,14 +83,15 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
         new_labels = cut(new_labels, eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        if not audit:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .where(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
         labels = new_labels
-        if changed == 0:
+        if not audit and changed == 0:
             break
     return labels.select(F.col("node").alias(id_col), "component")
 
@@ -109,7 +134,11 @@ def connected_components_two_phase(
     Returns (id, component) with component = the min node id of the
     component, isolated vertices their own — bit-identical to
     ``connected_components`` (pinned by equality tests on random,
-    path, and bridged-clique graphs)."""
+    path, and bridged-clique graphs).
+
+    Under ``SPARK_GRAFT_NO_CHECKPOINT=1`` (plan-audit mode) the loop
+    unrolls a fixed ``_AUDIT_UNROLL_ROUNDS`` rounds with no
+    convergence probes — see the module-level comment."""
     sym = (
         edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
         .union(
@@ -155,6 +184,26 @@ def connected_components_two_phase(
             "u", F.col("m").alias("v")
         )
         return nbr.union(self_edge).distinct()
+
+    if _audit_mode():
+        # See _AUDIT_UNROLL_ROUNDS: fixed unroll, no convergence
+        # probes (each probe would execute the uncut lineage), values
+        # never consumed by audit readers.
+        for _ in range(_AUDIT_UNROLL_ROUNDS):
+            e = cut(small_star(large_star(e)), eager=True)
+        labels = e.select(
+            F.col("u").alias("node"), F.col("v").alias("component")
+        )
+        return (
+            vertices.select(F.col(id_col).alias("node"))
+            .join(labels, "node", "left")
+            .select(
+                F.col("node").alias(id_col),
+                F.coalesce(F.col("component"), F.col("node")).alias(
+                    "component"
+                ),
+            )
+        )
 
     prev_sig = None
     converged = False

@@ -1467,7 +1467,12 @@ def _neardup_dropset(d: DataFrame) -> DataFrame:
         connected_components_two_phase,
     )
 
-    pairs = _prefix_filter_pairs(d).select("id_a", "id_b")
+    # The ~4s (sf1) pair pipeline is referenced three times downstream
+    # (CC's symmetrize-and-cut, the endpoint-node derivation, and
+    # nothing else shares lineage with it) — cut it once so the CC
+    # ladder and the node scan both read the materialized pairs
+    # instead of re-running shingle→candidates→verify.
+    pairs = cut(_prefix_filter_pairs(d).select("id_a", "id_b"), eager=True)
     nodes = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
@@ -1493,6 +1498,217 @@ def _neardup_dropset(d: DataFrame) -> DataFrame:
             F.col("component").alias("canonical"),
             "cluster_size",
             "reclaimed_chars",
+        )
+    )
+
+
+@query(
+    "doc_neardup_dropset_incremental",
+    tags=("text", "dedup", "jaccard", "incremental", "components", "llm-pipeline"),
+    oracle=r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(
+                     generate_series(1, len(toks) - 2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         END AS s
+  FROM t
+), ex AS (
+  SELECT doc_id, unnest(s) AS x FROM sh
+), dfreq AS (
+  SELECT x, COUNT(*) AS df FROM ex GROUP BY x
+), keyed AS (
+  SELECT ex.doc_id,
+         lpad(CAST(dfreq.df AS VARCHAR), 12, '0') || md5(ex.x) || ex.x AS kx
+  FROM ex JOIN dfreq USING (x)
+), pre AS (
+  SELECT doc_id,
+         list_sort(list(kx))[1 : COUNT(*) // 2 + 1] AS ks,
+         COUNT(*) AS sz
+  FROM keyed GROUP BY doc_id
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT doc_id, sz, unnest(ks) AS k FROM pre) a
+  JOIN (SELECT doc_id, sz, unnest(ks) AS k FROM pre) b
+    ON a.k = b.k AND a.doc_id < b.doc_id
+   AND 2 * b.sz >= a.sz AND 2 * a.sz >= b.sz
+), pairs AS (
+  SELECT id_a, id_b,
+         (substr(md5(CAST(id_a AS VARCHAR)), 1, 1)
+            NOT IN ('c', 'd', 'e', 'f')
+          AND substr(md5(CAST(id_b AS VARCHAR)), 1, 1)
+            NOT IN ('c', 'd', 'e', 'f')) AS both_base
+  FROM cand JOIN sh sa ON sa.doc_id = cand.id_a
+            JOIN sh sb ON sb.doc_id = cand.id_b
+  WHERE CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+          / greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1) >= 0.5
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), sym_base AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs WHERE both_base
+  UNION
+  SELECT id_b, id_a FROM pairs WHERE both_base
+), reach AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+), reach_base AS (
+  SELECT src, dst FROM sym_base
+  UNION
+  SELECT r.src, s.dst FROM reach_base r JOIN sym_base s ON r.dst = s.src
+), comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical
+  FROM reach GROUP BY src
+), comp_base AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS canonical
+  FROM reach_base GROUP BY src
+), sizes AS (
+  SELECT canonical, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY canonical
+), base_dropped AS (
+  SELECT doc_id FROM comp_base WHERE doc_id <> canonical
+)
+SELECT c.doc_id, c.canonical, s.cluster_size,
+       CASE WHEN c.doc_id IN (SELECT doc_id FROM base_dropped)
+            THEN 'base' ELSE 'incr' END AS epoch
+FROM comp c JOIN sizes s USING (canonical)
+WHERE c.doc_id <> c.canonical
+ORDER BY c.doc_id
+""",
+)
+def doc_neardup_dropset_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL drop-list maintenance — what doc_jaccard_incremental_
+    pairs is to doc_jaccard_prefix_filter, this is to doc_neardup_
+    dropset: a delta batch arrives on an already-deduped corpus and the
+    pipeline must produce the NEW drop list without regenerating
+    old-vs-old pair candidates. The batch split is the registry's
+    content-addressed one (md5(doc_id) first nibble in c-f ⇒ the ~25%
+    delta). The Spark side executes both epochs: the prior build
+    (AllPairs over base only → base CC → base drop set) and the
+    incremental step (delta-probe candidates via
+    allpairs_prefix_candidates_delta — fan-in scales with |delta| —
+    unioned with the base pairs, CC over the merged pair endpoints).
+    Each dropped doc is tagged with the EPOCH that first dropped it:
+    'base' if the prior build already dropped it, 'incr' if this
+    delta's arrival did.
+
+    The 'incr' tag surfaces the two genuinely incremental cluster
+    events a naive "tag delta docs" implementation would miss, both
+    unit-tested on hand-built shapes: (1) a delta doc BRIDGES two base
+    clusters (or a base singleton into a cluster), newly dropping a
+    base doc that the prior epoch kept; (2) a delta doc with a SMALLER
+    id than a base cluster's canonical takes over as canonical,
+    newly dropping the previous canonical while the cluster's old
+    drops keep their 'base' tag under the new canonical. Monotonicity
+    makes the tag total: adding edges only merges clusters, so every
+    base-epoch drop remains dropped (its cluster min can only
+    decrease) — base drops ⊆ full drops, proven in the unit test and
+    relied on by the CASE.
+
+    The oracle replays the full pipeline from scratch (string Jaccard
+    vs xxhash64 images, TWO recursive-CTE closures — full graph and
+    both-base subgraph — vs two star-contraction runs), so a driver
+    hash-match proves the incremental invariant end-to-end: base pairs
+    ∪ delta-involving pairs, clustered, equals the rebuild's clusters
+    AND the epoch attribution is exactly the base-subgraph diff.
+
+    Scale posture: pair generation is the delta-probe plan (expansion
+    + verify proportional to |delta|); both CC runs see only pair
+    endpoints (duplication found, not corpus size); the base CC would
+    be the prior epoch's cached artifact in production — executed here
+    so the query is self-contained, and cut() once each since the
+    full-graph CC and the epoch join both re-read them."""
+    d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
+    nibble = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    )
+    tagged = d.select(
+        "doc_id", "text", nibble.isin("c", "d", "e", "f").alias("is_new")
+    )
+    return _neardup_dropset_incremental(tagged).orderBy("doc_id")
+
+
+def _neardup_dropset_incremental(d: DataFrame) -> DataFrame:
+    """doc_neardup_dropset_incremental's pipeline over any ``(doc_id,
+    text, is_new)`` frame (unit-tested with hand-picked delta
+    membership on bridge / canonical-takeover / delta-only shapes):
+    base AllPairs pairs + delta-probe pairs → CC over base pairs and
+    over the union → drop rows tagged with the first-dropping epoch."""
+    from financial_data_warehouse_automation_spark.operators.graph import (
+        connected_components_two_phase,
+    )
+
+    sets = cut(
+        d.select(
+            "doc_id",
+            "is_new",
+            xxhash64_set(word_shingles(tokens("text"), 3)).alias("s"),
+        ),
+        eager=False,
+    )
+    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    jac = jaccard(F.col("sa"), F.col("sb"))
+
+    def _verified(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .where(jac >= 0.5)
+            .select("id_a", "id_b")
+        )
+
+    base = sets.where(~F.col("is_new")).select("doc_id", "s")
+    base_pairs = cut(
+        _verified(allpairs_prefix_candidates(base, "doc_id", "s", tau=0.5)),
+        eager=True,
+    )
+    all_pairs = cut(
+        base_pairs.unionByName(
+            _verified(
+                allpairs_prefix_candidates_delta(
+                    sets, "doc_id", "s", "is_new", tau=0.5
+                )
+            )
+        ),
+        eager=True,
+    )
+
+    def _components(pairs: DataFrame) -> DataFrame:
+        nodes = (
+            pairs.select(F.col("id_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+            .distinct()
+        )
+        return connected_components_two_phase(
+            nodes, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
+        )
+
+    base_dropped = (
+        _components(base_pairs)
+        .where(F.col("doc_id") != F.col("component"))
+        .select("doc_id", F.lit(True).alias("dropped_base"))
+    )
+    comp = _components(all_pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        comp.where(F.col("doc_id") != F.col("component"))
+        .join(sizes, "component")
+        .join(base_dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("component").alias("canonical"),
+            "cluster_size",
+            F.when(F.col("dropped_base"), F.lit("base"))
+            .otherwise(F.lit("incr"))
+            .alias("epoch"),
         )
     )
 

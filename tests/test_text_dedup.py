@@ -769,3 +769,53 @@ def test_neardup_dropset_chain_pair_singleton(spark):
         (3, 1, 3, len(texts[3])),
         (5, 4, 2, len(texts[5])),
     }
+
+
+def test_neardup_dropset_incremental_epoch_attribution(spark):
+    """The three incremental cluster events, on hand-picked delta
+    membership: (1) delta doc 5 BRIDGES dissimilar base docs 3 and 4
+    into one cluster — base doc 4, kept by the base epoch, is newly
+    dropped 'incr'; (2) delta doc 9 (smaller id) takes over as
+    canonical of base cluster {10, 11} — old canonical 10 drops
+    'incr' while 11's base-epoch drop keeps its 'base' tag under the
+    NEW canonical 9; (3) a delta-only pair drops 'incr'. Plus the
+    monotonicity floor: every base-epoch drop is still present, and a
+    base singleton never appears."""
+    from financial_data_warehouse_automation_spark.queries.text import (
+        _neardup_dropset_incremental,
+    )
+
+    def win(pfx, lo, hi):
+        return " ".join(f"{pfx}{i}" for i in range(lo, hi))
+
+    rows = [
+        # base pair: J(1,2) = 7/13 >= 0.5
+        (1, win("w", 0, 12), False),
+        (2, win("w", 3, 15), False),
+        # bridge: J(3,5) = J(5,4) = 7/13, J(3,4) = 4/16 < 0.5
+        (3, win("a", 0, 12), False),
+        (4, win("a", 6, 18), False),
+        (5, win("a", 3, 15), True),
+        # takeover chain: J(9,10) = J(10,11) = 7/13, J(9,11) < 0.5
+        (9, win("u", 0, 12), True),
+        (10, win("u", 3, 15), False),
+        (11, win("u", 6, 18), False),
+        # delta-only pair: 7 of 8 shingles shared -> 7/9
+        (20, win("v", 0, 10), True),
+        (21, win("v", 0, 9) + " q0", True),
+        # base singleton
+        (30, win("z", 0, 10), False),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, is_new boolean")
+    got = {
+        (r.doc_id, r.canonical, r.cluster_size, r.epoch)
+        for r in _neardup_dropset_incremental(d).collect()
+    }
+    assert got == {
+        (2, 1, 2, "base"),
+        (4, 3, 3, "incr"),
+        (5, 3, 3, "incr"),
+        (10, 9, 3, "incr"),
+        (11, 9, 3, "base"),
+        (21, 20, 2, "incr"),
+    }
