@@ -25,6 +25,8 @@ per event.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -361,6 +363,68 @@ def events_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows).orderBy("event_type", "day")
+
+
+@query(
+    "doc_stream_dedup_state",
+    tags=("streaming", "text", "dedup", "foreachBatch", "llm-pipeline"),
+    oracle=r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS dedup_key,
+       MIN(doc_id) AS kept_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY dedup_key
+""",
+)
+def doc_stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup STATE maintenance — the curation-corpus
+    twin of events_stream_mv_refresh: documents stream through
+    foreachBatch and each micro-batch min/count-merges into a
+    hex-bucket-partitioned parquet state table
+    ``(dedup_key = md5(norm_text), kept_doc_id, n_copies)`` guarded by
+    a per-bucket last_batch_id high-watermark (retry = no-op). Because
+    (min, count) is a monoid, the terminal state is invariant under
+    ANY batch split — including a late-arriving smaller doc_id taking
+    over an existing key — so the single DuckDB GROUP BY oracle checks
+    every arrival order at once; multi-batch splits, the min-takeover
+    case, and deliberate re-delivery are exercised in
+    tests/test_streaming.py.
+
+    The returned frame is a LAZY read of the terminal state table (the
+    durable artifact a production pipeline keeps — new-batch anti-join
+    for drop decisions, n_copies for duplication stats). Unlike the
+    MV query there is deliberately NO driver-side collect: state grain
+    is per unique document, unbounded at 100 TB; the run directory
+    lives for the session instead (a few hundred KB per run at test
+    SFs). Scale: each micro-batch shuffles once on dedup_key, the
+    merge rewrites only touched buckets (16 here, widened to 2-3 hex
+    chars at 100 TB), and the state read is partition-pruned to the
+    batch's buckets."""
+    import tempfile
+    import uuid
+
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        run_doc_dedup_state,
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(), f"strm_dedup_{uuid.uuid4().hex[:12]}"
+    )
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    q = run_doc_dedup_state(spark, docs, f"{work}/state", f"{work}/ckpt")
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{work}/state")
+        .select("dedup_key", "kept_doc_id", "n_copies")
+        .orderBy("dedup_key")
+    )
 
 
 @query(

@@ -399,6 +399,115 @@ def run_event_mv_refresh(
     )
 
 
+def dedup_state_merge_batch(state_path: str):
+    """foreachBatch: fold one micro-batch of documents into the
+    exact-dedup STATE table — the streaming side of ``doc_exact_dedup``
+    (reference parity: the keep-first semantics of
+    python_version/build_warehouse.py's keyed upsert, applied to the
+    curation corpus). State rows are
+    ``(dedup_key, kept_doc_id, n_copies, bucket, last_batch_id)`` with
+    ``dedup_key = md5(norm_text(text))``.
+
+    The per-key state is the (min, count) MONOID — min(doc_id) and
+    count are associative + commutative — so the terminal state is
+    invariant under ANY micro-batch split of the corpus, including a
+    later batch carrying a smaller doc_id for an already-seen key
+    (an insert-only "first writer wins" table would get that wrong;
+    the min-merge updates it). That split-invariance is what lets one
+    DuckDB ``GROUP BY key`` oracle check every possible arrival order.
+
+    Exactly-once under retries without Delta, same scheme as
+    :func:`mv_merge_batch`: ``bucket`` = first hex char of the key (16
+    partitions), each touched bucket is rewritten via dynamic
+    partition overwrite carrying ``last_batch_id``; a bucket whose
+    stored id already >= this batch_id is skipped, since re-applying
+    the merge would double-count ``n_copies``. At 100 TB the bucket
+    fan-out widens (first 2-3 hex chars) so a batch rewrites only the
+    key ranges it touched, never the full state."""
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        from financial_data_warehouse_automation_spark.operators.text import norm_text
+
+        spark = batch.sparkSession
+        partial = (
+            batch.select(
+                F.md5(norm_text("text").cast("binary")).alias("dedup_key"),
+                "doc_id",
+            )
+            .groupBy("dedup_key")
+            .agg(
+                F.min("doc_id").alias("kept_doc_id"),
+                F.count(F.lit(1)).cast("long").alias("n_copies"),
+            )
+            .withColumn("bucket", F.substring("dedup_key", 1, 1))
+            .withColumn("last_batch_id", F.lit(batch_id).cast("long"))
+        )
+        buckets = [
+            r.bucket for r in partial.select("bucket").distinct().collect()
+        ]
+        if not buckets:
+            return
+        try:
+            existing = spark.read.parquet(state_path).where(
+                F.col("bucket").isin(buckets)
+            )
+            applied = {
+                r.bucket
+                for r in existing.where(F.col("last_batch_id") >= batch_id)
+                .select("bucket").distinct().collect()
+            }
+        except AnalysisException as exc:
+            # only missing-path means "first batch"; anything else must
+            # fail the batch so foreachBatch retries it (same reasoning
+            # as mv_merge_batch)
+            if not _missing_path(exc):
+                raise
+            existing = spark.createDataFrame([], partial.schema)
+            applied = set()
+        todo = [b for b in buckets if b not in applied]
+        if not todo:
+            return
+        merged = (
+            existing.where(F.col("bucket").isin(todo))
+            .unionByName(partial.where(F.col("bucket").isin(todo)))
+            .groupBy("dedup_key", "bucket")
+            .agg(
+                F.min("kept_doc_id").alias("kept_doc_id"),
+                F.sum("n_copies").cast("long").alias("n_copies"),
+                F.max("last_batch_id").alias("last_batch_id"),
+            )
+        )
+        (
+            merged.select(
+                "dedup_key", "kept_doc_id", "n_copies", "bucket",
+                "last_batch_id",
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(state_path)
+        )
+
+    return apply
+
+
+def run_doc_dedup_state(
+    spark: SparkSession, docs: DataFrame, state_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Stream documents into the exact-dedup state table (availableNow
+    = one scheduled maintenance pass; drop the trigger for a live
+    tail)."""
+    return (
+        docs.writeStream.foreachBatch(dedup_state_merge_batch(state_path))
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "dedup_state")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _tws_available() -> bool:
     """transformWithStateInPandas talks to the JVM state server over
     protobuf; the runtime gate mirrors the openpyxl gate on the Excel

@@ -729,3 +729,88 @@ def test_watermark_drops_late_rows_and_accounts_for_them(spark, tmp_path):
     }
     # 2024-03-01 12:00:00 UTC; the late 12:05 row must NOT be in it
     assert emitted.get(1709294400) == 3, emitted
+
+
+def test_doc_dedup_state_multibatch_min_takeover_and_retry(
+    spark, sf_dir, tmp_path
+):
+    """The dedup-state merge must (a) reconstruct the full GROUP BY
+    (min, count) aggregate when documents arrive as MANY micro-batches
+    in an order where a LATER batch carries a smaller doc_id for an
+    already-stored key (the min-takeover an insert-only first-writer
+    table gets wrong), and (b) be a no-op on same-batch-id
+    re-application — re-merging would double n_copies."""
+    from financial_data_warehouse_automation_spark.operators.text import norm_text
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        dedup_state_merge_batch,
+    )
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the sf0.001 corpus has no exact dups under norm_text — synthesize
+    # copies of the 5 LOWEST ids at ids above the whole corpus, so the
+    # descending split below delivers each copy in batch 0 and its
+    # original (the true min) in the LAST batch: the takeover path, not
+    # just the insert path, is what reconstructs the aggregate
+    dups = base.orderBy("doc_id").limit(5).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    docs = base.unionByName(dups)
+    state = str(tmp_path / "dedup_state")
+    merge = dedup_state_merge_batch(state)
+    # batches DESCENDING by doc_id: every key whose copies span batches
+    # gets its min delivered last
+    n = docs.count()
+    cuts = [2 * n // 3, n // 3, -1]
+    prev = None
+    for bid, lo in enumerate(cuts):
+        batch = docs.where(F.col("doc_id") > lo)
+        if prev is not None:
+            batch = batch.where(F.col("doc_id") <= prev)
+        prev = lo
+        merge(batch, bid)
+    got = {
+        (r.dedup_key): (r.kept_doc_id, r.n_copies)
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r.dedup_key: (r.kept_doc_id, r.n_copies)
+        for r in docs.select(
+            F.md5(norm_text("text").cast("binary")).alias("dedup_key"),
+            "doc_id",
+        )
+        .groupBy("dedup_key")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .collect()
+    }
+    assert got == want
+    # the split really exercised cross-batch keys (some key's copies
+    # arrived in different batches) — otherwise the test proves nothing
+    assert any(c > 1 for _, c in got.values())
+
+    # retry with the last batch id: must be a no-op for every bucket
+    merge(docs.limit(50), len(cuts) - 1)
+    after = {
+        (r.dedup_key): (r.kept_doc_id, r.n_copies)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert after == got, "same-batch-id re-application must be a no-op"
+
+    # a NEW batch id with a duplicate of an existing doc must bump
+    # n_copies by exactly one and keep the min
+    one = docs.orderBy("doc_id").limit(1)
+    key = one.select(
+        F.md5(norm_text("text").cast("binary")).alias("k")
+    ).collect()[0].k
+    merge(one.withColumn("doc_id", F.col("doc_id") + 10_000_000), len(cuts))
+    final = {
+        r.dedup_key: (r.kept_doc_id, r.n_copies)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert final[key] == (got[key][0], got[key][1] + 1)
+    assert {k: v for k, v in final.items() if k != key} == {
+        k: v for k, v in got.items() if k != key
+    }
