@@ -10,6 +10,8 @@ Code.gs:147-166, *is* a broadcast hash join — SURVEY §2.3 J1).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2956,6 +2958,107 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("sum_cents"),
         )
         .orderBy("zbucket")
+    )
+
+
+# Bucketed-table layout, written once per (session, sf_dir) and
+# memoized like operators/graph.py's _EDGE_CACHE: the LAYOUT is the
+# amortized artifact (a production warehouse buckets its fact tables
+# at ingest, then every subsequent join rides the layout), so the
+# registered query measures the co-located JOIN, not the one-time
+# write. No memo bypass for audit mode is needed — the bucketed scan
+# IS the plan under audit (there is no checkpoint to see through).
+_BUCKETED_PAIR_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _bucketed_li_orders(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import re as _re
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BUCKETED_PAIR_CACHE:
+        return _BUCKETED_PAIR_CACHE[key]
+    tag = _re.sub(r"\W+", "_", sf_dir).strip("_").lower()
+    li_name, ord_name = f"li_bucketed_{tag}", f"ord_bucketed_{tag}"
+    # a PREVIOUS session's managed-table directory survives in
+    # spark-warehouse while the in-memory catalog does not — creating
+    # the table fresh over that leftover location is the classic
+    # "managed table already exists" failure; drop + clear first
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in (li_name, ord_name):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(li_name)
+    )
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(ord_name)
+    )
+    for k in [k for k in _BUCKETED_PAIR_CACHE if k[0] != key[0]]:
+        del _BUCKETED_PAIR_CACHE[k]
+    _BUCKETED_PAIR_CACHE[key] = (li_name, ord_name)
+    return li_name, ord_name
+
+
+@query(
+    "bucketed_join_colocated",
+    tags=("layout", "bucketing", "join", "shuffle-free"),
+    oracle=f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM({sql_money('l.l_extendedprice')}
+                * (CAST(1.0 AS DECIMAL(2,1)) - {sql_rate('l.l_discount')}))
+            AS DOUBLE) AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+""",
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located fact-to-fact join — THE amortized shuffle lever
+    for 100 TB: lineitem and orders are written ONCE as bucketed
+    tables (8 buckets, hash(l_orderkey) == hash(o_orderkey) rows land
+    in same-numbered files, sorted within each bucket), after which
+    EVERY orderkey join between them is exchange-free — the
+    sort-merge join reads matching bucket files directly, so the only
+    shuffle in this whole query is the final 5-group priority
+    aggregate. tests/test_plan_hygiene.py proves it structurally:
+    the SortMergeJoin subtree of THIS plan contains zero
+    ShuffleExchange nodes (and zero Sorts beyond the bucket-local
+    ones), while the same join over the raw parquet shows two.
+    The MERGE hint pins the join strategy so the demonstration can't
+    silently degrade to a broadcast at small SF; at production scale
+    SMJ is what AQE would pick anyway for fact-to-fact. At 100 TB the
+    bucket count scales to O(cluster cores) and the layout amortizes
+    across every downstream orderkey join, the same trade as the
+    reference's one-time bronze conversion (python_version/
+    build_warehouse.py:112-126: convert once, query forever)."""
+    li_name, ord_name = _bucketed_li_orders(spark, sf_dir)
+    li, od = spark.table(li_name), spark.table(ord_name)
+    one = F.lit("1.0").cast("decimal(2,1)")
+    revenue = money("l_extendedprice") * (one - rate("l_discount"))
+    return (
+        li.hint("merge")
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(revenue).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 

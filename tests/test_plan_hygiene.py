@@ -363,3 +363,49 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     plan = _plan(spark, "skew_salted_segment_revenue", sf_dir)
     join_frag = plan.split("Join")[1][:400] if "Join" in plan else plan
     assert "_salt" in join_frag, join_frag
+
+
+def test_bucketed_join_colocated_smj_shuffle_free(spark, sf_dir):
+    """The bucketed-layout proof, structurally: bucketed_join_colocated's
+    SortMergeJoin subtree contains ZERO shuffle exchanges (both scan
+    sides ride the bucketed layout straight into the merge), while the
+    IDENTICAL join over the raw parquet needs one per side. The only
+    exchanges in the whole bucketed plan belong to the post-join
+    aggregate/sort."""
+    from financial_data_warehouse_automation_spark.registry import load_all
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    obj = (
+        load_all()["bucketed_join_colocated"]
+        .builder(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+    )
+    smj = [n for name, n, _ in _walk(obj) if name == "SortMergeJoinExec"]
+    assert len(smj) == 1, "the MERGE hint must pin a sort-merge join"
+    assert not any(
+        "ShuffleExchange" in name for name, _, _ in _walk(smj[0])
+    ), "bucketed scan sides must reach the join without a shuffle"
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    twin = (
+        li.hint("merge")
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    tobj = twin._jdf.queryExecution().executedPlan()
+    tsmj = [n for name, n, _ in _walk(tobj) if name == "SortMergeJoinExec"]
+    assert len(tsmj) == 1
+    n_shuffles = sum(
+        1 for name, _, _ in _walk(tsmj[0]) if "ShuffleExchange" in name
+    )
+    assert n_shuffles == 2, (
+        "raw-parquet twin should shuffle both sides; got "
+        f"{n_shuffles} — if this changed, the comparison baseline moved"
+    )
