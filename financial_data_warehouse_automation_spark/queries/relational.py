@@ -3062,6 +3062,110 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Month-partitioned orders table, written once per (session, sf_dir)
+# — the DPP demonstration's layout artifact, memoized exactly like
+# _BUCKETED_PAIR_CACHE above.
+_PARTITIONED_ORDERS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _month_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
+    import re as _re
+    import shutil
+    from urllib.parse import urlparse
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PARTITIONED_ORDERS_CACHE:
+        return _PARTITIONED_ORDERS_CACHE[key]
+    tag = _re.sub(r"\W+", "_", sf_dir).strip("_").lower()
+    name = f"ord_by_month_{tag}"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .write.partitionBy("month")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    for k in [k for k in _PARTITIONED_ORDERS_CACHE if k[0] != key[0]]:
+        del _PARTITIONED_ORDERS_CACHE[k]
+    _PARTITIONED_ORDERS_CACHE[key] = name
+    return name
+
+
+def _month_dim(spark: SparkSession) -> DataFrame:
+    """Static calendar dim (month -> quarter), 1992-01..1998-12 — the
+    tiny broadcast side whose filter DPP pushes into the fact scan."""
+    rows = [
+        (f"{y}-{m:02d}", f"{y}-Q{(m - 1) // 3 + 1}")
+        for y in range(1992, 1999)
+        for m in range(1, 13)
+    ]
+    return spark.createDataFrame(rows, "month string, quarter string")
+
+
+@query(
+    "partitioned_join_dpp",
+    tags=("layout", "partitioning", "dpp", "join"),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def partitioned_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING — the second half of the layout story
+    bucketed_join_colocated starts: orders are written once per
+    session PARTITIONED BY month (the hive-style layout a 100 TB fact
+    table actually has), then joined to a tiny calendar dim filtered
+    to one quarter. The quarter predicate lives on the DIM — no
+    static filter mentions the fact's partition column — yet Catalyst
+    injects a dynamicpruningexpression subquery into the fact scan's
+    PartitionFilters, so the scan reads the 3 matching month
+    directories out of ~81 instead of the whole table. That runtime
+    dim-filter-to-fact-prune is THE mechanism star-schema queries
+    live on at scale; tests/test_plan_hygiene.py pins it
+    structurally (the scan node carries dynamicpruning, and a
+    post-execution partition count proves 3 of 81, not 81). The dim
+    broadcasts (84 rows); the only shuffle is the final 5-group
+    aggregate. Oracle: the same quarter expressed as a static date
+    range on the raw table — DPP must not change values, only I/O."""
+    fact = spark.table(_month_partitioned_orders(spark, sf_dir))
+    # select month ONLY before the join: physical DPP planning reuses
+    # the join's broadcast iff its child canonically equals the
+    # subquery's Project[month] — with quarter still in the build side
+    # the reuse check fails and the filter silently degrades to
+    # dynamicpruningexpression(true), i.e. a full 80-partition scan
+    # (measured: 80 -> 3 partitions with this projection)
+    dim = (
+        _month_dim(spark)
+        .where(F.col("quarter") == "1995-Q1")
+        .select("month")
+    )
+    return (
+        fact.join(dim.hint("broadcast"), "month")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 @query(
     "source_linegen_pushdown_agg",
     tags=("source", "datasource-api", "pushdown", "agg"),

@@ -83,6 +83,7 @@ VERIFY_FIRST: tuple[str, ...] = (
     "doc_neardup_dropset_incremental",
     "doc_stream_dedup_state",
     "bucketed_join_colocated",
+    "partitioned_join_dpp",
     # bucket 2: plans factored this round (coarse IVF stage into
     # _ivf_probe_cells; pair pipeline into _prefix_filter_pairs)
     "ann_cosine_topk_ivf",

@@ -409,3 +409,42 @@ def test_bucketed_join_colocated_smj_shuffle_free(spark, sf_dir):
         "raw-parquet twin should shuffle both sides; got "
         f"{n_shuffles} — if this changed, the comparison baseline moved"
     )
+
+
+def test_partitioned_join_dpp_prunes_at_runtime(spark, sf_dir):
+    """Dynamic partition pruning, proven at RUNTIME not just in the
+    plan text: partitioned_join_dpp's fact scan must carry a live
+    dynamicpruningexpression (not the degraded literal-true form that
+    silently scans everything), and after execution the scan's
+    numPartitions metric must show the quarter's 3 month directories,
+    a strict subset of the table's partitions."""
+    from financial_data_warehouse_automation_spark.registry import load_all
+
+    df = load_all()["partitioned_join_dpp"].builder(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    text = plan.toString()
+    assert "dynamicpruningexpression" in text
+    assert "dynamicpruningexpression(true)" not in text, (
+        "DPP degraded to literal true — broadcast reuse failed "
+        "(dim side must stay canonically equal to Project[month])"
+    )
+    scans = [
+        n for name, n, _ in _walk(plan) if name == "FileSourceScanExec"
+    ]
+    assert scans, "fact scan not found"
+    read = scans[0].metrics().apply("numPartitions").value()
+    total = (
+        spark.table(
+            [
+                r.tableName
+                for r in spark.sql("SHOW TABLES").collect()
+                if r.tableName.startswith("ord_by_month")
+            ][0]
+        )
+        .select("month")
+        .distinct()
+        .count()
+    )
+    assert read == 3, f"expected the quarter's 3 partitions, read {read}"
+    assert total > read, "table must have more partitions than were read"
