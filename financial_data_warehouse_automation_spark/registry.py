@@ -57,7 +57,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 1. NEW queries first — each needs its first driver record in the
 #    same round it lands (the r6 lesson):
 #      ann_cosine_topk_ivf_rerank — the staged retrieval funnel
-#        (IVF cells → int8 coarse rank top-20 → exact cosine top-5).
+#        (IVF cells → int8 coarse rank top-20 → exact cosine top-5);
+#      doc_duplicate_span_pairs / doc_span_dedup_coverage — substring
+#        dedup (k-gram diagonal islands + interval-union coverage);
+#      doc_neardup_dropset / _incremental — the end-to-end drop list
+#        and its delta-epoch maintenance;
+#      doc_stream_dedup_state — foreachBatch (min,count) monoid merge;
+#      bucketed_join_colocated / partitioned_join_dpp — the two
+#        layout levers (exchange-free SMJ, runtime partition pruning).
 # 2. PLAN-TOUCHED queries whose driver record predates the change:
 #      ann_cosine_topk_ivf — its coarse stage was factored verbatim
 #        into _ivf_probe_cells (shared with the rerank query); the
