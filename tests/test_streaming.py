@@ -814,3 +814,78 @@ def test_doc_dedup_state_multibatch_min_takeover_and_retry(
     assert {k: v for k, v in final.items() if k != key} == {
         k: v for k, v in got.items() if k != key
     }
+
+
+def test_doc_dedup_state_property_any_split(spark, tmp_path):
+    """Property (hypothesis): for ANY corpus of (doc_id, text) rows —
+    duplicate texts, duplicate-free, singletons — and ANY ordered
+    partition of it into micro-batches, folding the batches through
+    dedup_state_merge_batch yields exactly the one-shot
+    GROUP BY (min doc_id, count) state. This is the monoid claim the
+    docstring makes, checked mechanically rather than on curated
+    shapes."""
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from financial_data_warehouse_automation_spark.operators.text import norm_text
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        dedup_state_merge_batch,
+    )
+
+    texts = st.sampled_from(
+        ["alpha beta", "Alpha  Beta!", "gamma", "delta epsilon zeta", "eta"]
+    )
+    corpora = st.lists(texts, min_size=1, max_size=10).flatmap(
+        lambda ts: st.permutations(list(enumerate(ts))).flatmap(
+            lambda rows: st.lists(
+                st.integers(min_value=1, max_value=max(len(rows), 1)),
+                min_size=0, max_size=3,
+            ).map(lambda cut_sizes: (rows, cut_sizes))
+        )
+    )
+
+    run_id = [0]
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(corpora)
+    def run(case):
+        rows, cut_sizes = case
+        run_id[0] += 1
+        state = str(tmp_path / f"st_{run_id[0]}")
+        shutil.rmtree(state, ignore_errors=True)
+        merge = dedup_state_merge_batch(state)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # split rows into batches by the generated cut sizes (remainder
+        # = final batch); empty cut list = single batch
+        batches, rest = [], rows
+        for c in cut_sizes:
+            batches.append(rest[:c])
+            rest = rest[c:]
+        batches.append(rest)
+        for bid, b in enumerate(x for x in batches if x):
+            merge(
+                spark.createDataFrame(b, "doc_id long, text string"), bid
+            )
+        got = {
+            r.dedup_key: (r.kept_doc_id, r.n_copies)
+            for r in spark.read.parquet(state).collect()
+        }
+        want = {
+            r.dedup_key: (r.kept_doc_id, r.n_copies)
+            for r in df.select(
+                F.md5(norm_text("text").cast("binary")).alias("dedup_key"),
+                "doc_id",
+            )
+            .groupBy("dedup_key")
+            .agg(
+                F.min("doc_id").alias("kept_doc_id"),
+                F.count(F.lit(1)).alias("n_copies"),
+            )
+            .collect()
+        }
+        assert got == want
+
+    run()
