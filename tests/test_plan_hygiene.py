@@ -448,3 +448,47 @@ def test_partitioned_join_dpp_prunes_at_runtime(spark, sf_dir):
     )
     assert read == 3, f"expected the quarter's 3 partitions, read {read}"
     assert total > read, "table must have more partitions than were read"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The third runtime lever in the engine's 100 TB posture, after
+    the bucketed co-located join and DPP: AQE's OptimizeSkewedJoin.
+    A 90%-hot-key join under production-shaped thresholds (scaled to
+    test volume through a CHILD session — spark.newSession() shares
+    the SparkContext but isolates SQLConf, so the shared fixture
+    session is never mutated) must execute as
+    SortMergeJoin(skew=true): the hot partition splits into
+    advisory-size chunks with the other side replicated per chunk,
+    removing the straggler task with no query rewrite. This is why
+    manual salting in this repo is reserved for skewed AGGREGATES
+    (skew_salted_segment_revenue), where AQE cannot split the group."""
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "65536",
+    )
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    import pyspark.sql.functions as SF
+
+    left = s2.range(0, 300_000).select(
+        SF.when(SF.col("id") % 10 != 0, SF.lit(0))
+        .otherwise(SF.col("id"))
+        .alias("k"),
+        SF.col("id").alias("v"),
+    )
+    right = s2.range(0, 2_000).select(
+        SF.col("id").alias("k"), (SF.col("id") * 2).alias("w")
+    )
+    j = left.join(right, "k")
+    n = len(j.collect())
+    # hot key 0: 270,000 ids with id%10!=0 plus id=0 itself, each
+    # matching right's k=0 row; cold side: ids 10..1990 step 10 = 199
+    assert n == 270_001 + 199
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert any(
+        "SortMergeJoin(skew=true)" in ln for ln in plan.splitlines()
+    ), "AQE did not split the hot partition — skew-join lever broken"
