@@ -1336,15 +1336,36 @@ def doc_jaccard_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     candidate phases and the verify join move 8-byte keys; the
     full-rebuild oracle still computes string Jaccard."""
     d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
+    sets = _tagged_shingle_sets(d)
+    return _incremental_tagged_pairs(sets).orderBy("id_a", "id_b")
+
+
+def _tagged_shingle_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, is_new, s): xxhash64 shingle images plus the
+    content-addressed batch tag (md5(doc_id) first nibble in c-f ⇒ the
+    ~25% delta) — the shared input frame of both incremental dedup
+    queries."""
     nibble = F.substring(
         F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
     )
-    sets = d.select(
-        "doc_id",
-        nibble.isin("c", "d", "e", "f").alias("is_new"),
-        xxhash64_set(word_shingles(tokens("text"), 3)).alias("s"),
+    return cut(
+        d.select(
+            "doc_id",
+            nibble.isin("c", "d", "e", "f").alias("is_new"),
+            xxhash64_set(word_shingles(tokens("text"), 3)).alias("s"),
+        ),
+        eager=False,
     )
-    sets = cut(sets, eager=False)
+
+
+def _incremental_tagged_pairs(sets: DataFrame) -> DataFrame:
+    """Both incremental phases, shared VERBATIM by
+    doc_jaccard_incremental_pairs (which just orders it) and
+    doc_neardup_dropset_incremental (which clusters it): the prior
+    build's AllPairs candidates over base only, the delta-probe
+    candidates over the full corpus, one verify join — unordered
+    ``(id_a, id_b, jac, found_in)`` with found_in ∈ {base, incr}
+    naming the run that found the pair."""
     base = sets.where(~F.col("is_new")).select("doc_id", "s")
     cand = allpairs_prefix_candidates(base, "doc_id", "s", tau=0.5).select(
         "id_a", "id_b", F.lit("base").alias("found_in")
@@ -1361,7 +1382,6 @@ def doc_jaccard_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(sb, "id_b")
         .where(jac >= 0.5)
         .select("id_a", "id_b", F.round(jac, 6).alias("jac"), "found_in")
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -1651,33 +1671,20 @@ def _neardup_dropset_incremental(d: DataFrame) -> DataFrame:
         ),
         eager=False,
     )
-    sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
-    sb = sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
-    jac = jaccard(F.col("sa"), F.col("sb"))
-
-    def _verified(cand: DataFrame) -> DataFrame:
-        return (
-            cand.join(sa, "id_a")
-            .join(sb, "id_b")
-            .where(jac >= 0.5)
-            .select("id_a", "id_b")
-        )
-
-    base = sets.where(~F.col("is_new")).select("doc_id", "s")
-    base_pairs = cut(
-        _verified(allpairs_prefix_candidates(base, "doc_id", "s", tau=0.5)),
+    # ONE execution of the shared-verbatim tagged pair pipeline
+    # (doc_jaccard_incremental_pairs IS this frame plus an orderBy),
+    # materialized once at the fan-out: both CC edge sets below are
+    # filters over it. found_in='base' pairs are by construction
+    # exactly the prior build's AllPairs-over-base output, so the base
+    # graph is the filtered subset, not a second pipeline run.
+    verified = cut(
+        _incremental_tagged_pairs(sets).select("id_a", "id_b", "found_in"),
         eager=True,
     )
-    all_pairs = cut(
-        base_pairs.unionByName(
-            _verified(
-                allpairs_prefix_candidates_delta(
-                    sets, "doc_id", "s", "is_new", tau=0.5
-                )
-            )
-        ),
-        eager=True,
+    base_pairs = verified.where(F.col("found_in") == "base").select(
+        "id_a", "id_b"
     )
+    all_pairs = verified.select("id_a", "id_b")
 
     def _components(pairs: DataFrame) -> DataFrame:
         nodes = (
