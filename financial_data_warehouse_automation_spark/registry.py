@@ -92,9 +92,11 @@ VERIFY_FIRST: tuple[str, ...] = (
     "bucketed_join_colocated",
     "partitioned_join_dpp",
     # bucket 2: plans factored this round (coarse IVF stage into
-    # _ivf_probe_cells; pair pipeline into _prefix_filter_pairs)
+    # _ivf_probe_cells; pair pipeline into _prefix_filter_pairs;
+    # incremental phases into _incremental_tagged_pairs)
     "ann_cosine_topk_ivf",
     "doc_jaccard_prefix_filter",
+    "doc_jaccard_incremental_pairs",
     # bucket 3: rotation re-checks, oldest green first
     "q4_priority_with_returns",
     "q6_forecast_revenue",
