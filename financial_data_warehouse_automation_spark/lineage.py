@@ -20,6 +20,18 @@ the audits see the FULL plan — pre-cut subtrees included — while
 production execution keeps the checkpoints. The variable is read per
 call, not at import, so a test fixture can flip it locally.
 
+IMPORTANT — audit mode changes more than checkpointing: the iterative
+graph operators (operators/graph.py) also replace their data-dependent
+convergence loops with a FIXED short unroll under this flag, so any
+VALUE computed in audit mode may be non-converged garbage (duplicate
+component ids, partial labels). Audit mode exists for exactly one kind
+of consumer: code that reads ``executedPlan()`` / ``explain`` output
+and never a row. The canonical flag name is therefore
+``SPARK_GRAFT_PLAN_AUDIT=1``; the historical name
+``SPARK_GRAFT_NO_CHECKPOINT=1`` is honored as a deprecated alias (it
+described only the checkpoint side effect and invited value
+consumption — r9 advisor finding).
+
 At 100 TB the same cut is GraphX's between-supersteps materialization:
 ``localCheckpoint`` stores the relation on executors (memory+disk) and
 truncates lineage. The documented trade (Spark API docs): executor
@@ -35,9 +47,21 @@ import os
 from pyspark.sql import DataFrame
 
 
+def plan_audit_mode() -> bool:
+    """True when the session runs in plan-audit mode: ``cut()`` is an
+    identity AND iterative graph loops unroll a fixed round count, so
+    results are PLANS-ONLY — never consume values computed under this
+    flag. Reads ``SPARK_GRAFT_PLAN_AUDIT`` (canonical) and
+    ``SPARK_GRAFT_NO_CHECKPOINT`` (deprecated alias) per call."""
+    return (
+        os.environ.get("SPARK_GRAFT_PLAN_AUDIT") == "1"
+        or os.environ.get("SPARK_GRAFT_NO_CHECKPOINT") == "1"
+    )
+
+
 def cut(df: DataFrame, *, eager: bool) -> DataFrame:
     """``df.localCheckpoint(eager=eager)``, or ``df`` unchanged when
-    ``SPARK_GRAFT_NO_CHECKPOINT=1`` (full-plan audit mode)."""
-    if os.environ.get("SPARK_GRAFT_NO_CHECKPOINT") == "1":
+    ``SPARK_GRAFT_PLAN_AUDIT=1`` (full-plan audit mode)."""
+    if plan_audit_mode():
         return df
     return df.localCheckpoint(eager=eager)

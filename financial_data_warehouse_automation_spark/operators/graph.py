@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 
 from financial_data_warehouse_automation_spark.lineage import cut
 
-# Rounds unrolled when SPARK_GRAFT_NO_CHECKPOINT=1 (plan-audit mode).
+# Rounds unrolled when SPARK_GRAFT_PLAN_AUDIT=1 (plan-audit mode; the
+# deprecated alias SPARK_GRAFT_NO_CHECKPOINT is honored — see
+# lineage.plan_audit_mode). VALUES COMPUTED UNDER AUDIT MODE ARE
+# INVALID: the fixed unroll skips convergence checks AND the loud
+# non-convergence raise, so component labels may be partial with
+# duplicate-id fan-out. Audit consumers read executedPlan() only.
 # In audit mode cut() is identity, so every per-round convergence
 # probe (the sig/changed collect) would EXECUTE a job over the
 # round's full uncut lineage — and star contraction references its
@@ -45,7 +50,9 @@ _AUDIT_UNROLL_ROUNDS = 2
 
 
 def _audit_mode() -> bool:
-    return os.environ.get("SPARK_GRAFT_NO_CHECKPOINT") == "1"
+    from financial_data_warehouse_automation_spark.lineage import plan_audit_mode
+
+    return plan_audit_mode()
 
 
 def connected_components(
@@ -136,7 +143,7 @@ def connected_components_two_phase(
     ``connected_components`` (pinned by equality tests on random,
     path, and bridged-clique graphs).
 
-    Under ``SPARK_GRAFT_NO_CHECKPOINT=1`` (plan-audit mode) the loop
+    Under ``SPARK_GRAFT_PLAN_AUDIT=1`` (plan-audit mode) the loop
     unrolls a fixed ``_AUDIT_UNROLL_ROUNDS`` rounds with no
     convergence probes — see the module-level comment."""
     sym = (
@@ -276,7 +283,7 @@ def copurchase_edges(spark, sf_dir: str, min_orders: int = 2) -> DataFrame:
     from financial_data_warehouse_automation_spark.lineage import cut
     from financial_data_warehouse_automation_spark.tables import load_table
 
-    audit = os.environ.get("SPARK_GRAFT_NO_CHECKPOINT") == "1"
+    audit = _audit_mode()
     key = (spark.sparkContext.applicationId, sf_dir, min_orders)
     if not audit and key in _EDGE_CACHE:
         return _EDGE_CACHE[key]

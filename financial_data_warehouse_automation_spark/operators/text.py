@@ -770,11 +770,17 @@ def duplicate_kgram_spans(
     island's token union is exactly one maximal shared span of length
     run + k − 1.
 
-    The join key is ``xxhash64(gram)`` so the shuffle carries 8 bytes,
-    not k-token strings — same injective-image convention as the
-    hashed exact-Jaccard pipelines (a 64-bit collision would surface
-    as an oracle hash-mismatch; the DuckDB oracle joins on the gram
-    STRINGS, an independent check).  At 100 TB the one scale knob this
+    The join key is the PAIR ``(xxhash64(gram), xxhash64(gram, 1))``
+    — two independent 64-bit images (the second hashes the (gram, 1)
+    tuple, a different preimage) — so the shuffle carries 16 bytes,
+    not k-token strings, and a false duplicate span needs a
+    simultaneous collision in both: ~n²/2¹²⁸, negligible at any
+    corpus size. A single 64-bit key was the r9 advisor's finding —
+    unlike the hashed exact-Jaccard pipelines there is no downstream
+    exact-verify stage here, so production output would carry an
+    ~n²/2⁶⁴ false-positive rate directly (the DuckDB oracle joins on
+    the gram STRINGS and would catch it, but only in harness runs).
+    At 100 TB the one scale knob this
     deliberately omits is a document-frequency cap on hot k-grams (a
     boilerplate gram in m docs yields m² pair rows); production runs
     cap df like the decontamination query and LSH hot-bucket cap —
@@ -790,11 +796,13 @@ def duplicate_kgram_spans(
         "doc_id",
         (F.col("p") + 1).cast("long").alias("i"),
         F.xxhash64("g").alias("h"),
+        F.xxhash64("g", F.lit(1)).alias("h2"),
     )
     a, b = e.alias("a"), e.alias("b")
     m = a.join(
         b,
         (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.h2") == F.col("b.h2"))
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     ).select(
         F.col("a.doc_id").alias("id_a"),

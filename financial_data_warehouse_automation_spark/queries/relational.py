@@ -2961,6 +2961,29 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rm_warehouse_dir(spark: SparkSession, table: str) -> None:
+    """Remove a managed table's leftover warehouse directory — the
+    classic "managed table already exists over a previous session's
+    location" guard. A local-filesystem warehouse (file:// or bare
+    path) takes the shutil fast path; any other scheme (hdfs://,
+    s3a://, ...) goes through the Hadoop FileSystem API so the cleanup
+    actually happens instead of shutil silently no-opping on a path
+    that doesn't exist locally (r9 advisor finding)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    parsed = urlparse(wh)
+    if parsed.scheme in ("", "file"):
+        shutil.rmtree(os.path.join(parsed.path, table), ignore_errors=True)
+        return
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(wh.rstrip("/") + "/" + table)
+    fs = path.getFileSystem(hconf)
+    fs.delete(path, True)  # recursive; False (absent) is fine
+
+
 # Bucketed-table layout, written once per (session, sf_dir) and
 # memoized like operators/graph.py's _EDGE_CACHE: the LAYOUT is the
 # amortized artifact (a production warehouse buckets its fact tables
@@ -2983,13 +3006,9 @@ def _bucketed_li_orders(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     # spark-warehouse while the in-memory catalog does not — creating
     # the table fresh over that leftover location is the classic
     # "managed table already exists" failure; drop + clear first
-    import shutil
-    from urllib.parse import urlparse
-
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     for t in (li_name, ord_name):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        _rm_warehouse_dir(spark, t)
     (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_extendedprice", "l_discount")
@@ -3070,17 +3089,14 @@ _PARTITIONED_ORDERS_CACHE: dict[tuple[str, str], str] = {}
 
 def _month_partitioned_orders(spark: SparkSession, sf_dir: str) -> str:
     import re as _re
-    import shutil
-    from urllib.parse import urlparse
 
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _PARTITIONED_ORDERS_CACHE:
         return _PARTITIONED_ORDERS_CACHE[key]
     tag = _re.sub(r"\W+", "_", sf_dir).strip("_").lower()
     name = f"ord_by_month_{tag}"
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+    _rm_warehouse_dir(spark, name)
     (
         load_table(spark, sf_dir, "orders")
         .select(

@@ -161,13 +161,13 @@ def test_copurchase_edges_memoized_per_session(spark, sf_dir):
     e1 = copurchase_edges(spark, sf_dir)
     e2 = copurchase_edges(spark, sf_dir)
     assert e1 is e2
-    os.environ["SPARK_GRAFT_NO_CHECKPOINT"] = "1"
+    os.environ["SPARK_GRAFT_PLAN_AUDIT"] = "1"
     try:
         e3 = copurchase_edges(spark, sf_dir)
         assert e3 is not e1
         assert "ExistingRDD" not in e3._jdf.queryExecution(
         ).executedPlan().toString()
     finally:
-        os.environ.pop("SPARK_GRAFT_NO_CHECKPOINT", None)
+        os.environ.pop("SPARK_GRAFT_PLAN_AUDIT", None)
     # values identical either way
     assert sorted(map(tuple, e3.collect())) == sorted(map(tuple, e1.collect()))

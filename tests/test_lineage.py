@@ -3,7 +3,7 @@ the plan-audit escape hatch (PERF.md round 7, wave 2).
 
 Two properties are load-bearing:
 
-1. identity under SPARK_GRAFT_NO_CHECKPOINT=1 — the hygiene sweeps
+1. identity under SPARK_GRAFT_PLAN_AUDIT=1 — the hygiene sweeps
    rely on cut() vanishing so they can walk the FULL plan;
 2. see-through actually happens — a query whose expensive stage sits
    behind a cut must expose that stage to the audit (a regression to
@@ -23,9 +23,9 @@ from financial_data_warehouse_automation_spark.lineage import cut
 
 def test_cut_is_identity_in_audit_mode(spark, monkeypatch):
     df = spark.range(5).select(F.col("id"))
-    monkeypatch.setenv("SPARK_GRAFT_NO_CHECKPOINT", "1")
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_AUDIT", "1")
     assert cut(df, eager=False) is df
-    monkeypatch.delenv("SPARK_GRAFT_NO_CHECKPOINT")
+    monkeypatch.delenv("SPARK_GRAFT_PLAN_AUDIT")
     out = cut(df, eager=True)
     assert out is not df
     assert [r.id for r in out.orderBy("id").collect()] == [0, 1, 2, 3, 4]
@@ -37,7 +37,7 @@ def test_cut_checkpoints_same_rows(spark, sf_dir, monkeypatch):
     from financial_data_warehouse_automation_spark.queries.relational import part_basket_affinity
 
     prod = part_basket_affinity(spark, sf_dir).collect()
-    monkeypatch.setenv("SPARK_GRAFT_NO_CHECKPOINT", "1")
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_AUDIT", "1")
     audit = part_basket_affinity(spark, sf_dir).collect()
     assert prod == audit
 
@@ -48,12 +48,22 @@ def test_audit_mode_exposes_precut_stages(spark, sf_dir, monkeypatch):
     it hides behind the checkpoint's RDD scan."""
     from financial_data_warehouse_automation_spark.queries.relational import part_basket_affinity
 
-    monkeypatch.setenv("SPARK_GRAFT_NO_CHECKPOINT", "1")
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_AUDIT", "1")
     audit_plan = part_basket_affinity(spark, sf_dir)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "collect_set" in audit_plan
     assert "lineitem" in audit_plan
-    monkeypatch.delenv("SPARK_GRAFT_NO_CHECKPOINT")
+    monkeypatch.delenv("SPARK_GRAFT_PLAN_AUDIT")
     prod_plan = part_basket_affinity(spark, sf_dir)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "ExistingRDD" in prod_plan
+
+
+def test_deprecated_no_checkpoint_alias_still_audits(spark, monkeypatch):
+    """SPARK_GRAFT_NO_CHECKPOINT=1 (the pre-r10 flag name) must keep
+    working as an alias for SPARK_GRAFT_PLAN_AUDIT — external scripts
+    and muscle memory reference it; the rename (r9 advisor finding)
+    only makes the plans-only contract explicit in the name."""
+    df = spark.range(3).select(F.col("id"))
+    monkeypatch.setenv("SPARK_GRAFT_NO_CHECKPOINT", "1")
+    assert cut(df, eager=False) is df

@@ -26,7 +26,7 @@ def all_plan_objs(spark, sf_dir) -> dict:
     instead of re-running the builders (some of which, e.g. the
     streaming drains, are expensive).
 
-    Built with SPARK_GRAFT_NO_CHECKPOINT=1 (financial_data_warehouse_automation_spark.lineage.cut
+    Built with SPARK_GRAFT_PLAN_AUDIT=1 (financial_data_warehouse_automation_spark.lineage.cut
     becomes identity): a localCheckpoint replaces its subtree with a
     Scan ExistingRDD node, which would hide the pre-cut stages — the
     graph edge builds, rank inputs, basket aggregation — from exactly
@@ -34,7 +34,7 @@ def all_plan_objs(spark, sf_dir) -> dict:
     production keeps the cuts."""
     import os
 
-    os.environ["SPARK_GRAFT_NO_CHECKPOINT"] = "1"
+    os.environ["SPARK_GRAFT_PLAN_AUDIT"] = "1"
     try:
         plans = {}
         for name, spec in load_all().items():
@@ -45,7 +45,7 @@ def all_plan_objs(spark, sf_dir) -> dict:
                 continue
         return plans
     finally:
-        os.environ.pop("SPARK_GRAFT_NO_CHECKPOINT", None)
+        os.environ.pop("SPARK_GRAFT_PLAN_AUDIT", None)
 
 
 @pytest.fixture(scope="session")

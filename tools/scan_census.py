@@ -38,7 +38,7 @@ def main() -> None:
     min_scans = 3
     sf = os.path.join("/root/testdata", "sf0.001")
     if "--audit" in argv:
-        os.environ["SPARK_GRAFT_NO_CHECKPOINT"] = "1"
+        os.environ["SPARK_GRAFT_PLAN_AUDIT"] = "1"
         argv.remove("--audit")
     if "--min" in argv:
         i = argv.index("--min")
@@ -66,7 +66,7 @@ def main() -> None:
         worst = {t: k for t, k in counts.items() if k >= min_scans}
         if worst:
             rows.append((max(worst.values()), name, dict(counts)))
-    mode = "audit" if os.environ.get("SPARK_GRAFT_NO_CHECKPOINT") else "production"
+    mode = "audit" if os.environ.get("SPARK_GRAFT_PLAN_AUDIT") else "production"
     print(f"# {n_ok} plans built ({mode} mode); "
           f"{len(rows)} queries scan one table >= {min_scans}x")
     for mx, name, counts in sorted(rows, reverse=True):
