@@ -399,7 +399,7 @@ def run_event_mv_refresh(
     )
 
 
-def dedup_state_merge_batch(state_path: str):
+def dedup_state_merge_batch(state_path: str, bucket_width: int = 1):
     """foreachBatch: fold one micro-batch of documents into the
     exact-dedup STATE table — the streaming side of ``doc_exact_dedup``
     (reference parity: the keep-first semantics of
@@ -417,13 +417,19 @@ def dedup_state_merge_batch(state_path: str):
     DuckDB ``GROUP BY key`` oracle check every possible arrival order.
 
     Exactly-once under retries without Delta, same scheme as
-    :func:`mv_merge_batch`: ``bucket`` = first hex char of the key (16
-    partitions), each touched bucket is rewritten via dynamic
-    partition overwrite carrying ``last_batch_id``; a bucket whose
-    stored id already >= this batch_id is skipped, since re-applying
-    the merge would double-count ``n_copies``. At 100 TB the bucket
-    fan-out widens (first 2-3 hex chars) so a batch rewrites only the
-    key ranges it touched, never the full state."""
+    :func:`mv_merge_batch`: ``bucket`` = first ``bucket_width`` hex
+    chars of the key (16**width partitions), each touched bucket is
+    rewritten via dynamic partition overwrite carrying
+    ``last_batch_id``; a bucket whose stored id already >= this
+    batch_id is skipped, since re-applying the merge would
+    double-count ``n_copies``. ``bucket_width`` IS the 100 TB knob:
+    widening to 2-3 hex chars shrinks each bucket to 1/16th-1/256th
+    of the state, so an incremental batch touching k keys rewrites
+    ~k/(16**width) of the stored rows instead of ~k/16 — the touched
+    FRACTION of state is what widening buys (the touched bucket COUNT
+    can grow; each is proportionally smaller). Pinned by
+    tests/test_streaming.py's width-2 test: same terminal state,
+    strictly fewer pre-existing rows rewritten per delta batch."""
 
     def apply(batch: DataFrame, batch_id: int) -> None:
         from financial_data_warehouse_automation_spark.operators.text import norm_text
@@ -439,7 +445,7 @@ def dedup_state_merge_batch(state_path: str):
                 F.min("doc_id").alias("kept_doc_id"),
                 F.count(F.lit(1)).cast("long").alias("n_copies"),
             )
-            .withColumn("bucket", F.substring("dedup_key", 1, 1))
+            .withColumn("bucket", F.substring("dedup_key", 1, bucket_width))
             .withColumn("last_batch_id", F.lit(batch_id).cast("long"))
         )
         buckets = [
@@ -493,13 +499,16 @@ def dedup_state_merge_batch(state_path: str):
 
 def run_doc_dedup_state(
     spark: SparkSession, docs: DataFrame, state_path: str,
-    checkpoint_dir: str,
+    checkpoint_dir: str, bucket_width: int = 1,
 ) -> StreamingQuery:
     """Stream documents into the exact-dedup state table (availableNow
     = one scheduled maintenance pass; drop the trigger for a live
-    tail)."""
+    tail). ``bucket_width`` widens the state partitioning — see
+    :func:`dedup_state_merge_batch`."""
     return (
-        docs.writeStream.foreachBatch(dedup_state_merge_batch(state_path))
+        docs.writeStream.foreachBatch(
+            dedup_state_merge_batch(state_path, bucket_width)
+        )
         .option(
             "checkpointLocation", os.path.join(checkpoint_dir, "dedup_state")
         )

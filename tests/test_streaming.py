@@ -889,3 +889,51 @@ def test_doc_dedup_state_property_any_split(spark, tmp_path):
         assert got == want
 
     run()
+
+
+def test_doc_dedup_state_bucket_width_shrinks_rewrite(spark, sf_dir, tmp_path):
+    """bucket_width is the documented 100 TB knob ("widen the prefix to
+    2-3 hex chars so a rewrite touches key ranges") — now a parameter,
+    not prose. Two properties: (a) the terminal state is identical at
+    width 1 and width 2 (the partitioning is an implementation detail
+    of the merge, invisible in values); (b) a small delta batch merged
+    into an existing state REWRITES strictly fewer pre-existing rows at
+    width 2 — dynamic partition overwrite rewrites whole touched
+    buckets, and 256-way buckets hold ~1/16th the rows of 16-way ones,
+    so the touched fraction of state shrinks even though the touched
+    bucket COUNT may grow."""
+    from financial_data_warehouse_automation_spark.operators.text import norm_text
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        dedup_state_merge_batch,
+    )
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    delta_ids = [r.doc_id for r in docs.orderBy("doc_id").limit(3).collect()]
+    delta = docs.where(F.col("doc_id").isin(delta_ids))
+    base = docs.where(~F.col("doc_id").isin(delta_ids))
+
+    terminal, rewritten = {}, {}
+    for width in (1, 2):
+        state = str(tmp_path / f"state_w{width}")
+        merge = dedup_state_merge_batch(state, bucket_width=width)
+        merge(base, 0)
+        stored = spark.read.parquet(state)
+        touched = [
+            r.b
+            for r in delta.select(
+                F.substring(
+                    F.md5(norm_text("text").cast("binary")), 1, width
+                ).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        rewritten[width] = stored.where(F.col("bucket").isin(touched)).count()
+        merge(delta, 1)
+        terminal[width] = sorted(
+            (r.dedup_key, r.kept_doc_id, r.n_copies)
+            for r in spark.read.parquet(state).collect()
+        )
+    assert terminal[1] == terminal[2]
+    assert 0 < rewritten[2] < rewritten[1]
