@@ -1816,3 +1816,53 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_day")
     )
+
+
+@query(
+    "events_rolling_7d_dau",
+    tags=("events", "window", "distinct", "scale-pattern"),
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+), days AS (
+  SELECT DISTINCT d FROM ud
+)
+SELECT days.d AS day,
+       CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS dau7
+FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+GROUP BY 1 ORDER BY 1
+""",
+)
+def events_rolling_7d_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per active day (rolling
+    WAU/DAU) — the sliding EXACT-DISTINCT shape window functions
+    cannot express (COUNT(DISTINCT) OVER a moving frame is
+    unsupported in Spark, and trailing_30d_customer_revenue's RANGE
+    frame only works because SUM is decomposable).
+
+    The scale move is the day-EXPANSION rewrite: distinct
+    (user, active_day) pairs explode to the ≤7 trailing report days
+    they witness, turning the oracle's range join (each report day
+    probes a 7-day interval — quadratic-ish work for a generic
+    engine) into a plain equi-join aggregate keyed on the report day.
+    Fan-out is a constant 7× on the DISTINCT pair grain (already ≪
+    event grain), one shuffle on day, partial-agg friendly — at
+    100 TB this is the standard sliding-DAU/WAU/MAU pipeline, and the
+    window width only scales the constant. Report days are the days
+    that themselves have ≥1 event (a calendar gap-fill is
+    events_day_gaps' job)."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = ud.select(F.col("d").alias("day")).distinct()
+    expanded = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
+            "day"
+        ),
+    )
+    return (
+        expanded.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("dau7"))
+        .orderBy("day")
+    )

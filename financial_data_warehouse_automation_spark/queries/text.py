@@ -2937,3 +2937,93 @@ def doc_span_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "doc_block_dedup_rebuild",
+    tags=("text", "dedup", "llm-pipeline", "curation"),
+    oracle=r"""
+WITH tagged AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), blocks AS (
+  SELECT doc_id, i AS bpos,
+         array_to_string(toks[(i-1)*10+1:(i-1)*10+10], ' ') AS block
+  FROM tagged,
+       UNNEST(generate_series(
+         1, CAST(CEIL(len(toks) / 10.0) AS BIGINT))) AS t(i)
+  WHERE len(toks) >= 1
+), ranked AS (
+  SELECT doc_id, bpos, block,
+         ROW_NUMBER() OVER (PARTITION BY block
+                            ORDER BY doc_id, bpos) AS rn
+  FROM blocks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN block END, ' '
+                           ORDER BY bpos), '') AS clean_text
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def doc_block_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document EXACT dedup with corpus REBUILD — the C4 move
+    (Raffel et al., JMLR 2020: discard every repeated three-sentence
+    span, keeping one occurrence) adapted to this corpus's unit
+    (10-token blocks; the synthetic text has no sentence boundaries).
+    Where doc_duplicate_span_pairs DETECTS shared substrings, this
+    query EMITS THE CLEANED CORPUS: each document's text is rebuilt
+    from only the blocks whose content appears here first
+    (first = lowest (doc_id, position) over the whole corpus, so
+    intra-document repeats are removed too).
+
+    Shape, and why it scales: block construction is a per-row array
+    transform (sequence → slice → concat_ws — no explode-then-regroup,
+    no shuffle); the global keep-first is ONE window keyed on the
+    block content (shuffle volume = the corpus, once); the rebuild is
+    one groupBy(doc_id) whose ordered concat runs as
+    collect_list(struct(bpos, block)) → array_sort → no second sort
+    shuffle. Never doc×doc anywhere. At 100 TB the window key becomes
+    the (xxhash64(block), xxhash64(block, 1)) pair of
+    duplicate_kgram_spans — 16-byte shuffle rows instead of block
+    strings, collision odds ~n²/2¹²⁸; the string key here keeps the
+    query engine-agnostic so the DuckDB oracle checks the SEMANTICS
+    (reference: same keep-first-by-key convention as
+    python_version/build_warehouse.py's dimension dedupe)."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .where(F.size("toks") >= 1)
+    )
+    nb = F.ceil(F.size("toks") / F.lit(10.0)).cast("int")
+    blocks = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), nb),
+                lambda i: F.concat_ws(
+                    " ", F.slice("toks", (i - 1) * 10 + 1, 10)
+                ),
+            )
+        ).alias("p", "block"),
+    ).select("doc_id", (F.col("p") + 1).alias("bpos"), "block")
+    w = Window.partitionBy("block").orderBy("doc_id", "bpos")
+    ranked = blocks.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("bpos", "block"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s.block
+                ),
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )

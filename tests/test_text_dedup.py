@@ -819,3 +819,38 @@ def test_neardup_dropset_incremental_epoch_attribution(spark):
         (11, 9, 3, "base"),
         (21, 20, 2, "incr"),
     }
+
+
+def test_doc_block_dedup_rebuild_hand_built(spark, tmp_path, monkeypatch):
+    """Keep-first semantics on a corpus built to hit every branch:
+    cross-doc duplicate blocks (doc 1's repeat of doc 0's block is
+    dropped), INTRA-doc repeats (doc 2 repeats its own first block),
+    and a partial tail block (11 tokens = one full + one 1-token
+    block). First = lowest (doc_id, position) globally."""
+    from financial_data_warehouse_automation_spark.queries.text import doc_block_dedup_rebuild
+    from financial_data_warehouse_automation_spark import tables
+
+    a = " ".join(f"a{i}" for i in range(10))          # block A
+    b = " ".join(f"b{i}" for i in range(10))          # block B
+    rows = [
+        (0, a + " " + b),                # doc 0: A B        -> keeps both
+        (1, b + " " + a + " tail"),      # doc 1: B A [tail] -> keeps only 'tail'
+        (2, a + " " + a),                # doc 2: A A        -> keeps nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d)
+    import os
+    os.rename(
+        [os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")][0],
+        str(tmp_path / "documents.parquet"),
+    )
+    tables._RELATION_CACHE.clear()
+    out = {
+        r.doc_id: (r.n_blocks, r.n_kept, r.clean_text)
+        for r in doc_block_dedup_rebuild(spark, str(tmp_path)).collect()
+    }
+    tables._RELATION_CACHE.clear()
+    assert out[0] == (2, 2, a + " " + b)
+    assert out[1] == (3, 1, "tail")
+    assert out[2] == (2, 0, "")
