@@ -51,92 +51,41 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver's correctness gate verifies queries in dict order and has
 # only ever recorded a 50-entry prefix per round. load_all() reorders
-# via this tuple so every recorded slot is deliberately chosen.
-# Round 9's prefix (tools/next_verify_prefix.py output, amended):
+# via this tuple so every recorded slot is deliberately chosen. The
+# tuple is EXACTLY 50 entries (r9 advisor: a 59-entry tuple silently
+# gave slots 51+ no record while claiming otherwise).
+# Round 10's prefix:
 #
 # 1. NEW queries first — each needs its first driver record in the
 #    same round it lands (the r6 lesson):
-#      ann_cosine_topk_ivf_rerank — the staged retrieval funnel
-#        (IVF cells → int8 coarse rank top-20 → exact cosine top-5);
-#      doc_duplicate_span_pairs / doc_span_dedup_coverage — substring
-#        dedup (k-gram diagonal islands + interval-union coverage);
-#      doc_neardup_dropset / _incremental — the end-to-end drop list
-#        and its delta-epoch maintenance;
-#      doc_stream_dedup_state — foreachBatch (min,count) monoid merge;
-#      bucketed_join_colocated / partitioned_join_dpp — the two
-#        layout levers (exchange-free SMJ, runtime partition pruning).
+#      doc_block_dedup_rebuild — C4-style block dedup + corpus rebuild;
+#      events_rolling_7d_dau — sliding exact-distinct via day expansion.
 # 2. PLAN-TOUCHED queries whose driver record predates the change:
-#      ann_cosine_topk_ivf — its coarse stage was factored verbatim
-#        into _ivf_probe_cells (shared with the rerank query); the
-#        plan is expression-identical and locally oracle-green, but
-#        the driver should confirm.
+#      doc_duplicate_span_pairs / doc_span_dedup_coverage — r10 joins
+#        on a second independent xxhash64 image (advisor finding);
+#      doc_shingle_jaccard_blocked — the r9 verdict's named task: its
+#        executed plan was rewritten over xxhash64 element images in
+#        r9 but its newest driver green (r8) predates the rewrite.
 # 3. Rotation re-checks of the OLDEST green anchors (oldest last-green
-#    round first, then name): the two r8-displaced queue heads
-#    (q4_priority_with_returns, q6_forecast_revenue), then the
-#    r5/r6-era TPC-H/window/text/events bands. The two tail slots
-#    this amendment displaces (q11_important_parts, q15_top_supplier)
-#    queue for r10 as the oldest remaining greens.
+#    round first, then name — tools/next_verify_prefix.py order): all
+#    20 r5-era greens, then the r6 band alphabetically as far as the
+#    remaining 25 slots reach (through ingest_gl_dim). The 24 r6-era
+#    greens past that point (ingest_income_statement ..
+#    session_funnel_conversion) queue for r11's prefix.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
 # takes a slot again. Local ground truth for every query at BOTH scale
 # factors: CORRECTNESS_LOCAL_sf001.json / CORRECTNESS_LOCAL_sf01.json
 # (regenerate with tools/verify_oracle.py --json).
 VERIFY_FIRST: tuple[str, ...] = (
-    # bucket 1: new queries, first driver record
-    "ann_cosine_topk_ivf_rerank",
+    # bucket 1: new r10 queries
+    "doc_block_dedup_rebuild",
+    "events_rolling_7d_dau",
+    # bucket 2: plans touched without a post-change driver record
     "doc_duplicate_span_pairs",
     "doc_span_dedup_coverage",
-    "doc_neardup_dropset",
-    "doc_neardup_dropset_incremental",
-    "doc_stream_dedup_state",
-    "bucketed_join_colocated",
-    "partitioned_join_dpp",
-    # bucket 2: plans factored this round (coarse IVF stage into
-    # _ivf_probe_cells; pair pipeline into _prefix_filter_pairs;
-    # incremental phases into _incremental_tagged_pairs)
-    "ann_cosine_topk_ivf",
-    "doc_jaccard_prefix_filter",
-    "doc_jaccard_incremental_pairs",
-    # bucket 3: rotation re-checks, oldest green first
-    "q4_priority_with_returns",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "rolling_median_monthly_revenue",
-    "skew_salted_segment_revenue",
-    "top_customers_concat_per_nation",
-    "trailing_30d_customer_revenue",
-    "ytd_running_total",
-    "cube_brand_size",
-    "customer_ltv_cohorts",
-    "customer_order_full_outer",
-    "customer_revenue_gini",
-    "customer_rfm_segments",
-    "customers_with_big_orders_semi",
-    "customers_without_orders_anti",
-    "distinct_counts_per_segment",
-    "doc_containment_pairs",
-    "doc_dedup_dropset",
-    "doc_kl_divergence",
-    "doc_length_buckets",
-    "doc_minhash_md5_pairs",
-    "doc_shuffle_order",
-    "doc_vocab_top100",
-    "embedding_semantic_dedup",
-    "events_asof_last_order",
-    "events_asof_next_order",
-    "events_cusum_drift",
-    "events_day_gaps",
-    "events_ewma_daily",
-    "events_mad_anomalies",
-    "events_markov_transitions",
-    "events_session_window_builtin",
-    "events_stream_mv_refresh",
-    "events_top_paths_3step",
-    "media_feature_histograms",
-    "media_shared_frame_neardup",
-    "monthly_revenue_seasonality",
-    "mv_incremental_refresh",
+    "doc_shingle_jaccard_blocked",
+    # bucket 3: rotation re-checks, oldest green first (r5 band)
     "orders_benford_audit",
     "orders_installments_udtf",
     "orders_psi_drift",
@@ -146,7 +95,45 @@ VERIFY_FIRST: tuple[str, ...] = (
     "part_copurchase_triangles",
     "part_pagerank_step",
     "part_reach_3hops",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "segment_revenue_trend",
+    "source_linegen_agg",
+    "source_linegen_pushdown_agg",
+    "source_linegen_stream_agg",
+    "supplier_concentration_hhi",
+    "warehouse_referential_audit",
+    "warehouse_snapshot_diff",
+    # bucket 3 continued: r6 band, alphabetical
+    "approx_distinct_parts_kmv",
+    "doc_bpe_pair_step",
+    "doc_importance_resample",
+    "doc_priority_sample",
+    "doc_simhash_neardup_pairs",
+    "doc_source_mixing_weights",
+    "embedding_power_iteration",
+    "events_ab_test_zscore",
+    "events_attribution_last_touch",
+    "events_attribution_linear",
+    "events_daily_stats",
+    "events_from_json_struct",
+    "events_json_extract",
+    "events_range_join_quarters",
+    "events_retention_cohorts",
+    "events_scd2_point_in_time",
+    "events_sessionization_two_phase",
+    "events_sliding_30m_15m",
+    "events_stream_stream_left_join",
+    "events_tumbling_15min",
+    "grouping_sets_flag_year",
+    "ingest_balance_sheet",
+    "ingest_dept_enrichment",
+    "ingest_file_listing",
+    "ingest_gl_dim",
 )
+assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 
 
 def query(
