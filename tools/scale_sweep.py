@@ -3,7 +3,7 @@ row count — the whole-registry companion to bench.py, built for the
 fabricated 10× directory from tools/scale_testdata.py:
 
     python tools/scale_testdata.py                  # once: build testdata_sf1
-    python tools/scale_sweep.py --sf-dir testdata_sf1 --log sweep_sf1.tsv \
+    python tools/scale_sweep.py --sf-dir testdata_sf1 --log artifacts/sweep_sf1.tsv \
         --reps 3
 
 The log is TSV: ``name  min_sec  rows  median_sec  reps`` (ERR/SKIP +
@@ -51,7 +51,7 @@ def main() -> None:
     from financial_data_warehouse_automation_spark.session import get_spark
 
     sf_dir = os.path.join(REPO, "testdata_sf1")
-    log_path = os.path.join(REPO, "sweep_sf1.tsv")
+    log_path = os.path.join(REPO, "artifacts", "sweep_sf1.tsv")
     skip = dict(DEFAULT_SKIP)
     reps = 3
     only: set[str] | None = None
