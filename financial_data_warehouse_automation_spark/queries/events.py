@@ -1819,50 +1819,101 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "events_rolling_7d_dau",
-    tags=("events", "window", "distinct", "scale-pattern"),
+    "events_kmv_weekly_merge",
+    tags=("events", "sketch", "merge", "reaggregation", "approx"),
     oracle="""
-WITH ud AS (
-  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
-), days AS (
-  SELECT DISTINCT d FROM ud
+WITH dh AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events
+), day_sketch AS (
+  SELECT day, h,
+         ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+  FROM dh
+), stored AS (
+  SELECT day, h FROM day_sketch WHERE rn <= 32
+), merged AS (
+  SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS week, h
+  FROM stored
+), ranked AS (
+  SELECT week, h, ROW_NUMBER() OVER (PARTITION BY week ORDER BY h) AS rn
+  FROM merged
 )
-SELECT days.d AS day,
-       CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS dau7
-FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
-GROUP BY 1 ORDER BY 1
+SELECT week,
+       CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+       CAST(MAX(CASE WHEN rn = 32 THEN h END) AS BIGINT) AS kth_hash,
+       CAST(ROUND(CASE
+         WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+         ELSE 31.0 * 1152921504606846976.0
+              / CAST(MAX(CASE WHEN rn = 32 THEN h END) AS DOUBLE)
+       END, 4) AS DOUBLE) AS est_users
+FROM ranked WHERE rn <= 32 GROUP BY week ORDER BY week
 """,
 )
-def events_rolling_7d_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-day distinct active users per active day (rolling
-    WAU/DAU) — the sliding EXACT-DISTINCT shape window functions
-    cannot express (COUNT(DISTINCT) OVER a moving frame is
-    unsupported in Spark, and trailing_30d_customer_revenue's RANGE
-    frame only works because SUM is decomposable).
+def events_kmv_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch RE-AGGREGATION — the one sketch move the registry's
+    band didn't yet demonstrate: every other sketch query builds its
+    sketch from raw data inside one plan, but the 100 TB pattern is to
+    STORE per-partition sketches (here: per-day KMV user sketches,
+    k=32 smallest md5-hashes — the stage this query's `stored` frame
+    stands in for) and answer coarser-grain questions by MERGING
+    sketches, never rescanning events. KMV merge = union the hash
+    sets, re-take the k smallest: any hash among a week's k smallest
+    is, within its own day, ranked at least as high, so it survived
+    the day sketch — k-min(∪ day k-mins) = k-min(week's full set),
+    which makes the merged weekly estimate IDENTICAL to a
+    direct-from-raw weekly KMV (pinned by test_kmv_merge_equals_direct
+    and, bit-for-bit, by the DuckDB oracle replaying both stages).
 
-    The scale move is the day-EXPANSION rewrite: distinct
-    (user, active_day) pairs explode to the ≤7 trailing report days
-    they witness, turning the oracle's range join (each report day
-    probes a 7-day interval — quadratic-ish work for a generic
-    engine) into a plain equi-join aggregate keyed on the report day.
-    Fan-out is a constant 7× on the DISTINCT pair grain (already ≪
-    event grain), one shuffle on day, partial-agg friendly — at
-    100 TB this is the standard sliding-DAU/WAU/MAU pipeline, and the
-    window width only scales the constant. Report days are the days
-    that themselves have ≥1 event (a calendar gap-fill is
-    events_day_gaps' job)."""
+    Merge cost is k x 7 rows per week — independent of event volume;
+    the day-sketch build uses the same salted two-pass k-min as
+    approx_distinct_parts_kmv so no day funnels its distinct-hash set
+    through one task. Weeks under k distinct users fall back to the
+    exact count (the sketch holds the whole set; NULL kth_hash in both
+    engines — exercised at sf0.001 where every week is exact, while
+    sf0.01+ exercises the estimator branch)."""
+    k = 32
+    m_double = float(1 << 60)
     e = load_table(spark, sf_dir, "events")
-    ud = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
-    days = ud.select(F.col("d").alias("day")).distinct()
-    expanded = ud.select(
-        "user_id",
-        F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6))).alias(
-            "day"
-        ),
+    dh = e.select(
+        F.to_date("ts").alias("day"),
+        md5_prefix_int(
+            F.col("user_id").cast("string").cast("binary")
+        ).alias("h"),
+    ).distinct()
+    salted = dh.withColumn("salt", F.pmod("h", F.lit(64)))
+    w1 = Window.partitionBy("day", "salt").orderBy("h")
+    cand = (
+        salted.withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= k)
+        .drop("rn1", "salt")
+    )
+    w2 = Window.partitionBy("day").orderBy("h")  # <= 64k rows/day
+    stored = (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .select("day", "h")
+    )
+    merged = stored.select(
+        F.date_trunc("week", "day").cast("date").alias("week"), "h"
+    ).distinct()
+    w3 = Window.partitionBy("week").orderBy("h")
+    ranked = (
+        merged.withColumn("rn", F.row_number().over(w3))
+        .where(F.col("rn") <= k)
+    )
+    n = F.count(F.lit(1))
+    kth = F.max(F.when(F.col("rn") == k, F.col("h")))
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit((k - 1) * m_double) / kth.cast("double")
     )
     return (
-        expanded.join(days, "day")
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").cast("long").alias("dau7"))
-        .orderBy("day")
+        ranked.groupBy("week")
+        .agg(
+            n.cast("long").alias("n_in_sketch"),
+            kth.cast("long").alias("kth_hash"),
+            F.round(est, 4).cast("double").alias("est_users"),
+        )
+        .orderBy("week")
     )

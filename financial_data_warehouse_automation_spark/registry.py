@@ -80,7 +80,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 VERIFY_FIRST: tuple[str, ...] = (
     # bucket 1: new r10 queries
     "doc_block_dedup_rebuild",
-    "events_rolling_7d_dau",
+    "events_kmv_weekly_merge",
     # bucket 2: plans touched without a post-change driver record
     "doc_duplicate_span_pairs",
     "doc_span_dedup_coverage",

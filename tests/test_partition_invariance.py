@@ -46,3 +46,55 @@ def _rows(spark, name, sf_dir, n_parts: int):
 @pytest.mark.parametrize("name", CASES)
 def test_result_invariant_under_shuffle_partition_count(spark, sf_dir, name):
     assert _rows(spark, name, sf_dir, 3) == _rows(spark, name, sf_dir, 17)
+
+
+def test_kmv_merge_equals_direct(spark, sf_dir):
+    """The capability events_kmv_weekly_merge exists to demonstrate:
+    merging stored per-day KMV sketches (union, re-take k smallest)
+    yields BIT-IDENTICAL weekly estimates to building the weekly KMV
+    directly from raw events — so a warehouse can keep day-grain
+    sketches and re-aggregate to any coarser grain without rescanning.
+    (k-min of a union of per-day k-mins = k-min of the union: a hash
+    among the week's k smallest ranks at least as high within its own
+    day, so the day sketch kept it.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.functions.scalars import md5_prefix_int
+    from financial_data_warehouse_automation_spark.registry import load_all
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    merged = sorted(
+        tuple(r)
+        for r in load_all()["events_kmv_weekly_merge"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+
+    k = 32
+    e = load_table(spark, sf_dir, "events")
+    dh = e.select(
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+        md5_prefix_int(
+            F.col("user_id").cast("string").cast("binary")
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("week").orderBy("h")
+    ranked = dh.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    n = F.count(F.lit(1))
+    kth = F.max(F.when(F.col("rn") == k, F.col("h")))
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit((k - 1) * float(1 << 60)) / kth.cast("double")
+    )
+    direct = sorted(
+        tuple(r)
+        for r in ranked.groupBy("week")
+        .agg(
+            n.cast("long").alias("n_in_sketch"),
+            kth.cast("long").alias("kth_hash"),
+            F.round(est, 4).cast("double").alias("est_users"),
+        )
+        .orderBy("week")
+        .collect()
+    )
+    assert merged == direct
