@@ -3527,3 +3527,77 @@ def part_inventory_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_stockout_days"),
         F.max("balance").alias("max_balance"),
     )
+
+
+def _rowsink_workdir() -> str:
+    """Per-run /tmp dir for the rowsink demo, removed at process exit
+    (same per-run-not-content-addressed reasoning as
+    queries/streaming_demo._dedup_state_workdir: a reused dir would
+    let repeat timings skip the write)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="rowsink_demo_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return work
+
+
+@query(
+    "source_rowsink_roundtrip",
+    tags=("source", "datasource-api", "writer", "sink"),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+)
+def source_rowsink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER (sources/rowsink.py) proven by
+    roundtrip: orders flow OUT through the writer's full two-phase
+    commit protocol — per-partition executor writes to temp files,
+    driver-side commit renaming them into place + a _SUCCESS manifest
+    — then back IN through Spark's json reader, and the aggregate of
+    what survived the sink must hash-match DuckDB aggregating the
+    original table. A silently dropped partition, a double-committed
+    temp, or a row lost at the task/driver handoff all break the
+    count/cents totals, so the oracle certifies the commit protocol,
+    not just the aggregate. Completes the pluggable-source story:
+    linegen demonstrates reader/pushdown/stream-reader, this is the
+    sink side (reference parity: the write-back step at
+    python_version/build_warehouse.py:203-210). Commit/abort edge
+    cases (overwrite clears prior parts, abort removes temps, manifest
+    totals) are unit-tested in tests/test_sources.py."""
+    from financial_data_warehouse_automation_spark.sources.rowsink import RowSinkDataSource
+
+    try:  # idempotent under repeated registration in one session
+        spark.dataSource.register(RowSinkDataSource)
+    except Exception:
+        pass
+    work = _rowsink_workdir()
+    (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            .alias("cents"),
+        )
+        .write.format("rowsink")
+        .option("path", work)
+        .mode("overwrite")
+        .save()
+    )
+    back = spark.read.schema(
+        "o_orderkey long, o_orderpriority string, cents long"
+    ).json(os.path.join(work, "part-*.jsonl"))
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

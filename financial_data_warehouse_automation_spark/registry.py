@@ -69,8 +69,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 3. Rotation re-checks of the OLDEST green anchors (oldest last-green
 #    round first, then name — tools/next_verify_prefix.py order): all
 #    20 r5-era greens, then the r6 band alphabetically as far as the
-#    remaining 25 slots reach (through ingest_gl_dim). The 24 r6-era
-#    greens past that point (ingest_income_statement ..
+#    remaining 24 slots reach (through ingest_file_listing). The 25
+#    r6-era greens past that point (ingest_gl_dim ..
 #    session_funnel_conversion) queue for r11's prefix.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
@@ -81,6 +81,7 @@ VERIFY_FIRST: tuple[str, ...] = (
     # bucket 1: new r10 queries
     "doc_block_dedup_rebuild",
     "events_kmv_weekly_merge",
+    "source_rowsink_roundtrip",
     # bucket 2: plans touched without a post-change driver record
     "doc_duplicate_span_pairs",
     "doc_span_dedup_coverage",
@@ -131,7 +132,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "ingest_balance_sheet",
     "ingest_dept_enrichment",
     "ingest_file_listing",
-    "ingest_gl_dim",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

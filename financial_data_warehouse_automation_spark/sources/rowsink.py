@@ -1,0 +1,111 @@
+"""Custom Python DataSource WRITER (Spark 4 ``pyspark.sql.datasource``
+API) — the sink-side twin of sources/linegen.py's reader.
+
+The reference's sink side is "write the warehouse sheet back"
+(python_version/build_warehouse.py:203-210, Code.gs:317-320); this
+engine's parquet sinks (operators/sinks.py) cover that, but §2's
+source/sink surface also wants the PLUGGABLE case: pushing results to
+a system Spark has no connector for (a REST endpoint, a queue, a
+bespoke file format). Spark 4's ``DataSourceWriter`` is the sanctioned
+extension point, and this module demonstrates its full two-phase
+commit protocol:
+
+- ``write(iterator)`` runs ONCE PER PARTITION on executors, streams
+  the partition's rows to a temp file (``_tmp-<uuid>.jsonl``) and
+  returns a ``WriterCommitMessage`` carrying the temp name + row
+  count — no data, messages must stay small and picklable;
+- ``commit(messages)`` runs on the DRIVER only after every task
+  succeeded: it renames each temp to its final ``part-NNNNN`` name and
+  writes a ``_SUCCESS`` manifest with per-file row counts (readers of
+  the sink treat a missing manifest as an incomplete job);
+- ``abort(messages)`` deletes the temps, so a failed job leaves no
+  partial output visible.
+
+That temp-then-rename-on-commit shape is exactly the Hadoop
+FileOutputCommitter contract; in local mode executors and driver share
+/tmp, and at cluster scale the path points at shared storage where
+rename-on-commit has the same semantics. Rows are serialized as
+newline-delimited JSON via the stdlib — deterministic for the
+int/string columns the demo writes (a production sink would map the
+full type surface; the protocol, not the format, is what this
+demonstrates).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _SinkCommit(WriterCommitMessage):
+    tmp_name: str
+    n_rows: int
+
+
+class RowSinkWriter(DataSourceWriter):
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rowsink requires a 'path' option")
+        self.cols = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        tmp = f"_tmp-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, tmp), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.cols, row)), sort_keys=True))
+                f.write("\n")
+                n += 1
+        return _SinkCommit(tmp_name=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-") or name == "_SUCCESS":
+                    os.remove(os.path.join(self.path, name))
+        job = uuid.uuid4().hex[:8]
+        manifest = {}
+        for i, m in enumerate(messages):
+            if m is None:  # a task with no data still commits the job
+                continue
+            final = f"part-{i:05d}-{job}.jsonl"
+            os.rename(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, final),
+            )
+            manifest[final] = m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"files": manifest, "total": sum(manifest.values())}, f)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass
+
+
+class RowSinkDataSource(DataSource):
+    """Register with ``spark.dataSource.register(RowSinkDataSource)``,
+    then ``df.write.format("rowsink").option("path", d).mode(...)
+    .save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "rowsink"
+
+    def writer(self, schema, overwrite: bool) -> RowSinkWriter:
+        os.makedirs(self.options.get("path", ""), exist_ok=True)
+        return RowSinkWriter(self.options, schema, overwrite)

@@ -202,3 +202,70 @@ def test_linegen_filter_pushdown_narrows_planned_partitions():
     r3 = LineGenReader({"rows": "100", "numpartitions": "4"})
     r3.pushFilters([GreaterThanOrEqual(("i",), 90), LessThan(("i",), 10)])
     assert sum(p.end - p.start for p in r3.partitions()) == 0
+
+
+def test_rowsink_commit_protocol(spark, tmp_path):
+    """The writer's two-phase commit, observed directly: temps never
+    survive a committed job, part files + _SUCCESS manifest totals
+    reconcile with the input, and overwrite clears the previous job's
+    parts instead of accumulating."""
+    import json
+    import os
+
+    from financial_data_warehouse_automation_spark.sources.rowsink import RowSinkDataSource
+
+    try:
+        spark.dataSource.register(RowSinkDataSource)
+    except Exception:
+        pass
+    d = str(tmp_path / "sink")
+    df = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("k"), F.col("id")).alias("k")
+    ).repartition(4)
+    df.write.format("rowsink").option("path", d).mode("overwrite").save()
+    names = sorted(os.listdir(d))
+    parts = [n for n in names if n.startswith("part-")]
+    assert not [n for n in names if n.startswith("_tmp-")]
+    assert "_SUCCESS" in names
+    manifest = json.load(open(os.path.join(d, "_SUCCESS")))
+    assert manifest["total"] == 100
+    assert sum(manifest["files"].values()) == 100
+    assert set(manifest["files"]) == set(parts)
+    n_lines = 0
+    for p in parts:
+        with open(os.path.join(d, p)) as f:
+            n_lines += sum(1 for _ in f)
+    assert n_lines == 100
+
+    # overwrite: a second job replaces, never accumulates
+    df.limit(10).write.format("rowsink").option("path", d).mode(
+        "overwrite"
+    ).save()
+    manifest2 = json.load(open(os.path.join(d, "_SUCCESS")))
+    assert manifest2["total"] == 10
+    parts2 = [n for n in os.listdir(d) if n.startswith("part-")]
+    assert set(parts2) == set(manifest2["files"])
+    assert not (set(parts2) & set(parts))
+
+
+def test_rowsink_abort_removes_temps(tmp_path):
+    """abort() (driver-side, after a task failure) must delete every
+    temp the finished tasks produced — a plain-Python exercise of the
+    protocol objects, no Spark job needed."""
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from financial_data_warehouse_automation_spark.sources.rowsink import RowSinkWriter
+
+    d = str(tmp_path / "sink")
+    os.makedirs(d)
+    w = RowSinkWriter(
+        {"path": d},
+        StructType([StructField("id", LongType())]),
+        overwrite=False,
+    )
+    msgs = [w.write(iter([(1,), (2,)])), w.write(iter([(3,)])), None]
+    assert len([n for n in os.listdir(d) if n.startswith("_tmp-")]) == 2
+    w.abort(msgs)
+    assert os.listdir(d) == []
