@@ -15,7 +15,7 @@ ExistingRDD`` node, which would BLIND the mechanical plan audits
 (tests/test_plan_hygiene.py walks every query's executed plan to
 reject cartesian products, unpartitioned windows over growing frames,
 and forced broadcasts of growing tables). With
-``SPARK_GRAFT_NO_CHECKPOINT=1`` every ``cut()`` is an identity, so
+``SPARK_GRAFT_PLAN_AUDIT=1`` every ``cut()`` is an identity, so
 the audits see the FULL plan — pre-cut subtrees included — while
 production execution keeps the checkpoints. The variable is read per
 call, not at import, so a test fixture can flip it locally.
