@@ -1866,13 +1866,20 @@ def events_kmv_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct-from-raw weekly KMV (pinned by test_kmv_merge_equals_direct
     and, bit-for-bit, by the DuckDB oracle replaying both stages).
 
-    Merge cost is k x 7 rows per week — independent of event volume;
-    the day-sketch build uses the same salted two-pass k-min as
-    approx_distinct_parts_kmv so no day funnels its distinct-hash set
-    through one task. Weeks under k distinct users fall back to the
-    exact count (the sketch holds the whole set; NULL kth_hash in both
-    engines — exercised at sf0.001 where every week is exact, while
-    sf0.01+ exercises the estimator branch)."""
+    Merge cost is k x 7 rows per week — independent of event volume.
+    The k-min windows need NO salt stage: Spark's WindowGroupLimit
+    rewrite (rank-limit pushdown; pinned structurally in
+    tests/test_plan_hygiene.py) caps each window to its k smallest
+    PER INPUT PARTITION before the exchange, so a day's final-rank
+    task receives <= k x n_map_partitions rows, never the day's full
+    distinct-hash set — the funnel the older salted two-pass idiom
+    (approx_distinct_parts_kmv's original form) guarded against is
+    already bounded by the engine, and the measured A/B says the salt
+    is pure overhead now (PERF.md round 10, ~15-20% at sf1). Weeks
+    under k distinct users fall back to the exact count (the sketch
+    holds the whole set; NULL kth_hash in both engines — exercised at
+    sf0.001 where every week is exact, while sf0.01+ exercises the
+    estimator branch)."""
     k = 32
     m_double = float(1 << 60)
     e = load_table(spark, sf_dir, "events")
@@ -1882,16 +1889,9 @@ def events_kmv_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").cast("string").cast("binary")
         ).alias("h"),
     ).distinct()
-    salted = dh.withColumn("salt", F.pmod("h", F.lit(64)))
-    w1 = Window.partitionBy("day", "salt").orderBy("h")
-    cand = (
-        salted.withColumn("rn1", F.row_number().over(w1))
-        .where(F.col("rn1") <= k)
-        .drop("rn1", "salt")
-    )
-    w2 = Window.partitionBy("day").orderBy("h")  # <= 64k rows/day
+    w2 = Window.partitionBy("day").orderBy("h")
     stored = (
-        cand.withColumn("rn", F.row_number().over(w2))
+        dh.withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= k)
         .select("day", "h")
     )

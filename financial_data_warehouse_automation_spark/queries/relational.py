@@ -451,12 +451,15 @@ def approx_distinct_parts_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit and the driver hash-checks the ESTIMATE itself.
 
     Scale shape: the k-smallest-per-group selection never funnels a
-    group through one task — stage 1 takes the k smallest within each
-    of 64 salt buckets (windows over ~D/64 rows, parallel), stage 2
-    re-ranks only the <= 64k surviving candidates per group. This is
-    the same capped two-pass idiom as operators/ranks.py; a plain
-    per-group window would sort every distinct hash in one partition
-    per group. Groups under k distinct values fall back to the exact
+    group's full distinct-hash set through one task — Spark's
+    WindowGroupLimit rewrite caps a row_number-limit window to its k
+    smallest per input partition BEFORE the exchange (partial + final,
+    pinned structurally in tests/test_plan_hygiene.py), so the final
+    rank receives <= k x n_map_partitions rows per group. The r6
+    version added a 64-way salted pre-pass for the same bound by hand;
+    round 10's A/B measured it as pure overhead on top of
+    WindowGroupLimit (1.33s vs 1.57s at sf1, identical values) and
+    removed it. Groups under k distinct values fall back to the exact
     count (h_(k) undefined), emitting a NULL kth_hash in both engines.
     """
     k = 256
@@ -466,16 +469,16 @@ def approx_distinct_parts_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     dh = l.select(
         F.col("l_returnflag").alias("returnflag"), h.alias("h")
     ).distinct()
-    salted = dh.withColumn("salt", F.pmod("h", F.lit(64)))
-    w1 = Window.partitionBy("returnflag", "salt").orderBy("h")
-    cand = (
-        salted.withColumn("rn1", F.row_number().over(w1))
-        .where(F.col("rn1") <= k)
-        .drop("rn1", "salt")
-    )
-    w2 = Window.partitionBy("returnflag").orderBy("h")  # <= 64k rows/group
+    # no salt stage: WindowGroupLimit (rank-limit pushdown, pinned in
+    # test_plan_hygiene) caps the window to its k smallest per input
+    # partition BEFORE the exchange, so a group's final-rank task sees
+    # <= k * n_map_partitions rows — the engine already provides the
+    # bound the r6-era salted two-pass added by hand, and the salt
+    # measured as pure overhead once WindowGroupLimit existed
+    # (PERF.md round 10: 1.33s vs 1.57s at sf1, identical values)
+    w2 = Window.partitionBy("returnflag").orderBy("h")
     kth = (
-        cand.withColumn("rn", F.row_number().over(w2))
+        dh.withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") == k)
         .select("returnflag", F.col("h").alias("kth_hash"))
     )

@@ -334,6 +334,19 @@ def test_tfidf_topk_pushes_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_kmv_rank_limit_pushdown(spark, sf_dir):
+    """Both KMV sketch queries dropped their r6-era 64-way salted
+    pre-pass in round 10 BECAUSE WindowGroupLimit bounds the per-group
+    funnel map-side (k smallest per input partition before the
+    exchange) — so the bound must stay structural: if a Spark upgrade
+    or plan change drops the rewrite, the unsalted k-min window
+    regresses to funneling each group's full distinct-hash set through
+    one task, and this test is the tripwire (A/B behind the removal:
+    PERF.md round 10, salt = +15-20% pure overhead at sf1)."""
+    for name in ("approx_distinct_parts_kmv", "events_kmv_weekly_merge"):
+        assert "WindowGroupLimit" in _plan(spark, name, sf_dir), name
+
+
 def test_tpch_deep_plan_shapes(spark, sf_dir):
     """The round-3 decision-support band keeps its intended physical
     strategies: global top-k stays TakeOrderedAndProject, the
