@@ -578,3 +578,61 @@ def events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFram
         .select("click_id", "purchase_id", "user_id", "gap_us")
         .orderBy("click_id", "purchase_id")
     )
+
+
+@query(
+    "source_rowsink_stream_agg",
+    tags=("source", "datasource-api", "writer", "sink", "streaming"),
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1 ORDER BY 1
+""",
+)
+def source_rowsink_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource STREAM WRITER
+    (sources/rowsink.py:RowSinkStreamWriter) — the per-micro-batch
+    commit protocol, proven the same way as its batch twin
+    source_rowsink_roundtrip: events stream through
+    ``writeStream.format("rowsink")`` (availableNow = bounded drain),
+    every epoch's task temps rename into ``part-b<batchId>-*`` files
+    only at that epoch's driver-side commit, and the read-back
+    aggregate must hash-match DuckDB aggregating the source table — a
+    dropped epoch, a double-committed replay, or rows lost at the
+    task/epoch handoff all break the totals. Completes the pluggable
+    source/sink MATRIX: batch reader + pushdown + stream reader
+    (linegen), batch writer + STREAM writer (rowsink)."""
+    from financial_data_warehouse_automation_spark.sources.rowsink import RowSinkDataSource
+
+    try:  # idempotent under repeated registration in one session
+        spark.dataSource.register(RowSinkDataSource)
+    except Exception:
+        pass
+    from financial_data_warehouse_automation_spark.queries.relational import _rowsink_workdir
+
+    work = _rowsink_workdir()
+    events = _events_stream(spark, sf_dir).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    q = (
+        events.writeStream.format("rowsink")
+        .option("path", os.path.join(work, "sink"))
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.schema(
+        "event_id long, event_type string, cents long"
+    ).json(os.path.join(work, "sink", "part-*.jsonl"))
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("event_type")
+    )

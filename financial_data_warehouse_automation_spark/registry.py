@@ -69,8 +69,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 3. Rotation re-checks of the OLDEST green anchors (oldest last-green
 #    round first, then name — tools/next_verify_prefix.py order): all
 #    20 r5-era greens, then the r6 band alphabetically as far as the
-#    remaining 24 slots reach (through ingest_file_listing). The 25
-#    r6-era greens past that point (ingest_gl_dim ..
+#    remaining 23 slots reach (through ingest_dept_enrichment). The 26
+#    r6-era greens past that point (ingest_file_listing ..
 #    session_funnel_conversion) queue for r11's prefix.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
@@ -82,6 +82,7 @@ VERIFY_FIRST: tuple[str, ...] = (
     "doc_block_dedup_rebuild",
     "events_kmv_weekly_merge",
     "source_rowsink_roundtrip",
+    "source_rowsink_stream_agg",
     # bucket 2: plans touched without a post-change driver record
     "doc_duplicate_span_pairs",
     "doc_span_dedup_coverage",
@@ -131,7 +132,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "grouping_sets_flag_year",
     "ingest_balance_sheet",
     "ingest_dept_enrichment",
-    "ingest_file_listing",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -40,6 +40,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -109,3 +110,74 @@ class RowSinkDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> RowSinkWriter:
         os.makedirs(self.options.get("path", ""), exist_ok=True)
         return RowSinkWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "RowSinkStreamWriter":
+        os.makedirs(self.options.get("path", ""), exist_ok=True)
+        return RowSinkStreamWriter(self.options, schema)
+
+
+class RowSinkStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of :class:`RowSinkWriter` — the per-MICRO-BATCH
+    commit protocol (``commit(messages, batchId)``): each epoch's task
+    temps rename to ``part-b<batchId>-NNNNN`` only after every task in
+    that epoch succeeded, and the ``_SUCCESS`` manifest is REWRITTEN
+    cumulatively so a reader always sees the set of fully-committed
+    batches (an aborted epoch leaves no visible files — its temps are
+    deleted, the manifest never mentions it). Exactly-once rests on
+    the engine replaying a failed batchId: a replayed epoch re-renames
+    over its own deterministic names, and the manifest keyed by
+    batchId overwrites rather than double-counts."""
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rowsink requires a 'path' option")
+        self.cols = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        tmp = f"_tmp-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, tmp), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(dict(zip(self.cols, row)), sort_keys=True))
+                f.write("\n")
+                n += 1
+        return _SinkCommit(tmp_name=tmp, n_rows=n)
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "_SUCCESS")
+
+    def commit(self, messages, batchId: int) -> None:
+        # a replayed epoch overwrites its own files: deterministic names
+        for name in os.listdir(self.path):
+            if name.startswith(f"part-b{batchId:05d}-"):
+                os.remove(os.path.join(self.path, name))
+        files = {}
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = f"part-b{batchId:05d}-{i:05d}.jsonl"
+            os.rename(
+                os.path.join(self.path, m.tmp_name),
+                os.path.join(self.path, final),
+            )
+            files[final] = m.n_rows
+        try:
+            with open(self._manifest_path()) as f:
+                manifest = json.load(f)
+        except (OSError, ValueError):
+            manifest = {"batches": {}}
+        manifest.setdefault("batches", {})[str(batchId)] = files
+        manifest["total"] = sum(
+            n for b in manifest["batches"].values() for n in b.values()
+        )
+        with open(self._manifest_path(), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(os.path.join(self.path, m.tmp_name))
+                except OSError:
+                    pass
