@@ -50,3 +50,19 @@ def sql_money(c: str) -> str:
 
 def sql_rate(c: str) -> str:
     return SQL_RATE.format(c=c)
+
+
+def scratch_dir(prefix: str) -> str:
+    """Per-run /tmp scratch dir, removed at process exit — for queries
+    that demonstrate a WRITE-side capability (compaction, schema
+    evolution, custom sinks) and so must produce fresh files each run:
+    content-addressed reuse would let repeat timings skip the work the
+    query exists to measure (same reasoning as
+    streaming_demo._dedup_state_workdir)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    return work

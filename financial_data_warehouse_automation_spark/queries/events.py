@@ -13,6 +13,8 @@ epochs (BIGINT) and DATE columns only (registry.py rules).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1916,4 +1918,74 @@ def events_kmv_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(est, 4).cast("double").alias("est_users"),
         )
         .orderBy("week")
+    )
+
+
+@query(
+    "events_schema_evolution_union",
+    tags=("ingest", "schema-evolution", "mergeSchema", "layout"),
+    oracle="""
+SELECT CAST(CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1 ELSE 2 END
+            AS BIGINT) AS v,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15 THEN 1
+                     WHEN event_type IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_missing_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM events GROUP BY 1 ORDER BY v
+""",
+)
+def events_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION at read time — the mixed-generation reality of
+    any long-lived ingest directory: files written before a producer
+    upgrade lack columns the new files carry (here: the first half of
+    the month predates event_type/props), and the reader must union
+    both generations WITHOUT a migration rewrite. The query writes the
+    two generations as they would have landed (v=1 four columns, v=2
+    six), reads the directory once with ``mergeSchema=true`` — Spark
+    unions the parquet footers into the superset schema, null-filling
+    absent columns per file, and surfaces the generation as a
+    discovered partition column — then aggregates per generation. The
+    oracle replays the generation split on the ORIGINAL table, so a
+    hash-match proves no rows, keys, or cents were lost or duplicated
+    across the evolution boundary and that exactly the old-generation
+    rows read back with a NULL event_type. At 100 TB this is the
+    pattern that makes producer upgrades deployable without rewriting
+    petabytes: evolve by adding nullable columns, let the footer
+    union + partition discovery do the rest (reference parity: the
+    header-synonym tolerance of the Excel ingest,
+    python_version/build_warehouse.py:36-55, solves the same
+    generations problem one file-format down)."""
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    work = scratch_dir("schema_evo_demo_")
+    e = load_table(spark, sf_dir, "events")
+    old_gen = F.dayofmonth("ts") <= 15
+    (
+        e.where(old_gen)
+        .select("event_id", "ts", "user_id", "value")
+        .write.mode("overwrite")
+        .parquet(os.path.join(work, "v=1"))
+    )
+    (
+        e.where(~old_gen)
+        .select("event_id", "ts", "user_id", "value", "event_type", "props")
+        .write.mode("overwrite")
+        .parquet(os.path.join(work, "v=2"))
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(work)
+    return (
+        merged.groupBy(F.col("v").cast("bigint").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing_type"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .orderBy("v")
     )

@@ -3604,3 +3604,86 @@ def source_rowsink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "orders_compaction_rewrite",
+    tags=("layout", "maintenance", "compaction", "small-files"),
+    oracle="""
+SELECT 'compacted' AS layout,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+UNION ALL
+SELECT 'fragmented', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+FROM orders
+ORDER BY layout
+""",
+)
+def orders_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION — the table-maintenance op (Delta/Iceberg
+    ``OPTIMIZE``, Hive concatenate) every long-lived 100 TB warehouse
+    runs: streaming appends and per-batch dynamic overwrites leave
+    thousands of KB-scale files whose per-file open cost
+    (footer read + task schedule, floored by Spark's 4 MB
+    openCostInBytes) eventually dwarfs the data scan. The query writes
+    orders FRAGMENTED (64-way round-robin — the shape a 64-task append
+    leaves), then compacts by size: target file count =
+    ceil(total_bytes / 32 MB) measured off the fragmented layout's
+    actual file listing, one repartition, one rewrite. Two structural
+    asserts pin the mechanics (the fragmented layout really has 64
+    parts; the compacted one has exactly the size-derived count), and
+    the returned frame aggregates BOTH layouts side by side so the
+    oracle certifies bit-identical CONTENT across the rewrite — count,
+    exact-cents sum, distinct keys — which is the invariant a
+    maintenance job must never break. At 100 TB the same loop runs per
+    partition with target = cluster-preferred file size (128-512 MB)
+    and bin-packing instead of a global repartition; the
+    size-measured-then-rewrite shape is identical."""
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    work = scratch_dir("compaction_demo_")
+    frag_p, comp_p = os.path.join(work, "frag"), os.path.join(work, "comp")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    o.repartition(64).write.mode("overwrite").parquet(frag_p)
+
+    def _parts(p: str) -> list[str]:
+        return [n for n in os.listdir(p) if n.endswith(".parquet")]
+
+    frag_files = _parts(frag_p)
+    assert len(frag_files) == 64, len(frag_files)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(frag_p, n)) for n in frag_files
+    )
+    n_target = max(1, -(-total_bytes // (32 << 20)))  # ceil div
+    (
+        spark.read.parquet(frag_p)
+        .repartition(n_target)
+        .write.mode("overwrite")
+        .parquet(comp_p)
+    )
+    assert len(_parts(comp_p)) == n_target, (len(_parts(comp_p)), n_target)
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+
+    def stats(path: str, tag: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(cents).cast("bigint").alias("cents"),
+                F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            )
+            .select(F.lit(tag).alias("layout"), "n_rows", "cents",
+                    "n_customers")
+        )
+
+    return stats(comp_p, "compacted").unionByName(
+        stats(frag_p, "fragmented")
+    ).orderBy("layout")

@@ -69,8 +69,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 3. Rotation re-checks of the OLDEST green anchors (oldest last-green
 #    round first, then name — tools/next_verify_prefix.py order): all
 #    20 r5-era greens, then the r6 band alphabetically as far as the
-#    remaining 23 slots reach (through ingest_dept_enrichment). The 26
-#    r6-era greens past that point (ingest_file_listing ..
+#    remaining 21 slots reach (through grouping_sets_flag_year). The 28
+#    r6-era greens past that point (ingest_balance_sheet ..
 #    session_funnel_conversion) queue for r11's prefix.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
@@ -83,6 +83,8 @@ VERIFY_FIRST: tuple[str, ...] = (
     "events_kmv_weekly_merge",
     "source_rowsink_roundtrip",
     "source_rowsink_stream_agg",
+    "orders_compaction_rewrite",
+    "events_schema_evolution_union",
     # bucket 2: plans touched without a post-change driver record
     "doc_duplicate_span_pairs",
     "doc_span_dedup_coverage",
@@ -130,8 +132,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "events_stream_stream_left_join",
     "events_tumbling_15min",
     "grouping_sets_flag_year",
-    "ingest_balance_sheet",
-    "ingest_dept_enrichment",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 
