@@ -3606,6 +3606,37 @@ def source_rowsink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _parquet_parts(p: str) -> list[str]:
+    return [n for n in os.listdir(p) if n.endswith(".parquet")]
+
+
+def compact_parquet_dir(
+    spark: SparkSession, src: str, dst: str, target_bytes: int = 32 << 20
+) -> int:
+    """Size-measured compaction: rewrite ``src``'s parquet files into
+    ``dst`` as ceil(total_bytes / target_bytes) files (>= 1). Returns
+    the file count written, asserted against the listing — the
+    multi-file branch is pinned by tests/test_round4_ops.py with a
+    tiny target (the demo corpus compacts to 1 at the 32 MB default).
+    Local-path listing only (the demo's scratch dirs); a cluster
+    version lists via the Hadoop FileSystem API like
+    _rm_warehouse_dir."""
+    total_bytes = sum(
+        os.path.getsize(os.path.join(src, n)) for n in _parquet_parts(src)
+    )
+    n_target = max(1, -(-total_bytes // target_bytes))  # ceil div
+    (
+        spark.read.parquet(src)
+        .repartition(n_target)
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    n_written = len(_parquet_parts(dst))
+    assert n_written == n_target, (n_written, n_target)
+    return n_written
+
+
+
 @query(
     "orders_compaction_rewrite",
     tags=("layout", "maintenance", "compaction", "small-files"),
@@ -3652,23 +3683,9 @@ def orders_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     o.repartition(64).write.mode("overwrite").parquet(frag_p)
-
-    def _parts(p: str) -> list[str]:
-        return [n for n in os.listdir(p) if n.endswith(".parquet")]
-
-    frag_files = _parts(frag_p)
+    frag_files = _parquet_parts(frag_p)
     assert len(frag_files) == 64, len(frag_files)
-    total_bytes = sum(
-        os.path.getsize(os.path.join(frag_p, n)) for n in frag_files
-    )
-    n_target = max(1, -(-total_bytes // (32 << 20)))  # ceil div
-    (
-        spark.read.parquet(frag_p)
-        .repartition(n_target)
-        .write.mode("overwrite")
-        .parquet(comp_p)
-    )
-    assert len(_parts(comp_p)) == n_target, (len(_parts(comp_p)), n_target)
+    compact_parquet_dir(spark, frag_p, comp_p)
 
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
 

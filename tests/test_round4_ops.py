@@ -304,3 +304,36 @@ def test_clamped_balance_identity_matches_recurrence(spark, sf_dir):
     assert got.total_balance == total
     assert got.n_stockout_days == n_stockout
     assert got.n_part_days == len(flows)
+
+
+def test_compaction_sizing_multi_file(spark, sf_dir, tmp_path):
+    """compact_parquet_dir's size-derived target: with a target well
+    under the data size the rewrite must land on ceil(bytes/target)
+    files (> 1), and with the default 32 MB target this corpus lands
+    on exactly 1 — both branches of the sizing, content preserved."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.queries.relational import (
+        _parquet_parts,
+        compact_parquet_dir,
+    )
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    src = str(tmp_path / "frag")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o.repartition(8).write.parquet(src)
+    total = sum(
+        os.path.getsize(os.path.join(src, n)) for n in _parquet_parts(src)
+    )
+    target = max(1, total // 3)
+    dst_multi = str(tmp_path / "multi")
+    n = compact_parquet_dir(spark, src, dst_multi, target_bytes=target)
+    assert n == -(-total // target) and n > 1
+    dst_one = str(tmp_path / "one")
+    assert compact_parquet_dir(spark, src, dst_one) == 1
+    base = sorted(r.o_orderkey for r in o.collect())
+    for d in (dst_multi, dst_one):
+        got = sorted(r.o_orderkey for r in spark.read.parquet(d).collect())
+        assert got == base
