@@ -98,3 +98,96 @@ def test_kmv_merge_equals_direct(spark, sf_dir):
         .collect()
     )
     assert merged == direct
+
+
+def test_kmv_weekly_merge_hypothesis_matches_python(spark, tmp_path):
+    """Property: for ANY activity multiset (hypothesis-generated
+    (day, user) pairs over a 5-week span, duplicates included),
+    events_kmv_weekly_merge equals a pure-Python KMV computed OUTSIDE
+    Spark — day-sketch capping, merge dedup, the k-th-hash estimator
+    and the under-k exact fallback all re-derived independently."""
+    import datetime
+    import hashlib
+    import os
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from financial_data_warehouse_automation_spark import tables
+    from financial_data_warehouse_automation_spark.queries.events import (
+        events_kmv_weekly_merge,
+    )
+
+    K = 32
+    base = datetime.datetime(1995, 3, 6)  # a Monday
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=34),   # day offset
+                st.integers(min_value=0, max_value=120),  # user id
+            ),
+            min_size=1,
+            max_size=300,
+        )
+    )
+    def check(pairs):
+        rows = [
+            (i, base + datetime.timedelta(days=d, hours=i % 24), u, "x", 1.0,
+             "{}")
+            for i, (d, u) in enumerate(pairs)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+        d = str(tmp_path / "hyp_events")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w2"))
+        src = [
+            f for f in os.listdir(str(tmp_path / "w2"))
+            if f.endswith(".parquet")
+        ][0]
+        shutil.copy(
+            os.path.join(str(tmp_path / "w2"), src),
+            os.path.join(d, "events.parquet"),
+        )
+        tables._RELATION_CACHE.clear()
+        got = {
+            str(r.week): (r.n_in_sketch, r.kth_hash, r.est_users)
+            for r in events_kmv_weekly_merge(spark, d).collect()
+        }
+        tables._RELATION_CACHE.clear()
+        # pure-Python reference
+        def h(u: int) -> int:
+            return int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+
+        day_sets: dict[datetime.date, set[int]] = {}
+        for dd, u in pairs:
+            day = (base + datetime.timedelta(days=dd)).date()
+            day_sets.setdefault(day, set()).add(h(u))
+        week_sets: dict[datetime.date, set[int]] = {}
+        for day, hs in day_sets.items():
+            week = day - datetime.timedelta(days=day.weekday())
+            week_sets.setdefault(week, set()).update(sorted(hs)[:K])
+        want = {}
+        for week, hs in week_sets.items():
+            top = sorted(hs)[:K]
+            if len(top) < K:
+                est = float(len(top))
+                kth = None
+            else:
+                kth = top[K - 1]
+                est = (K - 1) * float(1 << 60) / float(kth)
+            want[str(week)] = (len(top), kth, round(est, 4))
+        assert got == want
+
+    check()

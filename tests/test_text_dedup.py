@@ -854,3 +854,69 @@ def test_doc_block_dedup_rebuild_hand_built(spark, tmp_path, monkeypatch):
     assert out[0] == (2, 2, a + " " + b)
     assert out[1] == (3, 1, "tail")
     assert out[2] == (2, 0, "")
+
+
+def test_block_dedup_rebuild_hypothesis_matches_python(spark, tmp_path):
+    """Property: for ANY corpus of small token documents
+    (hypothesis-generated over a 4-word vocabulary so cross-doc and
+    intra-doc block collisions are common), doc_block_dedup_rebuild
+    equals a pure-Python keep-first-rebuild computed OUTSIDE Spark —
+    block boundaries, global (doc_id, pos) ordering, partial tail
+    blocks, and empty rebuilds all covered by generation."""
+    import os
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from financial_data_warehouse_automation_spark import tables
+    from financial_data_warehouse_automation_spark.queries.text import doc_block_dedup_rebuild
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=1, max_size=25).map(" ".join)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(texts=st.lists(doc, min_size=1, max_size=8))
+    def check(texts):
+        d = str(tmp_path / "hyp")
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "w"))
+        src = [
+            f for f in os.listdir(str(tmp_path / "w"))
+            if f.endswith(".parquet")
+        ][0]
+        shutil.copy(
+            os.path.join(str(tmp_path / "w"), src),
+            os.path.join(d, "documents.parquet"),
+        )
+        tables._RELATION_CACHE.clear()
+        got = {
+            r.doc_id: (r.n_blocks, r.n_kept, r.clean_text)
+            for r in doc_block_dedup_rebuild(spark, d).collect()
+        }
+        tables._RELATION_CACHE.clear()
+        # pure-Python reference: global keep-first over 10-token blocks
+        seen: set[str] = set()
+        want = {}
+        for i, t in enumerate(texts):
+            toks = t.split()
+            blocks = [
+                " ".join(toks[j:j + 10]) for j in range(0, len(toks), 10)
+            ]
+            kept = []
+            for b in blocks:
+                if b not in seen:
+                    seen.add(b)
+                    kept.append(b)
+            want[i] = (len(blocks), len(kept), " ".join(kept))
+        assert got == want
+
+    check()
