@@ -770,12 +770,19 @@ def duplicate_kgram_spans(
     island's token union is exactly one maximal shared span of length
     run + k − 1.
 
-    The join key is the PAIR ``(xxhash64(gram), xxhash64(gram, 1))``
-    — two independent 64-bit images (the second hashes the (gram, 1)
-    tuple, a different preimage) — so the shuffle carries 16 bytes,
-    not k-token strings, and a false duplicate span needs a
-    simultaneous collision in both: ~n²/2¹²⁸, negligible at any
-    corpus size. A single 64-bit key was the r9 advisor's finding —
+    The join key is the PAIR ``(xxhash64(gram), xxhash64(1, gram))``
+    — two 64-bit images whose independence comes from hashing the
+    gram under DIFFERENT SEEDS. Spark folds multi-column xxhash64
+    left-to-right with the running hash as the next column's seed, so
+    the discriminator must come FIRST: ``xxhash64(1, g)`` hashes g
+    under seed XXH64(1, 42), while the r10 form ``xxhash64(g, 1)``
+    hashed the constant 1 under seed xxhash64(g) — a post-hoc mix of
+    h whose collisions were exactly h's collisions (the r10 advisor's
+    finding, verified numerically). With the seed-varied pair the
+    shuffle carries 16 bytes, not k-token strings, and a false
+    duplicate span needs a simultaneous collision in two independent
+    64-bit functions: ~n²/2¹²⁸, negligible at any corpus size. A
+    single 64-bit key was the r9 advisor's finding —
     unlike the hashed exact-Jaccard pipelines there is no downstream
     exact-verify stage here, so production output would carry an
     ~n²/2⁶⁴ false-positive rate directly (the DuckDB oracle joins on
@@ -796,7 +803,7 @@ def duplicate_kgram_spans(
         "doc_id",
         (F.col("p") + 1).cast("long").alias("i"),
         F.xxhash64("g").alias("h"),
-        F.xxhash64("g", F.lit(1)).alias("h2"),
+        F.xxhash64(F.lit(1), "g").alias("h2"),
     )
     a, b = e.alias("a"), e.alias("b")
     m = a.join(

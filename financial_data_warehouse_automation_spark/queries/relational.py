@@ -3625,8 +3625,13 @@ def compact_parquet_dir(
         os.path.getsize(os.path.join(src, n)) for n in _parquet_parts(src)
     )
     n_target = max(1, -(-total_bytes // target_bytes))  # ceil div
+    src_df = spark.read.parquet(src)
+    # clamp: repartition(n) partitions holding zero rows write no file,
+    # so a target beyond the row count would fail the exact-count assert
+    # (r10 advisor — tiny inputs with aggressive target_bytes).
+    n_target = max(1, min(n_target, src_df.count()))
     (
-        spark.read.parquet(src)
+        src_df
         .repartition(n_target)
         .write.mode("overwrite")
         .parquet(dst)

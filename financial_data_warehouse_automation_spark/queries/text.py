@@ -2985,9 +2985,11 @@ def doc_block_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     one groupBy(doc_id) whose ordered concat runs as
     collect_list(struct(bpos, block)) → array_sort → no second sort
     shuffle. Never doc×doc anywhere. At 100 TB the window key becomes
-    the (xxhash64(block), xxhash64(block, 1)) pair of
+    the (xxhash64(block), xxhash64(1, block)) seed-varied pair of
     duplicate_kgram_spans — 16-byte shuffle rows instead of block
-    strings, collision odds ~n²/2¹²⁸; the string key here keeps the
+    strings, collision odds ~n²/2¹²⁸ (discriminator FIRST: Spark
+    seeds each xxhash64 column with the running hash, so a trailing
+    constant is a no-op remix — r10 advisor); the string key here keeps the
     query engine-agnostic so the DuckDB oracle checks the SEMANTICS
     (reference: same keep-first-by-key convention as
     python_version/build_warehouse.py's dimension dedupe)."""

@@ -24,11 +24,20 @@ commit protocol:
 That temp-then-rename-on-commit shape is exactly the Hadoop
 FileOutputCommitter contract; in local mode executors and driver share
 /tmp, and at cluster scale the path points at shared storage where
-rename-on-commit has the same semantics. Rows are serialized as
-newline-delimited JSON via the stdlib — deterministic for the
-int/string columns the demo writes (a production sink would map the
-full type surface; the protocol, not the format, is what this
-demonstrates).
+rename-on-commit has the same semantics. The driver-side commit uses
+``os.rename``/``os.listdir`` directly, which assumes a POSIX-rename
+filesystem visible to the driver; an object-store egress would swap
+these few calls for the Hadoop FileSystem API the engine already uses
+elsewhere (see ``_rm_warehouse_dir`` in queries/relational.py — same
+``jvm.org.apache.hadoop.fs.FileSystem.get(...)`` pattern works for
+rename/listStatus/create on the driver, where the py4j gateway is
+available; executor-side ``write()`` keeps plain file I/O because
+Python workers have no JVM gateway, which is why production object
+stores pair this protocol with a multipart-upload transport instead
+of rename). Rows are serialized as newline-delimited JSON via the
+stdlib — deterministic for the int/string columns the demo writes (a
+production sink would map the full type surface; the protocol, not
+the format, is what this demonstrates).
 """
 
 from __future__ import annotations
@@ -71,12 +80,21 @@ class RowSinkWriter(DataSourceWriter):
         return _SinkCommit(tmp_name=tmp, n_rows=n)
 
     def commit(self, messages) -> None:
+        manifest = {}
         if self.overwrite:
             for name in os.listdir(self.path):
                 if name.startswith("part-") or name == "_SUCCESS":
                     os.remove(os.path.join(self.path, name))
+        else:
+            # append mode: carry the prior jobs' file map forward so the
+            # rewritten _SUCCESS still reconciles with the directory
+            # (r10 advisor: dropping it silently orphaned earlier parts).
+            try:
+                with open(os.path.join(self.path, "_SUCCESS")) as f:
+                    manifest = dict(json.load(f).get("files", {}))
+            except (OSError, ValueError):
+                manifest = {}
         job = uuid.uuid4().hex[:8]
-        manifest = {}
         for i, m in enumerate(messages):
             if m is None:  # a task with no data still commits the job
                 continue
@@ -107,12 +125,21 @@ class RowSinkDataSource(DataSource):
     def name(cls) -> str:
         return "rowsink"
 
+    def _prepared_path(self) -> str:
+        # validate BEFORE makedirs: a missing 'path' must surface as the
+        # rowsink ValueError, not makedirs('') -> FileNotFoundError('').
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("rowsink requires a 'path' option")
+        os.makedirs(path, exist_ok=True)
+        return path
+
     def writer(self, schema, overwrite: bool) -> RowSinkWriter:
-        os.makedirs(self.options.get("path", ""), exist_ok=True)
+        self._prepared_path()
         return RowSinkWriter(self.options, schema, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> "RowSinkStreamWriter":
-        os.makedirs(self.options.get("path", ""), exist_ok=True)
+        self._prepared_path()
         return RowSinkStreamWriter(self.options, schema)
 
 

@@ -248,6 +248,54 @@ def test_rowsink_commit_protocol(spark, tmp_path):
     assert not (set(parts2) & set(parts))
 
 
+def test_rowsink_append_merges_manifest(tmp_path):
+    """Append mode must carry the prior jobs' file map forward in the
+    rewritten _SUCCESS so manifest files/totals keep reconciling with
+    the directory (r10 advisor: the r10 writer dropped prior entries,
+    orphaning earlier parts from the manifest)."""
+    import json
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from financial_data_warehouse_automation_spark.sources.rowsink import RowSinkWriter
+
+    d = str(tmp_path / "sink")
+    os.makedirs(d)
+    schema = StructType([StructField("id", LongType())])
+    w1 = RowSinkWriter({"path": d}, schema, overwrite=False)
+    w1.commit([w1.write(iter([(1,), (2,)]))])
+    w2 = RowSinkWriter({"path": d}, schema, overwrite=False)
+    w2.commit([w2.write(iter([(3,)]))])
+    manifest = json.load(open(os.path.join(d, "_SUCCESS")))
+    parts = [n for n in os.listdir(d) if n.startswith("part-")]
+    assert len(parts) == 2
+    assert set(manifest["files"]) == set(parts)
+    assert manifest["total"] == 3
+    # and overwrite still resets rather than merging
+    w3 = RowSinkWriter({"path": d}, schema, overwrite=True)
+    w3.commit([w3.write(iter([(9,)]))])
+    manifest3 = json.load(open(os.path.join(d, "_SUCCESS")))
+    assert manifest3["total"] == 1
+    assert len(manifest3["files"]) == 1
+
+
+def test_rowsink_missing_path_raises_valueerror(tmp_path):
+    """A missing 'path' option must surface as the rowsink ValueError,
+    not makedirs('') -> FileNotFoundError (r10 advisor)."""
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from financial_data_warehouse_automation_spark.sources.rowsink import RowSinkDataSource
+
+    schema = StructType([StructField("id", LongType())])
+    ds = RowSinkDataSource(options={})
+    with _pytest.raises(ValueError, match="path"):
+        ds.writer(schema, overwrite=False)
+    with _pytest.raises(ValueError, match="path"):
+        ds.streamWriter(schema, overwrite=False)
+
+
 def test_rowsink_abort_removes_temps(tmp_path):
     """abort() (driver-side, after a task failure) must delete every
     temp the finished tasks produced — a plain-Python exercise of the
