@@ -30,6 +30,10 @@ CASES = (
     "doc_priority_sample",
     "order_sampled_quantiles",
     "events_ab_test_zscore",
+    # round-11 sketch additions: bottom-k quantile sample and Theta
+    # set algebra are hash-addressed, so layout-independent by claim
+    "events_quantile_sketch_merge",
+    "events_kmv_set_ops",
 )
 
 
@@ -191,3 +195,99 @@ def test_kmv_weekly_merge_hypothesis_matches_python(spark, tmp_path):
         assert got == want
 
     check()
+
+
+def test_quantile_sketch_merge_equals_direct(spark, sf_dir):
+    """The capability events_quantile_sketch_merge exists to
+    demonstrate: merging stored per-day bottom-k (hash, value) samples
+    (union, re-take k smallest by hash) yields BIT-IDENTICAL weekly
+    quantile estimates to building the weekly bottom-k sample directly
+    from raw events — same argument as KMV, applied to rows that carry
+    a payload column. Direct path re-derived here without the per-day
+    stage."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.functions.scalars import md5_prefix_int
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    merged = sorted(
+        tuple(r)
+        for r in load_all()["events_quantile_sketch_merge"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+
+    k = 64
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+        md5_prefix_int(
+            F.col("event_id").cast("string").cast("binary")
+        ).alias("h"),
+        "value",
+    )
+    w_week = Window.partitionBy("week").orderBy("h", "value")
+    direct_sample = (
+        e.withColumn("rn", F.row_number().over(w_week))
+        .where(F.col("rn") <= k)
+    )
+    w_val = Window.partitionBy("week").orderBy("value", "h")
+    w_all = Window.partitionBy("week")
+    samp = direct_sample.select(
+        "week",
+        "value",
+        F.row_number().over(w_val).alias("rv"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    sel50 = F.col("rv") == F.ceil(F.col("n") * 0.5)
+    sel90 = F.col("rv") == F.ceil(F.col("n") * 0.9)
+    direct_est = {
+        r.week: (r.n_sample, r.est_p50, r.est_p90)
+        for r in samp.groupBy("week")
+        .agg(
+            F.max("n").cast("long").alias("n_sample"),
+            F.max(F.when(sel50, F.col("value"))).alias("est_p50"),
+            F.max(F.when(sel90, F.col("value"))).alias("est_p90"),
+        )
+        .collect()
+    }
+    got = {r[0]: (r[1], r[2], r[3]) for r in merged}
+    assert got == direct_est
+
+
+def test_quantile_sketch_estimates_bracket_exact(spark, sf_dir):
+    """Sample-quantile sanity: each week's p50/p90 estimate must land
+    within the week's observed value range, and the estimate's rank in
+    the raw week must be within the standard O(1/sqrt(k)) band of the
+    target quantile (3 sigma; k=64 -> half-width ~0.19)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    rows = (
+        load_all()["events_quantile_sketch_merge"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"),
+            "value",
+        )
+        .collect()
+    )
+    by_week: dict = {}
+    for r in raw:
+        by_week.setdefault(r.week, []).append(r.value)
+    for r in rows:
+        vals = sorted(by_week[r.week])
+        for est, p in ((r.est_p50, 0.5), (r.est_p90, 0.9)):
+            assert vals[0] <= est <= vals[-1]
+            # empirical CDF position of the estimate in the raw week
+            import bisect
+
+            pos = bisect.bisect_right(vals, est) / len(vals)
+            assert abs(pos - p) <= 3 * (p * (1 - p)) ** 0.5 / 8 + 2 / len(vals), (
+                r.week, p, pos,
+            )
