@@ -25,6 +25,17 @@ Two modes, selected by what you pass:
       git worktree in the same window (recheck_sf01_r10_r9code_ab.tsv
       is the template). A LOCALIZED flag on a changed plan is real.
 
+    --calib A B (optional, REGRESSION mode): box-speed normalization —
+      A and B are the calib_spark_sec readings taken alongside the
+      first and second sweep (bench.py's fixed-workload denominator;
+      for a round's driver bench use BENCH_r{N}.json's field, for an
+      ad-hoc sweep run the calibration snippet from bench.py in the
+      same window). Every second-sweep time is scaled by A/B before
+      comparison, so a uniform box-speed change between the two
+      windows cancels and the flags show code, not weather. The r10
+      adjudication (~50-200ms/job drift, consumed judge+builder effort
+      two rounds running) is exactly what this retires.
+
 Rows whose second column is ERR/SKIP are ignored (reported in the
 header). Output is stable-sorted for diffing.
 """
@@ -60,6 +71,11 @@ def main() -> None:
     if same_sf:
         argv.remove("--same-sf")
     min_base, flag_ratio, flag_pct = 0.15, 8.0, 15.0
+    calib = None
+    if "--calib" in argv:
+        i = argv.index("--calib")
+        calib = (float(argv[i + 1]), float(argv[i + 2]))
+        del argv[i:i + 3]
     for name, attr in (("--min-base", "min_base"),
                        ("--flag-ratio", "flag_ratio"),
                        ("--flag-pct", "flag_pct")):
@@ -76,7 +92,15 @@ def main() -> None:
     if len(argv) != 2:
         print(__doc__)
         sys.exit(2)
+    if calib and not same_sf:
+        print("# --calib only applies to --same-sf (REGRESSION) mode")
+        sys.exit(2)
     a, b = read_tsv(argv[0]), read_tsv(argv[1])
+    if calib:
+        ca, cb = calib
+        print(f"# calib normalization: second sweep x {ca:.4f}/{cb:.4f} "
+              f"= x{ca / cb:.4f} (box-speed change cancelled)")
+        b = {n: t * ca / cb for n, t in b.items()}
     common = sorted(set(a) & set(b))
     only_a, only_b = sorted(set(a) - set(b)), sorted(set(b) - set(a))
     print(f"# {argv[0]}: n={len(a)} sum={sum(a.values()):.1f}s | "
