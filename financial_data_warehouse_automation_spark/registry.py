@@ -54,84 +54,91 @@ REGISTRY: dict[str, QuerySpec] = {}
 # via this tuple so every recorded slot is deliberately chosen. The
 # tuple is EXACTLY 50 entries (r9 advisor: a 59-entry tuple silently
 # gave slots 51+ no record while claiming otherwise).
-# Round 10's prefix:
+# Round 11's prefix:
 #
 # 1. NEW queries first — each needs its first driver record in the
 #    same round it lands (the r6 lesson):
-#      doc_block_dedup_rebuild — C4-style block dedup + corpus rebuild;
-#      events_rolling_7d_dau — sliding exact-distinct via day expansion.
-# 2. PLAN-TOUCHED queries whose driver record predates the change:
-#      doc_duplicate_span_pairs / doc_span_dedup_coverage — r10 joins
-#        on a second independent xxhash64 image (advisor finding);
-#      doc_shingle_jaccard_blocked — the r9 verdict's named task: its
-#        executed plan was rewritten over xxhash64 element images in
-#        r9 but its newest driver green (r8) predates the rewrite.
+#      events_quantile_sketch_merge — mergeable bottom-k quantile
+#        sketch (day sketches -> weekly merge, exact twin columns);
+#      events_kmv_set_ops — Theta-style union/intersection/Jaccard
+#        from two KMV sketches;
+#      orders_sorted_fileskip — row-group skipping proven off the
+#        sorted layout (footer audit + scan metric + oracle).
+# 2. PLAN-TOUCHED queries whose newest driver record (r10) predates
+#    this round's change:
+#      doc_duplicate_span_pairs / doc_span_dedup_coverage — the second
+#        hash image is now seed-varied xxhash64(1, g) (the r10 advisor
+#        proved xxhash64(g, 1) was a pure function of the first);
+#      orders_compaction_rewrite — target count now clamped to the
+#        row count (advisor);
+#      source_rowsink_roundtrip / source_rowsink_stream_agg — append
+#        mode merges the prior manifest; path validated before mkdir.
 # 3. Rotation re-checks of the OLDEST green anchors (oldest last-green
-#    round first, then name — tools/next_verify_prefix.py order): all
-#    20 r5-era greens, then the r6 band alphabetically as far as the
-#    remaining 21 slots reach (through grouping_sets_flag_year). The 28
-#    r6-era greens past that point (ingest_balance_sheet ..
-#    session_funnel_conversion) queue for r11's prefix.
+#    round first, then name — tools/next_verify_prefix.py order): the
+#    28 r6-era greens the r10 prefix displaced (ingest_balance_sheet
+#    .. session_funnel_conversion), then the r7 band alphabetically as
+#    far as the remaining slots reach (through doc_repetition_filter).
+#    doc_stratified_sample .. doc_vocab_df queue for r12.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
 # takes a slot again. Local ground truth for every query at BOTH scale
 # factors: CORRECTNESS_LOCAL_sf001.json / CORRECTNESS_LOCAL_sf01.json
 # (regenerate with tools/verify_oracle.py --json).
 VERIFY_FIRST: tuple[str, ...] = (
-    # bucket 1: new r10 queries
-    "doc_block_dedup_rebuild",
-    "events_kmv_weekly_merge",
-    "source_rowsink_roundtrip",
-    "source_rowsink_stream_agg",
-    "orders_compaction_rewrite",
-    "events_schema_evolution_union",
+    # bucket 1: new r11 queries
+    "events_quantile_sketch_merge",
+    "events_kmv_set_ops",
+    "orders_sorted_fileskip",
     # bucket 2: plans touched without a post-change driver record
     "doc_duplicate_span_pairs",
     "doc_span_dedup_coverage",
-    "doc_shingle_jaccard_blocked",
-    # bucket 3: rotation re-checks, oldest green first (r5 band)
-    "orders_benford_audit",
-    "orders_installments_udtf",
-    "orders_psi_drift",
-    "orders_zorder_layout",
-    "part_abc_pareto",
-    "part_basket_affinity",
-    "part_copurchase_triangles",
-    "part_pagerank_step",
-    "part_reach_3hops",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q5_local_supplier_volume",
-    "q9_product_profit",
-    "segment_revenue_trend",
-    "source_linegen_agg",
-    "source_linegen_pushdown_agg",
-    "source_linegen_stream_agg",
-    "supplier_concentration_hhi",
-    "warehouse_referential_audit",
-    "warehouse_snapshot_diff",
-    # bucket 3 continued: r6 band, alphabetical
-    "approx_distinct_parts_kmv",
-    "doc_bpe_pair_step",
-    "doc_importance_resample",
-    "doc_priority_sample",
-    "doc_simhash_neardup_pairs",
-    "doc_source_mixing_weights",
-    "embedding_power_iteration",
-    "events_ab_test_zscore",
-    "events_attribution_last_touch",
-    "events_attribution_linear",
-    "events_daily_stats",
-    "events_from_json_struct",
-    "events_json_extract",
-    "events_range_join_quarters",
-    "events_retention_cohorts",
-    "events_scd2_point_in_time",
-    "events_sessionization_two_phase",
-    "events_sliding_30m_15m",
-    "events_stream_stream_left_join",
-    "events_tumbling_15min",
-    "grouping_sets_flag_year",
+    "orders_compaction_rewrite",
+    "source_rowsink_roundtrip",
+    "source_rowsink_stream_agg",
+    # bucket 3: rotation re-checks, oldest green first (r6 band)
+    "ingest_balance_sheet",
+    "ingest_dept_enrichment",
+    "ingest_file_listing",
+    "ingest_gl_dim",
+    "ingest_income_statement",
+    "ingest_missing_gl_qa",
+    "ingest_quarantine",
+    "ingest_warehouse_build",
+    "lateral_top2_orders",
+    "media_decode_checksums",
+    "media_frame_samples",
+    "media_grouped_stats_udaf",
+    "media_metadata_stats",
+    "media_resize",
+    "minmax_by_order_per_segment",
+    "monthly_segment_totals",
+    "order_equidepth_bins",
+    "order_sampled_quantiles",
+    "order_winsorized_stats",
+    "orders_bloom_filter_probe",
+    "part_freq_count_min",
+    "part_inventory_balance",
+    "part_name_similarity",
+    "pivot_returnflag_by_year",
+    "price_percentiles_per_status",
+    "pricing_summary",
+    "region_revenue",
+    "session_funnel_conversion",
+    # bucket 3 continued: r7 band, alphabetical
+    "ann_cosine_topk_brute",
+    "ann_cosine_topk_quantized",
+    "conditional_agg_filter",
+    "dedup_cluster_components",
+    "dim_dedupe_first",
+    "doc_bpe_token_counts",
+    "doc_curation_pipeline",
+    "doc_decontaminate_splits",
+    "doc_exact_dedup",
+    "doc_fingerprint_dedup",
+    "doc_jaccard_pairs_brute",
+    "doc_lang_id_agreement",
+    "doc_quality_scores",
+    "doc_repetition_filter",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 
