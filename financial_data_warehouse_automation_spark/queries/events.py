@@ -2218,8 +2218,13 @@ def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     (WindowGroupLimit-bounded, no salt) → all remaining algebra on
     <= 2k rows with one-row broadcast scalars — no second scan, no
     doc x doc anywhere. ``kept`` (<= 2k rows) is lineage-cut because
-    four downstream frames reuse it; without the cut each reuse
-    re-scans and re-distincts events (measured: 5 FileScans -> 1)."""
+    downstream frames reuse it; without the cut each reuse re-scans
+    and re-distincts events (measured: 5 FileScans -> 1). Both
+    cohorts' thresholds/counts/estimates come from ONE grouping-free
+    conditional aggregate over ``kept`` so every broadcast side is
+    PROVABLY single-row (test_no_accidental_cartesian_anywhere's
+    structural proof; a per-cohort groupBy+filter would be 1-row in
+    fact but not in proof)."""
     from financial_data_warehouse_automation_spark.lineage import cut
 
     k = 64
@@ -2247,42 +2252,42 @@ def events_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= k),
         eager=False,
     )
-    thetas = kept.groupBy("cohort").agg(
-        F.when(F.max("n_cohort") < k, F.lit(m_int))
-        .otherwise(F.max("h"))
-        .alias("theta_x"),
-        F.count(F.lit(1)).cast("long").alias("n_sketch"),
-        F.when(
-            F.max("n_cohort") < k, F.count(F.lit(1)).cast("double")
-        )
-        .otherwise(F.lit(float(k - 1) * float(m_int)) / F.max("h").cast("double"))
-        .alias("est_x"),
+    isa = F.col("cohort") == "click"
+    isb = F.col("cohort") == "purchase"
+
+    def _cohort_scalars(side, tag):
+        n_sketch = F.count(F.when(side, 1)).cast("long")
+        n_cohort = F.max(F.when(side, F.col("n_cohort")))
+        hk = F.max(F.when(side, F.col("h")))
+        return [
+            n_sketch.alias(f"n_{tag}_sketch"),
+            F.when(n_cohort < k, F.lit(m_int))
+            .otherwise(hk)
+            .alias(f"theta_{tag}"),
+            F.when(n_cohort < k, n_sketch.cast("double"))
+            .otherwise(F.lit(float(k - 1) * float(m_int)) / hk.cast("double"))
+            .alias(f"est_{tag}_raw"),
+        ]
+
+    sc = kept.agg(*_cohort_scalars(isa, "a"), *_cohort_scalars(isb, "b")).select(
+        "*", F.least("theta_a", "theta_b").alias("t")
     )
-    theta = thetas.agg(F.min("theta_x").alias("t"))
     below = (
-        kept.crossJoin(F.broadcast(theta))
+        kept.crossJoin(F.broadcast(sc.select("t")))
         .where(F.col("h") <= F.col("t"))
         .groupBy("h")
         .agg(
-            F.max((F.col("cohort") == "click").cast("int")).alias("in_a"),
-            F.max((F.col("cohort") == "purchase").cast("int")).alias("in_b"),
+            F.max(isa.cast("int")).alias("in_a"),
+            F.max(isb.cast("int")).alias("in_b"),
         )
     )
     ops = below.agg(
         F.count(F.lit(1)).cast("long").alias("n_union_kept"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter_kept"),
     )
-    a = thetas.where(F.col("cohort") == "click").select(
-        F.col("n_sketch").alias("n_a_sketch"), F.col("est_x").alias("est_a_raw")
-    )
-    b = thetas.where(F.col("cohort") == "purchase").select(
-        F.col("n_sketch").alias("n_b_sketch"), F.col("est_x").alias("est_b_raw")
-    )
     scale = F.lit(float(m_int)) / F.col("t").cast("double")
     return (
-        ops.crossJoin(F.broadcast(a))
-        .crossJoin(F.broadcast(b))
-        .crossJoin(F.broadcast(theta))
+        ops.crossJoin(F.broadcast(sc))
         .select(
             "n_a_sketch",
             "n_b_sketch",
