@@ -2867,6 +2867,21 @@ def order_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def morton_interleave16(xn, yn):
+    """Morton (Z-curve) interleave of two 16-bit-normalized int64
+    columns — x bits land in even positions, y bits in odd; unrolled
+    into pure column bit math so it rides whole-stage codegen (shared
+    by orders_zorder_layout's locality stats and
+    orders_zorder_fileskip_2d's clustered write)."""
+    zval = None
+    for i in range(16):
+        xt = F.shiftleft(F.shiftrightunsigned(xn, i) % 2, 2 * i)
+        yt = F.shiftleft(F.shiftrightunsigned(yn, i) % 2, 2 * i + 1)
+        term = xt + yt
+        zval = term if zval is None else zval + term
+    return zval
+
+
 def _zorder_sql() -> str:
     """DuckDB twin of the Morton interleave below — same normalization
     and unrolled bit expression, pure int64 (both engines' <<, >>, &
@@ -2941,13 +2956,7 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("x") * 65536 / (F.col("mx") + 1)).cast("long").alias("xn"),
         F.floor(F.col("y") * 65536 / (F.col("my") + 1)).cast("long").alias("yn"),
     )
-    zval = None
-    for i in range(16):
-        xt = F.shiftleft(F.shiftrightunsigned(F.col("xn"), i) % 2, 2 * i)
-        yt = F.shiftleft(F.shiftrightunsigned(F.col("yn"), i) % 2, 2 * i + 1)
-        term = xt + yt
-        zval = term if zval is None else zval + term
-    z = norm.withColumn("zval", zval)
+    z = norm.withColumn("zval", morton_interleave16(F.col("xn"), F.col("yn")))
     return (
         z.groupBy(
             F.shiftrightunsigned(F.col("zval"), 27).cast("bigint").alias("zbucket")
@@ -3883,3 +3892,143 @@ def orders_sorted_fileskip(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert sorted_scan < 0.35 * shuffled_scan, (sorted_scan, shuffled_scan)
 
     return window_agg(sorted_p)
+
+
+@query(
+    "orders_zorder_fileskip_2d",
+    tags=("layout", "data-skipping", "zorder", "parquet-stats", "pruning"),
+    oracle="""
+WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders, m
+WHERE o_custkey >= m.mx // 2
+  AND o_custkey <  m.mx // 2 + GREATEST(1, m.mx // 8)
+GROUP BY 1 ORDER BY 1
+""",
+)
+def orders_zorder_fileskip_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-DIMENSIONAL data skipping off a Z-ORDERED write — the
+    companion orders_sorted_fileskip deliberately leaves open: a
+    linear sort gives its ONE key everything and every other column
+    nothing, while writing in Morton-key order bounds BOTH dimensions'
+    min/max within every file, so predicates on EITHER column prune.
+    The builder writes orders twice — clustered by
+    morton_interleave16(custkey, order-day) and linearly sorted by
+    date — and audits both layouts' footers against both predicates
+    (a 1/8th customer-key slice and a one-quarter date window).
+    Measured, stable across sf0.001/0.01/0.1 (16 files each):
+
+                          custkey slice     date quarter
+        z-ordered         9-10 of 16        4-6 of 16     <- both prune
+        date-sorted       16 of 16 (zero)   2 of 16       <- one prunes
+
+    — the canonical Z-order trade: neither column gets the linear
+    sort's 2/16, but no column is left at 16/16; total I/O across a
+    mixed predicate workload drops when query columns exceed one.
+    Runtime proof mirrors the 1-D query: the custkey-window scan's
+    numOutputRows on the date-sorted layout is the ENTIRE table (its
+    footers cannot exclude any file for a custkey predicate), on the
+    z-ordered layout only the candidate files' rows. The returned
+    custkey-slice aggregate reads the Z layout and must hash-match
+    the oracle's plain filter on raw orders — clustering changes
+    I/O, never values. The key-space fractions derive from
+    MAX(o_custkey) in-query (scale-invariant, replayed by the
+    oracle's window arithmetic; integer // on non-negative operands
+    agrees across engines). At 100 TB: Z-write once at ingest (one
+    repartitionByRange on the precomputed key — the intentional
+    shuffle), then every custkey-OR-date query rides the footers;
+    files sized so the hot cell set stays small (the same knob as
+    orders_sorted_fileskip), and the 16-bit normalization comes from
+    orders_zorder_layout whose locality stats *predict* exactly the
+    candidate-file counts this query measures."""
+    import datetime
+
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    work = scratch_dir("zskip2d_demo_")
+    z_p = os.path.join(work, "zorder")
+    d_p = os.path.join(work, "datesorted")
+    n_files = 16
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("o_custkey").alias("ckey"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    day0 = F.lit("1995-01-01").cast("date")
+    mx = o.agg(
+        F.max("ckey").alias("mx"),
+        F.max(F.datediff("odate", day0)).alias("my"),
+    )
+    base = o.crossJoin(F.broadcast(mx)).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        "ckey",
+        "odate",
+        F.floor(F.col("ckey") * 65536 / (F.col("mx") + 1))
+        .cast("long")
+        .alias("xn"),
+        F.floor(F.datediff("odate", day0) * 65536 / (F.col("my") + 1))
+        .cast("long")
+        .alias("yn"),
+    )
+    z = base.withColumn(
+        "zval", morton_interleave16(F.col("xn"), F.col("yn"))
+    ).drop("xn", "yn")
+    (
+        z.repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(z_p)
+    )
+    (
+        o.repartitionByRange(n_files, "odate")
+        .sortWithinPartitions("odate")
+        .write.mode("overwrite")
+        .parquet(d_p)
+    )
+
+    maxck = mx.collect()[0].mx
+    clo = maxck // 2
+    chi = clo + max(1, maxck // 8)
+    dlo, dhi = datetime.date(1997, 1, 1), datetime.date(1997, 4, 1)
+
+    zc_files, zc_total, _, zc_rows = parquet_range_candidates(
+        z_p, "ckey", clo, chi
+    )
+    zd_files, _, _, _ = parquet_range_candidates(z_p, "odate", dlo, dhi)
+    dc_files, dc_total, _, _ = parquet_range_candidates(d_p, "ckey", clo, chi)
+    dd_files, _, _, _ = parquet_range_candidates(d_p, "odate", dlo, dhi)
+    assert zc_total == dc_total == n_files, (zc_total, dc_total)
+    # Z: both dimensions prune; linear: only the sort column does
+    assert zc_files <= 12, f"zorder custkey candidates: {zc_files}"
+    assert zd_files <= 8, f"zorder date candidates: {zd_files}"
+    assert dc_files == n_files, f"date-sorted must not prune custkey: {dc_files}"
+    assert dd_files <= 3, f"date-sorted date candidates: {dd_files}"
+
+    def cust_agg(path: str) -> DataFrame:
+        return (
+            spark.read.parquet(path)
+            .where((F.col("ckey") >= clo) & (F.col("ckey") < chi))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+    total_rows = o.count()
+    z_scan = _scan_output_rows(cust_agg(z_p))
+    d_scan = _scan_output_rows(cust_agg(d_p))
+    assert d_scan == total_rows, (d_scan, total_rows)
+    assert z_scan <= zc_rows < total_rows, (z_scan, zc_rows, total_rows)
+
+    return cust_agg(z_p)

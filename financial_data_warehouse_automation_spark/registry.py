@@ -63,7 +63,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 #      events_kmv_set_ops — Theta-style union/intersection/Jaccard
 #        from two KMV sketches;
 #      orders_sorted_fileskip — row-group skipping proven off the
-#        sorted layout (footer audit + scan metric + oracle).
+#        sorted layout (footer audit + scan metric + oracle);
+#      orders_zorder_fileskip_2d — BOTH-dimension skipping off a
+#        Morton-clustered write vs the linear sort's one-dimension.
 # 2. PLAN-TOUCHED queries whose newest driver record (r10) predates
 #    this round's change:
 #      doc_duplicate_span_pairs / doc_span_dedup_coverage — the second
@@ -77,8 +79,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #    round first, then name — tools/next_verify_prefix.py order): the
 #    28 r6-era greens the r10 prefix displaced (ingest_balance_sheet
 #    .. session_funnel_conversion), then the r7 band alphabetically as
-#    far as the remaining slots reach (through doc_repetition_filter).
-#    doc_stratified_sample .. doc_vocab_df queue for r12.
+#    far as the remaining slots reach (through doc_quality_scores).
+#    doc_repetition_filter .. doc_vocab_df queue for r12.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
 # takes a slot again. Local ground truth for every query at BOTH scale
@@ -89,6 +91,7 @@ VERIFY_FIRST: tuple[str, ...] = (
     "events_quantile_sketch_merge",
     "events_kmv_set_ops",
     "orders_sorted_fileskip",
+    "orders_zorder_fileskip_2d",
     # bucket 2: plans touched without a post-change driver record
     "doc_duplicate_span_pairs",
     "doc_span_dedup_coverage",
@@ -138,7 +141,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "doc_jaccard_pairs_brute",
     "doc_lang_id_agreement",
     "doc_quality_scores",
-    "doc_repetition_filter",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -84,3 +84,46 @@ def test_registered_fileskip_query_runs_green(spark, sf_dir):
     rows = load_all()["orders_sorted_fileskip"].builder(spark, sf_dir).collect()
     assert len(rows) == 5  # one per order priority
     assert all(r.n_orders > 0 for r in rows)
+
+
+def test_zorder_2d_query_runs_green(spark, sf_dir):
+    """orders_zorder_fileskip_2d's builder carries the structural
+    asserts (both-dimension footer bounds on the Z layout, zero
+    custkey pruning on the linear layout, runtime scan-metric
+    ordering); running it green at the test SF is the pin."""
+    from financial_data_warehouse_automation_spark.registry import load_all
+
+    rows = (
+        load_all()["orders_zorder_fileskip_2d"].builder(spark, sf_dir).collect()
+    )
+    assert len(rows) == 5
+    assert all(r.n_orders > 0 for r in rows)
+
+
+def test_morton_interleave_matches_python(spark):
+    """The unrolled column bit math equals a reference Python Morton
+    interleave on random 16-bit pairs."""
+    import random
+
+    from financial_data_warehouse_automation_spark.queries.relational import (
+        morton_interleave16,
+    )
+
+    rnd = random.Random(7)
+    pairs = [(rnd.randrange(65536), rnd.randrange(65536)) for _ in range(200)]
+    df = spark.createDataFrame(pairs, "xn long, yn long")
+    got = {
+        (r.xn, r.yn): r.z
+        for r in df.select(
+            "xn", "yn", morton_interleave16(F.col("xn"), F.col("yn")).alias("z")
+        ).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): ref(x, y) for x, y in pairs}
