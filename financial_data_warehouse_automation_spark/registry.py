@@ -74,13 +74,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 #      orders_compaction_rewrite — target count now clamped to the
 #        row count (advisor);
 #      source_rowsink_roundtrip / source_rowsink_stream_agg — append
-#        mode merges the prior manifest; path validated before mkdir.
+#        mode merges the prior manifest; path validated before mkdir;
+#      doc_stream_dedup_state — the state read now pins an explicit
+#        schema (partition-type inference broke on digit-only hex
+#        buckets: ANSI cast crash at width 1, partition corruption at
+#        width 2 — found by the any-split hypothesis test, r11).
 # 3. Rotation re-checks of the OLDEST green anchors (oldest last-green
 #    round first, then name — tools/next_verify_prefix.py order): the
 #    28 r6-era greens the r10 prefix displaced (ingest_balance_sheet
 #    .. session_funnel_conversion), then the r7 band alphabetically as
-#    far as the remaining slots reach (through doc_quality_scores).
-#    doc_repetition_filter .. doc_vocab_df queue for r12.
+#    far as the remaining slots reach (through doc_lang_id_agreement).
+#    doc_quality_scores .. doc_vocab_df queue for r12.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
 # takes a slot again. Local ground truth for every query at BOTH scale
@@ -98,6 +102,7 @@ VERIFY_FIRST: tuple[str, ...] = (
     "orders_compaction_rewrite",
     "source_rowsink_roundtrip",
     "source_rowsink_stream_agg",
+    "doc_stream_dedup_state",
     # bucket 3: rotation re-checks, oldest green first (r6 band)
     "ingest_balance_sheet",
     "ingest_dept_enrichment",
@@ -140,7 +145,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "doc_fingerprint_dedup",
     "doc_jaccard_pairs_brute",
     "doc_lang_id_agreement",
-    "doc_quality_scores",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -431,6 +431,23 @@ def dedup_state_merge_batch(state_path: str, bucket_width: int = 1):
     tests/test_streaming.py's width-2 test: same terminal state,
     strictly fewer pre-existing rows rewritten per delta batch."""
 
+    # Explicit read schema: the bucket partition column is HEX text,
+    # and Spark's partition-type inference looks only at the directory
+    # names present — a state whose stored buckets happen to be
+    # digits-only (entirely possible for a small first batch) gets
+    # bucket inferred LONG, after which isin('d') is an ANSI
+    # CAST_INVALID_INPUT crash and, worse at bucket_width >= 2, a
+    # digits-only bucket like '01' reads back as 1 and dynamic
+    # overwrite would rewrite it into a DIFFERENT partition directory
+    # (surfaced by the any-split hypothesis test drawing an all-digit
+    # first batch, r11). Pinning the schema disables inference for
+    # this read. mv_merge_batch's month partitions ('yyyy-MM') can
+    # never parse as integral/date, so the mv read is safe by format.
+    _state_schema = (
+        "dedup_key string, kept_doc_id long, n_copies long, "
+        "last_batch_id long, bucket string"
+    )
+
     def apply(batch: DataFrame, batch_id: int) -> None:
         from financial_data_warehouse_automation_spark.operators.text import norm_text
 
@@ -454,9 +471,9 @@ def dedup_state_merge_batch(state_path: str, bucket_width: int = 1):
         if not buckets:
             return
         try:
-            existing = spark.read.parquet(state_path).where(
-                F.col("bucket").isin(buckets)
-            )
+            existing = spark.read.schema(_state_schema).parquet(
+                state_path
+            ).where(F.col("bucket").isin(buckets))
             applied = {
                 r.bucket
                 for r in existing.where(F.col("last_batch_id") >= batch_id)
