@@ -3630,17 +3630,25 @@ def compact_parquet_dir(
     Local-path listing only (the demo's scratch dirs); a cluster
     version lists via the Hadoop FileSystem API like
     _rm_warehouse_dir."""
+    import pyarrow.parquet as pq
+
     total_bytes = sum(
         os.path.getsize(os.path.join(src, n)) for n in _parquet_parts(src)
     )
     n_target = max(1, -(-total_bytes // target_bytes))  # ceil div
-    src_df = spark.read.parquet(src)
     # clamp: repartition(n) partitions holding zero rows write no file,
     # so a target beyond the row count would fail the exact-count assert
-    # (r10 advisor — tiny inputs with aggressive target_bytes).
-    n_target = max(1, min(n_target, src_df.count()))
+    # (r10 advisor — tiny inputs with aggressive target_bytes). The row
+    # count comes from the parquet FOOTERS (pure metadata, same walk as
+    # parquet_range_candidates) — a maintenance job shouldn't pay a
+    # data scan to learn a number every footer already carries.
+    n_rows = sum(
+        pq.ParquetFile(os.path.join(src, n)).metadata.num_rows
+        for n in _parquet_parts(src)
+    )
+    n_target = max(1, min(n_target, n_rows))
     (
-        src_df
+        spark.read.parquet(src)
         .repartition(n_target)
         .write.mode("overwrite")
         .parquet(dst)
