@@ -636,3 +636,115 @@ def source_rowsink_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_stream_kmv_state",
+    tags=("streaming", "sketch", "kmv", "foreachBatch", "reaggregation"),
+    oracle="""
+WITH dh AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events
+), day_sketch AS (
+  SELECT day, h,
+         ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+  FROM dh
+), stored AS (
+  SELECT day, h FROM day_sketch WHERE rn <= 32
+), merged AS (
+  SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS week, h
+  FROM stored
+), ranked AS (
+  SELECT week, h, ROW_NUMBER() OVER (PARTITION BY week ORDER BY h) AS rn
+  FROM merged
+)
+SELECT week,
+       CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+       CAST(MAX(CASE WHEN rn = 32 THEN h END) AS BIGINT) AS kth_hash,
+       CAST(ROUND(CASE
+         WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+         ELSE 31.0 * 1152921504606846976.0
+              / CAST(MAX(CASE WHEN rn = 32 THEN h END) AS DOUBLE)
+       END, 4) AS DOUBLE) AS est_users
+FROM ranked WHERE rn <= 32 GROUP BY week ORDER BY week
+""",
+)
+def events_stream_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sketch-state maintenance — the producer side of the
+    sketch re-aggregation story: events arrive as a stream (here an
+    8-file scratch copy drained 2 files per micro-batch, so at least
+    4 arbitrary splits), foreachBatch folds each batch into the
+    per-day k=32 KMV user-sketch state via
+    streaming/pipeline.kmv_state_merge_batch, and the RETURNED frame
+    answers the weekly-cardinality question from the STATE alone —
+    with the byte-identical oracle of events_kmv_weekly_merge, which
+    is the whole point: batch rebuild, stored-sketch merge, and
+    stream-maintained state are three routes to one answer, and the
+    driver hash-checks this third route against the same SQL.
+
+    Why no batch-id guard (vs doc_stream_dedup_state's high-water
+    mark): bottom-k-by-hash is an idempotent semilattice — min-k is
+    associative, commutative AND absorbing — so ANY micro-batch
+    split, replay, or re-delivery converges to the same terminal
+    state; the (min, count) dedup state needed the guard only because
+    its COUNT component double-counts. Split-invariance plus replay
+    idempotence are pinned in tests/test_streaming.py.
+
+    Scale: per batch the state I/O is k rows per TOUCHED day
+    (dynamic partition overwrite), independent of event volume; the
+    weekly answer reads k x days rows, never events. The day
+    partition values would be inferred as DATE on read-back — the
+    state read pins an explicit schema (the bucket-inference lesson,
+    r11)."""
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        run_events_kmv_state,
+    )
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    k = 32
+    work = scratch_dir("strm_kmv_")
+    src = os.path.join(work, "events_split")
+    load_table(spark, sf_dir, "events").select(
+        "ts", "user_id"
+    ).repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = run_events_kmv_state(
+        spark, stream, os.path.join(work, "state"),
+        os.path.join(work, "ckpt"), k=k,
+    )
+    q.awaitTermination()
+
+    state = spark.read.schema("h long, day string").parquet(
+        os.path.join(work, "state")
+    )
+    merged = state.select(
+        F.date_trunc("week", F.to_date("day")).cast("date").alias("week"),
+        "h",
+    ).distinct()
+    w = Window.partitionBy("week").orderBy("h")
+    ranked = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+    n = F.count(F.lit(1))
+    kth = F.max(F.when(F.col("rn") == k, F.col("h")))
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit((k - 1) * float(1 << 60)) / kth.cast("double")
+    )
+    return (
+        ranked.groupBy("week")
+        .agg(
+            n.cast("long").alias("n_in_sketch"),
+            kth.cast("long").alias("kth_hash"),
+            F.round(est, 4).cast("double").alias("est_users"),
+        )
+        .orderBy("week")
+    )

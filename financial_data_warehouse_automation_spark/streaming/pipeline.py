@@ -608,3 +608,88 @@ def user_stats_tws(events: DataFrame):
         outputMode="Update",
         timeMode="None",
     )
+
+
+def kmv_state_merge_batch(state_path: str, k: int = 32):
+    """foreachBatch: fold one micro-batch of events into the per-DAY
+    KMV user-sketch state — the streaming producer for the sketch
+    re-aggregation family (events_kmv_weekly_merge answers weekly
+    cardinality by merging exactly the state this maintains; the
+    streaming query reuses that oracle bit-for-bit).
+
+    State rows are ``(h, day)``: the k smallest md5-prefix hashes of
+    the distinct user_ids seen each day. Bottom-k-by-hash is an
+    idempotent SEMILATTICE, not just a monoid: min-k(min-k(A) ∪ B) ==
+    min-k(A ∪ B) gives split-invariance under ANY micro-batch
+    arrangement, and min-k(S ∪ batch) == S once a batch is folded
+    gives natural replay idempotence — so unlike
+    :func:`dedup_state_merge_batch` (whose n_copies SUM double-counts
+    on re-delivery) this state needs NO last_batch_id high-watermark;
+    a retried epoch converges to the same partitions byte-for-byte.
+
+    Mechanics mirror the dedup state otherwise: touched-day dynamic
+    partition overwrite (a batch rewrites k rows per touched day —
+    state I/O independent of event volume), and the state read pins
+    an explicit schema because the day partition values (yyyy-MM-dd)
+    would otherwise be INFERRED as DATE and drift the column type
+    (same class of bug as the hex-bucket LONG inference fixed this
+    round)."""
+    from financial_data_warehouse_automation_spark.functions.scalars import md5_prefix_int
+
+    _state_schema = "h long, day string"
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        spark = batch.sparkSession
+        partial = batch.select(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+            md5_prefix_int(
+                F.col("user_id").cast("string").cast("binary")
+            ).alias("h"),
+        ).distinct()
+        days = [r.day for r in partial.select("day").distinct().collect()]
+        if not days:
+            return
+        try:
+            existing = spark.read.schema(_state_schema).parquet(
+                state_path
+            ).where(F.col("day").isin(days))
+        except AnalysisException as exc:
+            if not _missing_path(exc):
+                raise
+            existing = spark.createDataFrame([], _state_schema)
+        w = Window.partitionBy("day").orderBy("h")
+        merged = (
+            existing.select("day", "h")
+            .unionByName(partial)
+            .distinct()
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k)
+            .select("h", "day")
+        )
+        (
+            merged.write.mode("overwrite")
+            .partitionBy("day")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(state_path)
+        )
+
+    return apply
+
+
+def run_events_kmv_state(
+    spark: SparkSession, events: DataFrame, state_path: str,
+    checkpoint_dir: str, k: int = 32,
+) -> StreamingQuery:
+    """Stream events into the per-day KMV sketch state (availableNow =
+    one scheduled maintenance pass; drop the trigger for a live
+    tail)."""
+    return (
+        events.writeStream.foreachBatch(kmv_state_merge_batch(state_path, k))
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "kmv_state")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

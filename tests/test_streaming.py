@@ -937,3 +937,68 @@ def test_doc_dedup_state_bucket_width_shrinks_rewrite(spark, sf_dir, tmp_path):
         )
     assert terminal[1] == terminal[2]
     assert 0 < rewritten[2] < rewritten[1]
+
+
+def test_kmv_state_split_invariant_and_replay_idempotent(spark, sf_dir, tmp_path):
+    """kmv_state_merge_batch's semilattice claims, exercised directly:
+    (a) two different micro-batch arrangements of the same events give
+    byte-identical terminal state; (b) re-applying an already-folded
+    batch (foreachBatch retry semantics) changes nothing — the reason
+    this state, unlike the (min,count) dedup state, carries no
+    last_batch_id guard; and (c) the terminal state IS the batch
+    bottom-k per day."""
+    from pyspark.sql import Window
+
+    from financial_data_warehouse_automation_spark.functions.scalars import md5_prefix_int
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        kmv_state_merge_batch,
+    )
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    k = 8  # small k so the cap is exercised on the test corpus
+    events = load_table(spark, sf_dir, "events").select("ts", "user_id")
+
+    def terminal(state_path, splits):
+        apply = kmv_state_merge_batch(str(state_path), k=k)
+        for i, part in enumerate(splits):
+            apply(part, i)
+        rows = (
+            spark.read.schema("h long, day string")
+            .parquet(str(state_path))
+            .collect()
+        )
+        return sorted((r.day, r.h) for r in rows)
+
+    s1 = terminal(tmp_path / "s1", [events])  # one batch
+    by_parity = [
+        events.where(F.col("user_id") % 2 == p) for p in (0, 1)
+    ]
+    s2 = terminal(tmp_path / "s2", by_parity)  # two skewed batches
+    assert s1 == s2
+
+    # replay: fold the full corpus AGAIN onto s1's state — no change
+    apply = kmv_state_merge_batch(str(tmp_path / "s1"), k=k)
+    apply(events, 99)
+    s1_replayed = sorted(
+        (r.day, r.h)
+        for r in spark.read.schema("h long, day string")
+        .parquet(str(tmp_path / "s1"))
+        .collect()
+    )
+    assert s1_replayed == s1
+
+    # terminal state == batch-computed per-day bottom-k
+    dh = events.select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        md5_prefix_int(
+            F.col("user_id").cast("string").cast("binary")
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("day").orderBy("h")
+    want = sorted(
+        (r.day, r.h)
+        for r in dh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .collect()
+    )
+    assert s1 == want
