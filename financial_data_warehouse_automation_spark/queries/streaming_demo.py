@@ -673,9 +673,13 @@ FROM ranked WHERE rn <= 32 GROUP BY week ORDER BY week
 )
 def events_stream_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING sketch-state maintenance — the producer side of the
-    sketch re-aggregation story: events arrive as a stream (here an
-    8-file scratch copy drained 2 files per micro-batch, so at least
-    4 arbitrary splits), foreachBatch folds each batch into the
+    sketch re-aggregation story: events arrive as a stream (an 8-file
+    scratch copy drained 4 files per micro-batch — two batches, so the
+    registered run itself folds state across a split, while the unit
+    test exercises skewed parity splits and replays; each extra batch
+    costs a full state read-modify-write cycle, so the demo keeps the
+    count at the minimum that still merges), foreachBatch folds each
+    batch into the
     per-day k=32 KMV user-sketch state via
     streaming/pipeline.kmv_state_merge_batch, and the RETURNED frame
     answers the weekly-cardinality question from the STATE alone —
@@ -713,7 +717,7 @@ def events_stream_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema("ts timestamp, user_id long")
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", 4)
         .parquet(src)
     )
     q = run_events_kmv_state(
