@@ -125,6 +125,24 @@ def main() -> None:
     # back, and vice versa. Cross-round deltas quote value_calibrated;
     # raw value remains the ground truth for within-run comparisons.
     CALIB_REF = 0.6029
+
+    # Second probe (r11's two-same-HEAD-previews finding: a +20% basket
+    # inflation arrived with a near-reference CPU calib, so pure-JVM
+    # codegen speed is not the only drift mode): calib_scan_sec times a
+    # FIXED scan-path workload — full pass over lineitem's price column
+    # with an exact-decimal sum — exercising file open, parquet decode,
+    # task scheduling, and the memory subsystem. Reading the CPU and
+    # scan probes together separates "box CPU slower" from "storage/
+    # scheduler weather"; no reference is pinned yet (first round
+    # emitting it — r12 pins the r11 driver artifact's value the way
+    # CALIB_REF pins r10's).
+    calib_scan = float("inf")
+    li_price = spark.read.parquet(os.path.join(d, "lineitem.parquet")) \
+        .select("l_extendedprice")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        li_price.agg({"l_extendedprice": "sum"}).collect()
+        calib_scan = min(calib_scan, time.perf_counter() - t0)
     timings: dict[str, float] = {}
     for name, spec in specs.items():
         spec.builder(spark, d).collect()  # per-query warm-up
@@ -151,6 +169,7 @@ def main() -> None:
         "load1_end_self_inclusive": round(os.getloadavg()[0], 2),
         "calib_spark_sec": round(calib, 4),
         "calib_ref_spark_sec": CALIB_REF,
+        "calib_scan_sec": round(calib_scan, 4),
         "value_calibrated": round(total * CALIB_REF / calib, 4),
     }))
 
