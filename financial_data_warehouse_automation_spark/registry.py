@@ -68,7 +68,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 #        Morton-clustered write vs the linear sort's one-dimension;
 #      events_stream_kmv_state — stream-maintained per-day KMV state
 #        answering the weekly question with events_kmv_weekly_merge's
-#        byte-identical oracle (semilattice: no batch-id guard).
+#        byte-identical oracle (semilattice: no batch-id guard);
+#      orders_snapshot_cow_read — snapshot isolation + time travel:
+#        versioned manifests over immutable bucket dirs, CDC applied
+#        copy-on-write, old snapshot re-read unchanged (asserted).
 # 2. PLAN-TOUCHED queries whose newest driver record (r10) predates
 #    this round's change:
 #      doc_duplicate_span_pairs / doc_span_dedup_coverage — the second
@@ -86,8 +89,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #    round first, then name — tools/next_verify_prefix.py order): the
 #    28 r6-era greens the r10 prefix displaced (ingest_balance_sheet
 #    .. session_funnel_conversion), then the r7 band alphabetically as
-#    far as the remaining slots reach (through doc_jaccard_pairs_brute).
-#    doc_lang_id_agreement .. doc_vocab_df queue for r12.
+#    far as the remaining slots reach (through doc_fingerprint_dedup).
+#    doc_jaccard_pairs_brute .. doc_vocab_df queue for r12.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
 # takes a slot again. Local ground truth for every query at BOTH scale
@@ -100,6 +103,7 @@ VERIFY_FIRST: tuple[str, ...] = (
     "orders_sorted_fileskip",
     "orders_zorder_fileskip_2d",
     "events_stream_kmv_state",
+    "orders_snapshot_cow_read",
     # bucket 2: plans touched without a post-change driver record
     "doc_duplicate_span_pairs",
     "doc_span_dedup_coverage",
@@ -147,7 +151,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "doc_decontaminate_splits",
     "doc_exact_dedup",
     "doc_fingerprint_dedup",
-    "doc_jaccard_pairs_brute",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -414,3 +414,44 @@ def test_kmv_set_ops_estimator_accuracy(spark):
         assert abs(est - true) <= 0.40 * true, (est, true)
     true_j = len(a & b) / len(a | b)
     assert abs(r.est_jaccard - true_j) <= 0.3, (r.est_jaccard, true_j)
+
+
+def test_snapshot_cow_deltas_reconcile_with_raw(spark, sf_dir):
+    """orders_snapshot_cow_read's v1->v2 deltas re-derived from the raw
+    table: row delta == deleted-range count, customer delta == deleted
+    distinct customers, cents delta == 100_00 * surviving updated rows
+    minus deleted cents — the CDC arithmetic cross-checked outside the
+    manifest machinery (the builder's own asserts cover COW reuse and
+    isolation)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.registry import load_all
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    rows = {
+        r.snapshot: r
+        for r in load_all()["orders_snapshot_cow_read"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ckey"), "o_totalprice"
+    )
+    mx = o.agg(F.max("ckey")).collect()[0][0]
+    upd_lo, upd_hi = mx // 4, mx // 4 + max(1, mx // 20)
+    del_lo, del_hi = (3 * mx) // 5, (3 * mx) // 5 + max(1, mx // 50)
+    upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
+    dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
+    stats = o.agg(
+        F.count(F.when(dele, 1)).alias("n_del"),
+        F.sum(F.when(dele, F.round(F.col("o_totalprice") * 100, 0)
+                     .cast("bigint"))).alias("del_cents"),
+        F.count(F.when(upd & ~dele, 1)).alias("n_upd"),
+        F.countDistinct(F.when(dele, F.col("ckey"))).alias("n_del_cust"),
+    ).collect()[0]
+    v1, v2 = rows["v1"], rows["v2"]
+    assert v1.n_orders - v2.n_orders == stats.n_del
+    assert v1.n_customers - v2.n_customers == stats.n_del_cust
+    assert v2.cents - v1.cents == 100 * 100 * stats.n_upd - (
+        stats.del_cents or 0
+    )
