@@ -34,6 +34,11 @@ CASES = (
     # set algebra are hash-addressed, so layout-independent by claim
     "events_quantile_sketch_merge",
     "events_kmv_set_ops",
+    # round-11 layout/storage additions: explicit repartitionByRange
+    # writes + manifest reads claim independence from the session's
+    # shuffle-partition setting outright
+    "orders_sorted_fileskip",
+    "orders_snapshot_cow_read",
 )
 
 
