@@ -4203,3 +4203,208 @@ def orders_snapshot_cow_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(read_snapshot(manifest_v2), "v2"))
         .orderBy("snapshot")
     )
+
+
+@query(
+    "orders_snapshot_concurrent_commit",
+    tags=("layout", "snapshot", "occ", "cow", "maintenance"),
+    oracle="""
+WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders),
+v1 AS (
+  SELECT CAST('v1' AS VARCHAR) AS snapshot,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+),
+v2 AS (
+  SELECT CAST('v2' AS VARCHAR) AS snapshot,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(
+           CASE WHEN o_custkey >= m.mx // 8
+                 AND o_custkey <  m.mx // 8 + GREATEST(1, m.mx // 25)
+                THEN o_totalprice + 50.0 ELSE o_totalprice END * 100, 0)
+           AS BIGINT)) AS BIGINT) AS cents
+  FROM orders, m
+),
+v3 AS (
+  SELECT CAST('v3' AS VARCHAR) AS snapshot,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(ROUND(
+           CASE WHEN o_custkey >= m.mx // 8
+                 AND o_custkey <  m.mx // 8 + GREATEST(1, m.mx // 25)
+                THEN o_totalprice + 50.0 ELSE o_totalprice END * 100, 0)
+           AS BIGINT)) AS BIGINT) AS cents
+  FROM orders, m
+  WHERE NOT (o_custkey >= (7 * m.mx) // 10
+             AND o_custkey < (7 * m.mx) // 10 + GREATEST(1, m.mx // 40))
+)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+ORDER BY snapshot
+""",
+)
+def orders_snapshot_concurrent_commit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMISTIC CONCURRENT COMMIT — the multi-writer half of the
+    snapshot story orders_snapshot_cow_read scopes out (its contract
+    is single-writer): two writers race to publish against the same
+    base snapshot, the loser detects the conflict through the
+    manifest CAS and REBASES, and the final chain carries BOTH
+    changes — Delta/Iceberg's optimistic commit loop, demonstrated
+    with a deterministic scripted interleaving (which is how
+    concurrency protocols are demonstrated honestly: the RACE is
+    nondeterministic, the protocol's response to every interleaving
+    is not).
+
+    Scripted interleaving over operators/snapshots.py:
+
+    1. v1 = orders in 8 immutable customer-range bucket dirs;
+       manifest published through try_commit(base=0).
+    2. Writer A (price +50 on one customer range) and writer B
+       (delete another range) BOTH read v1.
+    3. A publishes v2 via try_commit(base=1) — wins.
+    4. B, still on base v1, calls try_commit(base=1) → the atomic
+       create-if-absent fails → SnapshotConflict (asserted raised).
+    5. B rebases: re-reads latest (v2 — which includes A's rewritten
+       bucket), re-applies ITS delete on top of v2's current
+       directories, publishes v3 via try_commit(base=2). Lost-update
+       anomaly avoided by construction: had B overwritten blindly, A's
+       update to any shared bucket would vanish.
+    6. expire_snapshots(keep_from=2) then drops v1 and garbage-
+       collects exactly the directories only v1 referenced; v2/v3
+       reads still work (asserted), and the superseded pre-image dirs
+       are gone (asserted).
+
+    The oracle replays all three snapshots from raw orders (v2 = +A,
+    v3 = +A+B), so the versioned read surface — not just the
+    mechanics — is hash-certified. Update and delete ranges are
+    chosen off MAX(o_custkey) to OVERLAP in bucket space sometimes
+    and not others across SFs; correctness never depends on which,
+    because rebase re-reads whatever the latest manifest says. At
+    100 TB: the CAS is the store's conditional-put, commit cost is
+    one manifest create regardless of table size, and retention
+    (keep_from) bounds both time-travel depth and storage — the
+    module docstring carries the posture."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        SnapshotConflict,
+        expire_snapshots,
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    n_buckets = 8
+    table = scratch_dir("snapocc_demo_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("o_custkey").alias("ckey"),
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+
+    fb = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("ckey") * n_buckets / (maxck + 1)),
+    ).cast("int")
+    base = o.withColumn("fb", fb)
+    v1_map = {}
+    for b in range(n_buckets):
+        d = os.path.join(table, f"b{b}-g1")
+        base.where(F.col("fb") == b).drop("fb").write.mode(
+            "overwrite"
+        ).parquet(d)
+        v1_map[str(b)] = d
+    assert try_commit(table, 0, v1_map) == 1
+
+    bucket_of = lambda c: min(n_buckets - 1, c * n_buckets // (maxck + 1))
+    upd_lo, upd_hi = maxck // 8, maxck // 8 + max(1, maxck // 25)
+    del_lo, del_hi = (7 * maxck) // 10, (7 * maxck) // 10 + max(
+        1, maxck // 40
+    )
+    upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
+    dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
+
+    # both writers read base v1
+    a_base = read_manifest(table, 1)
+    b_base = read_manifest(table, 1)
+
+    # writer A: +50 price on its range, COW over its touched buckets
+    a_map = dict(a_base)
+    for b in sorted({bucket_of(upd_lo), bucket_of(upd_hi - 1)}):
+        d2 = os.path.join(table, f"b{b}-g2")
+        (
+            spark.read.parquet(a_base[str(b)])
+            .withColumn(
+                "o_totalprice",
+                F.when(upd, F.col("o_totalprice") + 50.0).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(d2)
+        )
+        a_map[str(b)] = d2
+    assert try_commit(table, 1, a_map) == 2
+
+    # writer B: delete its range — FIRST attempt against the stale base
+    def b_rewrite(src_map, gen):
+        out = dict(src_map)
+        for b in sorted({bucket_of(del_lo), bucket_of(del_hi - 1)}):
+            d2 = os.path.join(table, f"b{b}-{gen}")
+            (
+                spark.read.parquet(src_map[str(b)])
+                .where(~dele)
+                .write.mode("overwrite")
+                .parquet(d2)
+            )
+            out[str(b)] = d2
+        return out
+
+    conflicted = False
+    try:
+        try_commit(table, 1, b_rewrite(b_base, "g2b"))
+    except SnapshotConflict:
+        conflicted = True
+    assert conflicted, "stale-base commit must conflict, not clobber"
+
+    # rebase: re-read latest (carries A's update), re-apply, commit v3
+    latest = read_manifest(table)
+    assert latest == a_map, "latest must be A's v2"
+    assert try_commit(table, 2, b_rewrite(latest, "g3")) == 3
+
+    def agg(version: int, tag: str) -> DataFrame:
+        dirs = list(read_manifest(table, version).values())
+        return (
+            spark.read.parquet(*dirs)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .select(F.lit(tag).alias("snapshot"), "n_orders", "cents")
+        )
+
+    result = (
+        agg(1, "v1").unionByName(agg(2, "v2")).unionByName(agg(3, "v3"))
+        .orderBy("snapshot")
+    )
+    rows = result.collect()  # materialize all three BEFORE expiry
+
+    # retention: drop v1, GC the dirs only v1 referenced
+    removed_m, removed_d = expire_snapshots(table, keep_from=2)
+    assert removed_m == 1, removed_m
+    a_touched = {os.path.basename(p) for k, p in a_map.items()
+                 if p != v1_map[k]}
+    v3_map = read_manifest(table, 3)
+    only_v1 = {
+        os.path.basename(v1_map[k])
+        for k in v1_map
+        if a_map[str(k)] != v1_map[k] or v3_map[str(k)] != v1_map[k]
+    }
+    assert removed_d == len(only_v1), (removed_d, only_v1)
+    assert agg(2, "v2").collect() and agg(3, "v3").collect()
+
+    return spark.createDataFrame(rows, result.schema).orderBy("snapshot")

@@ -71,7 +71,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 #        byte-identical oracle (semilattice: no batch-id guard);
 #      orders_snapshot_cow_read — snapshot isolation + time travel:
 #        versioned manifests over immutable bucket dirs, CDC applied
-#        copy-on-write, old snapshot re-read unchanged (asserted).
+#        copy-on-write, old snapshot re-read unchanged (asserted);
+#      orders_snapshot_concurrent_commit — optimistic multi-writer:
+#        manifest CAS conflict -> rebase -> both effects land; expiry
+#        GC removes exactly the unreferenced pre-image dirs.
 # 2. PLAN-TOUCHED queries whose newest driver record (r10) predates
 #    this round's change:
 #      doc_duplicate_span_pairs / doc_span_dedup_coverage — the second
@@ -89,8 +92,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #    round first, then name — tools/next_verify_prefix.py order): the
 #    28 r6-era greens the r10 prefix displaced (ingest_balance_sheet
 #    .. session_funnel_conversion), then the r7 band alphabetically as
-#    far as the remaining slots reach (through doc_fingerprint_dedup).
-#    doc_jaccard_pairs_brute .. doc_vocab_df queue for r12.
+#    far as the remaining slots reach (through doc_exact_dedup).
+#    doc_fingerprint_dedup .. doc_vocab_df queue for r12.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
 # takes a slot again. Local ground truth for every query at BOTH scale
@@ -104,6 +107,7 @@ VERIFY_FIRST: tuple[str, ...] = (
     "orders_zorder_fileskip_2d",
     "events_stream_kmv_state",
     "orders_snapshot_cow_read",
+    "orders_snapshot_concurrent_commit",
     # bucket 2: plans touched without a post-change driver record
     "doc_duplicate_span_pairs",
     "doc_span_dedup_coverage",
@@ -150,7 +154,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "doc_curation_pipeline",
     "doc_decontaminate_splits",
     "doc_exact_dedup",
-    "doc_fingerprint_dedup",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 
