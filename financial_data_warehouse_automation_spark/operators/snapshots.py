@@ -41,6 +41,7 @@ import json
 import os
 import re
 import shutil
+import time
 
 _MANIFEST_RE = re.compile(r"manifest-v(\d+)\.json$")
 
@@ -96,10 +97,38 @@ def try_commit(
     return version
 
 
-def expire_snapshots(table_dir: str, keep_from: int) -> tuple[int, int]:
+def expire_snapshots(
+    table_dir: str, keep_from: int, min_age_s: float = 0.0
+) -> tuple[int, int]:
     """Drop manifests with version < ``keep_from``, then delete data
     directories referenced by NO remaining manifest. Returns
-    (manifests_removed, data_dirs_removed)."""
+    (manifests_removed, data_dirs_removed).
+
+    Safety rails (r11 advisor):
+
+    * ``keep_from`` is CLAMPED to the latest published version, so the
+      newest manifest and everything it references always survive — a
+      retention argument beyond head can never empty the table (Delta/
+      Iceberg retention likewise always retains the current snapshot).
+      A table with no manifest at all raises ``ValueError`` instead of
+      GC-ing against an empty live set.
+    * ``min_age_s``: data directories younger than this (by mtime) are
+      exempt from GC even when unreferenced — a concurrent writer's
+      STAGED-but-uncommitted directories look exactly like garbage to
+      a reader of manifests, and deleting them loses that writer's
+      work before its ``try_commit``. Delta/Iceberg vacuum uses the
+      same age cutoff (default 7 days there); the default here is 0
+      (single-writer maintenance window — the demos run with all
+      writers quiesced), and any multi-writer deployment MUST pass a
+      retention-scale age or otherwise fence GC from in-flight
+      writers.
+    """
+    latest = latest_version(table_dir)
+    if latest == 0:
+        raise ValueError(
+            f"no manifest in {table_dir}: refusing to GC an empty live set"
+        )
+    keep_from = min(keep_from, latest)
     removed_m = 0
     for name in list(os.listdir(table_dir)):
         m = _MANIFEST_RE.fullmatch(name)
@@ -111,10 +140,14 @@ def expire_snapshots(table_dir: str, keep_from: int) -> tuple[int, int]:
         if _MANIFEST_RE.fullmatch(name):
             with open(os.path.join(table_dir, name)) as f:
                 live.update(os.path.basename(p) for p in json.load(f).values())
+    now = time.time()
     removed_d = 0
     for name in list(os.listdir(table_dir)):
         full = os.path.join(table_dir, name)
-        if os.path.isdir(full) and name not in live:
-            shutil.rmtree(full)
-            removed_d += 1
+        if not os.path.isdir(full) or name in live:
+            continue
+        if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
+            continue  # possibly a concurrent writer's staged dir
+        shutil.rmtree(full)
+        removed_d += 1
     return removed_m, removed_d

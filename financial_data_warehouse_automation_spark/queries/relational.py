@@ -4272,9 +4272,10 @@ def orders_snapshot_concurrent_commit(
        anomaly avoided by construction: had B overwritten blindly, A's
        update to any shared bucket would vanish.
     6. expire_snapshots(keep_from=2) then drops v1 and garbage-
-       collects exactly the directories only v1 referenced; v2/v3
-       reads still work (asserted), and the superseded pre-image dirs
-       are gone (asserted).
+       collects exactly the directories no retained manifest
+       references — v1's superseded pre-images AND B's orphaned
+       stale-attempt staging dirs (each set computed directly and
+       asserted gone); v2/v3 reads still work (asserted).
 
     The oracle replays all three snapshots from raw orders (v2 = +A,
     v3 = +A+B), so the versioned read surface — not just the
@@ -4362,9 +4363,10 @@ def orders_snapshot_concurrent_commit(
             out[str(b)] = d2
         return out
 
+    stale_map = b_rewrite(b_base, "g2b")  # staged against the stale base
     conflicted = False
     try:
-        try_commit(table, 1, b_rewrite(b_base, "g2b"))
+        try_commit(table, 1, stale_map)
     except SnapshotConflict:
         conflicted = True
     assert conflicted, "stale-base commit must conflict, not clobber"
@@ -4393,18 +4395,32 @@ def orders_snapshot_concurrent_commit(
     )
     rows = result.collect()  # materialize all three BEFORE expiry
 
-    # retention: drop v1, GC the dirs only v1 referenced
+    # retention: drop v1, GC everything no retained manifest references —
+    # computed DIRECTLY (r11 advisor: the old 'superseded in v2 OR v3'
+    # proxy over-counted v1 dirs still live via v2 and only balanced by
+    # accident while the writers' ranges hit disjoint buckets): the
+    # expected removals are (a) v1 dirs referenced by neither the v2 nor
+    # the v3 manifest, plus (b) B's pre-rebase staged dirs, orphaned the
+    # moment its stale commit lost the CAS.
     removed_m, removed_d = expire_snapshots(table, keep_from=2)
     assert removed_m == 1, removed_m
-    a_touched = {os.path.basename(p) for k, p in a_map.items()
-                 if p != v1_map[k]}
     v3_map = read_manifest(table, 3)
-    only_v1 = {
-        os.path.basename(v1_map[k])
-        for k in v1_map
-        if a_map[str(k)] != v1_map[k] or v3_map[str(k)] != v1_map[k]
+    retained = {os.path.basename(p) for p in a_map.values()} | {
+        os.path.basename(p) for p in v3_map.values()
     }
-    assert removed_d == len(only_v1), (removed_d, only_v1)
+    dead_v1 = {
+        os.path.basename(p) for p in v1_map.values()
+    } - retained
+    g2b_orphans = {
+        os.path.basename(p)
+        for k, p in stale_map.items()
+        if p != b_base[k]
+    } - retained
+    expected_gone = dead_v1 | g2b_orphans
+    assert removed_d == len(expected_gone), (removed_d, expected_gone)
+    assert not any(
+        os.path.exists(os.path.join(table, n)) for n in expected_gone
+    ), expected_gone
     assert agg(2, "v2").collect() and agg(3, "v3").collect()
 
     return spark.createDataFrame(rows, result.schema).orderBy("snapshot")

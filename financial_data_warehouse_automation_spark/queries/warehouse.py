@@ -9,6 +9,8 @@ hash-check them against DuckDB. The run-twice idempotency fixed point
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -85,6 +87,313 @@ def upsert_keep_last_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = _monthly_spend(o.where(F.year("o_orderdate") >= 1995), "new")
     merged = upsert_keep_last(existing, updates, ["custkey", "year", "month"])
     return merged.orderBy("custkey", "year", "month")
+
+
+@query(
+    "warehouse_upsert_snapshot",
+    tags=("warehouse", "upsert", "a2", "snapshot", "occ", "cow",
+          "time-travel"),
+    oracle=f"""
+WITH existing AS (
+  {_MONTHLY_SQL.format(money=sql_money('o_totalprice'), src='old',
+                       pred="o_orderdate < TIMESTAMP '1998-01-01'")}
+), updates AS (
+  {_MONTHLY_SQL.format(money=sql_money('o_totalprice'), src='new',
+                       pred="EXTRACT(YEAR FROM o_orderdate) >= 1997"
+                            " AND o_custkey % 2 = 1")}
+), merged AS (
+  SELECT custkey, year, month, amount, src FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey, year, month
+                                 ORDER BY pri DESC) AS rn
+    FROM (SELECT *, 0 AS pri FROM existing
+          UNION ALL
+          SELECT *, 1 AS pri FROM updates)
+  ) WHERE rn = 1
+)
+SELECT CAST('v1' AS VARCHAR) AS snapshot, year, src,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CAST(ROUND(amount * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM existing GROUP BY year, src
+UNION ALL
+SELECT 'v2', year, src, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(amount * 100, 0) AS BIGINT)) AS BIGINT)
+FROM merged GROUP BY year, src
+UNION ALL
+SELECT 'v3', year, src, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(amount * 100, 0) AS BIGINT)) AS BIGINT)
+FROM merged WHERE NOT (custkey % 7 = 0 AND year = 1997)
+GROUP BY year, src
+ORDER BY snapshot, year, src
+""",
+)
+def warehouse_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE AS A SNAPSHOT COMMIT — the round-11 MVCC primitives
+    (operators/snapshots.py) composed with the engine's actual write
+    path: the reference's idempotent monthly load
+    (build_warehouse.py:159-169 ``keep="last"``; Code.gs:264-274 map
+    overwrite) executed as a copy-on-write commit against a versioned
+    manifest table, so the warehouse gains time travel, snapshot
+    isolation, and multi-writer safety without changing the A2
+    operator at all.
+
+    Script (every step asserted in-builder, every snapshot's CONTENT
+    hash-certified by the oracle's replay from raw orders):
+
+    1. v1 — the existing warehouse (monthly spend through 1997),
+       written ONCE with ``partitionBy`` on the year and published as
+       manifest v1 mapping period buckets '1995'..'1997' to the
+       partition directories.
+    2. Writer A — a re-delivered correction batch (odd custkeys,
+       1997+) runs ``upsert_keep_last`` against ONLY the buckets it
+       touches: bucket '1997' is read, merged, rewritten COW; buckets
+       '1998'..'2001' are brand-new manifest keys; '1995'/'1996' are
+       carried VERBATIM (asserted) — the monthly load touches its
+       month, never the table.
+    3. Writer B — a concurrent data-quality delete (custkey % 7 = 0
+       in 1997) staged against the SAME base v1 loses the manifest
+       CAS (SnapshotConflict asserted). Note what blind clobbering
+       would have lost: B's stale manifest lacks A's 1998-2001
+       buckets entirely — manifest-granularity lost update, not just
+       row-level.
+    4. B REBASES: re-reads latest (asserted == A's v2, so the delete
+       re-applies on top of A's merged bucket), rewrites '1997',
+       commits v3.
+    5. Time travel: v1's aggregate, collected before any writer ran,
+       equals the v1-manifest re-read AFTER v3 (asserted) — last
+       month's warehouse stays auditable forever.
+
+    The returned frame aggregates all three snapshots (year x src
+    grain, exact integer cents) through their manifests — the
+    versioned read surface itself is what the driver hash-checks.
+    At 100 TB: the bucket key is (year, month) and the staged write
+    is dynamic-partition-sized, commit cost stays one manifest
+    create; this is Delta/Iceberg MERGE + optimistic commit with the
+    log-entry swap spelled out (snapshots.py docstring carries the
+    conditional-put mapping)."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        SnapshotConflict,
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    table = scratch_dir("wh_snap_")
+    o = load_table(spark, sf_dir, "orders")
+    existing = _monthly_spend(
+        o.where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")),
+        "old",
+    )
+    updates = _monthly_spend(
+        o.where(
+            (F.year("o_orderdate") >= 1997) & (F.col("o_custkey") % 2 == 1)
+        ),
+        "new",
+    )
+
+    def write_partitioned(df: DataFrame, gen: str) -> dict[str, str]:
+        """One partitioned write; returns bucket-id -> partition dir.
+        ``py`` duplicates ``year`` so the data files keep the year
+        column (reading a single partition dir sees file columns
+        only)."""
+        root = os.path.join(table, gen)
+        df.withColumn("py", F.col("year")).write.partitionBy("py").parquet(
+            root
+        )
+        return {
+            n.split("=", 1)[1]: os.path.join(root, n)
+            for n in os.listdir(root)
+            if n.startswith("py=")
+        }
+
+    v1_map = write_partitioned(existing, "g1")
+    assert try_commit(table, 0, v1_map) == 1
+
+    def agg(version: int, tag: str) -> DataFrame:
+        dirs = list(read_manifest(table, version).values())
+        return (
+            spark.read.parquet(*dirs)
+            .groupBy("year", "src")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum(F.round(F.col("amount") * 100, 0).cast("bigint"))
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .select(F.lit(tag).alias("snapshot"), "year", "src", "n_keys",
+                    "cents")
+        )
+
+    v1_before = sorted(map(tuple, agg(1, "v1").collect()))
+
+    # writer A: the A2 merge, COW over only the buckets updates touch
+    a_base = read_manifest(table, 1)
+    merged_a = upsert_keep_last(
+        spark.read.parquet(a_base["1997"]), updates,
+        ["custkey", "year", "month"],
+    )
+    a_map = dict(a_base)
+    a_map.update(write_partitioned(merged_a, "g2"))
+    assert try_commit(table, 1, a_map) == 2
+    shared = [b for b in v1_map if a_map[b] == v1_map[b]]
+    assert sorted(shared) == ["1995", "1996"], shared
+    assert sorted(a_map) == [str(y) for y in range(1995, 2002)], a_map
+
+    # writer B: concurrent quality delete staged against the SAME base
+    dele = (F.col("custkey") % 7 == 0) & (F.col("year") == 1997)
+
+    def b_rewrite(src_map: dict[str, str], gen: str) -> dict[str, str]:
+        out = dict(src_map)
+        d = os.path.join(table, gen)
+        spark.read.parquet(src_map["1997"]).where(~dele).write.parquet(d)
+        out["1997"] = d
+        return out
+
+    conflicted = False
+    try:
+        try_commit(table, 1, b_rewrite(a_base, "g2b"))
+    except SnapshotConflict:
+        conflicted = True
+    assert conflicted, "stale-base merge must conflict, not clobber"
+
+    latest = read_manifest(table)
+    assert latest == a_map, "rebase must see A's committed merge"
+    assert try_commit(table, 2, b_rewrite(latest, "g3")) == 3
+
+    # time travel: the pre-writer warehouse is still byte-stable
+    assert sorted(map(tuple, agg(1, "v1").collect())) == v1_before
+
+    return (
+        agg(1, "v1")
+        .unionByName(agg(2, "v2"))
+        .unionByName(agg(3, "v3"))
+        .orderBy("snapshot", "year", "src")
+    )
+
+
+@query(
+    "qa_ledger_snapshot_history",
+    tags=("warehouse", "qa", "a3", "snapshot", "time-travel", "stateful"),
+    oracle="""
+WITH inactive96 AS (
+  SELECT c_custkey AS custkey FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND EXTRACT(YEAR FROM o.o_orderdate) = 1996)
+), inactive97 AS (
+  SELECT c_custkey AS custkey FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND EXTRACT(YEAR FROM o.o_orderdate) = 1997)
+), inactive98 AS (
+  SELECT c_custkey AS custkey FROM customer c
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                    AND EXTRACT(YEAR FROM o.o_orderdate) = 1998)
+), led1 AS (
+  SELECT custkey, CAST('Open' AS VARCHAR) AS status,
+         DATE '1997-01-01' AS last_seen
+  FROM inactive96
+), led2 AS (
+  SELECT COALESCE(m.custkey, l.custkey) AS custkey,
+         CASE WHEN m.custkey IS NOT NULL THEN 'Open' ELSE 'Resolved' END
+           AS status,
+         CASE WHEN m.custkey IS NOT NULL THEN DATE '1998-01-01'
+              ELSE l.last_seen END AS last_seen
+  FROM inactive97 m FULL OUTER JOIN led1 l ON m.custkey = l.custkey
+), led3 AS (
+  SELECT COALESCE(m.custkey, l.custkey) AS custkey,
+         CASE WHEN m.custkey IS NOT NULL THEN 'Open' ELSE 'Resolved' END
+           AS status,
+         CASE WHEN m.custkey IS NOT NULL THEN DATE '1999-01-01'
+              ELSE l.last_seen END AS last_seen
+  FROM inactive98 m FULL OUTER JOIN led2 l ON m.custkey = l.custkey
+)
+SELECT CAST('v1' AS VARCHAR) AS version, custkey, status, last_seen
+FROM led1
+UNION ALL SELECT 'v2', custkey, status, last_seen FROM led2
+UNION ALL SELECT 'v3', custkey, status, last_seen FROM led3
+ORDER BY version, custkey
+""",
+)
+def qa_ledger_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 QA LEDGER AS A VERSIONED SNAPSHOT CHAIN: each run's
+    Open/Resolved state machine transition (Code.gs:283-317) lands as
+    an immutable snapshot commit, so the ledger's full revision
+    history — the thing the reference's Google Sheet gives its users
+    for free via sheet version history — is a first-class,
+    time-travelable read surface.
+
+    Three runs over successive activity years: v1 = customers
+    inactive in 1996 (all Open); v2 = ``qa_ledger_merge`` with 1997's
+    misses (Resolved keys keep their old last_seen — asserted by the
+    oracle's replay); v3 = the 1998 run ON TOP of the v2 SNAPSHOT
+    READ — the state feeding each transition is the committed
+    previous version, not an in-memory frame, which is what makes
+    the pipeline restartable at any version. Keys can flip
+    Open -> Resolved -> Open across the chain (re-inactive
+    customers); the returned frame is every version's FULL ledger
+    tagged by version, so the driver hashes the entire history, and
+    the v1 re-read after v3 is asserted unchanged (isolation).
+
+    Scale: the ledger is per-issue-key metadata (millions of rows at
+    most, one bucket here); the snapshot cost is O(ledger), never
+    O(warehouse) — and each transition is the one full-outer join
+    qa_ledger_merge already pays."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    table = scratch_dir("qa_snap_")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    def inactive_in(year: int) -> DataFrame:
+        yr = o.where(F.year("o_orderdate") == year)
+        return c.join(yr, c.c_custkey == yr.o_custkey, "left_anti").select(
+            F.col("c_custkey").alias("custkey")
+        )
+
+    def commit_ledger(df: DataFrame, base: int, gen: str) -> int:
+        d = os.path.join(table, gen)
+        df.select("custkey", "status", "last_seen").write.parquet(d)
+        return try_commit(table, base, {"ledger": d})
+
+    def read_ledger(version: int) -> DataFrame:
+        return spark.read.schema("custkey long, status string, last_seen date").parquet(
+            read_manifest(table, version)["ledger"]
+        )
+
+    led1 = inactive_in(1996).select(
+        "custkey",
+        F.lit("Open").alias("status"),
+        F.lit("1997-01-01").cast("date").alias("last_seen"),
+    )
+    assert commit_ledger(led1, 0, "g1") == 1
+    v1_before = sorted(map(tuple, read_ledger(1).collect()))
+
+    led2 = qa_ledger_merge(
+        read_ledger(1), inactive_in(1997), ["custkey"],
+        seen_col=F.lit("1998-01-01").cast("date"),
+    )
+    assert commit_ledger(led2, 1, "g2") == 2
+    led3 = qa_ledger_merge(
+        read_ledger(2), inactive_in(1998), ["custkey"],
+        seen_col=F.lit("1999-01-01").cast("date"),
+    )
+    assert commit_ledger(led3, 2, "g3") == 3
+
+    assert sorted(map(tuple, read_ledger(1).collect())) == v1_before
+
+    def tagged(version: int, tag: str) -> DataFrame:
+        return read_ledger(version).select(
+            F.lit(tag).alias("version"), "custkey", "status", "last_seen"
+        )
+
+    return (
+        tagged(1, "v1")
+        .unionByName(tagged(2, "v2"))
+        .unionByName(tagged(3, "v3"))
+        .orderBy("version", "custkey")
+    )
 
 
 @query(

@@ -89,10 +89,15 @@ class RowSinkWriter(DataSourceWriter):
             # append mode: carry the prior jobs' file map forward so the
             # rewritten _SUCCESS still reconciles with the directory
             # (r10 advisor: dropping it silently orphaned earlier parts).
+            # Only a MISSING _SUCCESS means "first append into this dir";
+            # a corrupt/unreadable one must raise — swallowing it would
+            # silently restart the manifest and orphan every earlier part,
+            # the same reconciliation failure behind a different door
+            # (r11 advisor).
             try:
                 with open(os.path.join(self.path, "_SUCCESS")) as f:
                     manifest = dict(json.load(f).get("files", {}))
-            except (OSError, ValueError):
+            except FileNotFoundError:
                 manifest = {}
         job = uuid.uuid4().hex[:8]
         for i, m in enumerate(messages):

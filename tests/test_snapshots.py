@@ -71,6 +71,53 @@ def test_expiry_gc_removes_only_unreferenced(tmp_path):
         read_manifest(table, 1)
 
 
+def test_expiry_clamps_keep_from_to_latest(tmp_path):
+    """keep_from beyond head must clamp, not expire every manifest and
+    then GC the whole table against an empty live set (r11 advisor,
+    medium): the newest snapshot and its data always survive."""
+    table = str(tmp_path)
+    d1 = _mkdata(table, "b0-g1")
+    d2 = _mkdata(table, "b0-g2")
+    try_commit(table, 0, {"0": d1})
+    try_commit(table, 1, {"0": d2})
+    removed_m, removed_d = expire_snapshots(table, keep_from=999)
+    assert (removed_m, removed_d) == (1, 1)  # same effect as keep_from=2
+    assert read_manifest(table) == {"0": d2}
+    assert os.path.exists(d2)
+
+
+def test_expiry_refuses_table_without_manifest(tmp_path):
+    """No manifest at all -> ValueError, never 'live set is empty so
+    delete every data directory'."""
+    table = str(tmp_path)
+    survivor = _mkdata(table, "b0-g1")
+    with pytest.raises(ValueError, match="no manifest"):
+        expire_snapshots(table, keep_from=1)
+    assert os.path.exists(survivor)
+
+
+def test_expiry_min_age_protects_staged_dirs(tmp_path):
+    """An unreferenced-but-YOUNG directory is a concurrent writer's
+    staged output, not garbage; min_age_s must exempt it (r11 advisor:
+    GC racing a writer otherwise loses its uncommitted work). Aging the
+    dir past the cutoff makes it collectable again."""
+    table = str(tmp_path)
+    d1 = _mkdata(table, "b0-g1")
+    try_commit(table, 0, {"0": d1})
+    staged = _mkdata(table, "b0-staged")  # uncommitted writer output
+    removed_m, removed_d = expire_snapshots(table, keep_from=1,
+                                            min_age_s=3600)
+    assert (removed_m, removed_d) == (0, 0)
+    assert os.path.exists(staged)
+    # simulate the writer having died long ago: age the dir out
+    old = os.path.getmtime(staged) - 7200
+    os.utime(staged, (old, old))
+    _, removed_d = expire_snapshots(table, keep_from=1, min_age_s=3600)
+    assert removed_d == 1
+    assert not os.path.exists(staged)
+    assert os.path.exists(d1)
+
+
 def test_registered_occ_query_runs_green(spark, sf_dir):
     """The scripted interleaving's own asserts (conflict raised, rebase
     == latest, GC counts) must hold at the test SF; v3 carries both

@@ -280,6 +280,41 @@ def test_rowsink_append_merges_manifest(tmp_path):
     assert len(manifest3["files"]) == 1
 
 
+def test_rowsink_append_corrupt_success_raises(tmp_path):
+    """Append mode may treat only a MISSING _SUCCESS as 'fresh dir'; a
+    corrupt one must raise instead of silently starting a new manifest
+    that orphans every earlier part (r11 advisor: the r10 fix's
+    swallowed ValueError reopened the same reconciliation hole)."""
+    import json
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from financial_data_warehouse_automation_spark.sources.rowsink import RowSinkWriter
+
+    d = str(tmp_path / "sink")
+    os.makedirs(d)
+    schema = StructType([StructField("id", LongType())])
+    w1 = RowSinkWriter({"path": d}, schema, overwrite=False)
+    w1.commit([w1.write(iter([(1,), (2,)]))])
+    with open(os.path.join(d, "_SUCCESS"), "w") as f:
+        f.write("{not json")
+    w2 = RowSinkWriter({"path": d}, schema, overwrite=False)
+    msg = w2.write(iter([(3,)]))
+    with _pytest.raises(ValueError):
+        w2.commit([msg])
+    # the prior committed part is untouched by the refused commit
+    parts = [n for n in os.listdir(d) if n.startswith("part-")]
+    assert len(parts) == 1
+    # a fresh dir (no _SUCCESS at all) still appends from empty
+    d2 = str(tmp_path / "sink2")
+    os.makedirs(d2)
+    w3 = RowSinkWriter({"path": d2}, schema, overwrite=False)
+    w3.commit([w3.write(iter([(7,)]))])
+    assert json.load(open(os.path.join(d2, "_SUCCESS")))["total"] == 1
+
+
 def test_rowsink_missing_path_raises_valueerror(tmp_path):
     """A missing 'path' option must surface as the rowsink ValueError,
     not makedirs('') -> FileNotFoundError (r10 advisor)."""
