@@ -693,3 +693,75 @@ def run_events_kmv_state(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def snapshot_commit_batch(table_dir: str):
+    """foreachBatch: land one micro-batch as an immutable bucket
+    directory and publish it through the manifest CAS
+    (operators/snapshots.py) as version ``batch_id + 1`` — EXACTLY-ONCE
+    table appends from an at-least-once stream, the way Delta's
+    ``txnAppId``/``txnVersion`` idempotent writes work: the version
+    number IS the batch id, so a replayed batch finds its version
+    already published and becomes a no-op.
+
+    Replay handling, in order:
+
+    * Fast path — ``latest_version >= batch_id + 1``: this batch
+      already committed (foreachBatch re-runs a failed/restarted batch
+      under the SAME id); return without staging a byte. The check is
+      check-then-act, but the CAS below backstops the race, and the
+      only possible racer is a replay of the IDENTICAL batch.
+    * Stage — the batch writes ``mode("overwrite")`` into its OWN
+      bucket dir (``batch-<id>``): a crash between stage and commit
+      leaves an orphan that the NEXT replay overwrites cleanly, and
+      that :func:`expire_snapshots`'s ``min_age_s`` GC would
+      eventually reclaim if the stream never returns.
+    * Commit — ``try_commit(base=batch_id)``; a
+      :class:`SnapshotConflict` here means the identical replay lost
+      the stage-then-commit race, i.e. the work is already published —
+      swallow it. Any OTHER writer interleaving on this table would
+      make versions drift from batch ids and fail the next commit
+      loudly (base mismatch), which is the honest contract: one
+      streaming writer per table, enforced by arithmetic.
+
+    Readers always see a consistent prefix of the stream: version N =
+    exactly batches 0..N-1, each bucket immutable once referenced."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        SnapshotConflict,
+        latest_version,
+        read_manifest,
+        try_commit,
+    )
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        version = batch_id + 1
+        if latest_version(table_dir) >= version:
+            return  # replayed batch: already committed
+        d = os.path.join(table_dir, f"batch-{batch_id}")
+        batch.write.mode("overwrite").parquet(d)
+        base = read_manifest(table_dir, batch_id) if batch_id > 0 else {}
+        mapping = dict(base)
+        mapping[f"b{batch_id}"] = d
+        try:
+            try_commit(table_dir, batch_id, mapping)
+        except SnapshotConflict:
+            pass  # identical replay won the race first: already published
+
+    return apply
+
+
+def run_events_snapshot_commit(
+    spark: SparkSession, events: DataFrame, table_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Stream events into a versioned snapshot table, one manifest
+    version per micro-batch (availableNow = bounded drain)."""
+    os.makedirs(table_dir, exist_ok=True)
+    return (
+        events.writeStream.foreachBatch(snapshot_commit_batch(table_dir))
+        .option(
+            "checkpointLocation", os.path.join(checkpoint_dir, "snap_commit")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

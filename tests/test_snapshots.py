@@ -135,3 +135,148 @@ def test_registered_occ_query_runs_green(spark, sf_dir):
     assert rows["v2"].n_orders == rows["v1"].n_orders  # A only updates
     assert rows["v2"].cents > rows["v1"].cents
     assert rows["v3"].n_orders < rows["v1"].n_orders   # B's delete landed
+
+
+def test_warehouse_upsert_snapshot_merge_semantics(spark, sf_dir):
+    """The MERGE-as-commit chain must show (a) v1 untouched old-only
+    years, (b) v2's overlap year 1997 holding BOTH sources (the A2
+    survivorship inside one COW bucket), (c) v3 = v2 minus exactly the
+    quality-delete keys, confined to 1997."""
+    from financial_data_warehouse_automation_spark.registry import load_all
+
+    rows = (
+        load_all()["warehouse_upsert_snapshot"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    by = {(r.snapshot, r.year, r.src): r for r in rows}
+    v1_srcs = {s for (tag, y, s) in by if tag == "v1"}
+    assert v1_srcs == {"old"}
+    srcs_1997_v2 = {s for (tag, y, s) in by if tag == "v2" and y == 1997}
+    assert srcs_1997_v2 == {"old", "new"}  # merged bucket keeps both
+    new_years_v2 = {y for (tag, y, s) in by if tag == "v2" and s == "new"}
+    assert new_years_v2 == set(range(1997, 2002))
+    # v3 differs from v2 only in 1997 (B's delete was scoped there)
+    for (tag, y, s), r in by.items():
+        if tag != "v2":
+            continue
+        r3 = by[("v3", y, s)]
+        if y == 1997:
+            assert r3.n_keys < r.n_keys
+        else:
+            assert (r3.n_keys, r3.cents) == (r.n_keys, r.cents)
+
+
+def test_compaction_commit_preserves_content(spark, sf_dir):
+    """OPTIMIZE-as-commit: both snapshots must aggregate identically —
+    a maintenance job that changes content is a data-loss bug."""
+    from financial_data_warehouse_automation_spark.registry import load_all
+
+    rows = {
+        r.snapshot: r
+        for r in load_all()["orders_compaction_snapshot_commit"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    a, b = rows["v1_fragmented"], rows["v2_compacted"]
+    assert (a.n_rows, a.cents, a.n_customers) == (
+        b.n_rows, b.cents, b.n_customers,
+    )
+
+
+def test_snapshot_changes_feed_is_typed_and_paired(spark, sf_dir):
+    """CDF rows: only the three change kinds the CDC can produce, with
+    pre/post images paired per updated key and no unchanged rows
+    leaking through the bucket-level read."""
+    from financial_data_warehouse_automation_spark.registry import load_all
+
+    rows = (
+        load_all()["orders_snapshot_changes"].builder(spark, sf_dir).collect()
+    )
+    kinds = {r.change_type for r in rows}
+    assert kinds <= {"delete", "update_preimage", "update_postimage"}
+    pre = {r.o_orderkey for r in rows if r.change_type == "update_preimage"}
+    post = {r.o_orderkey for r in rows if r.change_type == "update_postimage"}
+    assert pre == post and pre
+    dels = {r.o_orderkey for r in rows if r.change_type == "delete"}
+    assert dels.isdisjoint(pre)  # disjoint CDC ranges -> one kind per key
+    # every postimage is exactly +100.00 over its preimage
+    pre_cents = {
+        r.o_orderkey: r.cents for r in rows
+        if r.change_type == "update_preimage"
+    }
+    for r in rows:
+        if r.change_type == "update_postimage":
+            assert r.cents == pre_cents[r.o_orderkey] + 10000
+
+
+def test_manifest_stats_prune_matches_full_scan(spark, sf_dir):
+    """Pruned-read answer == full-scan answer over the same predicate
+    (stats prune candidates; they never change the result)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.registry import load_all
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    got = (
+        load_all()["orders_manifest_stats_prune"]
+        .builder(spark, sf_dir)
+        .collect()[0]
+    )
+    o = load_table(spark, sf_dir, "orders")
+    maxck = o.agg(F.max("o_custkey")).collect()[0][0]
+    lo, hi = maxck // 3, maxck // 3 + max(1, maxck // 10)
+    want = (
+        o.where((F.col("o_custkey") >= lo) & (F.col("o_custkey") < hi))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+        .collect()[0]
+    )
+    assert tuple(got) == tuple(want)
+
+
+def test_snapshot_commit_batch_replay_and_crash_recovery(spark, tmp_path):
+    """The streaming commit protocol, driven by hand: two batches
+    publish v1/v2; a replay of either batch id (even with DIFFERENT
+    data) is a no-op; a simulated crash AFTER staging but BEFORE
+    commit leaves an orphan dir that the replay overwrites and then
+    commits — the at-least-once -> exactly-once contract."""
+    import os
+
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        latest_version,
+        read_manifest,
+    )
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        snapshot_commit_batch,
+    )
+
+    table = str(tmp_path / "table")
+    os.makedirs(table)
+    fn = snapshot_commit_batch(table)
+    df1 = spark.range(10).selectExpr("id", "id * 2 AS v")
+    df2 = spark.range(10, 15).selectExpr("id", "id * 2 AS v")
+
+    fn(df1, 0)
+    assert latest_version(table) == 1
+    # crash sim: batch 1 stages but dies before commit
+    df2.write.mode("overwrite").parquet(os.path.join(table, "batch-1"))
+    assert latest_version(table) == 1  # nothing published
+    # replayed batch 1 overwrites the orphan stage and commits
+    fn(df2, 1)
+    assert latest_version(table) == 2
+    mani = read_manifest(table)
+    assert sorted(mani) == ["b0", "b1"]
+    total = spark.read.parquet(*mani.values()).count()
+    assert total == 15
+    # replays (poisoned payloads) are byte-level no-ops
+    before = sorted(os.listdir(table))
+    fn(df1, 0)
+    fn(spark.range(100).selectExpr("id", "id AS v"), 1)
+    assert sorted(os.listdir(table)) == before
+    assert spark.read.parquet(*read_manifest(table).values()).count() == 15
