@@ -119,11 +119,12 @@ def main() -> None:
     # reference is the round-10 artifact's reading — BENCH_r10.json
     # calib_spark_sec = 0.6029, measured at sf0.1 on the same box and
     # recorded once here and in PERF.md ("Calibration reference").
-    # value_calibrated = value * CALIB_REF / calib, i.e. the composite
-    # the same code would have read at r10 box speed: calib > ref means
-    # the box is currently slower and the raw composite is deflated
-    # back, and vice versa. Cross-round deltas quote value_calibrated;
-    # raw value remains the ground truth for within-run comparisons.
+    # value_calibrated_cpu = value * CALIB_REF / calib, i.e. the
+    # composite the same code would have read at r10 box speed: calib >
+    # ref means the box is currently slower and the raw composite is
+    # deflated back, and vice versa. Cross-round deltas quote the
+    # two-probe value_calibrated (below); raw value remains the ground
+    # truth for within-run comparisons.
     CALIB_REF = 0.6029
 
     # Second probe (r11's two-same-HEAD-previews finding: a +20% basket
@@ -133,9 +134,16 @@ def main() -> None:
     # with an exact-decimal sum — exercising file open, parquet decode,
     # task scheduling, and the memory subsystem. Reading the CPU and
     # scan probes together separates "box CPU slower" from "storage/
-    # scheduler weather"; no reference is pinned yet (first round
-    # emitting it — r12 pins the r11 driver artifact's value the way
-    # CALIB_REF pins r10's).
+    # scheduler weather". Round 12 pins the reference (r11 verdict
+    # task 2): CALIB_SCAN_REF is BENCH_r11.json's driver-recorded
+    # calib_scan_sec, same provenance as CALIB_REF (BENCH_r10's CPU
+    # probe). value_calibrated now derives from BOTH probes — the
+    # geometric mean of the two per-probe corrections — so a drift
+    # mode either probe misses still moves the quoted number halfway,
+    # and calib_probe_disagreement_pct flags when the probes tell
+    # different stories (the documented CPU-probe blind spot: read the
+    # per-probe fields before trusting the composite).
+    CALIB_SCAN_REF = 0.0845
     calib_scan = float("inf")
     li_price = spark.read.parquet(os.path.join(d, "lineitem.parquet")) \
         .select("l_extendedprice")
@@ -170,7 +178,24 @@ def main() -> None:
         "calib_spark_sec": round(calib, 4),
         "calib_ref_spark_sec": CALIB_REF,
         "calib_scan_sec": round(calib_scan, 4),
-        "value_calibrated": round(total * CALIB_REF / calib, 4),
+        "calib_scan_ref_sec": CALIB_SCAN_REF,
+        "value_calibrated_cpu": round(total * CALIB_REF / calib, 4),
+        "value_calibrated_scan": round(
+            total * CALIB_SCAN_REF / calib_scan, 4
+        ),
+        # headline calibrated composite: both probes, geometric mean
+        "value_calibrated": round(
+            total
+            * ((CALIB_REF / calib) * (CALIB_SCAN_REF / calib_scan)) ** 0.5,
+            4,
+        ),
+        "calib_probe_disagreement_pct": round(
+            100.0
+            * abs(
+                (CALIB_REF / calib) / (CALIB_SCAN_REF / calib_scan) - 1.0
+            ),
+            2,
+        ),
     }))
 
 

@@ -54,106 +54,101 @@ REGISTRY: dict[str, QuerySpec] = {}
 # via this tuple so every recorded slot is deliberately chosen. The
 # tuple is EXACTLY 50 entries (r9 advisor: a 59-entry tuple silently
 # gave slots 51+ no record while claiming otherwise).
-# Round 11's prefix:
+# Round 12's prefix:
 #
 # 1. NEW queries first — each needs its first driver record in the
-#    same round it lands (the r6 lesson):
-#      events_quantile_sketch_merge — mergeable bottom-k quantile
-#        sketch (day sketches -> weekly merge, exact twin columns);
-#      events_kmv_set_ops — Theta-style union/intersection/Jaccard
-#        from two KMV sketches;
-#      orders_sorted_fileskip — row-group skipping proven off the
-#        sorted layout (footer audit + scan metric + oracle);
-#      orders_zorder_fileskip_2d — BOTH-dimension skipping off a
-#        Morton-clustered write vs the linear sort's one-dimension;
-#      events_stream_kmv_state — stream-maintained per-day KMV state
-#        answering the weekly question with events_kmv_weekly_merge's
-#        byte-identical oracle (semilattice: no batch-id guard);
-#      orders_snapshot_cow_read — snapshot isolation + time travel:
-#        versioned manifests over immutable bucket dirs, CDC applied
-#        copy-on-write, old snapshot re-read unchanged (asserted);
-#      orders_snapshot_concurrent_commit — optimistic multi-writer:
-#        manifest CAS conflict -> rebase -> both effects land; expiry
-#        GC removes exactly the unreferenced pre-image dirs.
-# 2. PLAN-TOUCHED queries whose newest driver record (r10) predates
+#    same round it lands (the r6 lesson). This round's theme is the
+#    MVCC store composed into every write path:
+#      orders_compaction_snapshot_commit — OPTIMIZE as an optimistic
+#        commit: COW rewrite, old-snapshot reads survive, retention
+#        GCs exactly the fragmented pre-image;
+#      orders_snapshot_changes — change data feed between snapshots
+#        off the manifest diff (reads only changed buckets, typed
+#        delete/update_pre/update_post rows);
+#      orders_manifest_stats_prune — per-bucket min/max sidecar
+#        prunes whole bucket dirs before any listing/footer I/O;
+#      events_stream_snapshot_commit — foreachBatch publishes each
+#        micro-batch as manifest version batch_id+1: exactly-once
+#        table from an at-least-once stream, poisoned replays no-op;
+#      warehouse_upsert_snapshot — the A2 monthly MERGE as a COW
+#        snapshot commit with a conflicting second writer rebasing;
+#      qa_ledger_snapshot_history — the A3 Open/Resolved ledger as a
+#        versioned chain, each run reading the previous committed
+#        state.
+# 2. PLAN-TOUCHED queries whose newest driver record (r11) predates
 #    this round's change:
-#      doc_duplicate_span_pairs / doc_span_dedup_coverage — the second
-#        hash image is now seed-varied xxhash64(1, g) (the r10 advisor
-#        proved xxhash64(g, 1) was a pure function of the first);
-#      orders_compaction_rewrite — target count now clamped to the
-#        row count (advisor);
+#      orders_snapshot_concurrent_commit — GC expectation computed
+#        directly (dead-v1 ∪ orphaned stale staging, r11 advisor)
+#        atop the hardened expire_snapshots (keep_from clamp);
 #      source_rowsink_roundtrip / source_rowsink_stream_agg — append
-#        mode merges the prior manifest; path validated before mkdir;
-#      doc_stream_dedup_state — the state read now pins an explicit
-#        schema (partition-type inference broke on digit-only hex
-#        buckets: ANSI cast crash at width 1, partition corruption at
-#        width 2 — found by the any-split hypothesis test, r11).
-# 3. Rotation re-checks of the OLDEST green anchors (oldest last-green
-#    round first, then name — tools/next_verify_prefix.py order): the
-#    28 r6-era greens the r10 prefix displaced (ingest_balance_sheet
-#    .. session_funnel_conversion), then the r7 band alphabetically as
-#    far as the remaining slots reach (through doc_exact_dedup).
-#    doc_fingerprint_dedup .. doc_vocab_df queue for r12.
+#        commit now raises on a corrupt _SUCCESS instead of silently
+#        restarting the manifest (r11 advisor).
+# 3. Rotation re-checks, oldest last-green first per
+#    tools/next_verify_prefix.py: the r7 band the r11 prefix left
+#    queued (doc_fingerprint_dedup .. user_state_scd2), then the r8
+#    band alphabetically as far as the remaining slots reach (through
+#    doc_chunk_sliding). doc_ngram_novelty, doc_pack_chunks,
+#    doc_pack_greedy_bins queue for r13.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
 # takes a slot again. Local ground truth for every query at BOTH scale
 # factors: CORRECTNESS_LOCAL_sf001.json / CORRECTNESS_LOCAL_sf01.json
 # (regenerate with tools/verify_oracle.py --json).
 VERIFY_FIRST: tuple[str, ...] = (
-    # bucket 1: new r11 queries
-    "events_quantile_sketch_merge",
-    "events_kmv_set_ops",
-    "orders_sorted_fileskip",
-    "orders_zorder_fileskip_2d",
-    "events_stream_kmv_state",
-    "orders_snapshot_cow_read",
-    "orders_snapshot_concurrent_commit",
+    # bucket 1: new r12 queries
+    "orders_compaction_snapshot_commit",
+    "orders_snapshot_changes",
+    "orders_manifest_stats_prune",
+    "events_stream_snapshot_commit",
+    "warehouse_upsert_snapshot",
+    "qa_ledger_snapshot_history",
     # bucket 2: plans touched without a post-change driver record
-    "doc_duplicate_span_pairs",
-    "doc_span_dedup_coverage",
-    "orders_compaction_rewrite",
+    "orders_snapshot_concurrent_commit",
     "source_rowsink_roundtrip",
     "source_rowsink_stream_agg",
-    "doc_stream_dedup_state",
-    # bucket 3: rotation re-checks, oldest green first (r6 band)
-    "ingest_balance_sheet",
-    "ingest_dept_enrichment",
-    "ingest_file_listing",
-    "ingest_gl_dim",
-    "ingest_income_statement",
-    "ingest_missing_gl_qa",
-    "ingest_quarantine",
-    "ingest_warehouse_build",
-    "lateral_top2_orders",
-    "media_decode_checksums",
-    "media_frame_samples",
-    "media_grouped_stats_udaf",
-    "media_metadata_stats",
-    "media_resize",
-    "minmax_by_order_per_segment",
-    "monthly_segment_totals",
-    "order_equidepth_bins",
-    "order_sampled_quantiles",
-    "order_winsorized_stats",
-    "orders_bloom_filter_probe",
-    "part_freq_count_min",
-    "part_inventory_balance",
-    "part_name_similarity",
-    "pivot_returnflag_by_year",
-    "price_percentiles_per_status",
-    "pricing_summary",
-    "region_revenue",
-    "session_funnel_conversion",
-    # bucket 3 continued: r7 band, alphabetical
-    "ann_cosine_topk_brute",
-    "ann_cosine_topk_quantized",
-    "conditional_agg_filter",
-    "dedup_cluster_components",
-    "dim_dedupe_first",
-    "doc_bpe_token_counts",
-    "doc_curation_pipeline",
-    "doc_decontaminate_splits",
-    "doc_exact_dedup",
+    # bucket 3: rotation re-checks, oldest green first (r7 band)
+    "doc_fingerprint_dedup",
+    "doc_jaccard_pairs_brute",
+    "doc_lang_id_agreement",
+    "doc_quality_scores",
+    "doc_repetition_filter",
+    "doc_stratified_sample",
+    "doc_tfidf_top_terms",
+    "doc_token_stats",
+    "doc_top_bigrams",
+    "doc_vocab_df",
+    "embedding_hof_breadth",
+    "embedding_near_dup_pairs",
+    "embedding_norms",
+    "events_map_breadth",
+    "events_stream_sessionize",
+    "events_stream_tumbling_15min",
+    "gap_fill_pending_revenue",
+    "interpolate_monthly_revenue",
+    "lag_lead_segment_revenue",
+    "latest_order_per_customer",
+    "moving_avg_3m_segment",
+    "ntile_acctbal_quartiles",
+    "null_safe_join_semantics",
+    "order_date_parts",
+    "order_interval_math",
+    "pctrank_top_customers",
+    "profile_customer_table",
+    "qa_ledger_transitions",
+    "rank_orders_per_customer",
+    "rollup_flag_status",
+    "set_except_all_lineitems",
+    "set_except_churned",
+    "set_intersect_buyers",
+    "sql_shipping_priority",
+    "top10_orders_global",
+    "user_state_scd2",
+    # bucket 3 continued: r8 band, alphabetical
+    "ann_cosine_topk_rhp",
+    "currency_parse_roundtrip",
+    "dedup_cluster_two_phase",
+    "doc_bm25_search",
+    "doc_chunk_sliding",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -36,6 +36,15 @@ Two modes, selected by what you pass:
       adjudication (~50-200ms/job drift, consumed judge+builder effort
       two rounds running) is exactly what this retires.
 
+    --calib-scan A B (optional, with --calib): the scan-probe readings
+      (bench.py calib_scan_sec) from the same two windows. When both
+      probes are given the normalization factor is the GEOMETRIC MEAN
+      of the two per-probe ratios, each probe's implied factor is
+      printed, and a disagreement above 10% is flagged loudly — that
+      is the CPU-probe blind spot (r11: a +20% basket inflation
+      arrived with a near-reference CPU reading; the scan probe is
+      the witness for storage/scheduler weather).
+
 Rows whose second column is ERR/SKIP are ignored (reported in the
 header). Output is stable-sorted for diffing.
 """
@@ -71,10 +80,14 @@ def main() -> None:
     if same_sf:
         argv.remove("--same-sf")
     min_base, flag_ratio, flag_pct = 0.15, 8.0, 15.0
-    calib = None
+    calib = calib_scan = None
     if "--calib" in argv:
         i = argv.index("--calib")
         calib = (float(argv[i + 1]), float(argv[i + 2]))
+        del argv[i:i + 3]
+    if "--calib-scan" in argv:
+        i = argv.index("--calib-scan")
+        calib_scan = (float(argv[i + 1]), float(argv[i + 2]))
         del argv[i:i + 3]
     for name, attr in (("--min-base", "min_base"),
                        ("--flag-ratio", "flag_ratio"),
@@ -92,15 +105,34 @@ def main() -> None:
     if len(argv) != 2:
         print(__doc__)
         sys.exit(2)
-    if calib and not same_sf:
+    if (calib or calib_scan) and not same_sf:
         print("# --calib only applies to --same-sf (REGRESSION) mode")
+        sys.exit(2)
+    if calib_scan and not calib:
+        print("# --calib-scan requires --calib (it is the second probe)")
         sys.exit(2)
     a, b = read_tsv(argv[0]), read_tsv(argv[1])
     if calib:
         ca, cb = calib
-        print(f"# calib normalization: second sweep x {ca:.4f}/{cb:.4f} "
-              f"= x{ca / cb:.4f} (box-speed change cancelled)")
-        b = {n: t * ca / cb for n, t in b.items()}
+        factor = ca / cb
+        if calib_scan:
+            sa, sb = calib_scan
+            f_cpu, f_scan = ca / cb, sa / sb
+            factor = (f_cpu * f_scan) ** 0.5
+            dis = abs(f_cpu / f_scan - 1.0) * 100
+            print(f"# calib probes: cpu x{f_cpu:.4f} | scan x{f_scan:.4f}"
+                  f" | geometric mean x{factor:.4f}"
+                  f" | disagreement {dis:.1f}%")
+            if dis > 10:
+                print("# WARNING: probes disagree > 10% — one drift "
+                      "mode is invisible to one probe (see bench.py); "
+                      "prefer fresh same-window previews over either "
+                      "calibrated number")
+        else:
+            print(f"# calib normalization: second sweep x {ca:.4f}/"
+                  f"{cb:.4f} = x{factor:.4f} (box-speed change "
+                  "cancelled)")
+        b = {n: t * factor for n, t in b.items()}
     common = sorted(set(a) & set(b))
     only_a, only_b = sorted(set(a) - set(b)), sorted(set(b) - set(a))
     print(f"# {argv[0]}: n={len(a)} sum={sum(a.values()):.1f}s | "
