@@ -139,12 +139,27 @@ def expire_snapshots(
     for name in os.listdir(table_dir):
         if _MANIFEST_RE.fullmatch(name):
             with open(os.path.join(table_dir, name)) as f:
-                live.update(os.path.basename(p) for p in json.load(f).values())
+                live.update(
+                    os.path.normpath(p) for p in json.load(f).values()
+                )
+
+    def is_live(path: str) -> bool:
+        # liveness is PREFIX-based, not identity-based: a manifest may
+        # reference a subdirectory of a top-level entry (a partitioned
+        # write's root holds pb=*/ partition dirs — r12: identity
+        # matching rmtree'd such a root, deleting live data under it),
+        # so a top-level entry survives if it IS a referenced path or
+        # CONTAINS one. GC granularity stays top-level entries; a
+        # partially-dead partitioned root is kept whole (conservative:
+        # never delete live data to reclaim dead neighbors).
+        p = os.path.normpath(path)
+        return any(q == p or q.startswith(p + os.sep) for q in live)
+
     now = time.time()
     removed_d = 0
     for name in list(os.listdir(table_dir)):
         full = os.path.join(table_dir, name)
-        if not os.path.isdir(full) or name in live:
+        if not os.path.isdir(full) or is_live(full):
             continue
         if min_age_s > 0 and now - os.path.getmtime(full) < min_age_s:
             continue  # possibly a concurrent writer's staged dir

@@ -5172,3 +5172,439 @@ def orders_wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg(1, "v1").unionByName(agg(2, "v2")).orderBy("snapshot")
+
+
+@query(
+    "orders_manifest_bloom_point_lookup",
+    tags=("snapshot", "layout", "skipping", "bloom", "metadata",
+          "point-lookup"),
+    oracle="""
+WITH t AS (
+  SELECT DISTINCT k FROM (
+    SELECT MAX(o_orderkey) AS k FROM orders
+    UNION ALL SELECT MIN(o_orderkey) FROM orders
+    UNION ALL SELECT MAX(o_orderkey) FROM orders
+    WHERE o_orderkey <= (SELECT MAX(o_orderkey) FROM orders) // 2
+  )
+)
+SELECT o.o_orderkey,
+       CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+FROM orders o JOIN t ON o.o_orderkey = t.k
+ORDER BY o.o_orderkey
+""",
+)
+def orders_manifest_bloom_point_lookup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PER-BUCKET BLOOM SIDECARS FOR POINT LOOKUPS — the metadata
+    layer's second index: orders_manifest_stats_prune's min/max bounds
+    prune RANGE predicates on the CLUSTERING column, but a point
+    lookup on any OTHER column (here o_orderkey, while buckets are
+    custkey ranges) sees min/max spans covering everything. The fix is
+    Delta/Iceberg's per-file bloom: each bucket's commit also writes a
+    16384-bit/3-hash Bloom filter over its orderkeys into a versioned
+    sidecar (packed 32-bit words via the same bit_or partial-agg build
+    as orders_bloom_filter_probe — one grouped agg, KB-scale JSON),
+    and the reader probes the sidecar with md5 positions computed
+    DRIVER-SIDE (hashlib mirrors the engine's md5 exactly) to open
+    only matching buckets.
+
+    Three deterministic target keys (max, min, max-below-half — all
+    replayed as SQL scalar subqueries) are looked up: the probe
+    asserts the candidate dir count is strictly below keys x buckets
+    (pruning happened; false positives are allowed, false negatives
+    are not — the final count assert would catch one), then reads only
+    candidate dirs and filters. At 100 TB this is the difference
+    between a needle query opening 3 files and opening 300,000; the
+    sidecar is O(buckets) metadata and the probe is pure driver-side
+    arithmetic."""
+    import hashlib
+    import json as _json
+
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    n_buckets, m, k_hashes = 8, 16384, 3
+    table = scratch_dir("snapbloom_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").alias("ckey")
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+    fb = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("ckey") * n_buckets / (maxck + 1)),
+    ).cast("int")
+
+    root = os.path.join(table, "g1")
+    o.withColumn("pb", fb).write.partitionBy("pb").parquet(root)
+    v1_map = {
+        n.split("=", 1)[1]: os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+
+    # per-bucket packed bloom over o_orderkey: ONE grouped agg builds
+    # every bucket's word table (identical hash recipe to
+    # orders_bloom_filter_probe so the construction stays replayable)
+    hashes = F.explode(
+        F.array(*[F.lit(i) for i in range(k_hashes)])
+    ).alias("i")
+    pos = F.pmod(
+        md5_prefix_int(
+            F.concat_ws(
+                ":", F.col("i").cast("string"),
+                F.col("o_orderkey").cast("string"),
+            ).cast("binary")
+        ),
+        F.lit(m),
+    )
+    words = (
+        o.withColumn("pb", fb)
+        .select("pb", "o_orderkey", hashes)
+        .withColumn("pos", pos)
+        .groupBy("pb", F.expr("pos div 32").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, cast(pos % 32 as int)))"
+            ).alias("bits")
+        )
+        .collect()
+    )
+    blooms: dict[str, dict[str, int]] = {str(b): {} for b in range(n_buckets)}
+    for r in words:
+        blooms[str(r.pb)][str(r.w)] = r.bits
+    with open(os.path.join(table, "bloom-v1.json"), "w") as f:
+        _json.dump(blooms, f)
+    assert try_commit(table, 0, v1_map) == 1
+
+    # deterministic target keys (each replayed as an oracle subquery)
+    kmax, kmin = o.agg(
+        F.max("o_orderkey"), F.min("o_orderkey")
+    ).collect()[0]
+    kmid = (
+        o.where(F.col("o_orderkey") <= kmax // 2)
+        .agg(F.max("o_orderkey"))
+        .collect()[0][0]
+    )
+    targets = sorted({kmax, kmin, kmid})
+
+    # probe: pure driver-side md5 arithmetic against the sidecar
+    mani = read_manifest(table, 1)
+    with open(os.path.join(table, "bloom-v1.json")) as f:
+        side = _json.load(f)
+
+    def bucket_may_contain(b: str, key: int) -> bool:
+        for i in range(k_hashes):
+            p = int(
+                hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16
+            ) % m
+            if not (side[b].get(str(p // 32), 0) >> (p % 32)) & 1:
+                return False
+        return True
+
+    cand_dirs: set[str] = set()
+    n_probe_hits = 0
+    for t in targets:
+        hits = [b for b in mani if bucket_may_contain(b, t)]
+        assert hits, f"bloom false negative for key {t}"
+        n_probe_hits += len(hits)
+        cand_dirs.update(mani[b] for b in hits)
+    # pruning must have happened (FPs allowed, full fan-out is a bug)
+    assert n_probe_hits < len(targets) * n_buckets, n_probe_hits
+
+    result = (
+        spark.read.parquet(*sorted(cand_dirs))
+        .where(F.col("o_orderkey").isin(targets))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .orderBy("o_orderkey")
+    )
+    rows = result.collect()
+    assert len(rows) == len(targets), (len(rows), targets)
+    return spark.createDataFrame(rows, result.schema).orderBy("o_orderkey")
+
+
+@query(
+    "orders_snapshot_rollback",
+    tags=("snapshot", "restore", "time-travel", "maintenance"),
+    oracle="""
+WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders),
+v1 AS (
+  SELECT CAST('v1' AS VARCHAR) AS snapshot,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+),
+v2 AS (
+  SELECT CAST('v2' AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(ROUND(
+           CASE WHEN o_custkey >= m.mx // 4
+                 AND o_custkey <  m.mx // 4 + GREATEST(1, m.mx // 20)
+                THEN o_totalprice + 100.0 ELSE o_totalprice END * 100, 0)
+           AS BIGINT)) AS BIGINT)
+  FROM orders, m
+  WHERE NOT (o_custkey >= (3 * m.mx) // 5
+             AND o_custkey < (3 * m.mx) // 5 + GREATEST(1, m.mx // 50))
+),
+v3 AS (
+  SELECT CAST('v3_restored' AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+  FROM orders
+)
+SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3
+ORDER BY snapshot
+""",
+)
+def orders_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLBACK AS A FORWARD COMMIT (Delta RESTORE / Iceberg
+    rollback): undoing a bad CDC batch publishes a NEW version whose
+    manifest simply re-references the old version's directories —
+    zero bytes copied (asserted: no new data dirs appear), history
+    preserved (the bad v2 stays time-travelable for the post-mortem),
+    and the restore itself goes through the same CAS as any writer,
+    so it cannot clobber a concurrent commit.
+
+    The subtle interaction this query pins is RESTORE x RETENTION:
+    after restoring v1-as-v3, expire_snapshots(keep_from=3) drops the
+    v1 and v2 manifests — but v1's data directories all SURVIVE
+    because the retained v3 manifest references them (asserted
+    per-dir); the GC reclaims exactly v2's CDC rewrites (asserted).
+    A GC that tracked 'directories of expired versions' instead of
+    'directories referenced by no retained manifest' would delete the
+    restored table's live data here — the reference-counting
+    semantics, not the version arithmetic, are what make restore
+    safe.
+
+    The oracle replays v1, the CDC v2, and the restored v3 (== v1's
+    aggregate) from raw orders. At 100 TB: restore cost is one
+    manifest create regardless of how much the bad batch touched —
+    the undo button is O(1)."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        expire_snapshots,
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    n_buckets = 8
+    table = scratch_dir("snaprestore_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").alias("ckey")
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+    bucket_of = lambda c: min(n_buckets - 1, c * n_buckets // (maxck + 1))
+    fb = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("ckey") * n_buckets / (maxck + 1)),
+    ).cast("int")
+
+    root = os.path.join(table, "g1")
+    o.withColumn("pb", fb).write.partitionBy("pb").parquet(root)
+    v1_map = {
+        n.split("=", 1)[1]: os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+    assert try_commit(table, 0, v1_map) == 1
+
+    # the "bad" CDC batch lands as v2 (same arithmetic the oracle replays)
+    upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
+    del_lo, del_hi = (3 * maxck) // 5, (3 * maxck) // 5 + max(1, maxck // 50)
+    upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
+    dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
+    touched = sorted(
+        set(range(bucket_of(upd_lo), bucket_of(upd_hi - 1) + 1))
+        | set(range(bucket_of(del_lo), bucket_of(del_hi - 1) + 1))
+    )
+    v2_map = dict(v1_map)
+    for b in touched:
+        d2 = os.path.join(table, f"b{b}-g2")
+        (
+            spark.read.parquet(v1_map[str(b)])
+            .where(~dele)
+            .withColumn(
+                "o_totalprice",
+                F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+            .write.parquet(d2)
+        )
+        v2_map[str(b)] = d2
+    assert try_commit(table, 1, v2_map) == 2
+
+    # RESTORE: v3 = v1's mapping republished — no data movement at all
+    dirs_before = {n for n in os.listdir(table) if
+                   os.path.isdir(os.path.join(table, n))}
+    assert try_commit(table, 2, dict(v1_map)) == 3
+    dirs_after = {n for n in os.listdir(table) if
+                  os.path.isdir(os.path.join(table, n))}
+    assert dirs_after == dirs_before, "restore must not copy data"
+    assert read_manifest(table, 3) == v1_map
+
+    def agg(version: int, tag: str) -> DataFrame:
+        return (
+            spark.read.parquet(*read_manifest(table, version).values())
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .select(F.lit(tag).alias("snapshot"), "n_rows", "cents")
+        )
+
+    result = (
+        agg(1, "v1")
+        .unionByName(agg(2, "v2"))
+        .unionByName(agg(3, "v3_restored"))
+        .orderBy("snapshot")
+    )
+    rows = result.collect()  # materialize before retention
+
+    # RESTORE x RETENTION: expiring v1/v2 must keep every v1 dir alive
+    # (v3 references them) and reclaim exactly v2's CDC rewrites
+    removed_m, removed_d = expire_snapshots(table, keep_from=3)
+    assert removed_m == 2, removed_m
+    cdc_dirs = {os.path.basename(v2_map[str(b)]) for b in touched}
+    assert removed_d == len(cdc_dirs), (removed_d, cdc_dirs)
+    assert all(os.path.exists(p) for p in v1_map.values())
+    assert not any(
+        os.path.exists(os.path.join(table, n)) for n in cdc_dirs
+    )
+
+    return spark.createDataFrame(rows, result.schema).orderBy("snapshot")
+
+
+@query(
+    "warehouse_mv_atomic_commit",
+    tags=("snapshot", "mv", "transaction", "multi-table", "occ"),
+    oracle="""
+WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders)
+SELECT CAST('v1' AS VARCHAR) AS version, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'v2', o_orderpriority, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(
+         CASE WHEN o_custkey >= m.mx // 6
+               AND o_custkey <  m.mx // 6 + GREATEST(1, m.mx // 30)
+              THEN o_totalprice + 50.0 ELSE o_totalprice END * 100, 0)
+         AS BIGINT)) AS BIGINT)
+FROM orders, m GROUP BY o_orderpriority
+ORDER BY version, o_orderpriority
+""",
+)
+def warehouse_mv_atomic_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-TABLE ATOMIC COMMIT — a base table and its materialized
+    view published as ONE transaction, so no reader can ever observe
+    base vN next to MV vN-1 (the stale-MV anomaly every warehouse
+    with derived tables fights; Iceberg needs a catalog-level
+    multi-table transaction for this, Delta cannot express it per-log).
+    The construction is this repo's snapshot store applied one level
+    up: the TRANSACTION manifest's "buckets" are TABLES — mapping
+    {'base': <base data dir>, 'mv': <mv data dir>} — and the same CAS
+    that arbitrates bucket commits arbitrates cross-table atomicity.
+    One mechanism, two granularities.
+
+    Atomicity is demonstrated the only honest way: after BOTH v2 data
+    directories are fully staged on disk, a reader resolving through
+    txn v1 is asserted to still see the OLD base AND the OLD mv
+    (consistent pair); only the single manifest create makes both new
+    dirs visible together. The invariant a reader actually cares
+    about — MV == groupBy(base) EXACTLY — is asserted at every
+    version, and the oracle replays both versions' MVs from raw
+    orders (v2 = +50 price CDC on a custkey range), so the published
+    pair's consistency is hash-certified.
+
+    At 100 TB: base and MV stage through their own (bucketed,
+    dynamic-partition) writes; the transaction is still one manifest
+    create naming each table's new root — commit cost independent of
+    either table's size."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    table = scratch_dir("snaptxn_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice",
+        F.col("o_custkey").alias("ckey"),
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+
+    def mv_of(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).cast("bigint").alias("cents"),
+        )
+
+    def stage(df: DataFrame, gen: str) -> dict[str, str]:
+        base_d = os.path.join(table, f"base-{gen}")
+        mv_d = os.path.join(table, f"mv-{gen}")
+        df.write.parquet(base_d)
+        mv_of(spark.read.parquet(base_d)).write.parquet(mv_d)
+        return {"base": base_d, "mv": mv_d}
+
+    assert try_commit(table, 0, stage(o, "g1")) == 1
+
+    def read_pair(version: int) -> tuple[DataFrame, DataFrame]:
+        mani = read_manifest(table, version)
+        return (
+            spark.read.parquet(mani["base"]),
+            spark.read.parquet(mani["mv"]),
+        )
+
+    def consistent(version: int) -> list:
+        base, mv = read_pair(version)
+        got = sorted(map(tuple, mv.collect()))
+        want = sorted(map(tuple, mv_of(base).collect()))
+        assert got == want, f"MV inconsistent with base at v{version}"
+        return got
+
+    mv1_rows = consistent(1)
+
+    # CDC: +50 on a custkey range; STAGE both new dirs fully...
+    upd = (F.col("ckey") >= maxck // 6) & (
+        F.col("ckey") < maxck // 6 + max(1, maxck // 30)
+    )
+    v2_stage = stage(
+        o.withColumn(
+            "o_totalprice",
+            F.when(upd, F.col("o_totalprice") + 50.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        ),
+        "g2",
+    )
+    # ...and assert a txn-v1 reader still sees the OLD consistent pair
+    assert consistent(1) == mv1_rows
+    assert read_manifest(table, 1)["base"].endswith("base-g1")
+
+    # the single CAS makes base+mv visible TOGETHER
+    assert try_commit(table, 1, v2_stage) == 2
+    consistent(2)
+
+    def tagged(version: int, tag: str) -> DataFrame:
+        return read_pair(version)[1].select(
+            F.lit(tag).alias("version"), "o_orderpriority", "n_orders",
+            "cents",
+        )
+
+    return (
+        tagged(1, "v1")
+        .unionByName(tagged(2, "v2"))
+        .orderBy("version", "o_orderpriority")
+    )

@@ -81,7 +81,18 @@ REGISTRY: dict[str, QuerySpec] = {}
 #      orders_wap_audit_publish — write-audit-publish: a poisoned
 #        staged batch is rejected by the P3 null audit with the head
 #        asserted untouched; the quarantine-salvaged clean batch
-#        publishes v2.
+#        publishes v2;
+#      orders_manifest_bloom_point_lookup — per-bucket packed Bloom
+#        sidecars prune point lookups on the NON-clustered column
+#        (driver-side md5 probe, candidate dirs < keys x buckets);
+#      orders_snapshot_rollback — RESTORE as a forward commit (zero
+#        copy) + the restore x retention interaction: GC keeps every
+#        v1 dir the restored head references (prefix-based liveness,
+#        the fix that caught identity-matching deleting a partitioned
+#        root);
+#      warehouse_mv_atomic_commit — base table + MV published as ONE
+#        transaction manifest; staged v2 invisible until the single
+#        CAS, MV == groupBy(base) asserted at every version.
 # 2. PLAN-TOUCHED queries whose newest driver record (r11) predates
 #    this round's change:
 #      orders_snapshot_concurrent_commit — GC expectation computed
@@ -93,8 +104,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 3. Rotation re-checks, oldest last-green first per
 #    tools/next_verify_prefix.py: the r7 band the r11 prefix left
 #    queued (doc_fingerprint_dedup .. user_state_scd2), then the r8
-#    band alphabetically as far as the remaining slots reach (through
-#    dedup_cluster_two_phase). doc_bm25_search, doc_chunk_sliding,
+#    band's head as far as the remaining slots reach (through
+#    user_state_scd2). ann_cosine_topk_rhp, currency_parse_roundtrip,
+#    dedup_cluster_two_phase, doc_bm25_search, doc_chunk_sliding,
 #    doc_ngram_novelty, doc_pack_chunks, doc_pack_greedy_bins queue
 #    for r13.
 #
@@ -112,6 +124,9 @@ VERIFY_FIRST: tuple[str, ...] = (
     "qa_ledger_snapshot_history",
     "orders_snapshot_incremental_mv",
     "orders_wap_audit_publish",
+    "orders_manifest_bloom_point_lookup",
+    "orders_snapshot_rollback",
+    "warehouse_mv_atomic_commit",
     # bucket 2: plans touched without a post-change driver record
     "orders_snapshot_concurrent_commit",
     "source_rowsink_roundtrip",
@@ -153,10 +168,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "sql_shipping_priority",
     "top10_orders_global",
     "user_state_scd2",
-    # bucket 3 continued: r8 band, alphabetical
-    "ann_cosine_topk_rhp",
-    "currency_parse_roundtrip",
-    "dedup_cluster_two_phase",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

@@ -346,3 +346,25 @@ def test_wap_rejected_batch_is_invisible(spark, sf_dir):
     added = rows["v2"].n_rows - rows["v1"].n_rows
     assert added > 0
     assert rows["v2"].cents > rows["v1"].cents
+
+
+def test_expiry_keeps_partitioned_roots_with_live_subdirs(tmp_path):
+    """GC liveness is prefix-based: a manifest that references
+    SUBDIRECTORIES of a top-level entry (a partitioned write's root)
+    must keep that root alive — identity matching deleted live data
+    under it (caught by the r12 rollback demo). A fully-dead top-level
+    dir is still reclaimed."""
+    table = str(tmp_path)
+    root = os.path.join(table, "g1")
+    sub0 = os.path.join(root, "pb=0")
+    sub1 = os.path.join(root, "pb=1")
+    for d in (sub0, sub1):
+        os.makedirs(d)
+        open(os.path.join(d, "part-0.parquet"), "w").write("x")
+    dead = _mkdata(table, "b0-g2")
+    try_commit(table, 0, {"0": sub0, "1": sub1})
+    try_commit(table, 1, {"0": sub0, "1": sub1})  # v2 drops nothing new
+    removed_m, removed_d = expire_snapshots(table, keep_from=2)
+    assert (removed_m, removed_d) == (1, 1)
+    assert os.path.exists(sub0) and os.path.exists(sub1)
+    assert not os.path.exists(dead)
