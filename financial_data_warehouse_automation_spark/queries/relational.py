@@ -5227,12 +5227,19 @@ def orders_manifest_bloom_point_lookup(
     )
     from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
 
-    n_buckets, m, k_hashes = 8, 16384, 3
+    n_buckets, k_hashes = 8, 3
     table = scratch_dir("snapbloom_")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", F.col("o_custkey").alias("ckey")
     )
-    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+    maxck, n_total = o.agg(
+        F.max("ckey"), F.count(F.lit(1))
+    ).collect()[0]
+    # size the filter to the data, as any real per-file bloom does:
+    # ~16 bits per expected key per bucket (k=3 -> ~0.5% FP). A FIXED
+    # m saturates as the table grows — the sf1 sweep caught exactly
+    # that (fill ratio ~1, every bucket a candidate for every key).
+    m = 1 << max(14, (16 * n_total // n_buckets).bit_length())
     fb = F.least(
         F.lit(n_buckets - 1),
         F.floor(F.col("ckey") * n_buckets / (maxck + 1)),
