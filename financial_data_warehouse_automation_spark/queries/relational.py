@@ -5615,3 +5615,161 @@ def warehouse_mv_atomic_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tagged(2, "v2"))
         .orderBy("version", "o_orderpriority")
     )
+
+
+@query(
+    "orders_partition_spec_evolution",
+    tags=("snapshot", "layout", "partition-evolution", "skipping",
+          "metadata"),
+    oracle="""
+WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders)
+SELECT CAST('year_probe' AS VARCHAR) AS probe,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1999
+UNION ALL
+SELECT 'ckey_probe', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+FROM orders, m
+WHERE o_custkey >= m.mx // 5
+  AND o_custkey <  m.mx // 5 + GREATEST(1, m.mx // 15)
+ORDER BY probe
+""",
+)
+def orders_partition_spec_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-SPEC EVOLUTION WITHOUT REWRITE — Iceberg's signature
+    metadata trick, impossible with Hive-style path partitioning: the
+    table STARTS custkey-range-bucketed (spec A), later loads adopt a
+    year-bucketed layout (spec B), and NO old data is rewritten —
+    the snapshot commits a mixed-spec manifest whose sidecar records
+    each bucket's OWN spec, and the reader prunes EACH BUCKET BY ITS
+    OWN SPEC:
+
+    - a year predicate prunes the spec-B portion to exactly its year
+      bucket but cannot prune spec-A buckets (custkey bounds say
+      nothing about years) — reads all 4 old + 1 of 4 new (asserted);
+    - a custkey predicate prunes the spec-A portion to the 1-2
+      overlapping range buckets but reads all 4 spec-B buckets —
+      the mirror image (asserted).
+
+    Both probes return the same answers a full scan would (the oracle
+    runs both predicates over raw orders) — spec-aware pruning is a
+    pure I/O optimization, never a semantics change. At 100 TB this
+    is what makes changing a 5-year-old table's partitioning an
+    O(metadata) decision instead of a 5-year rewrite: new data gets
+    the better layout immediately, old data keeps serving under its
+    original spec, and compaction (orders_compaction_snapshot_commit)
+    migrates old buckets opportunistically if ever worth it."""
+    import json as _json
+
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    n_ck = 4
+    table = scratch_dir("snapspec_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.col("o_custkey").alias("ckey"),
+        F.year("o_orderdate").cast("int").alias("oyear"),
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+    ck_width = (maxck + 1) / n_ck
+    fb = F.least(
+        F.lit(n_ck - 1), F.floor(F.col("ckey") * n_ck / (maxck + 1))
+    ).cast("int")
+
+    # v1: the ORIGINAL table (loads through 1997) under spec A
+    old = o.where(F.col("oyear") <= 1997)
+    root_a = os.path.join(table, "specA")
+    old.withColumn("pb", fb).write.partitionBy("pb").parquet(root_a)
+    spec: dict[str, dict] = {}
+    v1_map: dict[str, str] = {}
+    for n in os.listdir(root_a):
+        if not n.startswith("pb="):
+            continue
+        b = int(n.split("=", 1)[1])
+        bid = f"c{b}"
+        v1_map[bid] = os.path.join(root_a, n)
+        spec[bid] = {
+            "spec": "ckey_range",
+            "lo": int(b * ck_width),
+            "hi": int((b + 1) * ck_width) if b < n_ck - 1 else maxck + 1,
+        }
+    with open(os.path.join(table, "spec-v1.json"), "w") as f:
+        _json.dump(spec, f)
+    assert try_commit(table, 0, v1_map) == 1
+
+    # spec change: 1998+ loads land YEAR-bucketed; old data untouched
+    new = o.where(F.col("oyear") >= 1998)
+    root_b = os.path.join(table, "specB")
+    new.withColumn("py", F.col("oyear")).write.partitionBy("py").parquet(
+        root_b
+    )
+    v2_map = dict(v1_map)
+    for n in os.listdir(root_b):
+        if not n.startswith("py="):
+            continue
+        y = int(n.split("=", 1)[1])
+        bid = f"y{y}"
+        v2_map[bid] = os.path.join(root_b, n)
+        spec[bid] = {"spec": "year", "year": y}
+    with open(os.path.join(table, "spec-v2.json"), "w") as f:
+        _json.dump(spec, f)
+    assert try_commit(table, 1, v2_map) == 2
+    assert all(v2_map[b] == v1_map[b] for b in v1_map)  # zero rewrite
+
+    # spec-aware reader: prune each bucket BY ITS OWN spec
+    mani = read_manifest(table, 2)
+    with open(os.path.join(table, "spec-v2.json")) as f:
+        specs = _json.load(f)
+
+    def candidates(year=None, ck=None) -> list[str]:
+        out = []
+        for b, s in specs.items():
+            if s["spec"] == "year":
+                if year is not None and s["year"] != year:
+                    continue  # spec B answers year predicates
+            else:
+                if ck is not None and not (
+                    s["lo"] < ck[1] and s["hi"] > ck[0]
+                ):
+                    continue  # spec A answers custkey predicates
+            out.append(b)
+        return sorted(out)
+
+    n_old, n_new = len(v1_map), len(v2_map) - len(v1_map)
+
+    year_cand = candidates(year=1999)
+    assert len(year_cand) == n_old + 1, (year_cand, n_old)
+
+    lo, hi = maxck // 5, maxck // 5 + max(1, maxck // 15)
+    ck_cand = candidates(ck=(lo, hi))
+    n_a_hit = len([b for b in ck_cand if b.startswith("c")])
+    assert n_a_hit < n_old and n_a_hit >= 1, ck_cand
+    assert len(ck_cand) == n_a_hit + n_new, ck_cand
+
+    def agg(cand: list[str], pred, tag: str) -> DataFrame:
+        return (
+            spark.read.parquet(*[mani[b] for b in cand])
+            .where(pred)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .select(F.lit(tag).alias("probe"), "n_rows", "cents")
+        )
+
+    return (
+        agg(ck_cand, (F.col("ckey") >= lo) & (F.col("ckey") < hi),
+            "ckey_probe")
+        .unionByName(agg(year_cand, F.col("oyear") == 1999, "year_probe"))
+        .orderBy("probe")
+    )

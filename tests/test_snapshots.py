@@ -368,3 +368,37 @@ def test_expiry_keeps_partitioned_roots_with_live_subdirs(tmp_path):
     assert (removed_m, removed_d) == (1, 1)
     assert os.path.exists(sub0) and os.path.exists(sub1)
     assert not os.path.exists(dead)
+
+
+def test_partition_spec_evolution_prunes_both_directions(spark, sf_dir):
+    """Mixed-spec pruning must match the full scan in BOTH probe
+    directions (the builder's dir-count asserts prove pruning
+    happened; this pins answer identity against an independent
+    full-table compute)."""
+    from pyspark.sql import functions as F
+
+    from financial_data_warehouse_automation_spark.registry import load_all
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    got = {
+        r.probe: (r.n_rows, r.cents)
+        for r in load_all()["orders_partition_spec_evolution"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    maxck = o.agg(F.max("o_custkey")).collect()[0][0]
+    lo, hi = maxck // 5, maxck // 5 + max(1, maxck // 15)
+
+    def full(pred):
+        r = o.where(pred).agg(
+            F.count(F.lit(1)).cast("long"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint"),
+        ).collect()[0]
+        return (r[0], r[1])
+
+    assert got["year_probe"] == full(F.year("o_orderdate") == 1999)
+    assert got["ckey_probe"] == full(
+        (F.col("o_custkey") >= lo) & (F.col("o_custkey") < hi)
+    )
