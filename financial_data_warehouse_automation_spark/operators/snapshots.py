@@ -166,3 +166,28 @@ def expire_snapshots(
         shutil.rmtree(full)
         removed_d += 1
     return removed_m, removed_d
+
+
+def as_of_version(table_dir: str, ts: float) -> int:
+    """Resolve a point in time to a snapshot version: the highest
+    version whose manifest was published at or before ``ts`` (Delta's
+    ``timestampAsOf`` / Iceberg's snapshot-log lookup). The commit
+    instant IS the manifest file's mtime — the CAS create stamps it
+    atomically with publication, so no separate timestamp log is
+    needed; an object store would read the blob's creation time the
+    same way. Raises ``ValueError`` when ``ts`` predates the first
+    commit (there is no table to read at that instant — the honest
+    answer, not an empty frame)."""
+    best = 0
+    for name in os.listdir(table_dir):
+        m = _MANIFEST_RE.fullmatch(name)
+        if not m:
+            continue
+        v = int(m.group(1))
+        if os.path.getmtime(os.path.join(table_dir, name)) <= ts:
+            best = max(best, v)
+    if best == 0:
+        raise ValueError(
+            f"no snapshot in {table_dir} at or before ts={ts}"
+        )
+    return best

@@ -5773,3 +5773,155 @@ def orders_partition_spec_evolution(
         .unionByName(agg(year_cand, F.col("oyear") == 1999, "year_probe"))
         .orderBy("probe")
     )
+
+
+@query(
+    "orders_snapshot_as_of",
+    tags=("snapshot", "time-travel", "as-of", "metadata"),
+    oracle="""
+WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders),
+t1 AS (
+  SELECT CAST('t1' AS VARCHAR) AS probe,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+),
+t2 AS (
+  SELECT CAST('t2' AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(ROUND(
+           CASE WHEN o_custkey >= m.mx // 4
+                 AND o_custkey <  m.mx // 4 + GREATEST(1, m.mx // 20)
+                THEN o_totalprice + 100.0 ELSE o_totalprice END * 100, 0)
+           AS BIGINT)) AS BIGINT)
+  FROM orders, m
+),
+t3 AS (
+  SELECT CAST('t3' AS VARCHAR), CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(ROUND(
+           CASE WHEN o_custkey >= m.mx // 4
+                 AND o_custkey <  m.mx // 4 + GREATEST(1, m.mx // 20)
+                THEN o_totalprice + 100.0 ELSE o_totalprice END * 100, 0)
+           AS BIGINT)) AS BIGINT)
+  FROM orders, m
+  WHERE NOT (o_custkey >= (3 * m.mx) // 5
+             AND o_custkey < (3 * m.mx) // 5 + GREATEST(1, m.mx // 50))
+)
+SELECT * FROM t1 UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+ORDER BY probe
+""",
+)
+def orders_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL BY TIMESTAMP (Delta ``timestampAsOf`` / Iceberg
+    snapshot-log lookup): "what did the table look like last Tuesday"
+    resolves a wall-clock instant to the highest snapshot whose
+    manifest was PUBLISHED at or before it — pure metadata arithmetic
+    over the commit log's own timestamps (the CAS create stamps the
+    manifest mtime atomically with publication; no separate log).
+
+    Determinism for the oracle: the demo pins the three manifests'
+    mtimes to fixed instants (t=1000/2000/3000) the way a replayed
+    history would carry them, then probes BETWEEN commits (t=1500 ->
+    v1), ON a commit boundary (t=2000 -> v2, inclusive — the reader
+    that asks "as of the commit instant" sees that commit), and
+    AFTER head (t=9999 -> v3 == latest); a probe BEFORE the first
+    commit raises (asserted) — there was no table then, and an empty
+    frame would be a silent wrong answer. Each resolved snapshot's
+    aggregate is hash-certified by the oracle replaying the version
+    chain (v1 = orders, v2 = +100 CDC, v3 = v2 minus the deleted
+    range). At 100 TB the resolution cost is one listing of O(versions)
+    manifest names — independent of data size, like every other
+    metadata operation in this store."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        as_of_version,
+        manifest_path,
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    n_buckets = 8
+    table = scratch_dir("snapasof_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").alias("ckey")
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+    bucket_of = lambda c: min(n_buckets - 1, c * n_buckets // (maxck + 1))
+    fb = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("ckey") * n_buckets / (maxck + 1)),
+    ).cast("int")
+
+    root = os.path.join(table, "g1")
+    o.withColumn("pb", fb).write.partitionBy("pb").parquet(root)
+    v1_map = {
+        n.split("=", 1)[1]: os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+    assert try_commit(table, 0, v1_map) == 1
+
+    upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
+    del_lo, del_hi = (3 * maxck) // 5, (3 * maxck) // 5 + max(1, maxck // 50)
+    upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
+    dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
+
+    # v2: the +100 update, COW on its buckets
+    v2_map = dict(v1_map)
+    for b in range(bucket_of(upd_lo), bucket_of(upd_hi - 1) + 1):
+        d2 = os.path.join(table, f"b{b}-g2")
+        (
+            spark.read.parquet(v1_map[str(b)])
+            .withColumn(
+                "o_totalprice",
+                F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+            .write.parquet(d2)
+        )
+        v2_map[str(b)] = d2
+    assert try_commit(table, 1, v2_map) == 2
+
+    # v3: the delete, COW on its buckets
+    v3_map = dict(v2_map)
+    for b in range(bucket_of(del_lo), bucket_of(del_hi - 1) + 1):
+        d3 = os.path.join(table, f"b{b}-g3")
+        spark.read.parquet(v2_map[str(b)]).where(~dele).write.parquet(d3)
+        v3_map[str(b)] = d3
+    assert try_commit(table, 2, v3_map) == 3
+
+    # pin the commit log's instants (a replayed history carries its
+    # original times; the demo needs determinism, not wall clock)
+    for v, t in ((1, 1000.0), (2, 2000.0), (3, 3000.0)):
+        os.utime(manifest_path(table, v), (t, t))
+
+    assert as_of_version(table, 1500.0) == 1   # between commits
+    assert as_of_version(table, 2000.0) == 2   # boundary: inclusive
+    assert as_of_version(table, 9999.0) == 3   # after head == latest
+    predates = False
+    try:
+        as_of_version(table, 500.0)
+    except ValueError:
+        predates = True
+    assert predates, "pre-history probe must raise, not read nothing"
+
+    def agg(ts: float, tag: str) -> DataFrame:
+        v = as_of_version(table, ts)
+        return (
+            spark.read.parquet(*read_manifest(table, v).values())
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .select(F.lit(tag).alias("probe"), "n_rows", "cents")
+        )
+
+    return (
+        agg(1500.0, "t1")
+        .unionByName(agg(2500.0, "t2"))
+        .unionByName(agg(9999.0, "t3"))
+        .orderBy("probe")
+    )

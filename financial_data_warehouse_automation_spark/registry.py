@@ -96,7 +96,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 #      orders_partition_spec_evolution — Iceberg-style spec change
 #        WITHOUT rewrite: mixed-spec manifest + per-bucket spec
 #        sidecar, reader prunes each bucket by its own spec (both
-#        directions asserted).
+#        directions asserted);
+#      orders_snapshot_as_of — timestampAsOf resolution off manifest
+#        mtimes (between/boundary/after-head probes asserted;
+#        pre-history raises).
 # 2. PLAN-TOUCHED queries whose newest driver record (r11) predates
 #    this round's change:
 #      orders_snapshot_concurrent_commit — GC expectation computed
@@ -109,10 +112,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 #    tools/next_verify_prefix.py: the r7 band the r11 prefix left
 #    queued (doc_fingerprint_dedup .. user_state_scd2), then the r8
 #    band's head as far as the remaining slots reach (through
-#    top10_orders_global). user_state_scd2, ann_cosine_topk_rhp,
-#    currency_parse_roundtrip, dedup_cluster_two_phase,
-#    doc_bm25_search, doc_chunk_sliding, doc_ngram_novelty,
-#    doc_pack_chunks, doc_pack_greedy_bins queue for r13.
+#    sql_shipping_priority). top10_orders_global, user_state_scd2,
+#    ann_cosine_topk_rhp, currency_parse_roundtrip,
+#    dedup_cluster_two_phase, doc_bm25_search, doc_chunk_sliding,
+#    doc_ngram_novelty, doc_pack_chunks, doc_pack_greedy_bins queue
+#    for r13.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
 # takes a slot again. Local ground truth for every query at BOTH scale
@@ -132,6 +136,7 @@ VERIFY_FIRST: tuple[str, ...] = (
     "orders_snapshot_rollback",
     "warehouse_mv_atomic_commit",
     "orders_partition_spec_evolution",
+    "orders_snapshot_as_of",
     # bucket 2: plans touched without a post-change driver record
     "orders_snapshot_concurrent_commit",
     "source_rowsink_roundtrip",
@@ -171,7 +176,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "set_except_churned",
     "set_intersect_buyers",
     "sql_shipping_priority",
-    "top10_orders_global",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

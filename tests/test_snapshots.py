@@ -402,3 +402,27 @@ def test_partition_spec_evolution_prunes_both_directions(spark, sf_dir):
     assert got["ckey_probe"] == full(
         (F.col("o_custkey") >= lo) & (F.col("o_custkey") < hi)
     )
+
+
+def test_as_of_version_resolution(tmp_path):
+    """Timestamp -> version: between-commit instants resolve down,
+    the commit instant itself is inclusive, after-head resolves to
+    latest, pre-history raises."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        as_of_version,
+        manifest_path,
+    )
+
+    table = str(tmp_path)
+    d1 = _mkdata(table, "b0-g1")
+    d2 = _mkdata(table, "b0-g2")
+    try_commit(table, 0, {"0": d1})
+    try_commit(table, 1, {"0": d2})
+    os.utime(manifest_path(table, 1), (100.0, 100.0))
+    os.utime(manifest_path(table, 2), (200.0, 200.0))
+    assert as_of_version(table, 150.0) == 1
+    assert as_of_version(table, 100.0) == 1
+    assert as_of_version(table, 200.0) == 2
+    assert as_of_version(table, 1e9) == 2
+    with pytest.raises(ValueError, match="no snapshot"):
+        as_of_version(table, 50.0)
