@@ -88,6 +88,31 @@ INCOME_SCHEMA = (
     "col_a string, col_b string, col_c string"
 )
 
+# The MARCH drop (r13, ingest_monthly_snapshot_loop): the 03.2024 file
+# plus a RESTATED February delivery — same 02.2024 file name (the
+# period key comes from the name), corrected Product Revenue — which
+# the A2 merge must last-write-win while time travel preserves the
+# originally-reported February. 2998 is deliberately unmapped (QA
+# Open) and 2999 is absent (QA Resolved). Kept as a SEPARATE fixture:
+# it is a separate month's delivery, and the period-1/2 queries'
+# oracles keep reading exactly the rows those periods delivered.
+_F3 = "03.2024 Depts Income Statement.xlsx"
+INCOME_LINES_P3 = [
+    (_F3, "DEPARTMENT 123-F", 1, "Company Inc", None, None),
+    (_F3, "DEPARTMENT 123-F", 2, "NUMBER", "DESCRIPTION", "ACTUAL"),
+    (_F3, "DEPARTMENT 123-F", 3, "REVENUES", None, None),
+    (_F3, "DEPARTMENT 123-F", 4, "1111", "Product Revenue", "$1,200.00"),
+    (_F3, "DEPARTMENT 123-F", 5, "1112", "Service Revenue", "300.00"),
+    (_F3, "DEPARTMENT 123-F", 6, "EXPENSES", None, None),
+    (_F3, "DEPARTMENT 123-F", 7, "2111", "Salaries", "(475.00)"),
+    (_F3, "DEPARTMENT 123-F", 8, "2998", "New Mystery Expense", "21.00"),
+    # restatement of February, delivered with the March drop
+    (_F2, "DEPARTMENT 123-F", 1, "Company Inc", None, None),
+    (_F2, "DEPARTMENT 123-F", 2, "NUMBER", "DESCRIPTION", "ACTUAL"),
+    (_F2, "DEPARTMENT 123-F", 3, "REVENUES", None, None),
+    (_F2, "DEPARTMENT 123-F", 4, "1111", "Product Revenue", "$1,150.00"),
+]
+
 _BF = "01.2024 Company Name Balance Sheet.xlsx"
 _BSHEET = "COMPANY BALANCE SHEET COMPARA"
 
@@ -128,6 +153,7 @@ _FIXTURES = {
     "gl_lines": (GL_LINES, GL_SCHEMA),
     "dept_codes": (DEPT_CODES, DEPT_SCHEMA),
     "income_lines": (INCOME_LINES, INCOME_SCHEMA),
+    "income_lines_p3": (INCOME_LINES_P3, INCOME_SCHEMA),
     "balance_lines": (BALANCE_LINES, BALANCE_SCHEMA),
     "file_listing": (FILE_LISTING, FILE_LISTING_SCHEMA),
 }

@@ -21,11 +21,34 @@ analogy: the reference's single-writer Apps Script lock,
 Code.gs:27-31, is the degenerate form — one global mutex instead of
 retry-on-conflict).
 
+Manifest record format (r13): bucket-id -> data-dir entries, plus
+COMMIT METADATA under reserved keys starting with ``_`` —
+``_committed_at`` (the commit instant, stamped inside the JSON at
+``try_commit`` time so time travel survives copies/rsyncs that do not
+preserve mtimes — the r12 advisor's finding), ``_writer`` / ``_txn``
+(streaming idempotence ledger, Delta's txnAppId/txnVersion).
+:func:`read_manifest` returns buckets only; :func:`read_manifest_meta`
+returns the metadata. Manifests written before r13 carry no meta keys
+and fall back to file mtime for time travel (legacy path).
+
 Expiry — ``expire_snapshots`` drops old manifests and then deletes
 data directories no REMAINING manifest references (unreferenced-file
 GC). Time travel is exactly as durable as the retention window, and
 storage cost is bounded by it; a COW-shared directory survives as long
 as any retained manifest names it.
+
+Scan planning — :func:`plan_scan` is the ONE read path that composes
+every metadata pruning layer this store knows, the way Iceberg's
+``planFiles`` / Delta data skipping run partition pruning, column
+stats, and Bloom dictionaries in a single planner every reader goes
+through: per-bucket partition SPEC pruning (``spec-v<N>.json`` — each
+bucket prunes by its OWN spec, so evolved tables mix layouts), column
+min/max STATS pruning (``stats-v<N>.json``), and per-bucket BLOOM
+point-key pruning (``bloom-v<N>.json``). All three sidecars are
+versioned next to the manifest — as immutable as the snapshot — and
+pruning is pure driver-side arithmetic over KB-scale JSON: at 100 TB
+the planner consults metadata, never the object store, and a needle
+query opens 3 directories instead of 300,000.
 
 Scale posture: manifests are O(buckets) JSON — metadata, not data;
 commit cost is one small file create regardless of table size; GC
@@ -37,6 +60,7 @@ call for the store's conditional-put, the protocol is unchanged.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -65,8 +89,7 @@ def latest_version(table_dir: str) -> int:
     return best
 
 
-def read_manifest(table_dir: str, version: int | None = None) -> dict[str, str]:
-    """Bucket-id -> data-dir mapping for ``version`` (default latest)."""
+def _load_record(table_dir: str, version: int | None) -> dict:
     if version is None:
         version = latest_version(table_dir)
         if version == 0:
@@ -75,14 +98,52 @@ def read_manifest(table_dir: str, version: int | None = None) -> dict[str, str]:
         return json.load(f)
 
 
+def read_manifest(table_dir: str, version: int | None = None) -> dict[str, str]:
+    """Bucket-id -> data-dir mapping for ``version`` (default latest).
+    Reserved ``_``-prefixed commit-metadata keys are stripped — every
+    value returned here is a readable data directory."""
+    return {
+        k: v for k, v in _load_record(table_dir, version).items()
+        if not k.startswith("_")
+    }
+
+
+def read_manifest_meta(table_dir: str, version: int | None = None) -> dict:
+    """Commit metadata (``_committed_at``, ``_writer``, ``_txn``, …)
+    for ``version`` (default latest). Legacy manifests return {}."""
+    return {
+        k: v for k, v in _load_record(table_dir, version).items()
+        if k.startswith("_")
+    }
+
+
 def try_commit(
-    table_dir: str, base_version: int, mapping: dict[str, str]
+    table_dir: str,
+    base_version: int,
+    mapping: dict[str, str],
+    meta: dict | None = None,
 ) -> int:
     """Publish ``mapping`` as version ``base_version + 1``.
 
     Atomic create-if-absent: raises :class:`SnapshotConflict` if that
     version already exists (a concurrent writer won the race — rebase
-    and retry). Returns the committed version number."""
+    and retry). Returns the committed version number.
+
+    ``meta`` — optional commit metadata, keys MUST start with ``_``;
+    ``_committed_at`` is stamped automatically (wall clock) unless the
+    caller provides it (a replayed history carries its original
+    instants). The metadata lives INSIDE the manifest JSON so it
+    survives copies that do not preserve file mtimes."""
+    bad = [k for k in mapping if k.startswith("_")]
+    if bad:
+        raise ValueError(f"bucket ids may not start with '_': {bad}")
+    if meta is not None:
+        bad = [k for k in meta if not k.startswith("_")]
+        if bad:
+            raise ValueError(f"meta keys must start with '_': {bad}")
+    record = dict(mapping)
+    record.update(meta or {})
+    record.setdefault("_committed_at", time.time())
     version = base_version + 1
     path = manifest_path(table_dir, version)
     try:
@@ -93,7 +154,7 @@ def try_commit(
             "re-read latest and rebase"
         ) from None
     with os.fdopen(fd, "w") as f:
-        json.dump(mapping, f)
+        json.dump(record, f)
     return version
 
 
@@ -122,6 +183,12 @@ def expire_snapshots(
       writers quiesced), and any multi-writer deployment MUST pass a
       retention-scale age or otherwise fence GC from in-flight
       writers.
+    * Liveness comparison runs over ``os.path.realpath`` on BOTH sides
+      (r12 advisor): a manifest recording absolute paths must protect
+      data even when GC is invoked through a relative ``table_dir`` or
+      a symlinked mount (/tmp vs /private/tmp) — lexical normpath
+      equality would call live directories dead and rmtree committed
+      data on the safety-critical path.
     """
     latest = latest_version(table_dir)
     if latest == 0:
@@ -140,7 +207,9 @@ def expire_snapshots(
         if _MANIFEST_RE.fullmatch(name):
             with open(os.path.join(table_dir, name)) as f:
                 live.update(
-                    os.path.normpath(p) for p in json.load(f).values()
+                    os.path.realpath(p)
+                    for k, p in json.load(f).items()
+                    if not k.startswith("_")
                 )
 
     def is_live(path: str) -> bool:
@@ -152,7 +221,7 @@ def expire_snapshots(
         # CONTAINS one. GC granularity stays top-level entries; a
         # partially-dead partitioned root is kept whole (conservative:
         # never delete live data to reclaim dead neighbors).
-        p = os.path.normpath(path)
+        p = os.path.realpath(path)
         return any(q == p or q.startswith(p + os.sep) for q in live)
 
     now = time.time()
@@ -170,24 +239,213 @@ def expire_snapshots(
 
 def as_of_version(table_dir: str, ts: float) -> int:
     """Resolve a point in time to a snapshot version: the highest
-    version whose manifest was published at or before ``ts`` (Delta's
-    ``timestampAsOf`` / Iceberg's snapshot-log lookup). The commit
-    instant IS the manifest file's mtime — the CAS create stamps it
-    atomically with publication, so no separate timestamp log is
-    needed; an object store would read the blob's creation time the
-    same way. Raises ``ValueError`` when ``ts`` predates the first
-    commit (there is no table to read at that instant — the honest
-    answer, not an empty frame)."""
+    version whose commit instant is at or before ``ts`` (Delta's
+    ``timestampAsOf`` / Iceberg's snapshot-log lookup). The instant is
+    the ``_committed_at`` the manifest JSON carries (stamped at
+    ``try_commit`` — survives copies/rsyncs/clock-stepped restores
+    that rewrite file mtimes, the r12 advisor's finding); manifests
+    written before that field existed fall back to file mtime. Raises
+    ``ValueError`` when ``ts`` predates the first commit (there is no
+    table to read at that instant — the honest answer, not an empty
+    frame)."""
     best = 0
     for name in os.listdir(table_dir):
         m = _MANIFEST_RE.fullmatch(name)
         if not m:
             continue
         v = int(m.group(1))
-        if os.path.getmtime(os.path.join(table_dir, name)) <= ts:
+        full = os.path.join(table_dir, name)
+        with open(full) as f:
+            instant = json.load(f).get("_committed_at")
+        if instant is None:
+            instant = os.path.getmtime(full)  # legacy manifest
+        if instant <= ts:
             best = max(best, v)
     if best == 0:
         raise ValueError(
             f"no snapshot in {table_dir} at or before ts={ts}"
         )
     return best
+
+
+# --------------------------------------------------------------------
+# Sidecars + the manifest-native scan planner (r13)
+# --------------------------------------------------------------------
+#
+# Sidecar formats, one JSON file per (kind, version), immutable like
+# the manifest they annotate:
+#
+#   spec-v<N>.json   {bucket: {"column": c, "lo": int, "hi": int}      (range transform, half-open)
+#                     | {"column": c, "value": v}}                     (identity transform)
+#   stats-v<N>.json  {bucket: {column: [min, max]}}                    (inclusive observed bounds)
+#   bloom-v<N>.json  {"column": c, "m": bits, "k": hashes,
+#                     "buckets": {bucket: {word_idx: bits_int}}}       (packed 32-bit words)
+#
+# Predicates are conjunctive tuples:
+#   ("range", column, lo, hi)   — half-open [lo, hi)
+#   ("in", column, [keys])      — point-key membership
+#
+# Every layer answers "MAY this bucket match?" — false positives are
+# allowed (the residual row filter runs on top), false negatives never
+# (a missing sidecar entry keeps the bucket). Pruning is an I/O
+# optimization, never a semantics change.
+
+Pred = tuple
+
+_SIDECAR_KINDS = ("spec", "stats", "bloom")
+
+
+def sidecar_path(table_dir: str, version: int, kind: str) -> str:
+    if kind not in _SIDECAR_KINDS:
+        raise ValueError(f"unknown sidecar kind {kind!r}")
+    return os.path.join(table_dir, f"{kind}-v{version}.json")
+
+
+def write_sidecar(
+    table_dir: str, version: int, kind: str, payload: dict
+) -> str:
+    """Stage a sidecar for the version about to be committed (write it
+    BEFORE ``try_commit`` so no reader ever sees a manifest without
+    its stats — the same stage-then-publish order as the data)."""
+    path = sidecar_path(table_dir, version, kind)
+    with open(path, "w") as f:
+        json.dump(payload, f)
+    return path
+
+
+def read_sidecar(table_dir: str, version: int, kind: str) -> dict | None:
+    path = sidecar_path(table_dir, version, kind)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def bloom_positions(key, k: int, m: int) -> list[int]:
+    """The store's Bloom hash recipe: md5 over ``"<i>:<key>"``, first
+    15 hex digits, mod m — hashlib here mirrors the engine-side
+    ``md5_prefix_int`` expression exactly, so filters BUILT by a Spark
+    aggregate are PROBED by pure driver arithmetic."""
+    return [
+        int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % m
+        for i in range(k)
+    ]
+
+
+def _spec_may_match(entry: dict | None, preds: list[Pred]) -> bool:
+    if not entry:
+        return True  # bucket with no declared spec: cannot prune
+    col = entry.get("column")
+    for p in preds:
+        if p[1] != col:
+            continue
+        if "value" in entry:
+            v = entry["value"]
+            if p[0] == "range" and not (p[2] <= v < p[3]):
+                return False
+            if p[0] == "in" and v not in p[2]:
+                return False
+        else:
+            lo, hi = entry["lo"], entry["hi"]
+            if p[0] == "range" and not (lo < p[3] and hi > p[2]):
+                return False
+            if p[0] == "in" and not any(lo <= k < hi for k in p[2]):
+                return False
+    return True
+
+
+def _stats_may_match(entry: dict | None, preds: list[Pred]) -> bool:
+    if not entry:
+        return True
+    for p in preds:
+        bounds = entry.get(p[1])
+        if bounds is None:
+            continue  # no stats for this column in this bucket
+        lo, hi = bounds  # inclusive observed min/max
+        if p[0] == "range" and not (lo < p[3] and hi >= p[2]):
+            return False
+        if p[0] == "in" and not any(lo <= k <= hi for k in p[2]):
+            return False
+    return True
+
+
+def _bloom_may_match(side: dict, bucket: str, preds: list[Pred]) -> bool:
+    words = side["buckets"].get(bucket)
+    if words is None:
+        return True
+    m, k = side["m"], side["k"]
+
+    def maybe_has(key) -> bool:
+        return all(
+            (words.get(str(p // 32), 0) >> (p % 32)) & 1
+            for p in bloom_positions(key, k, m)
+        )
+
+    for p in preds:
+        if p[0] == "in" and p[1] == side["column"]:
+            if not any(maybe_has(key) for key in p[2]):
+                return False
+    return True
+
+
+def plan_scan(
+    table_dir: str,
+    predicates: list[Pred],
+    version: int | None = None,
+    explain: bool = False,
+):
+    """THE read path: resolve ``version``'s manifest, then prune its
+    buckets through every sidecar layer in order — partition spec →
+    column stats → Bloom — and return the surviving data dirs (sorted
+    by bucket id). With ``explain=True`` also returns the per-layer
+    candidate trace ``{"buckets", "after_spec", "after_stats",
+    "after_bloom"}`` so callers (and tests) can assert WHERE pruning
+    happened, the way Iceberg's scan reports skipped manifests/files.
+
+    Layers a version does not carry are skipped (trace repeats the
+    previous set) — a table with only stats still plans through the
+    one planner; composition is additive, not configured."""
+    if version is None:
+        version = latest_version(table_dir)
+    mani = read_manifest(table_dir, version)
+    cand = set(mani)
+    trace: dict[str, list[str]] = {"buckets": sorted(cand)}
+
+    spec = read_sidecar(table_dir, version, "spec")
+    if spec:
+        cand = {b for b in cand if _spec_may_match(spec.get(b), predicates)}
+    trace["after_spec"] = sorted(cand)
+
+    stats = read_sidecar(table_dir, version, "stats")
+    if stats:
+        cand = {b for b in cand if _stats_may_match(stats.get(b), predicates)}
+    trace["after_stats"] = sorted(cand)
+
+    bloom = read_sidecar(table_dir, version, "bloom")
+    if bloom:
+        cand = {b for b in cand if _bloom_may_match(bloom, b, predicates)}
+    trace["after_bloom"] = sorted(cand)
+
+    dirs = [mani[b] for b in sorted(cand)]
+    return (dirs, trace) if explain else dirs
+
+
+def read_snapshot(
+    spark,
+    table_dir: str,
+    predicates: list[Pred] | None = None,
+    version: int | None = None,
+):
+    """Read a snapshot THROUGH the scan planner: only the dirs
+    :func:`plan_scan` keeps are opened. The caller still applies the
+    row-level residual filter — pruning selects candidate buckets, it
+    never replaces the predicate. A fully-pruned plan (the predicate
+    provably selects nothing) returns an empty frame with the table's
+    schema (footer read of one bucket, zero data rows)."""
+    preds = predicates or []
+    dirs = plan_scan(table_dir, preds, version=version)
+    if dirs:
+        return spark.read.parquet(*dirs)
+    mani = read_manifest(table_dir, version)
+    any_dir = next(iter(mani.values()))
+    return spark.read.parquet(any_dir).limit(0)

@@ -567,3 +567,245 @@ def currency_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@query(
+    "ingest_monthly_snapshot_loop",
+    tags=("ingest", "e2e", "snapshot", "a2", "a3", "s5", "time-travel",
+          "atomic"),
+    oracle=f"""
+WITH income_lines{sql_values('income_lines')},
+income_lines_p3{sql_values('income_lines_p3')},
+all_lines AS (
+  SELECT *, 0 AS pri FROM income_lines
+  UNION ALL
+  SELECT *, 1 AS pri FROM income_lines_p3
+),
+with_hdr AS (
+  SELECT *, MIN(CASE WHEN upper(trim(col_a)) = 'NUMBER'
+                      AND upper(trim(col_b)) = 'DESCRIPTION'
+                     THEN row_idx END)
+            OVER (PARTITION BY pri, file_name, sheet_name) AS hdr_idx
+  FROM all_lines
+),
+body AS (
+  SELECT * FROM with_hdr WHERE hdr_idx IS NOT NULL AND row_idx > hdr_idx
+),
+cat AS (
+  SELECT *, last_value(CASE WHEN upper(trim(col_a)) = 'REVENUES' THEN 'Revenue'
+                            WHEN upper(trim(col_a)) = 'EXPENSES' THEN 'Expenses' END
+                       IGNORE NULLS)
+            OVER (PARTITION BY pri, file_name, sheet_name ORDER BY row_idx
+                  ROWS UNBOUNDED PRECEDING) AS category
+  FROM body
+),
+fact_all AS (
+  SELECT pri,
+         {_SQL_GL_NORM.format(c='col_a')} AS gl_code,
+         category,
+         {_SQL_PERIOD_Y} AS year,
+         {_SQL_PERIOD_M} AS month,
+         {_SQL_DEPT} AS department,
+         CAST(ROUND({_SQL_AMOUNT.format(c='col_c')} * 100, 0) AS BIGINT)
+           AS cents
+  FROM cat
+  WHERE {_SQL_DEPT} <> ''
+    AND {_SQL_GL_NORM.format(c='col_a')} IS NOT NULL
+    AND {_SQL_AMOUNT.format(c='col_c')} IS NOT NULL
+),
+wh3 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY gl_code, year, month, department, category
+        ORDER BY pri DESC) AS rn
+    FROM fact_all
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT CAST('v1_asof' AS VARCHAR) AS snapshot, department, month,
+         category, cents
+  FROM fact_all WHERE pri = 0 AND month = 1
+  UNION ALL
+  SELECT 'v2_asof', department, month, category, cents
+  FROM fact_all WHERE pri = 0 AND month = 2
+  UNION ALL
+  SELECT 'v3_head', department, month, category, cents
+  FROM wh3 WHERE month IN (2, 3)
+)
+SELECT snapshot, department, CAST(month AS INT) AS month,
+       CAST('TOTAL REVENUES' AS VARCHAR) AS measure,
+       CAST(SUM(cents) FILTER (WHERE category = 'Revenue') AS BIGINT)
+         AS cents
+FROM probes GROUP BY snapshot, department, month
+UNION ALL
+SELECT snapshot, department, CAST(month AS INT), 'OPERATING PROFIT',
+       CAST(SUM(cents) AS BIGINT)
+FROM probes GROUP BY snapshot, department, month
+ORDER BY snapshot, department, month, measure
+""",
+)
+def ingest_monthly_snapshot_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE REFERENCE'S MONTHLY LOOP, END TO END, UNDER MVCC (r12
+    verdict task 4): the full business story — chronological
+    multi-file discovery (S5) -> A2 MERGE -> A3 QA ledger -> derived
+    statement totals — executed so that EACH PERIOD IS ONE ATOMIC
+    SNAPSHOT COMMIT publishing the warehouse AND its QA ledger
+    together (one transaction manifest with a bucket per output —
+    the two sheets the reference writes per run, made atomic), and
+    the commit log carries the period instants, so any past month's
+    income statement is re-derivable exactly as reported.
+
+    Timeline (every delivery parsed by the real W1/W2 pipeline from
+    fixture rows; periods processed in S5 chronological order derived
+    from the file names, not delivery order):
+
+    * v1 — the January drop (two departments, the SUMMARY sheet
+      skipped). QA: GL 2999 unmapped -> Open.
+    * v2 — February. Disjoint keys append through the same
+      ``upsert_keep_last``; 2999 still missing -> Open with a bumped
+      last_seen. The state feeding each merge is the COMMITTED
+      previous snapshot (restartable at any version).
+    * v3 — the March drop, which also RE-DELIVERS February with a
+      corrected Product Revenue (same 02.2024 file name — the
+      reference's idempotent re-pull, build_warehouse.py:159-169):
+      the merge last-write-wins that ONE key, leaving February's
+      other rows intact. QA: 2998 opens, 2999 resolves (keeping its
+      February last_seen — asserted).
+
+    The returned frame is the §2.4 statement shapes — TOTAL REVENUES
+    and OPERATING PROFIT per (department, month) — computed from
+    TIME-TRAVELED reads: ``as_of`` mid-history instants resolve v1
+    and v2 (February AS ORIGINALLY REPORTED), and the head serves the
+    restated February plus March. The oracle replays every version
+    from the raw fixture deliveries, so the hash certifies both the
+    merge chain AND the time-travel isolation (a restatement that
+    leaked into v2 would flip v2_asof's cents). At 100 TB each month
+    stages O(month) data and commits one manifest; history costs only
+    retention."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        as_of_version,
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.operators.warehouse import (
+        qa_ledger_merge,
+        upsert_keep_last,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    import os
+
+    table = scratch_dir("ingest_loop_")
+    key = ["gl_code", "year", "month", "department", "category"]
+    cols = ["gl_code", "category", "year", "month", "department", "amount"]
+    dim_keys = ingest_gl_dim(spark, sf_dir).select("gl_code")
+
+    # deliveries: the standing drop (Jan + Feb files) split per period
+    # in S5 chronological order, then the March drop (with the Feb
+    # restatement) as the third monthly run
+    drop = parse_income_statement(spark_df(spark, "income_lines"))
+    periods = sorted(
+        (r.year, r.month)
+        for r in drop.select("year", "month").distinct().collect()
+    )
+    assert periods == [(2024, 1), (2024, 2)], periods
+    batches = [
+        (m, drop.where((F.col("year") == y) & (F.col("month") == m)))
+        for (y, m) in periods
+    ] + [(3, parse_income_statement(spark_df(spark, "income_lines_p3")))]
+
+    def read_bucket(version: int, bucket: str, schema: str) -> DataFrame:
+        return spark.read.schema(schema).parquet(
+            read_manifest(table, version)[bucket]
+        )
+
+    wh_schema = ("gl_code string, category string, year int, month int, "
+                 "department string, amount decimal(18,2)")
+    led_schema = "gl_code string, status string, last_seen date"
+
+    for i, (m, batch) in enumerate(batches):
+        version = i + 1
+        facts = batch.select(
+            "gl_code", "category", "year", "month", "department",
+            F.col("amount").cast("decimal(18,2)").alias("amount"),
+        )
+        misses = (
+            batch.select("gl_code").distinct()
+            .join(dim_keys, "gl_code", "left_anti")
+        )
+        seen = F.lit(f"2024-0{m}-15").cast("date")
+        if version == 1:
+            wh = facts
+            ledger = misses.select(
+                "gl_code", F.lit("Open").alias("status"),
+                seen.alias("last_seen"),
+            )
+        else:
+            wh = upsert_keep_last(
+                read_bucket(version - 1, "warehouse", wh_schema),
+                facts, key,
+            ).select(*cols)
+            ledger = qa_ledger_merge(
+                read_bucket(version - 1, "ledger", led_schema),
+                misses, ["gl_code"], seen_col=seen,
+            ).select("gl_code", "status", "last_seen")
+        wh_d = os.path.join(table, f"wh-g{version}")
+        led_d = os.path.join(table, f"led-g{version}")
+        wh.write.parquet(wh_d)
+        ledger.write.parquet(led_d)
+        # ONE commit publishes the month's warehouse + ledger together
+        assert try_commit(
+            table, version - 1, {"warehouse": wh_d, "ledger": led_d},
+            meta={"_committed_at": float(version) * 1000.0},
+        ) == version
+
+    # QA lifecycle across the committed chain (content-level checks;
+    # the income side is oracle-hashed below)
+    led = {
+        v: {r.gl_code: (r.status, str(r.last_seen))
+            for r in read_bucket(v, "ledger", led_schema).collect()}
+        for v in (1, 2, 3)
+    }
+    assert led[1] == {"2999": ("Open", "2024-01-15")}, led[1]
+    assert led[2] == {"2999": ("Open", "2024-02-15")}, led[2]
+    assert led[3] == {"2998": ("Open", "2024-03-15"),
+                      "2999": ("Resolved", "2024-02-15")}, led[3]
+
+    cents = F.round(F.col("amount") * 100, 0).cast("bigint")
+
+    def measures(df: DataFrame, tag: str) -> DataFrame:
+        g = df.groupBy("department", "month").agg(
+            F.sum(F.when(F.col("category") == "Revenue", cents))
+            .cast("bigint").alias("rev"),
+            F.sum(cents).cast("bigint").alias("profit"),
+        )
+        return g.select(
+            F.lit(tag).alias("snapshot"), "department",
+            F.col("month").cast("int").alias("month"),
+            F.explode(F.array(
+                F.struct(
+                    F.lit("TOTAL REVENUES").alias("measure"),
+                    F.col("rev").alias("cents"),
+                ),
+                F.struct(
+                    F.lit("OPERATING PROFIT").alias("measure"),
+                    F.col("profit").alias("cents"),
+                ),
+            )).alias("x"),
+        ).select("snapshot", "department", "month", "x.measure", "x.cents")
+
+    def wh_asof(ts: float) -> DataFrame:
+        return read_bucket(as_of_version(table, ts), "warehouse", wh_schema)
+
+    v1 = measures(wh_asof(1500.0).where(F.col("month") == 1), "v1_asof")
+    v2 = measures(wh_asof(2500.0).where(F.col("month") == 2), "v2_asof")
+    head = measures(
+        read_bucket(3, "warehouse", wh_schema).where(
+            F.col("month").isin(2, 3)
+        ),
+        "v3_head",
+    )
+    return (
+        v1.unionByName(v2).unionByName(head)
+        .orderBy("snapshot", "department", "month", "measure")
+    )

@@ -771,21 +771,24 @@ def events_stream_snapshot_commit(
     """STREAMING WRITES WITH EXACTLY-ONCE TABLE SEMANTICS — the
     streaming family composed with the MVCC store: each micro-batch
     lands as an immutable bucket dir published through the manifest
-    CAS as version batch_id+1
+    CAS with a per-writer transaction ledger in the commit metadata
     (streaming/pipeline.snapshot_commit_batch), so an at-least-once
     stream yields an exactly-once TABLE — Delta idempotent writes
-    (txnVersion = batch id) built from this repo's own commit
-    protocol.
+    (txnAppId/txnVersion) built from this repo's own commit
+    protocol; r13 keys replays on (writer_id, batch_id), not batch
+    id alone, closing the r12 advisor's fresh-checkpoint data-loss
+    hole.
 
     The registered run drains an 8-file scratch copy of events 4
     files per trigger (two batches -> manifest v1, v2 — version
     count asserted == batch count, manifest v2 asserted to hold
-    exactly buckets b0,b1), then REPLAYS both batch ids against the
-    committed table with a poisoned payload (the FULL event set —
-    ~2x each true batch): if the idempotence guard or the CAS
-    backstop failed, the poison would double-count and the oracle
-    hash below would catch it. Both replays are asserted no-ops
-    (same latest version, same manifest bytes, same dir listing).
+    exactly buckets stream-b0,stream-b1), then REPLAYS both batch
+    ids against the committed table with a poisoned payload (the
+    FULL event set — ~2x each true batch): if the idempotence guard
+    or the CAS backstop failed, the poison would double-count and
+    the oracle hash below would catch it. Both replays are asserted
+    no-ops (same latest version, same manifest bytes, same dir
+    listing).
 
     The returned frame answers per-event-type totals from the FINAL
     MANIFEST READ — never the raw files — and the DuckDB oracle runs
@@ -828,7 +831,7 @@ def events_stream_snapshot_commit(
     n_batches = latest_version(table)
     assert n_batches == 2, n_batches
     final = read_manifest(table)
-    assert sorted(final) == ["b0", "b1"], final
+    assert sorted(final) == ["stream-b0", "stream-b1"], final
 
     # replay both batch ids with a poisoned (2x-sized) payload: the
     # guard/CAS must make each a byte-level no-op on the table
@@ -853,3 +856,215 @@ def events_stream_snapshot_commit(
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "orders_cdf_stream_subscribe",
+    tags=("streaming", "snapshot", "cdf", "source", "incremental",
+          "subscription"),
+    oracle="""
+WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders),
+upd AS (
+  SELECT o_orderkey, o_totalprice FROM orders, m
+  WHERE o_custkey >= m.mx // 4
+    AND o_custkey <  m.mx // 4 + GREATEST(1, m.mx // 20)
+), del AS (
+  SELECT o_orderkey, o_totalprice FROM orders, m
+  WHERE o_custkey >= (3 * m.mx) // 5
+    AND o_custkey <  (3 * m.mx) // 5 + GREATEST(1, m.mx // 50)
+)
+SELECT CAST(2 AS INT) AS commit_version,
+       CAST('delete' AS VARCHAR) AS change_type, o_orderkey,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+FROM del
+UNION ALL
+SELECT 2, 'update_preimage', o_orderkey,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+FROM upd
+UNION ALL
+SELECT 2, 'update_postimage', o_orderkey,
+       CAST(ROUND((o_totalprice + 100.0) * 100, 0) AS BIGINT)
+FROM upd
+UNION ALL
+SELECT 3, 'insert', o_orderkey,
+       CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+FROM del
+ORDER BY commit_version, o_orderkey, change_type
+""",
+)
+def orders_cdf_stream_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-FEED SUBSCRIPTION — the batch CDF
+    (orders_snapshot_changes) promoted to a STREAMING SOURCE whose
+    offsets are snapshot versions (sources/cdfsource.py; Delta
+    ``readChangeFeed`` / Iceberg incremental scan as a Spark 4 Python
+    DataSource, the r12 verdict's task 3): an incremental consumer
+    SUBSCRIBES to the table instead of diffing it.
+
+    The run is a live subscription, not a replayed log: the stream
+    starts against the table at v1 (base snapshot — zero change rows,
+    Delta startingVersion semantics), then the table commits v2 (the
+    +100 update on one custkey range AND the delete of a disjoint
+    range — one commit, both change kinds) and the DRAINED stream
+    picks it up as its own micro-batch; then v3 commits (a zero-copy
+    re-insert: the deleted buckets' manifest entries point back at
+    their v1 directories — a metadata-only commit) and a further
+    drain picks THAT up. Asserted: >= 2 non-empty micro-batches in
+    the checkpoint offset log (the feed arrived commit-by-commit),
+    and change rows carry the commit version that produced them.
+
+    Exactly-once at the consumer: the whole query (same source, same
+    checkpoint, same file sink) is STARTED A SECOND TIME after the
+    drain — offsets sit at head, the planner plans nothing, and the
+    sink's row count is asserted unchanged (replay of a consumed
+    offset range is a no-op). Incremental-MV composition is asserted
+    in-line: folding the feed's signed deltas (insert +, delete -,
+    update post-pre) into v1's global (count, cents) reproduces v3's
+    directly-computed pair exactly — the subscription IS enough to
+    maintain a downstream aggregate.
+
+    Scale: planning is manifest-diff metadata (O(buckets) per
+    commit); each changed bucket becomes one executor task that diffs
+    its own pre/post directories locally (buckets partition the key
+    space, so no shuffle); unchanged buckets are never planned. The
+    oracle replays both commits' typed rows from raw orders."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+    from financial_data_warehouse_automation_spark.sources.cdfsource import (
+        SnapshotCDFDataSource,
+    )
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    n_buckets = 8
+    work = scratch_dir("cdfsub_")
+    table = os.path.join(work, "table")
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").alias("ckey")
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+    bucket_of = lambda c: min(n_buckets - 1, c * n_buckets // (maxck + 1))
+    fb = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("ckey") * n_buckets / (maxck + 1)),
+    ).cast("int")
+
+    root = os.path.join(table, "g1")
+    o.withColumn("pb", fb).write.partitionBy("pb").parquet(root)
+    v1_map = {
+        n.split("=", 1)[1]: os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+    assert try_commit(table, 0, v1_map) == 1
+
+    # subscribe at v1: the consumer sees commits, not history
+    spark.dataSource.register(SnapshotCDFDataSource)
+    feed_stream = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", table)
+        .option("keycol", "o_orderkey")
+        .option("valcol", "o_totalprice")
+        .option("startversion", 1)
+        .load()
+    )
+    out = os.path.join(work, "feed_out")
+    ckpt = os.path.join(work, "ckpt")
+
+    def run_once() -> None:
+        q = feed_stream.writeStream.format("parquet") \
+            .option("path", out) \
+            .option("checkpointLocation", ckpt) \
+            .start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    run_once()  # table is at v1: subscription drains ZERO change rows
+
+    # v2 commit: +100 update on one range, delete a disjoint range
+    upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
+    del_lo, del_hi = (3 * maxck) // 5, (3 * maxck) // 5 + max(1, maxck // 50)
+    upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
+    dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
+    upd_buckets = set(range(bucket_of(upd_lo), bucket_of(upd_hi - 1) + 1))
+    del_buckets = set(range(bucket_of(del_lo), bucket_of(del_hi - 1) + 1))
+    assert not (upd_buckets & del_buckets), "CDC buckets must be disjoint"
+    v2_map = dict(v1_map)
+    for b in sorted(upd_buckets | del_buckets):
+        d2 = os.path.join(table, f"b{b}-g2")
+        (
+            spark.read.parquet(v1_map[str(b)])
+            .where(~dele)
+            .withColumn(
+                "o_totalprice",
+                F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+            .write.parquet(d2)
+        )
+        v2_map[str(b)] = d2
+    assert try_commit(table, 1, v2_map) == 2
+    run_once()  # the subscriber picks up v2 as its own micro-batch
+
+    # v3 commit: zero-copy re-insert — deleted buckets point back at
+    # their v1 dirs (metadata-only; the feed still sees the inserts)
+    v3_map = dict(v2_map)
+    for b in sorted(del_buckets):
+        v3_map[str(b)] = v1_map[str(b)]
+    assert try_commit(table, 2, v3_map) == 3
+    run_once()  # ...and v3
+
+    # >= 2 non-empty micro-batches actually landed, commit by commit
+    n_offsets = len([
+        n for n in os.listdir(os.path.join(ckpt, "offsets"))
+        if n.isdigit()
+    ])
+    assert n_offsets >= 2, n_offsets
+
+    feed = spark.read.parquet(out)
+    n_rows_before = feed.count()
+
+    run_once()  # replay: offsets at head -> MUST be a no-op
+    assert spark.read.parquet(out).count() == n_rows_before
+
+    # incremental-MV composition: signed deltas off the feed maintain
+    # a (count, cents) aggregate from v1 to v3 exactly
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    sign = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    drow = F.when(F.col("change_type") == "insert", 1) \
+        .when(F.col("change_type") == "delete", -1).otherwise(0)
+    delta = feed.agg(
+        F.coalesce(F.sum(drow), F.lit(0)).alias("dn"),
+        F.coalesce(F.sum(sign * cents), F.lit(0)).alias("dc"),
+    ).collect()[0]
+
+    def totals(version: int):
+        r = spark.read.parquet(
+            *read_manifest(table, version).values()
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).alias("c"),
+        ).collect()[0]
+        return r.n, r.c
+
+    n1, c1 = totals(1)
+    n3, c3 = totals(3)
+    assert (n1 + delta.dn, c1 + delta.dc) == (n3, c3), \
+        "feed deltas failed to maintain the MV"
+
+    return feed.select(
+        "commit_version",
+        "change_type",
+        F.col("key").alias("o_orderkey"),
+        cents.alias("cents"),
+    ).orderBy("commit_version", "o_orderkey", "change_type")

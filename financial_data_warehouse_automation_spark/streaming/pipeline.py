@@ -695,70 +695,105 @@ def run_events_kmv_state(
     )
 
 
-def snapshot_commit_batch(table_dir: str):
+def snapshot_commit_batch(table_dir: str, writer_id: str = "stream"):
     """foreachBatch: land one micro-batch as an immutable bucket
     directory and publish it through the manifest CAS
-    (operators/snapshots.py) as version ``batch_id + 1`` — EXACTLY-ONCE
-    table appends from an at-least-once stream, the way Delta's
-    ``txnAppId``/``txnVersion`` idempotent writes work: the version
-    number IS the batch id, so a replayed batch finds its version
-    already published and becomes a no-op.
+    (operators/snapshots.py) — EXACTLY-ONCE table appends from an
+    at-least-once stream, keyed the way Delta's idempotent writes are:
+    a PER-WRITER transaction ledger ``_txn = {writer_id:
+    last_batch_id}`` carried in the manifest's commit metadata
+    (txnAppId -> txnVersion). The r12 form keyed replays on batch id
+    ALONE (version = batch_id + 1), which the r12 advisor showed
+    silently drops every batch of a NEW stream started against an
+    existing table with a fresh checkpoint (its batch ids restart at 0
+    and all hit the already-committed fast path). The ledger fixes
+    both advisor findings at once:
 
-    Replay handling, in order:
+    * Replay detection is per writer — ``_txn[writer_id] >= batch_id``
+      means THIS writer already committed this batch: no-op. A
+      DIFFERENT writer's batch 0 appends normally under its own ledger
+      entry (two independent streams can feed one table, exactly as
+      two Delta txnAppIds can).
+    * The commit REBASES ON LATEST — ``read_manifest(table_dir)`` —
+      inside a :class:`SnapshotConflict` retry loop, so table versions
+      are decoupled from batch ids: maintenance commits (compaction,
+      GC-driven rewrites) and other writers may interleave, and a
+      retention-expired historical manifest can never be needed as a
+      rebase base (the latest always survives
+      :func:`expire_snapshots`'s clamp — the r12 advisor's
+      FileNotFoundError is unreachable by construction).
 
-    * Fast path — ``latest_version >= batch_id + 1``: this batch
-      already committed (foreachBatch re-runs a failed/restarted batch
-      under the SAME id); return without staging a byte. The check is
-      check-then-act, but the CAS below backstops the race, and the
-      only possible racer is a replay of the IDENTICAL batch.
-    * Stage — the batch writes ``mode("overwrite")`` into its OWN
-      bucket dir (``batch-<id>``): a crash between stage and commit
-      leaves an orphan that the NEXT replay overwrites cleanly, and
-      that :func:`expire_snapshots`'s ``min_age_s`` GC would
-      eventually reclaim if the stream never returns.
-    * Commit — ``try_commit(base=batch_id)``; a
-      :class:`SnapshotConflict` here means the identical replay lost
-      the stage-then-commit race, i.e. the work is already published —
-      swallow it. Any OTHER writer interleaving on this table would
-      make versions drift from batch ids and fail the next commit
-      loudly (base mismatch), which is the honest contract: one
-      streaming writer per table, enforced by arithmetic.
+    Protocol per batch: ledger check (no-op if replay) → stage the
+    batch ``mode("overwrite")`` into its own ``<writer>-batch-<id>``
+    dir (a crash between stage and commit leaves an orphan the next
+    replay overwrites, and ``min_age_s`` GC would eventually reclaim)
+    → CAS-commit latest+1 with the bumped ledger, rebasing on conflict
+    until either the commit lands or the ledger shows our own replay
+    won the race.
 
-    Readers always see a consistent prefix of the stream: version N =
-    exactly batches 0..N-1, each bucket immutable once referenced."""
+    Readers always see a consistent prefix of each writer's stream:
+    the ledger value for a writer is the last batch whose rows are
+    fully published, and every referenced bucket is immutable.
+
+    Operational contract (same as Delta): the ledger lives in the
+    LATEST manifest's metadata, so any maintenance commit (compaction,
+    rewrite) must carry ``_txn`` forward into its own meta — dropping
+    it would forget which batches are already applied and let a replay
+    double-write. Pinned in
+    tests/test_snapshots.py::test_snapshot_commit_batch_survives_maintenance_and_retention."""
     from financial_data_warehouse_automation_spark.operators.snapshots import (
         SnapshotConflict,
         latest_version,
         read_manifest,
+        read_manifest_meta,
         try_commit,
     )
 
+    def committed_through(latest: int) -> int:
+        if latest == 0:
+            return -1
+        meta = read_manifest_meta(table_dir, latest)
+        return meta.get("_txn", {}).get(writer_id, -1)
+
     def apply(batch: DataFrame, batch_id: int) -> None:
-        version = batch_id + 1
-        if latest_version(table_dir) >= version:
-            return  # replayed batch: already committed
-        d = os.path.join(table_dir, f"batch-{batch_id}")
+        if committed_through(latest_version(table_dir)) >= batch_id:
+            return  # replayed batch (same writer): already committed
+        d = os.path.join(table_dir, f"{writer_id}-batch-{batch_id}")
         batch.write.mode("overwrite").parquet(d)
-        base = read_manifest(table_dir, batch_id) if batch_id > 0 else {}
-        mapping = dict(base)
-        mapping[f"b{batch_id}"] = d
-        try:
-            try_commit(table_dir, batch_id, mapping)
-        except SnapshotConflict:
-            pass  # identical replay won the race first: already published
+        while True:
+            latest = latest_version(table_dir)
+            if committed_through(latest) >= batch_id:
+                return  # our own replay won the stage-then-commit race
+            base = read_manifest(table_dir) if latest > 0 else {}
+            txn = dict(
+                read_manifest_meta(table_dir, latest).get("_txn", {})
+            ) if latest > 0 else {}
+            txn[writer_id] = batch_id
+            mapping = dict(base)
+            mapping[f"{writer_id}-b{batch_id}"] = d
+            try:
+                try_commit(
+                    table_dir, latest, mapping,
+                    meta={"_writer": writer_id, "_txn": txn},
+                )
+                return
+            except SnapshotConflict:
+                continue  # someone else published latest+1: rebase
 
     return apply
 
 
 def run_events_snapshot_commit(
     spark: SparkSession, events: DataFrame, table_dir: str,
-    checkpoint_dir: str,
+    checkpoint_dir: str, writer_id: str = "stream",
 ) -> StreamingQuery:
     """Stream events into a versioned snapshot table, one manifest
     version per micro-batch (availableNow = bounded drain)."""
     os.makedirs(table_dir, exist_ok=True)
     return (
-        events.writeStream.foreachBatch(snapshot_commit_batch(table_dir))
+        events.writeStream.foreachBatch(
+            snapshot_commit_batch(table_dir, writer_id)
+        )
         .option(
             "checkpointLocation", os.path.join(checkpoint_dir, "snap_commit")
         )

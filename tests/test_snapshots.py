@@ -47,11 +47,12 @@ def test_conflict_leaves_no_partial_manifest(tmp_path):
     table = str(tmp_path)
     d1 = _mkdata(table, "b0-g1")
     try_commit(table, 0, {"0": d1})
-    winner = read_manifest(table, 1)
+    with open(os.path.join(table, "manifest-v1.json")) as f:
+        winner_bytes = f.read()
     with pytest.raises(SnapshotConflict):
         try_commit(table, 0, {"0": "other"})
     with open(os.path.join(table, "manifest-v1.json")) as f:
-        assert json.load(f) == winner  # byte-level intact
+        assert f.read() == winner_bytes  # byte-level intact
 
 
 def test_expiry_gc_removes_only_unreferenced(tmp_path):
@@ -251,6 +252,7 @@ def test_snapshot_commit_batch_replay_and_crash_recovery(spark, tmp_path):
     from financial_data_warehouse_automation_spark.operators.snapshots import (
         latest_version,
         read_manifest,
+        read_manifest_meta,
     )
     from financial_data_warehouse_automation_spark.streaming.pipeline import (
         snapshot_commit_batch,
@@ -265,13 +267,16 @@ def test_snapshot_commit_batch_replay_and_crash_recovery(spark, tmp_path):
     fn(df1, 0)
     assert latest_version(table) == 1
     # crash sim: batch 1 stages but dies before commit
-    df2.write.mode("overwrite").parquet(os.path.join(table, "batch-1"))
+    df2.write.mode("overwrite").parquet(
+        os.path.join(table, "stream-batch-1")
+    )
     assert latest_version(table) == 1  # nothing published
     # replayed batch 1 overwrites the orphan stage and commits
     fn(df2, 1)
     assert latest_version(table) == 2
     mani = read_manifest(table)
-    assert sorted(mani) == ["b0", "b1"]
+    assert sorted(mani) == ["stream-b0", "stream-b1"]
+    assert read_manifest_meta(table)["_txn"] == {"stream": 1}
     total = spark.read.parquet(*mani.values()).count()
     assert total == 15
     # replays (poisoned payloads) are byte-level no-ops
@@ -280,6 +285,91 @@ def test_snapshot_commit_batch_replay_and_crash_recovery(spark, tmp_path):
     fn(spark.range(100).selectExpr("id", "id AS v"), 1)
     assert sorted(os.listdir(table)) == before
     assert spark.read.parquet(*read_manifest(table).values()).count() == 15
+
+
+def test_snapshot_commit_batch_new_writer_is_not_dropped(spark, tmp_path):
+    """The r12 advisor's data-loss hole: a NEW stream (fresh
+    checkpoint, batch ids restarting at 0) against an existing table
+    must APPEND under its own transaction-ledger entry — the old
+    batch-id-only guard silently no-opped every one of its batches.
+    Replays of EITHER writer stay no-ops (per-writer idempotence,
+    Delta txnAppId/txnVersion semantics)."""
+    import os
+
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_manifest,
+        read_manifest_meta,
+    )
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        snapshot_commit_batch,
+    )
+
+    table = str(tmp_path / "table")
+    os.makedirs(table)
+    a = snapshot_commit_batch(table, writer_id="jobA")
+    b = snapshot_commit_batch(table, writer_id="jobB")
+    a(spark.range(10).selectExpr("id"), 0)
+    a(spark.range(10, 15).selectExpr("id"), 1)
+    # new writer, fresh checkpoint: batch 0 again — MUST land
+    b(spark.range(100, 103).selectExpr("id"), 0)
+    mani = read_manifest(table)
+    assert sorted(mani) == ["jobA-b0", "jobA-b1", "jobB-b0"]
+    assert read_manifest_meta(table)["_txn"] == {"jobA": 1, "jobB": 0}
+    assert spark.read.parquet(*mani.values()).count() == 18
+    # replays under each writer's own id are no-ops
+    before = sorted(os.listdir(table))
+    a(spark.range(500).selectExpr("id"), 0)
+    b(spark.range(500).selectExpr("id"), 0)
+    assert sorted(os.listdir(table)) == before
+    assert spark.read.parquet(*read_manifest(table).values()).count() == 18
+
+
+def test_snapshot_commit_batch_survives_maintenance_and_retention(
+    spark, tmp_path
+):
+    """Table versions are decoupled from batch ids (r12 advisor): an
+    interleaved MAINTENANCE commit (compaction-style rewrite) bumps
+    the version chain, and retention expiring every historical
+    manifest leaves only the latest — the next micro-batch must
+    rebase on LATEST and commit cleanly (the old code read
+    manifest-v<batch_id> and crashed with FileNotFoundError)."""
+    import os
+
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        expire_snapshots,
+        latest_version,
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        snapshot_commit_batch,
+    )
+
+    table = str(tmp_path / "table")
+    os.makedirs(table)
+    fn = snapshot_commit_batch(table)
+    fn(spark.range(10).selectExpr("id"), 0)
+    fn(spark.range(10, 15).selectExpr("id"), 1)
+    # maintenance: compact both buckets into one dir, commit v3
+    compact = os.path.join(table, "compacted-g1")
+    spark.read.parquet(*read_manifest(table).values()).coalesce(1) \
+        .write.parquet(compact)
+    meta_keep = {"_txn": {"stream": 1}}  # maintenance preserves ledger
+    assert try_commit(table, 2, {"c0": compact}, meta=meta_keep) == 3
+    # retention: drop all history, keep only the latest
+    expire_snapshots(table, keep_from=3)
+    # next micro-batch rebases on latest and lands as v4
+    fn(spark.range(15, 18).selectExpr("id"), 2)
+    assert latest_version(table) == 4
+    got = sorted(
+        r.id for r in
+        spark.read.parquet(*read_manifest(table).values()).collect()
+    )
+    assert got == list(range(18))
+    # and a replay of that batch is still a no-op
+    before = sorted(os.listdir(table))
+    fn(spark.range(999).selectExpr("id"), 2)
+    assert sorted(os.listdir(table)) == before
 
 
 def test_incremental_mv_equals_direct_rebuild(spark, sf_dir):
@@ -407,7 +497,10 @@ def test_partition_spec_evolution_prunes_both_directions(spark, sf_dir):
 def test_as_of_version_resolution(tmp_path):
     """Timestamp -> version: between-commit instants resolve down,
     the commit instant itself is inclusive, after-head resolves to
-    latest, pre-history raises."""
+    latest, pre-history raises. Instants come from the persisted
+    ``_committed_at`` — rewriting every manifest's mtime (a copy or
+    rsync that drops timestamps, the r12 advisor's scenario) must NOT
+    move the time-travel history."""
     from financial_data_warehouse_automation_spark.operators.snapshots import (
         as_of_version,
         manifest_path,
@@ -416,13 +509,160 @@ def test_as_of_version_resolution(tmp_path):
     table = str(tmp_path)
     d1 = _mkdata(table, "b0-g1")
     d2 = _mkdata(table, "b0-g2")
-    try_commit(table, 0, {"0": d1})
-    try_commit(table, 1, {"0": d2})
-    os.utime(manifest_path(table, 1), (100.0, 100.0))
-    os.utime(manifest_path(table, 2), (200.0, 200.0))
+    try_commit(table, 0, {"0": d1}, meta={"_committed_at": 100.0})
+    try_commit(table, 1, {"0": d2}, meta={"_committed_at": 200.0})
     assert as_of_version(table, 150.0) == 1
     assert as_of_version(table, 100.0) == 1
     assert as_of_version(table, 200.0) == 2
     assert as_of_version(table, 1e9) == 2
     with pytest.raises(ValueError, match="no snapshot"):
         as_of_version(table, 50.0)
+    # mtime rewrite (copy/restore) is invisible to resolution
+    for v in (1, 2):
+        os.utime(manifest_path(table, v), (5.0, 5.0))
+    assert as_of_version(table, 150.0) == 1
+    assert as_of_version(table, 1e9) == 2
+    with pytest.raises(ValueError, match="no snapshot"):
+        as_of_version(table, 50.0)
+
+
+def test_as_of_legacy_manifest_falls_back_to_mtime(tmp_path):
+    """Manifests written before ``_committed_at`` existed (plain
+    bucket JSON) still time-travel via file mtime — the documented
+    legacy path."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        as_of_version,
+        manifest_path,
+    )
+
+    table = str(tmp_path)
+    d1 = _mkdata(table, "b0-g1")
+    with open(manifest_path(table, 1), "w") as f:
+        json.dump({"0": d1}, f)  # legacy: no meta keys
+    os.utime(manifest_path(table, 1), (100.0, 100.0))
+    assert as_of_version(table, 150.0) == 1
+    with pytest.raises(ValueError, match="no snapshot"):
+        as_of_version(table, 50.0)
+
+
+def test_manifest_meta_roundtrip_and_validation(tmp_path):
+    """Commit metadata lives under ``_`` keys inside the manifest:
+    read_manifest strips it (every returned value is a data dir),
+    read_manifest_meta returns it, ``_committed_at`` is auto-stamped,
+    and key-namespace violations fail loudly in both directions."""
+    import time
+
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_manifest_meta,
+    )
+
+    table = str(tmp_path)
+    d1 = _mkdata(table, "b0-g1")
+    t0 = time.time()
+    try_commit(table, 0, {"0": d1}, meta={"_writer": "w1"})
+    assert read_manifest(table) == {"0": d1}  # meta stripped
+    meta = read_manifest_meta(table)
+    assert meta["_writer"] == "w1"
+    assert t0 <= meta["_committed_at"] <= time.time()
+    with pytest.raises(ValueError, match="bucket ids"):
+        try_commit(table, 1, {"_oops": d1})
+    with pytest.raises(ValueError, match="meta keys"):
+        try_commit(table, 1, {"0": d1}, meta={"writer": "w1"})
+
+
+def test_expiry_liveness_survives_symlink_aliasing(tmp_path):
+    """GC liveness canonicalizes BOTH sides with realpath (r12
+    advisor, medium): a manifest whose recorded paths go through a
+    symlink alias of the table dir must still protect the real data
+    when GC is invoked on the real path — lexical normpath matching
+    called the live dir dead and rmtree'd committed data."""
+    real = tmp_path / "real"
+    os.makedirs(real)
+    alias = tmp_path / "alias"
+    os.symlink(real, alias)
+    table = str(real)
+    live = _mkdata(str(alias), "b0-g1")   # recorded THROUGH the alias
+    dead = _mkdata(table, "b0-g0")
+    try_commit(table, 0, {"0": dead})
+    try_commit(table, 1, {"0": live})     # v2 references alias path
+    removed_m, removed_d = expire_snapshots(table, keep_from=2)
+    assert removed_m == 1
+    assert os.path.exists(os.path.join(table, "b0-g1")), \
+        "live data deleted through symlink alias"
+    assert not os.path.exists(dead)
+    assert read_manifest(table) == {"0": live}
+
+
+def test_expiry_liveness_survives_relative_invocation(tmp_path, monkeypatch):
+    """Same canonicalization, relative-path direction: manifests
+    record absolute dirs; invoking expire_snapshots with a RELATIVE
+    table_dir (different-cwd maintenance job) must compare apples to
+    apples."""
+    table = str(tmp_path / "tbl")
+    os.makedirs(table)
+    live = _mkdata(table, "b0-g1")
+    try_commit(table, 0, {"0": live})
+    monkeypatch.chdir(tmp_path)
+    removed_m, removed_d = expire_snapshots("tbl", keep_from=1)
+    assert (removed_m, removed_d) == (0, 0)
+    assert os.path.exists(live)
+
+
+def test_plan_scan_composes_spec_stats_bloom(tmp_path):
+    """The one scan planner: candidates must shrink layer by layer —
+    spec prunes by each bucket's OWN transform, stats prune by
+    observed bounds, Bloom prunes point keys — and a bucket missing
+    from a sidecar is conservatively kept (false negatives never)."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        bloom_positions,
+        plan_scan,
+        write_sidecar,
+    )
+
+    table = str(tmp_path)
+    dirs = {str(b): _mkdata(table, f"b{b}") for b in range(4)}
+    try_commit(table, 0, dirs)
+    # spec: buckets 0/1 range-partitioned on k, 2 identity on year,
+    # 3 undeclared (kept by every spec probe)
+    write_sidecar(table, 1, "spec", {
+        "0": {"column": "k", "lo": 0, "hi": 100},
+        "1": {"column": "k", "lo": 100, "hi": 200},
+        "2": {"column": "year", "value": 1999},
+    })
+    # stats: bucket 0's observed k range is narrower than its spec
+    write_sidecar(table, 1, "stats", {
+        "0": {"k": [40, 60]},
+        "1": {"k": [100, 199]},
+        "3": {"k": [500, 600]},
+    })
+    # bloom over point column pk: only bucket 1 contains pk=7
+    m, kh = 1 << 12, 3
+    words: dict[str, int] = {}
+    for p in bloom_positions(7, kh, m):
+        words[str(p // 32)] = words.get(str(p // 32), 0) | (1 << (p % 32))
+    write_sidecar(table, 1, "bloom", {
+        "column": "pk", "m": m, "k": kh,
+        "buckets": {"0": {}, "1": words, "2": {}},  # 3 missing: kept
+    })
+
+    preds = [("range", "k", 90, 110), ("in", "pk", [7])]
+    got, trace = plan_scan(table, preds, version=1, explain=True)
+    assert trace["buckets"] == ["0", "1", "2", "3"]
+    # spec: k-range [90,110) overlaps bucket 0 ([0,100)) and 1
+    # ([100,200)); bucket 2's spec column (year) is unconstrained ->
+    # kept; bucket 3 undeclared -> kept
+    assert trace["after_spec"] == ["0", "1", "2", "3"]
+    # stats: bucket 0 observed [40,60] misses [90,110) -> pruned;
+    # bucket 3 observed [500,600] -> pruned; bucket 2 has no stats
+    assert trace["after_stats"] == ["1", "2"]
+    # bloom: pk=7 only in bucket 1's filter; bucket 2's empty filter
+    # says definitely-absent -> pruned
+    assert trace["after_bloom"] == ["1"]
+    assert got == [dirs["1"]]
+
+    # no predicates -> nothing prunes
+    assert sorted(plan_scan(table, [], version=1)) == sorted(dirs.values())
+    # a key no DECLARED filter holds: buckets 0/1/2 prune (their
+    # filters prove absence), bucket 3 has no filter -> kept — missing
+    # sidecar entries can cost I/O but never correctness
+    assert plan_scan(table, [("in", "pk", [999])], version=1) == [dirs["3"]]
