@@ -292,7 +292,7 @@ def as_of_version(table_dir: str, ts: float) -> int:
 
 Pred = tuple
 
-_SIDECAR_KINDS = ("spec", "stats", "bloom")
+_SIDECAR_KINDS = ("spec", "stats", "bloom", "deletes", "schema")
 
 
 def sidecar_path(table_dir: str, version: int, kind: str) -> str:
@@ -441,11 +441,78 @@ def read_snapshot(
     row-level residual filter — pruning selects candidate buckets, it
     never replaces the predicate. A fully-pruned plan (the predicate
     provably selects nothing) returns an empty frame with the table's
-    schema (footer read of one bucket, zero data rows)."""
+    schema (footer read of one bucket, zero data rows).
+
+    MERGE-ON-READ: a version carrying a ``deletes`` sidecar
+    (equality-delete vector, ``{"column": c, "buckets": {bucket:
+    [keys]}}``) has those keys filtered out here — EVERY reader goes
+    through the one function, so a deletion-vector commit is
+    correct-by-construction for all of them (Iceberg v2 equality
+    deletes / Delta deletion vectors). The filter is an ``isin`` over
+    the sidecar's keys — literally a broadcast anti-semi-join, sized
+    KB per commit; compaction later folds DVs into data and drops the
+    sidecar."""
+    from pyspark.sql import functions as F
+
+    if version is None:
+        version = latest_version(table_dir)
     preds = predicates or []
     dirs = plan_scan(table_dir, preds, version=version)
     if dirs:
-        return spark.read.parquet(*dirs)
+        df = spark.read.parquet(*dirs)
+    else:
+        mani = read_manifest(table_dir, version)
+        df = spark.read.parquet(next(iter(mani.values()))).limit(0)
+    dv = read_sidecar(table_dir, version, "deletes")
+    if dv:
+        deleted = sorted({k for ks in dv["buckets"].values() for k in ks})
+        if deleted:
+            df = df.where(~F.col(dv["column"]).isin(deleted))
+    return df
+
+
+def read_snapshot_evolved(spark, table_dir: str, version: int | None = None):
+    """Read a snapshot whose versions carry a COLUMN-MAPPING schema
+    sidecar (``schema`` kind)::
+
+        {"fields":  {logical_name: physical_field},
+         "buckets": {bucket: [physical fields present]}}
+
+    Physical parquet columns are stable FIELD names (f1, f2, …);
+    logical names live only in the sidecar — Iceberg's field-id
+    column mapping, which is what makes RENAME COLUMN a metadata-only
+    commit (rebind a logical name to the same field) and ADD COLUMN a
+    zero-rewrite commit (old buckets simply lack the new field and
+    read NULL for it, exactly Iceberg/Delta add-column semantics).
+
+    Scale: buckets are grouped by their physical field signature and
+    each group is ONE multi-dir parquet read + one projection — the
+    read fans out per schema GENERATION (a handful), never per bucket,
+    and the union is a zero-shuffle plan node."""
+    from pyspark.sql import functions as F
+
+    if version is None:
+        version = latest_version(table_dir)
+    side = read_sidecar(table_dir, version, "schema")
+    if side is None:
+        raise ValueError(
+            f"version {version} of {table_dir} has no schema sidecar"
+        )
     mani = read_manifest(table_dir, version)
-    any_dir = next(iter(mani.values()))
-    return spark.read.parquet(any_dir).limit(0)
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for b, d in mani.items():
+        sig = tuple(sorted(side["buckets"][b]))
+        groups.setdefault(sig, []).append(d)
+    parts = []
+    for sig, dirs in sorted(groups.items()):
+        present = set(sig)
+        df = spark.read.parquet(*sorted(dirs))
+        parts.append(df.select(*[
+            F.col(phys).alias(logical) if phys in present
+            else F.lit(None).alias(logical)
+            for logical, phys in side["fields"].items()
+        ]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -5955,6 +5955,297 @@ def orders_scan_planner_composed(
 
 
 @query(
+    "orders_deletion_vector_merge_on_read",
+    tags=("snapshot", "delete", "merge-on-read", "dv", "metadata"),
+    oracle="""
+WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders),
+kept AS (
+  SELECT o_totalprice FROM orders, m
+  WHERE NOT (o_custkey >= (3 * m.mx) // 5
+             AND o_custkey <  (3 * m.mx) // 5 + GREATEST(1, m.mx // 50))
+)
+SELECT CAST('v1_full' AS VARCHAR) AS snapshot,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+UNION ALL
+SELECT 'v2_dv', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+FROM kept
+UNION ALL
+SELECT 'v3_compacted', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+FROM kept
+ORDER BY snapshot
+""",
+)
+def orders_deletion_vector_merge_on_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETION VECTORS — MERGE-ON-READ ROW DELETES WITHOUT REWRITE
+    (Iceberg v2 equality deletes / Delta deletion vectors): the r12
+    snapshot store deleted rows by COW-rewriting every affected
+    bucket; a small DELETE on a 100 TB table must not pay GBs of
+    write amplification for KBs of intent. v2 commits the delete as
+    an EQUALITY-DELETE SIDECAR — the doomed keys, per bucket — and
+    the manifest's bucket mapping is asserted BYTE-IDENTICAL to v1:
+    zero data files written, commit cost = one KB-scale JSON + one
+    manifest create.
+
+    Correctness is carried by the ONE read path: read_snapshot
+    (operators/snapshots.py) applies any version's delete vector as a
+    broadcast-sized anti-filter, so every reader — this query, the
+    planner demos, time travel — sees deletes without knowing they
+    exist. v3 then runs the standard migration: compaction APPLIES the
+    vector (rewrites only the affected buckets minus their doomed
+    keys, asserted <= 2 of 8), commits WITHOUT a sidecar, and the
+    oracle certifies v2 == v3 row-for-row — merge-on-read and
+    copy-on-write are two physical encodings of the same table state,
+    exchanged at the writer's convenience (read-heavy tables compact
+    early, write-heavy tables accumulate DVs).
+
+    The DV is deliberately key-based (equality deletes), not
+    positional: position deletes need stable row ordinals, which
+    parquet-over-object-store only guarantees per file — at the
+    bucket grain the key form is the robust one, and the keys here
+    are collected driver-side because a DV is by definition small
+    (a big DELETE should COW — the writer picks per commit)."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_manifest,
+        read_snapshot,
+        try_commit,
+        write_sidecar,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    n_buckets = 8
+    table = scratch_dir("snapdv_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").alias("ckey")
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+    bucket_of = lambda c: min(n_buckets - 1, c * n_buckets // (maxck + 1))
+    fb = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("ckey") * n_buckets / (maxck + 1)),
+    ).cast("int")
+
+    root = os.path.join(table, "g1")
+    o.withColumn("pb", fb).write.partitionBy("pb").parquet(root)
+    v1_map = {
+        n.split("=", 1)[1]: os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+    assert try_commit(table, 0, v1_map) == 1
+
+    # v2: DELETE as a deletion vector — zero data rewrite
+    del_lo, del_hi = (3 * maxck) // 5, (3 * maxck) // 5 + max(1, maxck // 50)
+    dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
+    touched = list(range(bucket_of(del_lo), bucket_of(del_hi - 1) + 1))
+    assert len(touched) <= 2, touched
+    doomed = {
+        str(b): sorted(
+            r.o_orderkey
+            for r in spark.read.parquet(v1_map[str(b)]).where(dele)
+            .select("o_orderkey").collect()
+        )
+        for b in touched
+    }
+    assert any(doomed.values()), "delete range selected nothing"
+    write_sidecar(table, 2, "deletes", {
+        "column": "o_orderkey", "buckets": doomed,
+    })
+    assert try_commit(table, 1, dict(v1_map)) == 2
+    assert read_manifest(table, 2) == v1_map  # zero rewrite, by manifest
+
+    # v3: compaction applies the DV and drops it — only touched
+    # buckets rewrite; everything else is shared with v1/v2
+    v3_map = dict(v1_map)
+    for b in touched:
+        d3 = os.path.join(table, f"b{b}-g3")
+        spark.read.parquet(v1_map[str(b)]).where(~dele).write.parquet(d3)
+        v3_map[str(b)] = d3
+    assert try_commit(table, 2, v3_map) == 3
+    shared = [b for b in v1_map if v3_map[b] == v1_map[b]]
+    assert len(shared) == n_buckets - len(touched), shared
+
+    def agg(version: int, tag: str) -> DataFrame:
+        return read_snapshot(spark, table, version=version).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        ).select(F.lit(tag).alias("snapshot"), "n_rows", "cents")
+
+    return (
+        agg(1, "v1_full")
+        .unionByName(agg(2, "v2_dv"))
+        .unionByName(agg(3, "v3_compacted"))
+        .orderBy("snapshot")
+    )
+
+
+@query(
+    "orders_schema_evolution_snapshot",
+    tags=("snapshot", "schema-evolution", "rename", "add-column",
+          "metadata"),
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) <= 1997
+), new AS (
+  SELECT o_orderpriority AS priority,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) >= 1998
+)
+SELECT CAST('v2_renamed' AS VARCHAR) AS snapshot,
+       CAST('(all)' AS VARCHAR) AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM old
+UNION ALL
+SELECT 'v3_added', '(none)', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cents) AS BIGINT)
+FROM old
+UNION ALL
+SELECT 'v3_added', priority, CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cents) AS BIGINT)
+FROM new GROUP BY priority
+ORDER BY snapshot, priority
+""",
+)
+def orders_schema_evolution_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEMA EVOLUTION VIA COLUMN MAPPING — RENAME and ADD COLUMN as
+    metadata-only commits (Iceberg field-id mapping / Delta column
+    mapping): physical parquet columns are stable field names
+    (f1, f2, …); the LOGICAL schema lives in a versioned sidecar that
+    maps logical names to fields, so renaming a column rebinds a name
+    (zero rewrite — the v2 manifest is asserted identical to v1) and
+    adding one just means old buckets lack the new field and read
+    NULL for it (zero rewrite of history).
+
+    Timeline: v1 = the pre-1998 history in 4 custkey buckets with
+    logical schema (o_orderkey, price_cents); v2 = RENAME price_cents
+    -> revenue_cents (new sidecar, same buckets byte-for-byte); v3 =
+    ADD COLUMN priority arriving WITH the 1998+ load (only the new
+    bucket physically carries f3).
+
+    The reader (operators/snapshots.read_snapshot_evolved) groups
+    buckets by physical field signature — one multi-dir read per
+    schema GENERATION, not per bucket — projects each group to the
+    version's logical names with NULL-fill, and unions (zero
+    shuffle). The oracle replays both reads from raw orders: v2's
+    totals under the NEW name must equal the old data (rename changed
+    nothing but the name), and v3 groups by the added column with the
+    entire pre-1998 history surfacing as '(none)' — exactly the
+    old-rows-read-NULL contract. In-builder, v1 is also read under
+    the ORIGINAL name to pin that history replays with period-correct
+    schemas. At 100 TB: both evolutions cost one sidecar + one
+    manifest create; the 5-year-old history is never rewritten."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_manifest,
+        read_snapshot_evolved,
+        try_commit,
+        write_sidecar,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    n_ck = 4
+    table = scratch_dir("snapschema_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_custkey").alias("ckey"),
+        F.year("o_orderdate").cast("int").alias("oyear"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+    fb = F.least(
+        F.lit(n_ck - 1), F.floor(F.col("ckey") * n_ck / (maxck + 1))
+    ).cast("int")
+
+    # v1: history under physical fields f1/f2, logical names v1-era
+    root = os.path.join(table, "g1")
+    (
+        o.where(F.col("oyear") <= 1997)
+        .select(
+            F.col("o_orderkey").alias("f1"), F.col("cents").alias("f2"),
+            fb.alias("pb"),
+        )
+        .write.partitionBy("pb").parquet(root)
+    )
+    v1_map = {
+        f"c{n.split('=', 1)[1]}": os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+    sig_old = {b: ["f1", "f2"] for b in v1_map}
+    write_sidecar(table, 1, "schema", {
+        "fields": {"o_orderkey": "f1", "price_cents": "f2"},
+        "buckets": sig_old,
+    })
+    assert try_commit(table, 0, v1_map) == 1
+
+    # v2: RENAME price_cents -> revenue_cents (metadata-only)
+    write_sidecar(table, 2, "schema", {
+        "fields": {"o_orderkey": "f1", "revenue_cents": "f2"},
+        "buckets": sig_old,
+    })
+    assert try_commit(table, 1, dict(v1_map)) == 2
+    assert read_manifest(table, 2) == v1_map  # zero rewrite
+
+    # v3: ADD COLUMN priority, arriving with the 1998+ load only
+    d_new = os.path.join(table, "g3-new")
+    (
+        o.where(F.col("oyear") >= 1998)
+        .select(
+            F.col("o_orderkey").alias("f1"), F.col("cents").alias("f2"),
+            F.col("o_orderpriority").alias("f3"),
+        )
+        .write.parquet(d_new)
+    )
+    v3_map = dict(v1_map)
+    v3_map["new98"] = d_new
+    write_sidecar(table, 3, "schema", {
+        "fields": {"o_orderkey": "f1", "revenue_cents": "f2",
+                   "priority": "f3"},
+        "buckets": {**sig_old, "new98": ["f1", "f2", "f3"]},
+    })
+    assert try_commit(table, 2, v3_map) == 3
+
+    # history replays under its period-correct logical schema
+    v1_read = read_snapshot_evolved(spark, table, version=1)
+    assert v1_read.columns == ["o_orderkey", "price_cents"], v1_read.columns
+
+    v2_read = read_snapshot_evolved(spark, table, version=2)
+    assert v2_read.columns == ["o_orderkey", "revenue_cents"]
+    v2_rows = v2_read.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("revenue_cents").cast("bigint").alias("cents"),
+    ).select(
+        F.lit("v2_renamed").alias("snapshot"),
+        F.lit("(all)").alias("priority"), "n_rows", "cents",
+    )
+
+    v3_rows = (
+        read_snapshot_evolved(spark, table, version=3)
+        .groupBy(F.coalesce(F.col("priority"), F.lit("(none)"))
+                 .alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("revenue_cents").cast("bigint").alias("cents"),
+        )
+        .select(F.lit("v3_added").alias("snapshot"), "priority", "n_rows",
+                "cents")
+    )
+    return v2_rows.unionByName(v3_rows).orderBy("snapshot", "priority")
+
+
+@query(
     "orders_snapshot_as_of",
     tags=("snapshot", "time-travel", "as-of", "metadata"),
     oracle="""

@@ -666,3 +666,97 @@ def test_plan_scan_composes_spec_stats_bloom(tmp_path):
     # filters prove absence), bucket 3 has no filter -> kept — missing
     # sidecar entries can cost I/O but never correctness
     assert plan_scan(table, [("in", "pk", [999])], version=1) == [dirs["3"]]
+
+
+def test_read_snapshot_applies_deletion_vector(spark, tmp_path):
+    """The ONE read path applies a version's equality-delete sidecar:
+    v2 readers never see doomed keys even though v2's data files are
+    byte-identical to v1's, pruning predicates compose with the DV,
+    and versions without a sidecar are untouched."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_snapshot,
+        try_commit,
+        write_sidecar,
+    )
+
+    table = str(tmp_path)
+    d_lo = os.path.join(table, "lo")
+    d_hi = os.path.join(table, "hi")
+    spark.range(0, 10).selectExpr("id AS k", "id * 10 AS v") \
+        .write.parquet(d_lo)
+    spark.range(10, 20).selectExpr("id AS k", "id * 10 AS v") \
+        .write.parquet(d_hi)
+    mapping = {"lo": d_lo, "hi": d_hi}
+    try_commit(table, 0, mapping)
+    write_sidecar(table, 2, "deletes", {
+        "column": "k", "buckets": {"lo": [3, 4], "hi": [15]},
+    })
+    try_commit(table, 1, dict(mapping))
+    # stats let the pruning layer compose with the DV
+    write_sidecar(table, 2, "stats", {
+        "lo": {"k": [0, 9]}, "hi": {"k": [10, 19]},
+    })
+
+    v1 = sorted(r.k for r in read_snapshot(spark, table, version=1).collect())
+    assert v1 == list(range(20))
+    v2 = sorted(r.k for r in read_snapshot(spark, table, version=2).collect())
+    assert v2 == [k for k in range(20) if k not in (3, 4, 15)]
+    # predicate prunes to the lo bucket; its DV still applies
+    got = sorted(
+        r.k for r in read_snapshot(
+            spark, table, predicates=[("range", "k", 0, 10)], version=2
+        ).where("k < 10").collect()
+    )
+    assert got == [k for k in range(10) if k not in (3, 4)]
+
+
+def test_read_snapshot_evolved_rename_and_add_column(spark, tmp_path):
+    """Column-mapping reader: rename rebinds a logical name to the
+    same physical field (values unchanged), an added field null-fills
+    buckets that predate it, generations sharing a signature read as
+    one group, and a version without a schema sidecar raises."""
+    import pytest as _pytest
+
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_snapshot_evolved,
+        try_commit,
+        write_sidecar,
+    )
+
+    table = str(tmp_path)
+    d_old = os.path.join(table, "old")
+    d_new = os.path.join(table, "new")
+    spark.range(0, 5).selectExpr("id AS f1", "id * 100 AS f2") \
+        .write.parquet(d_old)
+    spark.range(5, 8).selectExpr(
+        "id AS f1", "id * 100 AS f2", "'P' AS f3"
+    ).write.parquet(d_new)
+
+    write_sidecar(table, 1, "schema", {
+        "fields": {"k": "f1", "amount": "f2"},
+        "buckets": {"old": ["f1", "f2"]},
+    })
+    try_commit(table, 0, {"old": d_old})
+    write_sidecar(table, 2, "schema", {
+        "fields": {"k": "f1", "total": "f2", "tag": "f3"},
+        "buckets": {"old": ["f1", "f2"], "new": ["f1", "f2", "f3"]},
+    })
+    try_commit(table, 1, {"old": d_old, "new": d_new})
+
+    v1 = read_snapshot_evolved(spark, table, version=1)
+    assert v1.columns == ["k", "amount"]
+    assert sorted(r.amount for r in v1.collect()) == [0, 100, 200, 300, 400]
+
+    v2 = read_snapshot_evolved(spark, table, version=2)
+    assert v2.columns == ["k", "total", "tag"]
+    rows = {r.k: (r.total, r.tag) for r in v2.collect()}
+    assert rows[2] == (200, None)        # old bucket: added field NULL
+    assert rows[6] == (600, "P")         # new bucket carries it
+    assert len(rows) == 8
+
+    # a table version with no schema sidecar refuses, loudly
+    d_bare = os.path.join(table, "bare")
+    spark.range(1).write.parquet(d_bare)
+    try_commit(table, 2, {"bare": d_bare})
+    with _pytest.raises(ValueError, match="no schema sidecar"):
+        read_snapshot_evolved(spark, table, version=3)
