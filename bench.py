@@ -179,6 +179,12 @@ def main() -> None:
         "calib_ref_spark_sec": CALIB_REF,
         "calib_scan_sec": round(calib_scan, 4),
         "calib_scan_ref_sec": CALIB_SCAN_REF,
+        # value_calibrated_cpu keeps the r10/r11 definition (CPU probe
+        # only) so cross-round deltas compare like with like; the
+        # two-probe value_calibrated below exists since r12 and MUST
+        # NOT be compared against pre-r12 artifacts' value_calibrated
+        # (different quantity — r12 advisor finding, pinned here and
+        # in PERF.md "Calibration reference").
         "value_calibrated_cpu": round(total * CALIB_REF / calib, 4),
         "value_calibrated_scan": round(
             total * CALIB_SCAN_REF / calib_scan, 4

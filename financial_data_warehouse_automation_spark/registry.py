@@ -54,128 +54,109 @@ REGISTRY: dict[str, QuerySpec] = {}
 # via this tuple so every recorded slot is deliberately chosen. The
 # tuple is EXACTLY 50 entries (r9 advisor: a 59-entry tuple silently
 # gave slots 51+ no record while claiming otherwise).
-# Round 12's prefix:
+# Round 13's prefix:
 #
 # 1. NEW queries first — each needs its first driver record in the
 #    same round it lands (the r6 lesson). This round's theme is the
-#    MVCC store composed into every write path:
-#      orders_compaction_snapshot_commit — OPTIMIZE as an optimistic
-#        commit: COW rewrite, old-snapshot reads survive, retention
-#        GCs exactly the fragmented pre-image;
-#      orders_snapshot_changes — change data feed between snapshots
-#        off the manifest diff (reads only changed buckets, typed
-#        delete/update_pre/update_post rows);
-#      orders_manifest_stats_prune — per-bucket min/max sidecar
-#        prunes whole bucket dirs before any listing/footer I/O;
-#      events_stream_snapshot_commit — foreachBatch publishes each
-#        micro-batch as manifest version batch_id+1: exactly-once
-#        table from an at-least-once stream, poisoned replays no-op;
-#      warehouse_upsert_snapshot — the A2 monthly MERGE as a COW
-#        snapshot commit with a conflicting second writer rebasing;
-#      qa_ledger_snapshot_history — the A3 Open/Resolved ledger as a
-#        versioned chain, each run reading the previous committed
-#        state;
-#      orders_snapshot_incremental_mv — the stored MV refreshed by
-#        SIGNED deltas off the change feed (abelian-group partials:
-#        updates and deletes, not just appends), oracle = rebuild;
-#      orders_wap_audit_publish — write-audit-publish: a poisoned
-#        staged batch is rejected by the P3 null audit with the head
-#        asserted untouched; the quarantine-salvaged clean batch
-#        publishes v2;
-#      orders_manifest_bloom_point_lookup — per-bucket packed Bloom
-#        sidecars prune point lookups on the NON-clustered column
-#        (driver-side md5 probe, candidate dirs < keys x buckets);
-#      orders_snapshot_rollback — RESTORE as a forward commit (zero
-#        copy) + the restore x retention interaction: GC keeps every
-#        v1 dir the restored head references (prefix-based liveness,
-#        the fix that caught identity-matching deleting a partitioned
-#        root);
-#      warehouse_mv_atomic_commit — base table + MV published as ONE
-#        transaction manifest; staged v2 invisible until the single
-#        CAS, MV == groupBy(base) asserted at every version;
-#      orders_partition_spec_evolution — Iceberg-style spec change
-#        WITHOUT rewrite: mixed-spec manifest + per-bucket spec
-#        sidecar, reader prunes each bucket by its own spec (both
-#        directions asserted);
-#      orders_snapshot_as_of — timestampAsOf resolution off manifest
-#        mtimes (between/boundary/after-head probes asserted;
-#        pre-history raises).
-# 2. PLAN-TOUCHED queries whose newest driver record (r11) predates
-#    this round's change:
-#      orders_snapshot_concurrent_commit — GC expectation computed
-#        directly (dead-v1 ∪ orphaned stale staging, r11 advisor)
-#        atop the hardened expire_snapshots (keep_from clamp);
-#      source_rowsink_roundtrip / source_rowsink_stream_agg — append
-#        commit now raises on a corrupt _SUCCESS instead of silently
-#        restarting the manifest (r11 advisor).
+#    lakehouse layer finished end-to-end:
+#      ingest_monthly_snapshot_loop — the reference's WHOLE monthly
+#        business loop (S5 chrono files -> A2 MERGE -> A3 ledger)
+#        with each period one atomic warehouse+ledger commit; the
+#        §2.4 statement totals re-derived by timestamp time travel,
+#        including a February restated at head but served original
+#        at v2;
+#      orders_scan_planner_composed — plan_scan, the ONE read path
+#        composing spec -> stats -> Bloom pruning (candidate chain
+#        8 -> 5 -> 1 asserted on the year probe; Bloom the only
+#        effective layer on the mid-keyspace point probe);
+#      orders_deletion_vector_merge_on_read — DELETE as an
+#        equality-delete sidecar with ZERO data rewrite; the shared
+#        read path applies DVs for every reader; compaction folds
+#        them back (v2 == v3 oracle-certified);
+#      orders_schema_evolution_snapshot — RENAME/ADD COLUMN as
+#        metadata-only commits via the column-mapping sidecar; old
+#        buckets read NULL for later fields, history replays under
+#        period-correct schemas;
+#      orders_cdf_stream_subscribe — the CDF as a Spark 4 Python
+#        streaming SOURCE (offsets = snapshot versions): live
+#        subscription across 3 commits, replay no-op, signed deltas
+#        maintain an MV.
+# 2. PLAN/IMPL-TOUCHED queries whose newest driver record (r12)
+#    predates this round's change: the three prunings re-pointed
+#    through plan_scan, orders_snapshot_as_of moved from manifest
+#    mtimes to persisted _committed_at instants, and
+#    events_stream_snapshot_commit moved to the per-writer txn
+#    ledger (bucket ids now writer-scoped).
 # 3. Rotation re-checks, oldest last-green first per
-#    tools/next_verify_prefix.py: the r7 band the r11 prefix left
-#    queued (doc_fingerprint_dedup .. user_state_scd2), then the r8
-#    band's head as far as the remaining slots reach (through
-#    sql_shipping_priority). top10_orders_global, user_state_scd2,
-#    ann_cosine_topk_rhp, currency_parse_roundtrip,
-#    dedup_cluster_two_phase, doc_bm25_search, doc_chunk_sliding,
-#    doc_ngram_novelty, doc_pack_chunks, doc_pack_greedy_bins queue
-#    for r13.
+#    tools/next_verify_prefix.py: the r12 queue
+#    (top10_orders_global .. doc_pack_greedy_bins) then the r8 band
+#    through q20_dominant_suppliers. q21_waiting_suppliers,
+#    q22_idle_rich_customers, q2_min_cost_supplier,
+#    segment_revenue_correlation, set_intersect_all_parts queue for
+#    r14.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
 # takes a slot again. Local ground truth for every query at BOTH scale
 # factors: CORRECTNESS_LOCAL_sf001.json / CORRECTNESS_LOCAL_sf01.json
 # (regenerate with tools/verify_oracle.py --json).
 VERIFY_FIRST: tuple[str, ...] = (
-    # bucket 1: new r12 queries
-    "orders_compaction_snapshot_commit",
-    "orders_snapshot_changes",
+    # bucket 1: new r13 queries
+    "ingest_monthly_snapshot_loop",
+    "orders_scan_planner_composed",
+    "orders_deletion_vector_merge_on_read",
+    "orders_schema_evolution_snapshot",
+    "orders_cdf_stream_subscribe",
+    # bucket 2: plans/impls touched in r13 without a post-change
+    # driver record: the three prunings re-pointed through plan_scan,
+    # the as-of query moved from mtimes to persisted commit instants,
+    # and the stream commit moved to the per-writer txn ledger
     "orders_manifest_stats_prune",
-    "events_stream_snapshot_commit",
-    "warehouse_upsert_snapshot",
-    "qa_ledger_snapshot_history",
-    "orders_snapshot_incremental_mv",
-    "orders_wap_audit_publish",
     "orders_manifest_bloom_point_lookup",
-    "orders_snapshot_rollback",
-    "warehouse_mv_atomic_commit",
     "orders_partition_spec_evolution",
     "orders_snapshot_as_of",
-    # bucket 2: plans touched without a post-change driver record
-    "orders_snapshot_concurrent_commit",
-    "source_rowsink_roundtrip",
-    "source_rowsink_stream_agg",
-    # bucket 3: rotation re-checks, oldest green first (r7 band)
-    "doc_fingerprint_dedup",
-    "doc_jaccard_pairs_brute",
-    "doc_lang_id_agreement",
-    "doc_quality_scores",
-    "doc_repetition_filter",
-    "doc_stratified_sample",
-    "doc_tfidf_top_terms",
-    "doc_token_stats",
-    "doc_top_bigrams",
-    "doc_vocab_df",
-    "embedding_hof_breadth",
-    "embedding_near_dup_pairs",
-    "embedding_norms",
-    "events_map_breadth",
-    "events_stream_sessionize",
-    "events_stream_tumbling_15min",
-    "gap_fill_pending_revenue",
-    "interpolate_monthly_revenue",
-    "lag_lead_segment_revenue",
-    "latest_order_per_customer",
-    "moving_avg_3m_segment",
-    "ntile_acctbal_quartiles",
-    "null_safe_join_semantics",
-    "order_date_parts",
-    "order_interval_math",
-    "pctrank_top_customers",
-    "profile_customer_table",
-    "qa_ledger_transitions",
-    "rank_orders_per_customer",
-    "rollup_flag_status",
-    "set_except_all_lineitems",
-    "set_except_churned",
-    "set_intersect_buyers",
-    "sql_shipping_priority",
+    "events_stream_snapshot_commit",
+    # bucket 3: rotation re-checks, oldest last-green first per
+    # tools/next_verify_prefix.py (r12 queue head onward)
+    "top10_orders_global",
+    "user_state_scd2",
+    "ann_cosine_topk_rhp",
+    "currency_parse_roundtrip",
+    "dedup_cluster_two_phase",
+    "doc_bm25_search",
+    "doc_chunk_sliding",
+    "doc_ngram_novelty",
+    "doc_pack_chunks",
+    "doc_pack_greedy_bins",
+    "doc_pii_scrub",
+    "doc_simhash_sketch",
+    "doc_train_test_split",
+    "doc_unigram_logprob",
+    "doc_zipf_fit",
+    "embedding_gram_matrix",
+    "embedding_label_centroids",
+    "embedding_quality_classifier",
+    "events_rolling_distinct_users",
+    "events_sessionization_30min",
+    "events_stream_dedup",
+    "events_stream_static_enrich",
+    "events_stream_stream_join",
+    "events_variant_extract",
+    "events_zscore_anomalies",
+    "kmeans_lloyd_step",
+    "media_audio_energy",
+    "merge_with_tombstones",
+    "order_price_percentiles",
+    "order_total_reconciliation",
+    "order_value_histogram",
+    "q10_returned_items",
+    "q12_delay_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 
