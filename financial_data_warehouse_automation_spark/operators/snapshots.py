@@ -67,7 +67,10 @@ import re
 import shutil
 import time
 
-_MANIFEST_RE = re.compile(r"manifest-v(\d+)\.json$")
+# manifest-v<N>.json              — the default branch ("main")
+# manifest-<branch>-v<N>.json     — a named branch's version chain
+_MANIFEST_RE = re.compile(r"manifest(?:-([A-Za-z0-9_]+))?-v(\d+)\.json$")
+_BRANCH_NAME_RE = re.compile(r"[A-Za-z0-9_]+")
 
 
 class SnapshotConflict(Exception):
@@ -75,44 +78,67 @@ class SnapshotConflict(Exception):
     create; re-read the latest manifest, rebase, retry."""
 
 
-def manifest_path(table_dir: str, version: int) -> str:
-    return os.path.join(table_dir, f"manifest-v{version}.json")
+def _check_branch(branch: str) -> None:
+    if branch == "main":
+        return
+    if not _BRANCH_NAME_RE.fullmatch(branch) or re.fullmatch(
+        r"v\d+", branch
+    ):
+        raise ValueError(f"invalid branch name {branch!r}")
 
 
-def latest_version(table_dir: str) -> int:
-    """Highest published manifest version (0 = no snapshot yet)."""
+def manifest_path(table_dir: str, version: int, branch: str = "main") -> str:
+    _check_branch(branch)
+    infix = "" if branch == "main" else f"-{branch}"
+    return os.path.join(table_dir, f"manifest{infix}-v{version}.json")
+
+
+def _manifest_branch(match: re.Match) -> str:
+    return match.group(1) or "main"
+
+
+def latest_version(table_dir: str, branch: str = "main") -> int:
+    """Highest published manifest version on ``branch`` (0 = none)."""
     best = 0
     for name in os.listdir(table_dir):
         m = _MANIFEST_RE.fullmatch(name)
-        if m:
-            best = max(best, int(m.group(1)))
+        if m and _manifest_branch(m) == branch:
+            best = max(best, int(m.group(2)))
     return best
 
 
-def _load_record(table_dir: str, version: int | None) -> dict:
+def _load_record(
+    table_dir: str, version: int | None, branch: str = "main"
+) -> dict:
     if version is None:
-        version = latest_version(table_dir)
+        version = latest_version(table_dir, branch)
         if version == 0:
-            raise FileNotFoundError(f"no manifest in {table_dir}")
-    with open(manifest_path(table_dir, version)) as f:
+            raise FileNotFoundError(
+                f"no manifest on branch {branch!r} in {table_dir}"
+            )
+    with open(manifest_path(table_dir, version, branch)) as f:
         return json.load(f)
 
 
-def read_manifest(table_dir: str, version: int | None = None) -> dict[str, str]:
+def read_manifest(
+    table_dir: str, version: int | None = None, branch: str = "main"
+) -> dict[str, str]:
     """Bucket-id -> data-dir mapping for ``version`` (default latest).
     Reserved ``_``-prefixed commit-metadata keys are stripped — every
     value returned here is a readable data directory."""
     return {
-        k: v for k, v in _load_record(table_dir, version).items()
+        k: v for k, v in _load_record(table_dir, version, branch).items()
         if not k.startswith("_")
     }
 
 
-def read_manifest_meta(table_dir: str, version: int | None = None) -> dict:
+def read_manifest_meta(
+    table_dir: str, version: int | None = None, branch: str = "main"
+) -> dict:
     """Commit metadata (``_committed_at``, ``_writer``, ``_txn``, …)
     for ``version`` (default latest). Legacy manifests return {}."""
     return {
-        k: v for k, v in _load_record(table_dir, version).items()
+        k: v for k, v in _load_record(table_dir, version, branch).items()
         if k.startswith("_")
     }
 
@@ -122,6 +148,7 @@ def try_commit(
     base_version: int,
     mapping: dict[str, str],
     meta: dict | None = None,
+    branch: str = "main",
 ) -> int:
     """Publish ``mapping`` as version ``base_version + 1``.
 
@@ -145,21 +172,65 @@ def try_commit(
     record.update(meta or {})
     record.setdefault("_committed_at", time.time())
     version = base_version + 1
-    path = manifest_path(table_dir, version)
+    path = manifest_path(table_dir, version, branch)
     try:
         fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
     except FileExistsError:
         raise SnapshotConflict(
-            f"version {version} already published in {table_dir}; "
-            "re-read latest and rebase"
+            f"version {version} of branch {branch!r} already published "
+            f"in {table_dir}; re-read latest and rebase"
         ) from None
     with os.fdopen(fd, "w") as f:
         json.dump(record, f)
     return version
 
 
+def create_branch(
+    table_dir: str, name: str, from_version: int | None = None
+) -> int:
+    """Create branch ``name`` at the state of main's ``from_version``
+    (default: main's head) — Iceberg branch refs as this store builds
+    them: the branch's v1 is a normal manifest REFERENCING the exact
+    same data directories (zero copy), carrying ``_from`` so lineage
+    is auditable. Commits on the branch then version independently of
+    main; GC liveness spans every branch's manifests, so branch work
+    is protected until :func:`drop_branch`."""
+    _check_branch(name)
+    if name == "main":
+        raise ValueError("'main' always exists; cannot create it")
+    if latest_version(table_dir, name) != 0:
+        raise ValueError(f"branch {name!r} already exists in {table_dir}")
+    if from_version is None:
+        from_version = latest_version(table_dir)
+    base = read_manifest(table_dir, from_version)
+    return try_commit(
+        table_dir, 0, base,
+        meta={"_from": ["main", from_version]}, branch=name,
+    )
+
+
+def drop_branch(table_dir: str, name: str) -> int:
+    """Delete branch ``name``'s manifests (the abandoned-WAP path).
+    Its data directories become unreferenced and the NEXT
+    :func:`expire_snapshots` reclaims whichever of them no surviving
+    manifest (main or other branches) still names. Refuses 'main'."""
+    _check_branch(name)
+    if name == "main":
+        raise ValueError("cannot drop 'main'")
+    removed = 0
+    for fname in list(os.listdir(table_dir)):
+        m = _MANIFEST_RE.fullmatch(fname)
+        if m and _manifest_branch(m) == name:
+            os.remove(os.path.join(table_dir, fname))
+            removed += 1
+    return removed
+
+
 def expire_snapshots(
-    table_dir: str, keep_from: int, min_age_s: float = 0.0
+    table_dir: str,
+    keep_from: int,
+    min_age_s: float = 0.0,
+    extra_live: set[str] | None = None,
 ) -> tuple[int, int]:
     """Drop manifests with version < ``keep_from``, then delete data
     directories referenced by NO remaining manifest. Returns
@@ -189,6 +260,15 @@ def expire_snapshots(
       a symlinked mount (/tmp vs /private/tmp) — lexical normpath
       equality would call live directories dead and rmtree committed
       data on the safety-critical path.
+    * ``keep_from`` expires MAIN's history only; named branches keep
+      every manifest until :func:`drop_branch`, but their referenced
+      directories count as live here — branch work is never GC'd out
+      from under the branch (Iceberg: refs pin snapshots).
+    * ``extra_live``: directories to treat as live even though no
+      manifest of THIS table references them — the shallow-clone
+      contract (a clone table's manifests point into this table's
+      dirs; the owner's GC must be fenced with the clone's live set,
+      exactly Delta's vacuum-vs-shallow-clone caveat made explicit).
     """
     latest = latest_version(table_dir)
     if latest == 0:
@@ -199,10 +279,10 @@ def expire_snapshots(
     removed_m = 0
     for name in list(os.listdir(table_dir)):
         m = _MANIFEST_RE.fullmatch(name)
-        if m and int(m.group(1)) < keep_from:
+        if m and _manifest_branch(m) == "main" and int(m.group(2)) < keep_from:
             os.remove(os.path.join(table_dir, name))
             removed_m += 1
-    live: set[str] = set()
+    live: set[str] = {os.path.realpath(p) for p in (extra_live or set())}
     for name in os.listdir(table_dir):
         if _MANIFEST_RE.fullmatch(name):
             with open(os.path.join(table_dir, name)) as f:
@@ -251,9 +331,9 @@ def as_of_version(table_dir: str, ts: float) -> int:
     best = 0
     for name in os.listdir(table_dir):
         m = _MANIFEST_RE.fullmatch(name)
-        if not m:
-            continue
-        v = int(m.group(1))
+        if not m or _manifest_branch(m) != "main":
+            continue  # time travel resolves against main's history
+        v = int(m.group(2))
         full = os.path.join(table_dir, name)
         with open(full) as f:
             instant = json.load(f).get("_committed_at")

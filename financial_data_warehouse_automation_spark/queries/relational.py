@@ -6246,6 +6246,340 @@ def orders_schema_evolution_snapshot(
 
 
 @query(
+    "orders_branch_wap_fastforward",
+    tags=("snapshot", "branch", "wap", "fast-forward", "metadata"),
+    oracle="""
+WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders),
+v2 AS (
+  SELECT CASE WHEN o_custkey >= m.mx // 4
+               AND o_custkey <  m.mx // 4 + GREATEST(1, m.mx // 20)
+              THEN o_totalprice + 100.0 ELSE o_totalprice END AS p
+  FROM orders, m
+)
+SELECT CAST('branch_head' AS VARCHAR) AS snapshot,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(p * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+FROM v2
+UNION ALL
+SELECT 'main_v1', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'main_v2', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(p * 100, 0) AS BIGINT)) AS BIGINT)
+FROM v2
+ORDER BY snapshot
+""",
+)
+def orders_branch_wap_fastforward(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SNAPSHOT BRANCHES — WRITE-AUDIT-PUBLISH ON A BRANCH, PROMOTED
+    BY FAST-FORWARD (Iceberg branch refs + the WAP pattern as its
+    docs describe it): r12's orders_wap_audit_publish staged ONE
+    unreferenced directory; a real audit pipeline wants a whole
+    VERSIONED LINE of work main never sees — multiple commits,
+    re-runs, its own history — and that is a branch: an independent
+    manifest chain (``manifest-<branch>-v<N>.json``) over the same
+    CAS, created at main's head for zero copy (create_branch).
+
+    Script: main v1 = 8 custkey buckets. Branch 'etl' is cut at v1
+    (asserted: no new data dirs). The risky CDC (+100 on a custkey
+    range) lands as branch commit v2 — COW over only its touched
+    buckets — while MAIN IS ASSERTED BYTE-UNTOUCHED (same head, same
+    mapping, same aggregate). The audit runs against the branch head;
+    it passes, and main FAST-FORWARDS: one ordinary CAS commit whose
+    mapping IS the branch head's (asserted identical — promotion
+    moves zero bytes). A second branch 'bad' stages a POISONED batch
+    (nulled keys); its audit fails, drop_branch abandons the line,
+    and expire_snapshots reclaims exactly the poisoned directory
+    (asserted) while everything main/etl reference survives — branch
+    refs pin their data until dropped, exactly Iceberg's ref-aware
+    GC.
+
+    At 100 TB: a branch is one manifest file; cutting, committing to,
+    promoting, and dropping it are all O(metadata). The oracle
+    replays main's v1 and the promoted v2 (== branch head) from raw
+    orders."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        create_branch,
+        drop_branch,
+        expire_snapshots,
+        latest_version,
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    n_buckets = 8
+    table = scratch_dir("snapbranch_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").alias("ckey")
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+    bucket_of = lambda c: min(n_buckets - 1, c * n_buckets // (maxck + 1))
+    fb = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("ckey") * n_buckets / (maxck + 1)),
+    ).cast("int")
+
+    root = os.path.join(table, "g1")
+    o.withColumn("pb", fb).write.partitionBy("pb").parquet(root)
+    v1_map = {
+        n.split("=", 1)[1]: os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+    assert try_commit(table, 0, v1_map) == 1
+
+    def agg_of(mapping: dict[str, str]) -> tuple:
+        r = spark.read.parquet(*mapping.values()).agg(
+            F.count(F.lit(1)),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint")),
+        ).collect()[0]
+        return (r[0], r[1])
+
+    main_v1_agg = agg_of(v1_map)
+    dirs_before = {n for n in os.listdir(table) if os.path.isdir(
+        os.path.join(table, n))}
+
+    # cut the branch at main's head: zero copy
+    assert create_branch(table, "etl") == 1
+    assert read_manifest(table, branch="etl") == v1_map
+    assert {n for n in os.listdir(table) if os.path.isdir(
+        os.path.join(table, n))} == dirs_before
+
+    # the risky CDC lands on the BRANCH (COW over touched buckets)
+    upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
+    upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
+    etl_map = dict(v1_map)
+    for b in range(bucket_of(upd_lo), bucket_of(upd_hi - 1) + 1):
+        d2 = os.path.join(table, f"b{b}-etl")
+        (
+            spark.read.parquet(v1_map[str(b)])
+            .withColumn(
+                "o_totalprice",
+                F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+            .write.parquet(d2)
+        )
+        etl_map[str(b)] = d2
+    assert try_commit(table, 1, etl_map, branch="etl") == 2
+
+    # main is byte-untouched while the branch carries the work
+    assert latest_version(table) == 1
+    assert read_manifest(table) == v1_map
+    assert agg_of(read_manifest(table)) == main_v1_agg
+
+    # audit the branch head; it passes -> FAST-FORWARD main
+    branch_head = read_manifest(table, branch="etl")
+    n_nulls = (
+        spark.read.parquet(*branch_head.values())
+        .where(F.col("o_orderkey").isNull()).count()
+    )
+    assert n_nulls == 0
+    assert try_commit(table, 1, dict(branch_head)) == 2
+    assert read_manifest(table, 2) == branch_head  # promotion: 0 bytes
+
+    # a second branch stages POISON; audit fails; the line is dropped
+    # and GC reclaims exactly its staged directory
+    assert create_branch(table, "bad", from_version=2) == 1
+    d_bad = os.path.join(table, "b0-bad")
+    spark.read.parquet(branch_head["0"]).withColumn(
+        "o_orderkey", F.lit(None).cast("long")
+    ).write.parquet(d_bad)
+    bad_map = dict(branch_head)
+    bad_map["0"] = d_bad
+    assert try_commit(table, 1, bad_map, branch="bad") == 2
+    poisoned = (
+        spark.read.parquet(*read_manifest(table, branch="bad").values())
+        .where(F.col("o_orderkey").isNull()).count()
+    )
+    assert poisoned > 0  # audit fails -> never fast-forwarded
+    drop_branch(table, "bad")
+    # the dropped line's staged dir is unreferenced by every surviving
+    # manifest (main v1/v2, etl v1/v2) -> GC reclaims exactly it, and
+    # nothing a live ref names (retention keeps all of main's history)
+    removed_m, removed_d = expire_snapshots(table, keep_from=1)
+    assert (removed_m, removed_d) == (0, 1), (removed_m, removed_d)
+    assert not os.path.exists(d_bad)
+    assert all(os.path.exists(d) for d in branch_head.values())
+    assert agg_of(read_manifest(table, 1)) == main_v1_agg
+
+    def agg(mapping: dict[str, str], tag: str) -> DataFrame:
+        return spark.read.parquet(*mapping.values()).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        ).select(F.lit(tag).alias("snapshot"), "n_rows", "cents")
+
+    return (
+        agg(read_manifest(table, branch="etl"), "branch_head")
+        .unionByName(agg(read_manifest(table, 1), "main_v1"))
+        .unionByName(agg(read_manifest(table, 2), "main_v2"))
+        .orderBy("snapshot")
+    )
+
+
+@query(
+    "orders_shallow_clone_divergence",
+    tags=("snapshot", "clone", "zero-copy", "gc", "metadata"),
+    oracle="""
+WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders)
+SELECT CAST('clone_head' AS VARCHAR) AS snapshot,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders, m
+WHERE NOT (o_custkey >= (3 * m.mx) // 5
+           AND o_custkey <  (3 * m.mx) // 5 + GREATEST(1, m.mx // 50))
+UNION ALL
+SELECT 'source_head', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(
+         CASE WHEN o_custkey >= m.mx // 4
+               AND o_custkey <  m.mx // 4 + GREATEST(1, m.mx // 20)
+              THEN o_totalprice + 100.0 ELSE o_totalprice END * 100, 0)
+         AS BIGINT)) AS BIGINT)
+FROM orders, m
+ORDER BY snapshot
+""",
+)
+def orders_shallow_clone_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ZERO-COPY SHALLOW CLONE with independent evolution and the
+    GC fence the pattern requires (Delta SHALLOW CLONE / Iceberg
+    metadata-only table copy): a clone is a NEW TABLE whose v1
+    manifest references the SOURCE's data directories — creating a
+    full writable copy of a 100 TB table costs one KB-scale JSON
+    (asserted: the clone dir contains zero data directories).
+
+    Both tables then diverge: the clone deletes a custkey range (COW
+    into the CLONE's own dirs — its unchanged buckets still point
+    into the source, asserted), while the source applies a +100
+    update to a disjoint range. Each table's head is oracle-replayed
+    from raw orders, so cross-contamination in either direction would
+    hash-fail.
+
+    Then the part every shallow-clone doc warns about, made explicit:
+    after the source's COW update, the source's OWN retention no
+    longer needs its v1 image of the updated buckets — but the CLONE
+    still reads them. The builder asserts the hazard is real (those
+    dirs are dead to every SOURCE manifest yet live to the clone),
+    then runs the source's expire_snapshots WITH the clone's live set
+    as the ``extra_live`` fence — the shared dirs survive (asserted)
+    and the clone still serves its exact rows. This is Delta's
+    "don't VACUUM below a shallow clone's horizon" contract as an
+    enforced parameter instead of a footnote; production systems
+    track clone refs in a catalog and build the fence automatically."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        expire_snapshots,
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    n_buckets = 8
+    work = scratch_dir("snapclone_")
+    src_t = os.path.join(work, "source")
+    clone_t = os.path.join(work, "clone")
+    os.makedirs(src_t)
+    os.makedirs(clone_t)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").alias("ckey")
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+    bucket_of = lambda c: min(n_buckets - 1, c * n_buckets // (maxck + 1))
+    fb = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("ckey") * n_buckets / (maxck + 1)),
+    ).cast("int")
+
+    root = os.path.join(src_t, "g1")
+    o.withColumn("pb", fb).write.partitionBy("pb").parquet(root)
+    v1_map = {
+        n.split("=", 1)[1]: os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+    assert try_commit(src_t, 0, v1_map) == 1
+
+    # the clone: one manifest, zero data — a new table born at v1
+    assert try_commit(
+        clone_t, 0, v1_map, meta={"_cloned_from": src_t}
+    ) == 1
+    assert not any(
+        os.path.isdir(os.path.join(clone_t, n)) for n in os.listdir(clone_t)
+    )
+
+    # clone diverges: DELETE a range, COW into the CLONE's own dirs
+    del_lo, del_hi = (3 * maxck) // 5, (3 * maxck) // 5 + max(1, maxck // 50)
+    dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
+    c_map = dict(v1_map)
+    for b in range(bucket_of(del_lo), bucket_of(del_hi - 1) + 1):
+        d = os.path.join(clone_t, f"b{b}-c2")
+        spark.read.parquet(v1_map[str(b)]).where(~dele).write.parquet(d)
+        c_map[str(b)] = d
+    assert try_commit(clone_t, 1, c_map) == 2
+    shared = [b for b in v1_map if c_map[b] == v1_map[b]]
+    assert len(shared) >= n_buckets - 2  # unchanged buckets still shared
+
+    # source diverges on a DISJOINT range: +100 update, COW in source
+    upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
+    upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
+    upd_buckets = [
+        str(b) for b in range(bucket_of(upd_lo), bucket_of(upd_hi - 1) + 1)
+    ]
+    s_map = dict(v1_map)
+    for b in upd_buckets:
+        d = os.path.join(src_t, f"b{b}-s2")
+        (
+            spark.read.parquet(v1_map[b])
+            .withColumn(
+                "o_totalprice",
+                F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+            .write.parquet(d)
+        )
+        s_map[b] = d
+    assert try_commit(src_t, 1, s_map) == 2
+
+    # the hazard, demonstrated: after source retention, the updated
+    # buckets' v1 dirs are dead to EVERY source manifest...
+    clone_live = set(read_manifest(clone_t).values())
+    at_risk = [v1_map[b] for b in upd_buckets]
+    assert all(d not in s_map.values() for d in at_risk)
+    # ...but the clone still reads them
+    assert all(d in clone_live for d in at_risk)
+
+    # the fence: source GC runs WITH the clone's live set
+    removed_m, removed_d = expire_snapshots(
+        src_t, keep_from=2, extra_live=clone_live
+    )
+    assert removed_m == 1 and removed_d == 0
+    assert all(os.path.exists(d) for d in at_risk)
+
+    def agg(table: str, tag: str) -> DataFrame:
+        return spark.read.parquet(
+            *read_manifest(table).values()
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        ).select(F.lit(tag).alias("snapshot"), "n_rows", "cents")
+
+    return (
+        agg(src_t, "source_head")
+        .unionByName(agg(clone_t, "clone_head"))
+        .orderBy("snapshot")
+    )
+
+
+@query(
     "orders_snapshot_as_of",
     tags=("snapshot", "time-travel", "as-of", "metadata"),
     oracle="""

@@ -81,6 +81,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 #        streaming SOURCE (offsets = snapshot versions): live
 #        subscription across 3 commits, replay no-op, signed deltas
 #        maintain an MV.
+#      orders_branch_wap_fastforward — snapshot BRANCHES (independent
+#        manifest chains over the same CAS): WAP on a branch, main
+#        fast-forwards by one zero-byte commit, a failed line is
+#        dropped and ref-aware GC reclaims exactly its staging;
+#      orders_shallow_clone_divergence — zero-copy shallow clone as a
+#        new table referencing the source's dirs; both diverge COW;
+#        the source's GC is fenced with the clone's live set
+#        (extra_live) so shared history survives.
 # 2. PLAN/IMPL-TOUCHED queries whose newest driver record (r12)
 #    predates this round's change: the three prunings re-pointed
 #    through plan_scan, orders_snapshot_as_of moved from manifest
@@ -90,7 +98,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 3. Rotation re-checks, oldest last-green first per
 #    tools/next_verify_prefix.py: the r12 queue
 #    (top10_orders_global .. doc_pack_greedy_bins) then the r8 band
-#    through q20_dominant_suppliers. q21_waiting_suppliers,
+#    through q18_large_orders. q19_disjunctive_revenue,
+#    q20_dominant_suppliers, q21_waiting_suppliers,
 #    q22_idle_rich_customers, q2_min_cost_supplier,
 #    segment_revenue_correlation, set_intersect_all_parts queue for
 #    r14.
@@ -101,6 +110,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # (regenerate with tools/verify_oracle.py --json).
 VERIFY_FIRST: tuple[str, ...] = (
     # bucket 1: new r13 queries
+    "orders_branch_wap_fastforward",
+    "orders_shallow_clone_divergence",
     "ingest_monthly_snapshot_loop",
     "orders_scan_planner_composed",
     "orders_deletion_vector_merge_on_read",
@@ -155,8 +166,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
     "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

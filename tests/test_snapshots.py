@@ -760,3 +760,73 @@ def test_read_snapshot_evolved_rename_and_add_column(spark, tmp_path):
     try_commit(table, 2, {"bare": d_bare})
     with _pytest.raises(ValueError, match="no schema sidecar"):
         read_snapshot_evolved(spark, table, version=3)
+
+
+def test_branch_protocol_isolation_and_gc(tmp_path):
+    """Branch chains version independently of main, main's reads and
+    retention never see branch work, branch-referenced dirs survive
+    GC until drop_branch, and time travel resolves against main
+    only."""
+    import time as _time
+
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        as_of_version,
+        create_branch,
+        drop_branch,
+        latest_version,
+    )
+
+    table = str(tmp_path)
+    d1 = _mkdata(table, "b0-g1")
+    try_commit(table, 0, {"0": d1}, meta={"_committed_at": 100.0})
+
+    assert create_branch(table, "etl") == 1
+    assert read_manifest(table, branch="etl") == {"0": d1}
+    with pytest.raises(ValueError, match="already exists"):
+        create_branch(table, "etl")
+    with pytest.raises(ValueError, match="invalid branch name"):
+        create_branch(table, "v2")
+    with pytest.raises(ValueError, match="cannot create"):
+        create_branch(table, "main")
+
+    # branch commit: main's head and history are untouched
+    d2 = _mkdata(table, "b0-etl")
+    try_commit(table, 1, {"0": d2}, branch="etl",
+               meta={"_committed_at": 200.0})
+    assert latest_version(table) == 1
+    assert latest_version(table, "etl") == 2
+    assert read_manifest(table) == {"0": d1}
+    # time travel never resolves into a branch
+    assert as_of_version(table, 1e9) == 1
+
+    # retention: main-only manifest expiry; branch dirs stay live
+    removed_m, removed_d = expire_snapshots(table, keep_from=1)
+    assert (removed_m, removed_d) == (0, 0)
+    assert os.path.exists(d2)  # referenced only by the branch
+
+    # drop the branch: its dirs become garbage, exactly them
+    assert drop_branch(table, "etl") == 2
+    _, removed_d = expire_snapshots(table, keep_from=1)
+    assert removed_d == 1
+    assert not os.path.exists(d2)
+    assert os.path.exists(d1)
+    with pytest.raises(ValueError, match="cannot drop"):
+        drop_branch(table, "main")
+
+
+def test_expiry_extra_live_fences_shallow_clones(tmp_path):
+    """The shallow-clone GC fence: a dir dead to every manifest of
+    THIS table but named in extra_live survives expiry; without the
+    fence it is reclaimed."""
+    table = str(tmp_path)
+    d1 = _mkdata(table, "b0-g1")
+    d2 = _mkdata(table, "b0-g2")
+    try_commit(table, 0, {"0": d1})
+    try_commit(table, 1, {"0": d2})
+    # d1 is dead to this table after keep_from=2, but a clone reads it
+    _, removed_d = expire_snapshots(table, keep_from=2, extra_live={d1})
+    assert removed_d == 0
+    assert os.path.exists(d1)
+    _, removed_d = expire_snapshots(table, keep_from=2)
+    assert removed_d == 1
+    assert not os.path.exists(d1)
