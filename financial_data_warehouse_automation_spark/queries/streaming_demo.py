@@ -1068,3 +1068,218 @@ def orders_cdf_stream_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").alias("o_orderkey"),
         cents.alias("cents"),
     ).orderBy("commit_version", "o_orderkey", "change_type")
+
+
+@query(
+    "orders_cdf_replica_pipeline",
+    tags=("streaming", "snapshot", "cdf", "replication", "exactly-once",
+          "incremental", "pipeline"),
+    oracle="""
+WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders),
+head AS (
+  SELECT o_orderkey,
+         CASE WHEN o_custkey >= m.mx // 4
+               AND o_custkey <  m.mx // 4 + GREATEST(1, m.mx // 20)
+              THEN o_totalprice + 100.0 ELSE o_totalprice END AS p
+  FROM orders, m
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(p * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM head
+""",
+)
+def orders_cdf_replica_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE REPLICATION BY CHANGE-FEED SUBSCRIPTION, EXACTLY-ONCE AT
+    BOTH ENDS — the capstone composition of this repo's streaming and
+    storage layers: table B is maintained purely by SUBSCRIBING to
+    table A's change feed (sources/cdfsource.py, offsets = A's
+    snapshot versions, startversion=0 so the v0->v1 step bootstraps
+    the replica as pure inserts) and folding each micro-batch into
+    B's versioned state under the per-writer transaction ledger
+    (streaming/pipeline.snapshot_state_commit_batch). No job ever
+    reads A directly; B is a pure fold of the feed.
+
+    Timeline, drained after each source commit (a live subscription,
+    not a replayed log): A v1 (the 8-bucket base) -> B bootstraps the
+    full row set; A v2 (+100 update on one custkey range AND a
+    disjoint delete, one commit) -> B applies post-images and removes
+    doomed keys; A v3 (zero-copy re-insert of the deleted buckets) ->
+    B restores them. The merge folds ONLY each key's terminal change
+    (highest commit version, pre-images discarded), so a batch
+    spanning several source commits — a catching-up replica — folds
+    correctly, not just the one-commit-per-batch happy path.
+
+    Proofs: (1) EXACT replication — A's head and B's head are
+    compared with exceptAll in BOTH directions (zero rows, asserted);
+    the oracle independently replays A's head from raw orders against
+    B's returned aggregates, closing the loop a self-comparison
+    can't. (2) EXACTLY-ONCE — the entire pipeline is restarted
+    against the same checkpoint after the drain: B's version count
+    and directory listing are asserted byte-unchanged (the ledger
+    no-ops the replay before any recompute). (3) The ledger itself is
+    asserted: B's head metadata records the last folded batch.
+
+    At 100 TB: each fold's cost is one key-shuffle of BATCH size
+    against the replica (swap the single state bucket for the
+    period-bucketed COW MERGE of warehouse_upsert_snapshot when the
+    replica outgrows one write — the commit protocol is unchanged);
+    the feed itself plans one task per changed source bucket."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        latest_version,
+        read_manifest,
+        read_manifest_meta,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+    from financial_data_warehouse_automation_spark.sources.cdfsource import (
+        SnapshotCDFDataSource,
+    )
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        snapshot_state_commit_batch,
+    )
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    n_buckets = 8
+    work = scratch_dir("cdfrepl_")
+    a_t = os.path.join(work, "a")
+    b_t = os.path.join(work, "b")
+    os.makedirs(a_t)
+    os.makedirs(b_t)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").alias("ckey")
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+    bucket_of = lambda c: min(n_buckets - 1, c * n_buckets // (maxck + 1))
+    fb = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("ckey") * n_buckets / (maxck + 1)),
+    ).cast("int")
+
+    root = os.path.join(a_t, "g1")
+    o.withColumn("pb", fb).write.partitionBy("pb").parquet(root)
+    v1_map = {
+        n.split("=", 1)[1]: os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+    assert try_commit(a_t, 0, v1_map) == 1
+
+    def merge(prev: DataFrame, batch: DataFrame) -> DataFrame:
+        # fold each key's TERMINAL change: highest commit version,
+        # pre-images discarded; delete -> absent, else -> its value
+        from pyspark.sql import Window as W
+
+        term = batch.where(F.col("change_type") != "update_preimage")
+        last = (
+            term.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("key").orderBy(
+                        F.col("commit_version").desc()
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+        )
+        ups = last.where(F.col("change_type") != "delete").select(
+            "key", "value"
+        )
+        if prev is None:
+            return ups
+        touched = batch.select("key").distinct()
+        return prev.join(touched, "key", "left_anti").unionByName(ups)
+
+    spark.dataSource.register(SnapshotCDFDataSource)
+    feed = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", a_t)
+        .option("keycol", "o_orderkey")
+        .option("valcol", "o_totalprice")
+        .option("startversion", 0)
+        .load()
+    )
+    ckpt = os.path.join(work, "ckpt")
+
+    def drain() -> None:
+        q = feed.writeStream.foreachBatch(
+            snapshot_state_commit_batch(b_t, merge)
+        ).option("checkpointLocation", ckpt).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    drain()  # bootstrap: A v1 arrives as pure inserts
+    assert latest_version(b_t) == 1
+
+    # A v2: +100 update on one range, delete a disjoint range
+    upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
+    del_lo, del_hi = (3 * maxck) // 5, (3 * maxck) // 5 + max(1, maxck // 50)
+    upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
+    dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
+    touched = sorted(
+        set(range(bucket_of(upd_lo), bucket_of(upd_hi - 1) + 1))
+        | set(range(bucket_of(del_lo), bucket_of(del_hi - 1) + 1))
+    )
+    v2_map = dict(v1_map)
+    for b in touched:
+        d2 = os.path.join(a_t, f"b{b}-g2")
+        (
+            spark.read.parquet(v1_map[str(b)])
+            .where(~dele)
+            .withColumn(
+                "o_totalprice",
+                F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+            .write.parquet(d2)
+        )
+        v2_map[str(b)] = d2
+    assert try_commit(a_t, 1, v2_map) == 2
+    drain()
+
+    # A v3: zero-copy re-insert of the deleted buckets
+    v3_map = dict(v2_map)
+    for b in range(bucket_of(del_lo), bucket_of(del_hi - 1) + 1):
+        d3 = os.path.join(a_t, f"b{b}-g3")
+        (
+            spark.read.parquet(v1_map[str(b)])
+            .withColumn(
+                "o_totalprice",
+                F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+            .write.parquet(d3)
+        )
+        v3_map[str(b)] = d3
+    assert try_commit(a_t, 2, v3_map) == 3
+    drain()
+
+    # exact replication: A head == B head, both directions
+    a_head = spark.read.parquet(*read_manifest(a_t).values()).select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_totalprice").alias("value"),
+    )
+    b_head = spark.read.parquet(*read_manifest(b_t).values())
+    assert a_head.exceptAll(b_head).count() == 0
+    assert b_head.exceptAll(a_head).count() == 0
+
+    # exactly-once: a full restart from the same checkpoint is a
+    # byte-level no-op on B
+    b_ver = latest_version(b_t)
+    listing = sorted(os.listdir(b_t))
+    drain()
+    assert latest_version(b_t) == b_ver
+    assert sorted(os.listdir(b_t)) == listing
+    assert read_manifest_meta(b_t).get("_txn", {}).get("cdf") is not None
+
+    return b_head.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("cents"),
+        F.sum("key").cast("bigint").alias("key_sum"),
+    )

@@ -89,6 +89,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 #        new table referencing the source's dirs; both diverge COW;
 #        the source's GC is fenced with the clone's live set
 #        (extra_live) so shared history survives.
+#      orders_cdf_replica_pipeline — the capstone: table B maintained
+#        PURELY by subscribing to A's change feed (startversion=0
+#        bootstraps the replica as inserts), each micro-batch folded
+#        into B's versioned state under the per-writer ledger;
+#        exceptAll both ways == A's head; full restart a byte no-op.
 # 2. PLAN/IMPL-TOUCHED queries whose newest driver record (r12)
 #    predates this round's change: the three prunings re-pointed
 #    through plan_scan, orders_snapshot_as_of moved from manifest
@@ -98,7 +103,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 3. Rotation re-checks, oldest last-green first per
 #    tools/next_verify_prefix.py: the r12 queue
 #    (top10_orders_global .. doc_pack_greedy_bins) then the r8 band
-#    through q18_large_orders. q19_disjunctive_revenue,
+#    through q17_small_quantity_revenue. q18_large_orders,
+#    q19_disjunctive_revenue,
 #    q20_dominant_suppliers, q21_waiting_suppliers,
 #    q22_idle_rich_customers, q2_min_cost_supplier,
 #    segment_revenue_correlation, set_intersect_all_parts queue for
@@ -110,6 +116,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # (regenerate with tools/verify_oracle.py --json).
 VERIFY_FIRST: tuple[str, ...] = (
     # bucket 1: new r13 queries
+    "orders_cdf_replica_pipeline",
     "orders_branch_wap_fastforward",
     "orders_shallow_clone_divergence",
     "ingest_monthly_snapshot_loop",
@@ -165,7 +172,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "q14_promo_revenue",
     "q16_supplier_part_counts",
     "q17_small_quantity_revenue",
-    "q18_large_orders",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

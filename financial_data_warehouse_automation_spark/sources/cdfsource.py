@@ -105,9 +105,11 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         out = []
         for v in range(start["version"] + 1, end["version"] + 1):
-            pre, post = _buckets(self.table_dir, v - 1), _buckets(
-                self.table_dir, v
-            )
+            # startversion=0 bootstraps: the v0 -> v1 step has no pre
+            # image, so the whole base snapshot arrives as inserts — a
+            # consumer can build a replica from nothing but the feed
+            pre = _buckets(self.table_dir, v - 1) if v > 1 else {}
+            post = _buckets(self.table_dir, v)
             for b in sorted(set(pre) | set(post)):
                 if pre.get(b) != post.get(b):  # manifest diff = churn
                     out.append(_BucketDiff(

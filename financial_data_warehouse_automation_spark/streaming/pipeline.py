@@ -800,3 +800,70 @@ def run_events_snapshot_commit(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def snapshot_state_commit_batch(table_dir: str, merge, writer_id: str = "cdf"):
+    """foreachBatch: maintain a DERIVED STATE table under the same
+    per-writer exactly-once ledger as :func:`snapshot_commit_batch`,
+    but where each commit REPLACES the single ``state`` bucket with
+    ``merge(previous_state, batch)`` — the shape of every
+    subscription-maintained derivative (replicas, MVs, indexes):
+    version N's state is a pure fold of the feed's first N batches.
+
+    ``merge(prev: DataFrame | None, batch: DataFrame) -> DataFrame``
+    receives the PREVIOUS committed state (None before the first
+    commit) and the micro-batch, and returns the full new state. The
+    ledger check runs BEFORE any recompute, so replayed batches cost
+    a metadata read and nothing else; the CAS retry loop rebases the
+    ledger on conflict but the state derivation itself assumes ONE
+    state writer per table (two writers folding the same feed would
+    interleave states — use separate derived tables).
+
+    Scale note: "replace the state bucket" is the DEMO layout; a
+    large derived table would stage a partitioned write and commit
+    per-bucket COW exactly like the batch MERGE path
+    (queries/warehouse.warehouse_upsert_snapshot) — the ledger and
+    commit protocol here are unchanged by that swap."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        SnapshotConflict,
+        latest_version,
+        read_manifest,
+        read_manifest_meta,
+        try_commit,
+    )
+
+    def committed_through(latest: int) -> int:
+        if latest == 0:
+            return -1
+        meta = read_manifest_meta(table_dir, latest)
+        return meta.get("_txn", {}).get(writer_id, -1)
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        latest = latest_version(table_dir)
+        if committed_through(latest) >= batch_id:
+            return  # replay: already folded into the state
+        spark = batch.sparkSession
+        prev = (
+            spark.read.parquet(*read_manifest(table_dir).values())
+            if latest > 0 else None
+        )
+        d = os.path.join(table_dir, f"{writer_id}-state-{batch_id}")
+        merge(prev, batch).write.mode("overwrite").parquet(d)
+        while True:
+            latest = latest_version(table_dir)
+            if committed_through(latest) >= batch_id:
+                return  # our own replay won the race
+            txn = dict(
+                read_manifest_meta(table_dir, latest).get("_txn", {})
+            ) if latest > 0 else {}
+            txn[writer_id] = batch_id
+            try:
+                try_commit(
+                    table_dir, latest, {"state": d},
+                    meta={"_writer": writer_id, "_txn": txn},
+                )
+                return
+            except SnapshotConflict:
+                continue
+
+    return apply

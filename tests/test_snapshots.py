@@ -830,3 +830,52 @@ def test_expiry_extra_live_fences_shallow_clones(tmp_path):
     _, removed_d = expire_snapshots(table, keep_from=2)
     assert removed_d == 1
     assert not os.path.exists(d1)
+
+
+def test_snapshot_state_commit_batch_folds_and_replays(spark, tmp_path):
+    """The derived-state commit protocol: version N's state is a pure
+    fold of batches 0..N-1; replays (any order, poisoned payloads)
+    are no-ops BEFORE recompute; the ledger records the last folded
+    batch."""
+    import os
+
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        latest_version,
+        read_manifest,
+        read_manifest_meta,
+    )
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        snapshot_state_commit_batch,
+    )
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+
+    def merge(prev, batch):
+        ups = batch.select("k", "v")
+        if prev is None:
+            return ups
+        return prev.join(
+            batch.select("k").distinct(), "k", "left_anti"
+        ).unionByName(ups)
+
+    fn = snapshot_state_commit_batch(table, merge, writer_id="w")
+    b0 = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    b1 = spark.createDataFrame([(2, 25), (3, 30)], "k long, v long")
+    fn(b0, 0)
+    fn(b1, 1)
+    state = {
+        r.k: r.v
+        for r in spark.read.parquet(
+            *read_manifest(table).values()
+        ).collect()
+    }
+    assert state == {1: 10, 2: 25, 3: 30}
+    assert read_manifest_meta(table)["_txn"] == {"w": 1}
+    # replays with poisoned payloads: byte-level no-ops
+    before = sorted(os.listdir(table))
+    poison = spark.createDataFrame([(9, 999)], "k long, v long")
+    fn(poison, 0)
+    fn(poison, 1)
+    assert sorted(os.listdir(table)) == before
+    assert latest_version(table) == 2
