@@ -209,6 +209,44 @@ def create_branch(
     )
 
 
+def table_history(table_dir: str, branch: str = "main") -> list[dict]:
+    """DESCRIBE HISTORY for the snapshot store (Delta's
+    ``DESCRIBE HISTORY`` / Iceberg's ``snapshots`` metadata table):
+    one record per retained version, oldest first, each carrying the
+    commit instant, the commit metadata (writer, txn ledger, branch
+    lineage), and the MANIFEST DIFF against the previous retained
+    version — which bucket ids were added, removed, or re-pointed.
+    Pure metadata: the cost is one JSON read per retained version,
+    independent of table size; a reader can reconstruct what every
+    commit did without touching a data file."""
+    versions = sorted(
+        int(m.group(2))
+        for m in (
+            _MANIFEST_RE.fullmatch(n) for n in os.listdir(table_dir)
+        )
+        if m and _manifest_branch(m) == branch
+    )
+    out: list[dict] = []
+    prev: dict[str, str] = {}
+    for v in versions:
+        buckets = read_manifest(table_dir, v, branch)
+        meta = read_manifest_meta(table_dir, v, branch)
+        out.append({
+            "version": v,
+            "committed_at": meta.get("_committed_at"),
+            "writer": meta.get("_writer"),
+            "meta": meta,
+            "n_buckets": len(buckets),
+            "added": sorted(b for b in buckets if b not in prev),
+            "removed": sorted(b for b in prev if b not in buckets),
+            "repointed": sorted(
+                b for b in buckets if b in prev and buckets[b] != prev[b]
+            ),
+        })
+        prev = buckets
+    return out
+
+
 def drop_branch(table_dir: str, name: str) -> int:
     """Delete branch ``name``'s manifests (the abandoned-WAP path).
     Its data directories become unreferenced and the NEXT

@@ -6580,6 +6580,183 @@ def orders_shallow_clone_divergence(
 
 
 @query(
+    "orders_snapshot_describe_history",
+    tags=("snapshot", "history", "audit", "metadata", "lineage"),
+    oracle="""
+WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders),
+b AS (
+  SELECT LEAST(7, (mx // 4) * 8 // (mx + 1)) AS ub_lo,
+         LEAST(7, (mx // 4 + GREATEST(1, mx // 20) - 1) * 8 // (mx + 1))
+           AS ub_hi,
+         LEAST(7, ((3 * mx) // 5) * 8 // (mx + 1)) AS db_lo,
+         LEAST(7, ((3 * mx) // 5 + GREATEST(1, mx // 50) - 1) * 8
+               // (mx + 1)) AS db_hi
+  FROM m
+),
+v2 AS (
+  SELECT CASE WHEN o_custkey >= m.mx // 4
+               AND o_custkey <  m.mx // 4 + GREATEST(1, m.mx // 20)
+              THEN o_totalprice + 100.0 ELSE o_totalprice END AS p
+  FROM orders, m
+  WHERE NOT (o_custkey >= (3 * m.mx) // 5
+             AND o_custkey <  (3 * m.mx) // 5 + GREATEST(1, m.mx // 50))
+)
+SELECT CAST(1 AS INT) AS version, CAST(1000 AS BIGINT) AS committed_at,
+       CAST('loader' AS VARCHAR) AS writer,
+       CAST(8 AS INT) AS n_buckets, CAST(8 AS INT) AS n_added,
+       CAST(0 AS INT) AS n_removed, CAST(0 AS INT) AS n_repointed,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+UNION ALL
+SELECT 2, 2000, 'cdc', 8, 0, 0,
+       CAST((b.ub_hi - b.ub_lo + 1) + (b.db_hi - b.db_lo + 1) AS INT),
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(p * 100, 0) AS BIGINT)) AS BIGINT)
+FROM v2, b GROUP BY b.ub_lo, b.ub_hi, b.db_lo, b.db_hi
+UNION ALL
+SELECT 3, 3000, 'maintenance', 1, 1, 8, 0,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(ROUND(p * 100, 0) AS BIGINT)) AS BIGINT)
+FROM v2
+ORDER BY version
+""",
+)
+def orders_snapshot_describe_history(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DESCRIBE HISTORY — the commit-log audit surface every lakehouse
+    exposes (Delta ``DESCRIBE HISTORY`` / Iceberg's ``snapshots``
+    metadata table), built from nothing but the store's own persisted
+    metadata: operators/snapshots.table_history walks the retained
+    manifest chain and emits, per version, the commit instant
+    (``_committed_at``), the writer, and the MANIFEST DIFF against
+    the previous version (bucket ids added / removed / re-pointed) —
+    one KB-scale JSON read per version, independent of table size.
+
+    The scripted history exercises all three diff kinds: v1 = the
+    initial load (writer 'loader', 8 buckets ADDED); v2 = a CDC
+    update+delete (writer 'cdc', only the touched buckets
+    RE-POINTED — count asserted equal to the bucket arithmetic, which
+    the oracle independently derives from raw data with the same
+    floor math); v3 = full compaction (writer 'maintenance', 1 bucket
+    added, 8 removed, content identical to v2 — the history shows a
+    maintenance commit as pure layout).
+
+    Each history row also carries that version's CONTENT audit
+    (row count + exact cents read through its manifest), so the
+    returned frame certifies both halves: the metadata story (who
+    committed what, when, touching which buckets) and the data story
+    (what each version actually held) — and the DuckDB oracle replays
+    BOTH from raw orders, including the touched-bucket arithmetic.
+    The per-version reads share v1's untouched buckets via the COW
+    manifests, so the audit costs one logical pass over live data,
+    not one per version."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_manifest,
+        table_history,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    n_buckets = 8
+    table = scratch_dir("snaphist_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").alias("ckey")
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+    bucket_of = lambda c: min(n_buckets - 1, c * n_buckets // (maxck + 1))
+    fb = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("ckey") * n_buckets / (maxck + 1)),
+    ).cast("int")
+
+    root = os.path.join(table, "g1")
+    o.withColumn("pb", fb).write.partitionBy("pb").parquet(root)
+    v1_map = {
+        n.split("=", 1)[1]: os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+    assert try_commit(
+        table, 0, v1_map,
+        meta={"_committed_at": 1000.0, "_writer": "loader"},
+    ) == 1
+
+    upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
+    del_lo, del_hi = (3 * maxck) // 5, (3 * maxck) // 5 + max(1, maxck // 50)
+    upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
+    dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
+    ubs = set(range(bucket_of(upd_lo), bucket_of(upd_hi - 1) + 1))
+    dbs = set(range(bucket_of(del_lo), bucket_of(del_hi - 1) + 1))
+    assert not (ubs & dbs)  # the oracle's touched-count sum needs this
+    v2_map = dict(v1_map)
+    for b in sorted(ubs | dbs):
+        d2 = os.path.join(table, f"b{b}-g2")
+        (
+            spark.read.parquet(v1_map[str(b)])
+            .where(~dele)
+            .withColumn(
+                "o_totalprice",
+                F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
+                    F.col("o_totalprice")
+                ),
+            )
+            .write.parquet(d2)
+        )
+        v2_map[str(b)] = d2
+    assert try_commit(
+        table, 1, v2_map,
+        meta={"_committed_at": 2000.0, "_writer": "cdc"},
+    ) == 2
+
+    d3 = os.path.join(table, "compact-g3")
+    spark.read.parquet(*v2_map.values()).coalesce(4).write.parquet(d3)
+    assert try_commit(
+        table, 2, {"all": d3},
+        meta={"_committed_at": 3000.0, "_writer": "maintenance"},
+    ) == 3
+
+    hist = table_history(table)
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    assert hist[1]["repointed"] == sorted(
+        str(b) for b in (ubs | dbs)
+    ), hist[1]
+    assert (hist[2]["added"], hist[2]["removed"]) == (["all"],
+                                                      sorted(v1_map))
+
+    parts = []
+    for h in hist:
+        parts.append(
+            spark.read.parquet(
+                *read_manifest(table, h["version"]).values()
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+                ).cast("bigint").alias("cents"),
+            ).select(
+                F.lit(h["version"]).cast("int").alias("version"),
+                F.lit(int(h["committed_at"])).cast("long")
+                .alias("committed_at"),
+                F.lit(h["writer"]).alias("writer"),
+                F.lit(h["n_buckets"]).cast("int").alias("n_buckets"),
+                F.lit(len(h["added"])).cast("int").alias("n_added"),
+                F.lit(len(h["removed"])).cast("int").alias("n_removed"),
+                F.lit(len(h["repointed"])).cast("int")
+                .alias("n_repointed"),
+                "n_rows",
+                "cents",
+            )
+        )
+    out = parts[0]
+    for pt in parts[1:]:
+        out = out.unionByName(pt)
+    return out.orderBy("version")
+
+
+@query(
     "orders_snapshot_as_of",
     tags=("snapshot", "time-travel", "as-of", "metadata"),
     oracle="""

@@ -94,6 +94,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 #        bootstraps the replica as inserts), each micro-batch folded
 #        into B's versioned state under the per-writer ledger;
 #        exceptAll both ways == A's head; full restart a byte no-op.
+#      orders_snapshot_describe_history — DESCRIBE HISTORY off the
+#        persisted metadata: per-version commit instant, writer, and
+#        manifest diff (added/removed/re-pointed buckets) plus each
+#        version's content audit, all oracle-replayed.
 # 2. PLAN/IMPL-TOUCHED queries whose newest driver record (r12)
 #    predates this round's change: the three prunings re-pointed
 #    through plan_scan, orders_snapshot_as_of moved from manifest
@@ -103,7 +107,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # 3. Rotation re-checks, oldest last-green first per
 #    tools/next_verify_prefix.py: the r12 queue
 #    (top10_orders_global .. doc_pack_greedy_bins) then the r8 band
-#    through q17_small_quantity_revenue. q18_large_orders,
+#    through q16_supplier_part_counts. q17_small_quantity_revenue,
+#    q18_large_orders,
 #    q19_disjunctive_revenue,
 #    q20_dominant_suppliers, q21_waiting_suppliers,
 #    q22_idle_rich_customers, q2_min_cost_supplier,
@@ -116,6 +121,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 # (regenerate with tools/verify_oracle.py --json).
 VERIFY_FIRST: tuple[str, ...] = (
     # bucket 1: new r13 queries
+    "orders_snapshot_describe_history",
     "orders_cdf_replica_pipeline",
     "orders_branch_wap_fastforward",
     "orders_shallow_clone_divergence",
@@ -171,7 +177,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "q13_order_count_distribution",
     "q14_promo_revenue",
     "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

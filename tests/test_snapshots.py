@@ -879,3 +879,34 @@ def test_snapshot_state_commit_batch_folds_and_replays(spark, tmp_path):
     fn(poison, 1)
     assert sorted(os.listdir(table)) == before
     assert latest_version(table) == 2
+
+
+def test_table_history_reports_manifest_diffs(tmp_path):
+    """table_history: oldest-first versions with commit meta and the
+    added/removed/repointed diff per step; branch chains report
+    separately from main."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        create_branch,
+        table_history,
+    )
+
+    table = str(tmp_path)
+    d1 = _mkdata(table, "b0-g1")
+    d2 = _mkdata(table, "b0-g2")
+    d3 = _mkdata(table, "b1-g1")
+    try_commit(table, 0, {"0": d1}, meta={"_committed_at": 10.0,
+                                          "_writer": "w1"})
+    try_commit(table, 1, {"0": d2, "1": d3},
+               meta={"_committed_at": 20.0, "_writer": "w2"})
+    create_branch(table, "b")
+    hist = table_history(table)
+    assert [h["version"] for h in hist] == [1, 2]
+    assert hist[0]["writer"] == "w1" and hist[0]["added"] == ["0"]
+    assert hist[1] == {
+        "version": 2, "committed_at": 20.0, "writer": "w2",
+        "meta": hist[1]["meta"], "n_buckets": 2,
+        "added": ["1"], "removed": [], "repointed": ["0"],
+    }
+    bh = table_history(table, branch="b")
+    assert [h["version"] for h in bh] == [1]
+    assert bh[0]["added"] == ["0", "1"]  # branch v1 vs empty prefix
