@@ -585,7 +585,11 @@ def read_snapshot(
     if dv:
         deleted = sorted({k for ks in dv["buckets"].values() for k in ks})
         if deleted:
-            df = df.where(~F.col(dv["column"]).isin(deleted))
+            col = F.col(dv["column"])
+            # NULL-keyed rows must SURVIVE: ~NULL.isin(...) is NULL,
+            # which a bare filter silently drops — a delete of keys
+            # must never delete rows that have no key
+            df = df.where(~col.isin(deleted) | col.isNull())
     return df
 
 

@@ -139,13 +139,21 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                     kv[k] = v
             return kv
 
+        def changed(a, b) -> bool:
+            # NaN-safe inequality: a NaN-valued row that did not
+            # change must not emit a spurious update pair (NaN != NaN
+            # is True under IEEE compare)
+            if a != a and b != b:
+                return False
+            return a != b
+
         pre, post = load(partition.pre_dir), load(partition.post_dir)
         for k in sorted(set(pre) | set(post)):
             if k not in post:
                 yield (partition.version, "delete", k, pre[k])
             elif k not in pre:
                 yield (partition.version, "insert", k, post[k])
-            elif pre[k] != post[k]:
+            elif changed(pre[k], post[k]):
                 yield (partition.version, "update_preimage", k, pre[k])
                 yield (partition.version, "update_postimage", k, post[k])
 

@@ -910,3 +910,29 @@ def test_table_history_reports_manifest_diffs(tmp_path):
     bh = table_history(table, branch="b")
     assert [h["version"] for h in bh] == [1]
     assert bh[0]["added"] == ["0", "1"]  # branch v1 vs empty prefix
+
+
+def test_deletion_vector_never_drops_null_keyed_rows(spark, tmp_path):
+    """A key-based delete vector must not delete rows whose key is
+    NULL (~NULL.isin(...) is NULL — a bare filter would silently drop
+    them)."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_snapshot,
+        try_commit,
+        write_sidecar,
+    )
+
+    table = str(tmp_path)
+    d = os.path.join(table, "b0")
+    spark.createDataFrame(
+        [(1, 10), (None, 20), (3, 30)], "k long, v long"
+    ).write.parquet(d)
+    write_sidecar(table, 1, "deletes", {
+        "column": "k", "buckets": {"b0": [3]},
+    })
+    try_commit(table, 0, {"b0": d})
+    got = sorted(
+        ((r.k, r.v) for r in read_snapshot(spark, table).collect()),
+        key=lambda t: (t[0] is not None, t[0]),
+    )
+    assert got == [(None, 20), (1, 10)], got
