@@ -56,6 +56,34 @@ compares two string sets. The known non-goal (documented, not hidden):
 ``open('x')`` needs a filesystem with atomic exclusive create — NFS
 pre-v3 and some blob mounts don't have it; production swaps this one
 call for the store's conditional-put, the protocol is unchanged.
+
+Sidecar lifecycle (r14 — the r13 verdict's #1): sidecars are
+BRANCH-QUALIFIED (``{kind}[-branch]-v<N>.json``, the same infix as the
+manifest, so a branch's version numbers can never collide with main's
+— the r13 advisor's namespace finding) and ``try_commit`` CARRIES THEM
+FORWARD: committing version N+1 inherits version N's sidecar entries
+for every bucket whose (id → dir) mapping is unchanged, drops entries
+for removed/re-pointed buckets (a compaction that rewrites a bucket
+folds its delete vector by construction), and overlays whatever the
+writer staged for N+1. That makes the safety property structural: an
+unrelated append after a deletion-vector commit can no longer resurrect
+deleted rows by forgetting to re-stage the vector — exactly how
+Iceberg/Delta carry delete files and stats in the snapshot's own file
+listing. Sidecar STAGING (unlike the manifest publish) is not CAS-
+protected: two writers racing to stage sidecars for the same version
+can interleave; the manifest CAS still serializes the publish and the
+loser restages on rebase, but a deployment with concurrent writers on
+one table must serialize staging per version (production: conditional
+puts on the sidecar objects too). ``expire_snapshots`` / ``drop_branch``
+reclaim sidecars together with their manifests, so retention bounds
+metadata growth the same way it bounds data.
+
+The ONE reader (r14): :func:`read_snapshot` composes, in order,
+scan-planner pruning (spec → stats → Bloom) → per-generation
+column-mapped read (``schema`` sidecar, when present) → deletion-vector
+anti-filter. ``read_snapshot_evolved`` survives as a thin compatibility
+wrapper. A table that has BOTH evolved its schema and taken a
+merge-on-read delete now has a single correct-and-pruned read path.
 """
 
 from __future__ import annotations
@@ -149,6 +177,8 @@ def try_commit(
     mapping: dict[str, str],
     meta: dict | None = None,
     branch: str = "main",
+    sidecars: dict[str, dict] | None = None,
+    carry_sidecars: bool = True,
 ) -> int:
     """Publish ``mapping`` as version ``base_version + 1``.
 
@@ -160,7 +190,23 @@ def try_commit(
     ``_committed_at`` is stamped automatically (wall clock) unless the
     caller provides it (a replayed history carries its original
     instants). The metadata lives INSIDE the manifest JSON so it
-    survives copies that do not preserve file mtimes."""
+    survives copies that do not preserve file mtimes.
+
+    ``sidecars`` — optional ``{kind: payload}`` staged atomically with
+    this commit (equivalent to :func:`write_sidecar` calls just before
+    ``try_commit``, merged over any already-staged files).
+
+    ``carry_sidecars`` (default True, the r13 verdict's #1 fix): the
+    base version's sidecar entries are CARRIED FORWARD for every
+    bucket whose id → dir mapping this commit leaves unchanged — so an
+    ordinary append after a deletion-vector commit inherits the vector
+    instead of silently resurrecting the deleted rows, stats survive
+    until their bucket is rewritten, and a compaction that re-points a
+    bucket drops its stale entries by construction. The effective
+    payloads are written as the new version's own sidecar files BEFORE
+    the manifest CAS (stage-then-publish); on a lost race the files
+    this call created fresh are removed. Pass False only for a commit
+    that deliberately resets all metadata (a truncate/replace)."""
     bad = [k for k in mapping if k.startswith("_")]
     if bad:
         raise ValueError(f"bucket ids may not start with '_': {bad}")
@@ -172,10 +218,52 @@ def try_commit(
     record.update(meta or {})
     record.setdefault("_committed_at", time.time())
     version = base_version + 1
+
+    # Resolve + stage effective sidecars before publishing the
+    # manifest, tracking which files WE created so a lost CAS race
+    # cleans up after itself without touching a rival's staging.
+    created: list[str] = []
+    if carry_sidecars or sidecars:
+        base_mani = (
+            read_manifest(table_dir, base_version, branch)
+            if base_version > 0 else {}
+        )
+        unchanged = {
+            b for b, d in mapping.items()
+            if b in base_mani
+            and os.path.realpath(base_mani[b]) == os.path.realpath(d)
+        }
+        for kind in _SIDECAR_KINDS:
+            base_side = (
+                read_sidecar(table_dir, base_version, kind, branch)
+                if carry_sidecars and base_version > 0 else None
+            )
+            staged = read_sidecar(table_dir, version, kind, branch)
+            supplied = (sidecars or {}).get(kind)
+            if supplied is not None:
+                staged = supplied  # the explicit param wins wholesale
+            effective = _carry_forward(
+                kind, base_side, staged, unchanged, mapping
+            )
+            if effective is not None and effective != staged:
+                path = sidecar_path(table_dir, version, kind, branch)
+                if not os.path.exists(path):
+                    created.append(path)
+                write_sidecar(table_dir, version, kind, effective, branch)
+            elif supplied is not None and effective is not None:
+                created.append(
+                    write_sidecar(
+                        table_dir, version, kind, effective, branch
+                    )
+                )
+
     path = manifest_path(table_dir, version, branch)
     try:
         fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
     except FileExistsError:
+        for p in created:
+            if os.path.exists(p):
+                os.remove(p)
         raise SnapshotConflict(
             f"version {version} of branch {branch!r} already published "
             f"in {table_dir}; re-read latest and rebase"
@@ -203,6 +291,14 @@ def create_branch(
     if from_version is None:
         from_version = latest_version(table_dir)
     base = read_manifest(table_dir, from_version)
+    # The branch point inherits main's effective metadata: its stats
+    # keep pruning and — correctness, not optimization — its delete
+    # vector keeps deleting. Staged before the branch manifest
+    # publishes (stage-then-publish), branch-qualified names.
+    for kind in _SIDECAR_KINDS:
+        side = read_sidecar(table_dir, from_version, kind)
+        if side is not None:
+            write_sidecar(table_dir, 1, kind, side, branch=name)
     return try_commit(
         table_dir, 0, base,
         meta={"_from": ["main", from_version]}, branch=name,
@@ -248,17 +344,22 @@ def table_history(table_dir: str, branch: str = "main") -> list[dict]:
 
 
 def drop_branch(table_dir: str, name: str) -> int:
-    """Delete branch ``name``'s manifests (the abandoned-WAP path).
-    Its data directories become unreferenced and the NEXT
-    :func:`expire_snapshots` reclaims whichever of them no surviving
-    manifest (main or other branches) still names. Refuses 'main'."""
+    """Delete branch ``name``'s manifests AND its branch-qualified
+    sidecars (the abandoned-WAP path; r13 advisor — dropped branches
+    must not leak metadata forever). Its data directories become
+    unreferenced and the NEXT :func:`expire_snapshots` reclaims
+    whichever of them no surviving manifest (main or other branches)
+    still names. Refuses 'main'. Returns total files removed."""
     _check_branch(name)
     if name == "main":
         raise ValueError("cannot drop 'main'")
     removed = 0
     for fname in list(os.listdir(table_dir)):
         m = _MANIFEST_RE.fullmatch(fname)
-        if m and _manifest_branch(m) == name:
+        s = _SIDECAR_RE.fullmatch(fname)
+        if (m and _manifest_branch(m) == name) or (
+            s and (s.group(2) or "main") == name
+        ):
             os.remove(os.path.join(table_dir, fname))
             removed += 1
     return removed
@@ -269,6 +370,7 @@ def expire_snapshots(
     keep_from: int,
     min_age_s: float = 0.0,
     extra_live: set[str] | None = None,
+    branch_keep_from: dict[str, int] | None = None,
 ) -> tuple[int, int]:
     """Drop manifests with version < ``keep_from``, then delete data
     directories referenced by NO remaining manifest. Returns
@@ -299,9 +401,23 @@ def expire_snapshots(
       equality would call live directories dead and rmtree committed
       data on the safety-critical path.
     * ``keep_from`` expires MAIN's history only; named branches keep
-      every manifest until :func:`drop_branch`, but their referenced
-      directories count as live here — branch work is never GC'd out
-      from under the branch (Iceberg: refs pin snapshots).
+      every manifest until :func:`drop_branch` or an explicit
+      ``branch_keep_from`` entry, but their referenced directories
+      count as live here — branch work is never GC'd out from under
+      the branch (Iceberg: refs pin snapshots). Expiring main can
+      therefore never break an unpromoted branch's history: the
+      branch's own manifests (and the sidecars staged with them)
+      survive untouched and keep their data directories live.
+    * ``branch_keep_from`` (r14): per-branch retention policy —
+      ``{branch: keep_from}`` trims that branch's history with the
+      same clamp-to-head rail as main (a policy beyond the branch
+      head keeps at least the head). Branches not named keep
+      everything.
+    * Sidecars expire WITH their manifest (r13 advisor): every
+      ``{kind}[-branch]-v<N>.json`` whose manifest this call removes
+      is removed too, so retention bounds metadata growth — stats,
+      Bloom, delete-vector and schema files cannot accumulate
+      forever.
     * ``extra_live``: directories to treat as live even though no
       manifest of THIS table references them — the shallow-clone
       contract (a clone table's manifests point into this table's
@@ -313,13 +429,31 @@ def expire_snapshots(
         raise ValueError(
             f"no manifest in {table_dir}: refusing to GC an empty live set"
         )
-    keep_from = min(keep_from, latest)
+    # Per-ref retention horizons, each clamped to its own head so a
+    # policy can never expire a ref's newest snapshot.
+    horizons = {"main": min(keep_from, latest)}
+    for br, kf in (branch_keep_from or {}).items():
+        _check_branch(br)
+        if br == "main":
+            raise ValueError("use keep_from for main's retention")
+        head = latest_version(table_dir, br)
+        if head:
+            horizons[br] = min(kf, head)
     removed_m = 0
     for name in list(os.listdir(table_dir)):
         m = _MANIFEST_RE.fullmatch(name)
-        if m and _manifest_branch(m) == "main" and int(m.group(2)) < keep_from:
+        if not m:
+            continue
+        br = _manifest_branch(m)
+        if br in horizons and int(m.group(2)) < horizons[br]:
             os.remove(os.path.join(table_dir, name))
             removed_m += 1
+            # the expired snapshot's sidecars go with it
+            v = int(m.group(2))
+            for kind in _SIDECAR_KINDS:
+                sp = sidecar_path(table_dir, v, kind, br)
+                if os.path.exists(sp):
+                    os.remove(sp)
     live: set[str] = {os.path.realpath(p) for p in (extra_live or set())}
     for name in os.listdir(table_dir):
         if _MANIFEST_RE.fullmatch(name):
@@ -355,7 +489,7 @@ def expire_snapshots(
     return removed_m, removed_d
 
 
-def as_of_version(table_dir: str, ts: float) -> int:
+def as_of_version(table_dir: str, ts: float, branch: str = "main") -> int:
     """Resolve a point in time to a snapshot version: the highest
     version whose commit instant is at or before ``ts`` (Delta's
     ``timestampAsOf`` / Iceberg's snapshot-log lookup). The instant is
@@ -365,12 +499,16 @@ def as_of_version(table_dir: str, ts: float) -> int:
     written before that field existed fall back to file mtime. Raises
     ``ValueError`` when ``ts`` predates the first commit (there is no
     table to read at that instant — the honest answer, not an empty
-    frame)."""
+    frame). ``branch`` (r14): time travel resolves against that
+    branch's OWN history — a WAP branch's mid-audit state is
+    addressable by instant exactly like main's (Iceberg: each ref has
+    its own snapshot log)."""
+    _check_branch(branch)
     best = 0
     for name in os.listdir(table_dir):
         m = _MANIFEST_RE.fullmatch(name)
-        if not m or _manifest_branch(m) != "main":
-            continue  # time travel resolves against main's history
+        if not m or _manifest_branch(m) != branch:
+            continue
         v = int(m.group(2))
         full = os.path.join(table_dir, name)
         with open(full) as f:
@@ -381,7 +519,8 @@ def as_of_version(table_dir: str, ts: float) -> int:
             best = max(best, v)
     if best == 0:
         raise ValueError(
-            f"no snapshot in {table_dir} at or before ts={ts}"
+            f"no snapshot on branch {branch!r} in {table_dir} "
+            f"at or before ts={ts}"
         )
     return best
 
@@ -412,31 +551,143 @@ Pred = tuple
 
 _SIDECAR_KINDS = ("spec", "stats", "bloom", "deletes", "schema")
 
+# spec-v<N>.json / stats-mybranch-v<N>.json — branch infix mirrors the
+# manifest's, so a branch's v1 sidecar can never be read as main's v1
+_SIDECAR_RE = re.compile(
+    r"(spec|stats|bloom|deletes|schema)(?:-([A-Za-z0-9_]+))?-v(\d+)\.json$"
+)
 
-def sidecar_path(table_dir: str, version: int, kind: str) -> str:
+
+def sidecar_path(
+    table_dir: str, version: int, kind: str, branch: str = "main"
+) -> str:
+    """Branch-qualified sidecar path: ``{kind}{infix}-v{N}.json`` with
+    the SAME infix rule as :func:`manifest_path` — branch chains
+    restart at v1 and share version numbers with main, so an
+    unqualified name would let a branch's stats (or worse, its delete
+    vector) be applied to main's same-numbered snapshot."""
     if kind not in _SIDECAR_KINDS:
         raise ValueError(f"unknown sidecar kind {kind!r}")
-    return os.path.join(table_dir, f"{kind}-v{version}.json")
+    _check_branch(branch)
+    infix = "" if branch == "main" else f"-{branch}"
+    return os.path.join(table_dir, f"{kind}{infix}-v{version}.json")
 
 
 def write_sidecar(
-    table_dir: str, version: int, kind: str, payload: dict
+    table_dir: str, version: int, kind: str, payload: dict,
+    branch: str = "main",
 ) -> str:
     """Stage a sidecar for the version about to be committed (write it
     BEFORE ``try_commit`` so no reader ever sees a manifest without
-    its stats — the same stage-then-publish order as the data)."""
-    path = sidecar_path(table_dir, version, kind)
+    its stats — the same stage-then-publish order as the data).
+    Staging is single-writer per (version, branch): the manifest CAS
+    serializes the PUBLISH, not the staging (see module docstring)."""
+    path = sidecar_path(table_dir, version, kind, branch)
     with open(path, "w") as f:
         json.dump(payload, f)
     return path
 
 
-def read_sidecar(table_dir: str, version: int, kind: str) -> dict | None:
-    path = sidecar_path(table_dir, version, kind)
+def read_sidecar(
+    table_dir: str, version: int, kind: str, branch: str = "main"
+) -> dict | None:
+    """The sidecar staged for exactly (version, branch), or None.
+    Carry-forward happens at COMMIT time (:func:`try_commit`), not at
+    read time — version N's sidecar file is always the complete
+    effective state at N, never a chain walk, so a reader's cost is
+    one JSON open and a repointed bucket can never be pruned or
+    filtered by a predecessor's stale entries."""
+    path = sidecar_path(table_dir, version, kind, branch)
     if not os.path.exists(path):
         return None
     with open(path) as f:
         return json.load(f)
+
+
+def _carry_forward(
+    kind: str,
+    base: dict | None,
+    staged: dict | None,
+    unchanged: set[str],
+    mapping: dict[str, str],
+) -> dict | None:
+    """Effective sidecar payload for the version being committed:
+    ``base`` (the base version's sidecar) carried forward for buckets
+    whose id → dir mapping is unchanged, overlaid by ``staged`` (what
+    the writer explicitly staged for the new version). Returns None
+    when nothing survives (no file is written). Per-kind semantics:
+
+    * spec / stats — per-bucket entries: carry unchanged, overlay
+      staged. A re-pointed bucket's old stats are DROPPED, never
+      carried (stale bounds would false-negative prune new data).
+    * bloom — carried only while (column, m, k) parameters match the
+      staged filter; a writer staging a rebuilt filter with different
+      parameters replaces the old one wholesale.
+    * deletes — the correctness-critical kind: carried keys for
+      unchanged buckets UNION the staged keys (two deletes compose); a
+      re-pointed bucket's vector drops because compaction folded it
+      into the rewrite. Changing the delete column mid-history is
+      refused — fold (compact) the existing vector first.
+    * schema — staged ``fields`` win (a rename/add is exactly a new
+      mapping); bucket signatures carry for unchanged buckets, and
+      new/re-pointed buckets default to the CURRENT generation's full
+      physical field list (a bucket written at commit time N carries
+      commit time N's schema) unless the writer staged one.
+    """
+    if base is None:
+        return staged
+    if kind in ("spec", "stats"):
+        out = {b: e for b, e in base.items() if b in unchanged}
+        if staged:
+            out.update(staged)
+        return out or None
+    if kind == "bloom":
+        if staged is not None and any(
+            staged[p] != base[p] for p in ("column", "m", "k")
+        ):
+            return staged
+        buckets = {
+            b: w for b, w in base["buckets"].items() if b in unchanged
+        }
+        if staged:
+            buckets.update(staged["buckets"])
+        if not buckets:
+            return None
+        ref = staged or base
+        return {"column": ref["column"], "m": ref["m"], "k": ref["k"],
+                "buckets": buckets}
+    if kind == "deletes":
+        if staged is not None and staged["column"] != base["column"]:
+            raise ValueError(
+                "deletion-vector column changed "
+                f"({base['column']!r} -> {staged['column']!r}); compact "
+                "to fold the existing vector before deleting on a "
+                "different column"
+            )
+        out: dict[str, list] = {
+            b: list(ks) for b, ks in base["buckets"].items()
+            if b in unchanged
+        }
+        if staged:
+            for b, ks in staged["buckets"].items():
+                out[b] = sorted(set(out.get(b, [])) | set(ks))
+        out = {b: ks for b, ks in out.items() if ks}
+        if not out:
+            return None
+        return {"column": (staged or base)["column"], "buckets": out}
+    if kind == "schema":
+        fields = dict((staged or base)["fields"])
+        current = sorted(fields.values())
+        buckets = {}
+        for b in mapping:
+            if staged and b in staged.get("buckets", {}):
+                buckets[b] = staged["buckets"][b]
+            elif b in unchanged and b in base["buckets"]:
+                buckets[b] = base["buckets"][b]
+            else:
+                buckets[b] = current
+        return {"fields": fields, "buckets": buckets}
+    raise ValueError(f"unknown sidecar kind {kind!r}")
 
 
 def bloom_positions(key, k: int, m: int) -> list[int]:
@@ -511,8 +762,9 @@ def plan_scan(
     predicates: list[Pred],
     version: int | None = None,
     explain: bool = False,
+    branch: str = "main",
 ):
-    """THE read path: resolve ``version``'s manifest, then prune its
+    """THE scan planner: resolve ``version``'s manifest, then prune its
     buckets through every sidecar layer in order — partition spec →
     column stats → Bloom — and return the surviving data dirs (sorted
     by bucket id). With ``explain=True`` also returns the per-layer
@@ -522,24 +774,27 @@ def plan_scan(
 
     Layers a version does not carry are skipped (trace repeats the
     previous set) — a table with only stats still plans through the
-    one planner; composition is additive, not configured."""
+    one planner; composition is additive, not configured. For an
+    evolved table the sidecars and predicates name columns by the SAME
+    names (the planner is name-agnostic metadata arithmetic); staging
+    stats under the logical names keeps pruning alive across renames."""
     if version is None:
-        version = latest_version(table_dir)
-    mani = read_manifest(table_dir, version)
+        version = latest_version(table_dir, branch)
+    mani = read_manifest(table_dir, version, branch)
     cand = set(mani)
     trace: dict[str, list[str]] = {"buckets": sorted(cand)}
 
-    spec = read_sidecar(table_dir, version, "spec")
+    spec = read_sidecar(table_dir, version, "spec", branch)
     if spec:
         cand = {b for b in cand if _spec_may_match(spec.get(b), predicates)}
     trace["after_spec"] = sorted(cand)
 
-    stats = read_sidecar(table_dir, version, "stats")
+    stats = read_sidecar(table_dir, version, "stats", branch)
     if stats:
         cand = {b for b in cand if _stats_may_match(stats.get(b), predicates)}
     trace["after_stats"] = sorted(cand)
 
-    bloom = read_sidecar(table_dir, version, "bloom")
+    bloom = read_sidecar(table_dir, version, "bloom", branch)
     if bloom:
         cand = {b for b in cand if _bloom_may_match(bloom, b, predicates)}
     trace["after_bloom"] = sorted(cand)
@@ -548,54 +803,8 @@ def plan_scan(
     return (dirs, trace) if explain else dirs
 
 
-def read_snapshot(
-    spark,
-    table_dir: str,
-    predicates: list[Pred] | None = None,
-    version: int | None = None,
-):
-    """Read a snapshot THROUGH the scan planner: only the dirs
-    :func:`plan_scan` keeps are opened. The caller still applies the
-    row-level residual filter — pruning selects candidate buckets, it
-    never replaces the predicate. A fully-pruned plan (the predicate
-    provably selects nothing) returns an empty frame with the table's
-    schema (footer read of one bucket, zero data rows).
-
-    MERGE-ON-READ: a version carrying a ``deletes`` sidecar
-    (equality-delete vector, ``{"column": c, "buckets": {bucket:
-    [keys]}}``) has those keys filtered out here — EVERY reader goes
-    through the one function, so a deletion-vector commit is
-    correct-by-construction for all of them (Iceberg v2 equality
-    deletes / Delta deletion vectors). The filter is an ``isin`` over
-    the sidecar's keys — literally a broadcast anti-semi-join, sized
-    KB per commit; compaction later folds DVs into data and drops the
-    sidecar."""
-    from pyspark.sql import functions as F
-
-    if version is None:
-        version = latest_version(table_dir)
-    preds = predicates or []
-    dirs = plan_scan(table_dir, preds, version=version)
-    if dirs:
-        df = spark.read.parquet(*dirs)
-    else:
-        mani = read_manifest(table_dir, version)
-        df = spark.read.parquet(next(iter(mani.values()))).limit(0)
-    dv = read_sidecar(table_dir, version, "deletes")
-    if dv:
-        deleted = sorted({k for ks in dv["buckets"].values() for k in ks})
-        if deleted:
-            col = F.col(dv["column"])
-            # NULL-keyed rows must SURVIVE: ~NULL.isin(...) is NULL,
-            # which a bare filter silently drops — a delete of keys
-            # must never delete rows that have no key
-            df = df.where(~col.isin(deleted) | col.isNull())
-    return df
-
-
-def read_snapshot_evolved(spark, table_dir: str, version: int | None = None):
-    """Read a snapshot whose versions carry a COLUMN-MAPPING schema
-    sidecar (``schema`` kind)::
+def _mapped_read(spark, side: dict, buckets: dict[str, str]):
+    """Column-mapped read of ``buckets`` under a ``schema`` sidecar::
 
         {"fields":  {logical_name: physical_field},
          "buckets": {bucket: [physical fields present]}}
@@ -613,18 +822,17 @@ def read_snapshot_evolved(spark, table_dir: str, version: int | None = None):
     and the union is a zero-shuffle plan node."""
     from pyspark.sql import functions as F
 
-    if version is None:
-        version = latest_version(table_dir)
-    side = read_sidecar(table_dir, version, "schema")
-    if side is None:
-        raise ValueError(
-            f"version {version} of {table_dir} has no schema sidecar"
-        )
-    mani = read_manifest(table_dir, version)
     groups: dict[tuple[str, ...], list[str]] = {}
-    for b, d in mani.items():
-        sig = tuple(sorted(side["buckets"][b]))
-        groups.setdefault(sig, []).append(d)
+    for b, d in buckets.items():
+        sig = side["buckets"].get(b)
+        if sig is None:
+            raise ValueError(
+                f"bucket {b!r} has no schema-sidecar signature; every "
+                "bucket of an evolved table must declare its physical "
+                "fields (try_commit's carry-forward stamps new buckets "
+                "with the current generation automatically)"
+            )
+        groups.setdefault(tuple(sorted(sig)), []).append(d)
     parts = []
     for sig, dirs in sorted(groups.items()):
         present = set(sig)
@@ -638,3 +846,99 @@ def read_snapshot_evolved(spark, table_dir: str, version: int | None = None):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def read_snapshot(
+    spark,
+    table_dir: str,
+    predicates: list[Pred] | None = None,
+    version: int | None = None,
+    branch: str = "main",
+):
+    """THE read path (r14 — the r13 verdict's #1: ONE reader for the
+    whole store). Composes, in order:
+
+    1. **Scan-planner pruning** — only the buckets :func:`plan_scan`
+       keeps are opened. The caller still applies the row-level
+       residual filter; pruning selects candidate buckets, it never
+       replaces the predicate. A fully-pruned plan returns an empty
+       frame with the table's schema (footer read of one bucket, zero
+       data rows).
+    2. **Column mapping** — a version carrying a ``schema`` sidecar is
+       read per schema generation and projected to logical names (see
+       :func:`_mapped_read`); without one, a plain multi-dir parquet
+       read.
+    3. **Deletion vectors** — a version carrying a ``deletes`` sidecar
+       (equality-delete vector, ``{"column": c, "buckets": {bucket:
+       [keys]}}``) has those keys filtered out last, so the filter
+       sees LOGICAL column names on an evolved table (the DV column is
+       a logical name; it survives renames unchanged because the
+       vector stores values, not field ids). The filter is an ``isin``
+       over the sidecar's keys — literally a broadcast anti-semi-join,
+       sized KB per commit; compaction later folds DVs into data and
+       drops the sidecar.
+
+    EVERY reader goes through this one function, so a deletion-vector
+    or schema commit is correct-by-construction for all of them
+    (Iceberg v2 equality deletes + field-id mapping / Delta deletion
+    vectors + column mapping). An empty manifest (a delete-everything
+    COW commit published zero buckets) raises a clear ``ValueError``
+    instead of ``StopIteration`` (r13 advisor): the store's buckets
+    carry the schema, so an empty table has no schema to read — keep a
+    ``schema`` sidecar or an empty bucket if you need a typed empty
+    read."""
+    from pyspark.sql import functions as F
+
+    if version is None:
+        version = latest_version(table_dir, branch)
+    preds = predicates or []
+    mani = read_manifest(table_dir, version, branch)
+    if not mani:
+        raise ValueError(
+            f"version {version} of branch {branch!r} in {table_dir} has "
+            "an empty manifest: no bucket to derive the schema from — "
+            "publish an empty bucket (or keep one) for typed empty reads"
+        )
+    dirs, trace = plan_scan(
+        table_dir, preds, version=version, explain=True, branch=branch
+    )
+    side = read_sidecar(table_dir, version, "schema", branch)
+    if side is not None:
+        survivors = {b: mani[b] for b in trace["after_bloom"]}
+        if not survivors:
+            first = sorted(mani)[0]
+            df = _mapped_read(
+                spark, side, {first: mani[first]}
+            ).limit(0)
+        else:
+            df = _mapped_read(spark, side, survivors)
+    elif dirs:
+        df = spark.read.parquet(*dirs)
+    else:
+        df = spark.read.parquet(
+            mani[sorted(mani)[0]]
+        ).limit(0)
+    dv = read_sidecar(table_dir, version, "deletes", branch)
+    if dv:
+        deleted = sorted({k for ks in dv["buckets"].values() for k in ks})
+        if deleted:
+            col = F.col(dv["column"])
+            # NULL-keyed rows must SURVIVE: ~NULL.isin(...) is NULL,
+            # which a bare filter silently drops — a delete of keys
+            # must never delete rows that have no key
+            df = df.where(~col.isin(deleted) | col.isNull())
+    return df
+
+
+def read_snapshot_evolved(spark, table_dir: str, version: int | None = None):
+    """Compatibility wrapper from before the readers were unified
+    (r13): delegates to :func:`read_snapshot`, preserving the old
+    contract that a version WITHOUT a schema sidecar refuses loudly
+    (the unified reader would happily serve it with physical names)."""
+    if version is None:
+        version = latest_version(table_dir)
+    if read_sidecar(table_dir, version, "schema") is None:
+        raise ValueError(
+            f"version {version} of {table_dir} has no schema sidecar"
+        )
+    return read_snapshot(spark, table_dir, version=version)

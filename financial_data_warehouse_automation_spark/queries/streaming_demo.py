@@ -1098,7 +1098,11 @@ def orders_cdf_replica_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the replica as pure inserts) and folding each micro-batch into
     B's versioned state under the per-writer transaction ledger
     (streaming/pipeline.snapshot_state_commit_batch). No job ever
-    reads A directly; B is a pure fold of the feed.
+    reads A directly; B is a pure fold of the feed. r14: the feed
+    runs in FULL-ROW mode — the change rows carry every column of A
+    (o_orderkey, o_totalprice, ckey; schema derived from A's parquet
+    footer), so B is a faithful WIDE-table mirror, not a key-value
+    projection (the r13 verdict's task 3).
 
     Timeline, drained after each source commit (a live subscription,
     not a replayed log): A v1 (the 8-bucket base) -> B bootstraps the
@@ -1167,15 +1171,18 @@ def orders_cdf_replica_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def merge(prev: DataFrame, batch: DataFrame) -> DataFrame:
         # fold each key's TERMINAL change: highest commit version,
-        # pre-images discarded; delete -> absent, else -> its value
+        # pre-images discarded; delete -> absent, else -> its FULL
+        # row (r14: the feed carries every table column, so the
+        # replica is a real table, not a key-value projection)
         from pyspark.sql import Window as W
 
+        row_cols = ["o_orderkey", "o_totalprice", "ckey"]
         term = batch.where(F.col("change_type") != "update_preimage")
         last = (
             term.withColumn(
                 "rn",
                 F.row_number().over(
-                    W.partitionBy("key").orderBy(
+                    W.partitionBy("o_orderkey").orderBy(
                         F.col("commit_version").desc()
                     )
                 ),
@@ -1183,22 +1190,29 @@ def orders_cdf_replica_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
         )
         ups = last.where(F.col("change_type") != "delete").select(
-            "key", "value"
+            *row_cols
         )
         if prev is None:
             return ups
-        touched = batch.select("key").distinct()
-        return prev.join(touched, "key", "left_anti").unionByName(ups)
+        touched = batch.select("o_orderkey").distinct()
+        return prev.join(
+            touched, "o_orderkey", "left_anti"
+        ).unionByName(ups)
 
     spark.dataSource.register(SnapshotCDFDataSource)
+    # no valcol option: FULL-ROW mode — the feed's schema is derived
+    # from A's parquet footer and carries all three table columns
     feed = (
         spark.readStream.format("snapshot_cdf")
         .option("path", a_t)
         .option("keycol", "o_orderkey")
-        .option("valcol", "o_totalprice")
         .option("startversion", 0)
         .load()
     )
+    assert set(feed.columns) == {
+        "commit_version", "change_type",
+        "o_orderkey", "o_totalprice", "ckey",
+    }, feed.columns
     ckpt = os.path.join(work, "ckpt")
 
     def drain() -> None:
@@ -1259,12 +1273,14 @@ def orders_cdf_replica_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert try_commit(a_t, 2, v3_map) == 3
     drain()
 
-    # exact replication: A head == B head, both directions
+    # exact replication: A head == B head, both directions, over the
+    # FULL wide row (all three columns, not a key-value projection)
     a_head = spark.read.parquet(*read_manifest(a_t).values()).select(
-        F.col("o_orderkey").alias("key"),
-        F.col("o_totalprice").alias("value"),
+        "o_orderkey", "o_totalprice", "ckey"
     )
-    b_head = spark.read.parquet(*read_manifest(b_t).values())
+    b_head = spark.read.parquet(*read_manifest(b_t).values()).select(
+        "o_orderkey", "o_totalprice", "ckey"
+    )
     assert a_head.exceptAll(b_head).count() == 0
     assert b_head.exceptAll(a_head).count() == 0
 
@@ -1279,7 +1295,7 @@ def orders_cdf_replica_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return b_head.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
-        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
         .cast("bigint").alias("cents"),
-        F.sum("key").cast("bigint").alias("key_sum"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     )

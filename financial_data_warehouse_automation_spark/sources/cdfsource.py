@@ -21,12 +21,28 @@ Contract:
   never the table.
 * ``read(partition)`` — runs ON EXECUTORS: reads the one bucket's
   pre- and post-image directories (pyarrow), diffs them by key, and
-  emits typed rows ``(commit_version, change_type, key, value)`` —
+  emits typed rows ``(commit_version, change_type, <row columns>)`` —
   ``insert`` / ``delete`` / ``update_preimage`` / ``update_postimage``.
   Correct because the store's buckets partition the KEY SPACE: a row
   never migrates buckets across a COW commit, so each bucket's diff
   is complete and local — the diff of a 100 TB table distributes as
   one task per changed bucket with zero shuffle.
+* FULL-ROW feeds (r14 — the r13 verdict's task 3): by default the
+  feed carries EVERY column of the table (Delta's ``readChangeFeed``
+  row shape) — the schema is derived once, driver-side, from the head
+  manifest's first bucket's parquet footer; pre-image rows carry the
+  pre-image values of every column. Passing ``valcol`` selects the
+  legacy single-value mode (schema ``key bigint, value double``),
+  which the r13 consumers use. Full-row mode requires a stable
+  physical schema across the subscribed range — a column-mapping
+  (schema-evolved) table should be consumed through its snapshot
+  reader instead.
+* RETENTION vs CHECKPOINT (r13 advisor): planning a range whose
+  manifests ``expire_snapshots`` has already reclaimed raises a clear
+  error naming the interaction — the replay guarantee holds only
+  while retention keeps every manifest at or above the checkpointed
+  offset (Delta's readChangeFeed fails the same way when history is
+  vacuumed).
 * Replays are deterministic: the same (start, end) range plans the
   same partitions over the same immutable directories, so a restarted
   query re-reading a committed range reproduces it byte-for-byte, and
@@ -70,20 +86,74 @@ def _latest_version(table_dir: str) -> int:
 
 
 def _buckets(table_dir: str, version: int) -> dict[str, str]:
-    with open(os.path.join(table_dir, f"manifest-v{version}.json")) as f:
-        return {
-            k: v for k, v in json.load(f).items() if not k.startswith("_")
-        }
+    path = os.path.join(table_dir, f"manifest-v{version}.json")
+    try:
+        with open(path) as f:
+            record = json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"CDF planning needs manifest-v{version}.json of {table_dir} "
+            "but retention (expire_snapshots) has reclaimed it. The "
+            "byte-for-byte replay guarantee holds only while the table's "
+            "retention horizon stays at or below every subscriber's "
+            "checkpointed offset — keep keep_from <= the oldest "
+            "checkpoint + 1, or restart the subscriber from a fresh "
+            "checkpoint (Delta's readChangeFeed fails the same way when "
+            "history is vacuumed)."
+        ) from None
+    return {k: v for k, v in record.items() if not k.startswith("_")}
+
+
+_DDL_BY_ARROW = {
+    "int64": "bigint", "int32": "int", "int16": "smallint",
+    "int8": "tinyint", "double": "double", "float": "float",
+    "string": "string", "large_string": "string", "bool": "boolean",
+    "date32[day]": "date", "binary": "binary",
+}
+
+
+def _arrow_ddl(field) -> str:
+    """Spark DDL type for a pyarrow field (the handful the testdata
+    uses; anything exotic fails loudly rather than miscasting)."""
+    s = str(field.type)
+    if s in _DDL_BY_ARROW:
+        return _DDL_BY_ARROW[s]
+    if s.startswith("decimal128(") or s.startswith("decimal("):
+        return "decimal" + s[s.index("("):]
+    if s.startswith("timestamp"):
+        return "timestamp"
+    raise ValueError(
+        f"unsupported parquet type {s!r} for CDF column {field.name!r}"
+    )
+
+
+def _table_columns(table_dir: str) -> list[tuple[str, str]]:
+    """(name, spark_ddl_type) for every column of the table, from the
+    head manifest's first bucket's parquet footer — one metadata read,
+    driver-side, at source construction."""
+    import pyarrow.parquet as pq
+
+    head = _latest_version(table_dir)
+    if head == 0:
+        raise ValueError(f"no manifest in {table_dir}")
+    buckets = _buckets(table_dir, head)
+    first = buckets[sorted(buckets)[0]]
+    files = sorted(
+        n for n in os.listdir(first) if n.endswith(".parquet")
+    )
+    schema = pq.read_schema(os.path.join(first, files[0]))
+    return [(f.name, _arrow_ddl(f)) for f in schema]
 
 
 class _BucketDiff(InputPartition):
     def __init__(self, version: int, pre_dir: str | None,
-                 post_dir: str | None, key_col: str, val_col: str):
+                 post_dir: str | None, key_col: str,
+                 cols: list[str]):
         self.version = version
         self.pre_dir = pre_dir
         self.post_dir = post_dir
         self.key_col = key_col
-        self.val_col = val_col
+        self.cols = cols  # full output column list, schema order
 
 
 class SnapshotCDFStreamReader(DataSourceStreamReader):
@@ -92,8 +162,19 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         if not self.table_dir:
             raise ValueError("snapshot_cdf requires a 'path' option")
         self.key_col = options.get("keycol", "key")
-        self.val_col = options.get("valcol", "value")
         self.start_version = int(options.get("startversion", 1))
+        val_col = options.get("valcol")
+        if val_col is not None:
+            # legacy single-value mode: (key, value) rows
+            self.cols = [self.key_col, val_col]
+        else:
+            # full-row mode: every table column, footer order
+            self.cols = [c for c, _ in _table_columns(self.table_dir)]
+        if self.key_col not in self.cols:
+            raise ValueError(
+                f"key column {self.key_col!r} not in table columns "
+                f"{self.cols}"
+            )
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -114,12 +195,14 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                 if pre.get(b) != post.get(b):  # manifest diff = churn
                     out.append(_BucketDiff(
                         v, pre.get(b), post.get(b),
-                        self.key_col, self.val_col,
+                        self.key_col, self.cols,
                     ))
         return out
 
     def read(self, partition: _BucketDiff):
         def load(d: str | None) -> dict:
+            """key -> tuple of ALL output column values (schema
+            order); only the feed's columns are read from parquet."""
             if d is None:
                 return {}
             import pyarrow.parquet as pq
@@ -129,33 +212,34 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                 if not name.endswith(".parquet"):
                     continue
                 t = pq.read_table(
-                    os.path.join(d, name),
-                    columns=[partition.key_col, partition.val_col],
+                    os.path.join(d, name), columns=partition.cols,
                 )
-                for k, v in zip(
-                    t.column(partition.key_col).to_pylist(),
-                    t.column(partition.val_col).to_pylist(),
-                ):
-                    kv[k] = v
+                cols = [t.column(c).to_pylist() for c in partition.cols]
+                key_idx = partition.cols.index(partition.key_col)
+                for row in zip(*cols):
+                    kv[row[key_idx]] = row
             return kv
 
-        def changed(a, b) -> bool:
-            # NaN-safe inequality: a NaN-valued row that did not
-            # change must not emit a spurious update pair (NaN != NaN
-            # is True under IEEE compare)
-            if a != a and b != b:
-                return False
-            return a != b
+        def changed(a: tuple, b: tuple) -> bool:
+            # NaN-safe inequality per column: a NaN-valued row that
+            # did not change must not emit a spurious update pair
+            # (NaN != NaN is True under IEEE compare)
+            for x, y in zip(a, b):
+                if x != x and y != y:
+                    continue
+                if x != y:
+                    return True
+            return False
 
         pre, post = load(partition.pre_dir), load(partition.post_dir)
         for k in sorted(set(pre) | set(post)):
             if k not in post:
-                yield (partition.version, "delete", k, pre[k])
+                yield (partition.version, "delete", *pre[k])
             elif k not in pre:
-                yield (partition.version, "insert", k, post[k])
+                yield (partition.version, "insert", *post[k])
             elif changed(pre[k], post[k]):
-                yield (partition.version, "update_preimage", k, pre[k])
-                yield (partition.version, "update_postimage", k, post[k])
+                yield (partition.version, "update_preimage", *pre[k])
+                yield (partition.version, "update_postimage", *post[k])
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable table versions; nothing to ack
@@ -166,16 +250,25 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
 
 class SnapshotCDFDataSource(DataSource):
     """``spark.readStream.format("snapshot_cdf").option("path", table)
-    .option("keycol", ...).option("valcol", ...).load()`` after
-    ``spark.dataSource.register(SnapshotCDFDataSource)``."""
+    .option("keycol", ...).load()`` after
+    ``spark.dataSource.register(SnapshotCDFDataSource)``.
+
+    Default schema is FULL-ROW: ``commit_version int, change_type
+    string`` followed by every table column at its parquet type.
+    ``.option("valcol", c)`` selects the legacy two-column feed
+    (``key bigint, value double``) the r13 consumers use."""
 
     @classmethod
     def name(cls) -> str:
         return "snapshot_cdf"
 
     def schema(self) -> str:
-        return ("commit_version int, change_type string, "
-                "key bigint, value double")
+        head = "commit_version int, change_type string"
+        if self.options.get("valcol") is not None:
+            return f"{head}, key bigint, value double"
+        cols = _table_columns(self.options.get("path"))
+        body = ", ".join(f"{n} {t}" for n, t in cols)
+        return f"{head}, {body}"
 
     def streamReader(self, schema) -> SnapshotCDFStreamReader:
         return SnapshotCDFStreamReader(self.options)
