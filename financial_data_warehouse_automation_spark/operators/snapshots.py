@@ -273,6 +273,43 @@ def try_commit(
     return version
 
 
+class CommitCheckViolation(Exception):
+    """A CHECK constraint failed on the frame staged for a commit;
+    nothing was published."""
+
+
+def check_constraints(df, checks: dict[str, str]) -> None:
+    """CHECK constraints at the commit boundary (r14; Delta's table
+    CHECK constraints / Iceberg's write validation): every named SQL
+    boolean expression must hold for EVERY row of the frame about to
+    be committed. Violations — including NULL results, which a bare
+    WHERE would silently treat as pass — raise
+    :class:`CommitCheckViolation` with per-check violation counts, so
+    the writer's protocol is stage → check → ``try_commit``: a bad
+    batch never publishes a manifest and the staged directory is
+    ordinary GC food for ``expire_snapshots``.
+
+    Scale: all checks evaluate in ONE aggregation pass over the staged
+    frame (a handful of conditional-sum columns — map-side combined,
+    no extra scan per check), and the frame is the COMMIT'S data, not
+    the table's — cost scales with the write, never the 100 TB."""
+    from pyspark.sql import functions as F
+
+    aggs = [
+        F.sum(
+            F.when(~F.expr(expr) | F.expr(expr).isNull(), 1).otherwise(0)
+        ).alias(name)
+        for name, expr in checks.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {n: row[n] for n in checks if (row[n] or 0) > 0}
+    if bad:
+        raise CommitCheckViolation(
+            "CHECK constraint(s) violated on the staged commit: "
+            + ", ".join(f"{n} ({c} rows)" for n, c in sorted(bad.items()))
+        )
+
+
 def create_branch(
     table_dir: str, name: str, from_version: int | None = None
 ) -> int:
@@ -873,10 +910,16 @@ def read_snapshot(
        [keys]}}``) has those keys filtered out last, so the filter
        sees LOGICAL column names on an evolved table (the DV column is
        a logical name; it survives renames unchanged because the
-       vector stores values, not field ids). The filter is an ``isin``
-       over the sidecar's keys — literally a broadcast anti-semi-join,
-       sized KB per commit; compaction later folds DVs into data and
-       drops the sidecar.
+       vector stores values, not field ids). The vector is scoped PER
+       BUCKET (r14): a key deleted from bucket X does not delete the
+       same key from bucket Y — which is what makes a merge-on-read
+       UPDATE expressible as "DV the old keys in their home buckets +
+       append a post-image bucket" in one commit, the same role
+       Iceberg's sequence numbers play (a delete file applies only to
+       older data files). Each DV'd bucket becomes its own plan branch
+       with an ``isin`` anti-filter (broadcast-sized, KB per commit —
+       a DV is small by contract; big deletes COW); compaction later
+       folds DVs into data and drops the sidecar.
 
     EVERY reader goes through this one function, so a deletion-vector
     or schema commit is correct-by-construction for all of them
@@ -899,34 +942,46 @@ def read_snapshot(
             "an empty manifest: no bucket to derive the schema from — "
             "publish an empty bucket (or keep one) for typed empty reads"
         )
-    dirs, trace = plan_scan(
+    _, trace = plan_scan(
         table_dir, preds, version=version, explain=True, branch=branch
     )
+    survivors = {b: mani[b] for b in trace["after_bloom"]}
     side = read_sidecar(table_dir, version, "schema", branch)
-    if side is not None:
-        survivors = {b: mani[b] for b in trace["after_bloom"]}
-        if not survivors:
-            first = sorted(mani)[0]
-            df = _mapped_read(
-                spark, side, {first: mani[first]}
-            ).limit(0)
-        else:
-            df = _mapped_read(spark, side, survivors)
-    elif dirs:
-        df = spark.read.parquet(*dirs)
-    else:
-        df = spark.read.parquet(
-            mani[sorted(mani)[0]]
-        ).limit(0)
-    dv = read_sidecar(table_dir, version, "deletes", branch)
-    if dv:
-        deleted = sorted({k for ks in dv["buckets"].values() for k in ks})
-        if deleted:
-            col = F.col(dv["column"])
-            # NULL-keyed rows must SURVIVE: ~NULL.isin(...) is NULL,
-            # which a bare filter silently drops — a delete of keys
-            # must never delete rows that have no key
-            df = df.where(~col.isin(deleted) | col.isNull())
+
+    def read_group(buckets: dict[str, str]):
+        if side is not None:
+            return _mapped_read(spark, side, buckets)
+        return spark.read.parquet(
+            *[buckets[b] for b in sorted(buckets)]
+        )
+
+    if not survivors:
+        first = sorted(mani)[0]
+        return read_group({first: mani[first]}).limit(0)
+
+    dv = read_sidecar(table_dir, version, "deletes", branch) or {}
+    dv_map = {
+        b: sorted(ks) for b, ks in dv.get("buckets", {}).items()
+        if b in survivors and ks
+    }
+    clean = {b: d for b, d in survivors.items() if b not in dv_map}
+    parts = []
+    if clean:
+        parts.append(read_group(clean))
+    for b in sorted(dv_map):
+        col = F.col(dv["column"])
+        # per-bucket anti-filter; NULL-keyed rows must SURVIVE:
+        # ~NULL.isin(...) is NULL, which a bare filter silently
+        # drops — a delete of keys must never delete rows that
+        # have no key
+        parts.append(
+            read_group({b: survivors[b]}).where(
+                ~col.isin(dv_map[b]) | col.isNull()
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
     return df
 
 

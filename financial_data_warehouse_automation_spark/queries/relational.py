@@ -6297,11 +6297,24 @@ def orders_branch_wap_fastforward(
     refs pin their data until dropped, exactly Iceberg's ref-aware
     GC.
 
+    r14 additions (the r13 verdict's task 4): branch-aware TIME
+    TRAVEL — as_of_version(branch=...) resolves an instant against
+    the branch's OWN snapshot log (a probe between the cut and the
+    CDC lands on the branch point, "now" on the branch head) — and
+    PER-BRANCH RETENTION — expire_snapshots(branch_keep_from=...)
+    trims a branch's history with the same clamp-to-head rail as
+    main, asserted to leave main's history and every branch-
+    referenced data directory untouched (expiring one ref never
+    breaks another).
+
     At 100 TB: a branch is one manifest file; cutting, committing to,
     promoting, and dropping it are all O(metadata). The oracle
     replays main's v1 and the promoted v2 (== branch head) from raw
     orders."""
+    import time as _time
+
     from financial_data_warehouse_automation_spark.operators.snapshots import (
+        as_of_version,
         create_branch,
         drop_branch,
         expire_snapshots,
@@ -6348,6 +6361,7 @@ def orders_branch_wap_fastforward(
     assert read_manifest(table, branch="etl") == v1_map
     assert {n for n in os.listdir(table) if os.path.isdir(
         os.path.join(table, n))} == dirs_before
+    ts_after_cut = _time.time()  # instant between etl v1 and etl v2
 
     # the risky CDC lands on the BRANCH (COW over touched buckets)
     upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
@@ -6407,6 +6421,31 @@ def orders_branch_wap_fastforward(
     assert not os.path.exists(d_bad)
     assert all(os.path.exists(d) for d in branch_head.values())
     assert agg_of(read_manifest(table, 1)) == main_v1_agg
+
+    # r14: branch-aware TIME TRAVEL — the branch has its OWN snapshot
+    # log, so an instant between the cut and the CDC resolves to the
+    # branch point while "now" resolves to the branch head (Iceberg:
+    # per-ref snapshot history); main's log is consulted separately
+    assert as_of_version(table, ts_after_cut, branch="etl") == 1
+    assert as_of_version(table, _time.time(), branch="etl") == 2
+    assert as_of_version(table, ts_after_cut) == 1  # main's own log
+
+    # r14: PER-BRANCH RETENTION — an audit re-run republishes the
+    # branch head as etl v3, then a branch retention policy trims the
+    # branch's own history (clamped to its head, same rail as main)
+    # while main's history — already at keep_from=1, i.e. keep all —
+    # and every data directory the branch references stay untouched:
+    # expiring main never breaks an unpromoted branch and vice versa
+    assert try_commit(table, 2, dict(etl_map), branch="etl") == 3
+    removed_m, removed_d = expire_snapshots(
+        table, keep_from=1, branch_keep_from={"etl": 99}
+    )
+    assert (removed_m, removed_d) == (2, 0), (removed_m, removed_d)
+    assert latest_version(table, "etl") == 3
+    assert read_manifest(table, branch="etl") == etl_map
+    assert all(os.path.exists(d) for d in etl_map.values())
+    assert latest_version(table) == 2
+    assert read_manifest(table, 1) == v1_map
 
     def agg(mapping: dict[str, str], tag: str) -> DataFrame:
         return spark.read.parquet(*mapping.values()).agg(
@@ -6909,4 +6948,527 @@ def orders_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(agg(2500.0, "t2"))
         .unionByName(agg(9999.0, "t3"))
         .orderBy("probe")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r14: merge-on-read UPDATE (DV + post-image in ONE commit), the unified
+# reader's capstone (evolved + deleted + pruned through one path), and
+# CHECK constraints at the commit boundary.
+
+
+@query(
+    "orders_mor_update",
+    tags=("snapshot", "merge-on-read", "update", "deletion-vector",
+          "cdf", "compaction"),
+    oracle="""
+WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders),
+head AS (
+  SELECT o_orderkey,
+         CASE WHEN o_custkey >= m.mx // 4
+               AND o_custkey <  m.mx // 4 + GREATEST(1, m.mx // 20)
+              THEN o_totalprice + 100.0 ELSE o_totalprice END AS p
+  FROM orders, m
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(p * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+FROM head
+""",
+)
+def orders_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPDATE — the completion of the deletion-vector
+    story (the r13 verdict's task 2): an UPDATE lands as ONE commit
+    carrying a delete vector on the old keys PLUS a small post-image
+    bucket, with ZERO rewritten data files (Iceberg v2 equality
+    deletes + data files; Delta DVs + add files). The reference
+    anchor is the February restatement (build_warehouse.py:159-169 /
+    queries/ingest_demo.py's monthly loop), which r13 re-stated by
+    COW-rewriting the month's bucket — here the same restatement
+    costs one KB sidecar + one post-image file regardless of how big
+    the bucket is.
+
+    Script: v1 = 8 custkey buckets. v2 = MoR UPDATE (+100 on one
+    custkey range): try_commit publishes {v1 buckets unchanged, u2 =
+    post-images} with the DV staged atomically via its sidecars=
+    param. Asserted: every v1 bucket's manifest entry is byte-
+    identical, DESCRIBE HISTORY shows exactly one added bucket and
+    zero re-points, and the unified reader serves the updated view.
+
+    CHANGE FEED over the MoR commit: the DV-aware CDF source (r14,
+    sources/cdfsource.py) emits the update as delete-rows from the
+    DV'd buckets (pre-images, read from the UNCHANGED shared dirs)
+    plus insert-rows from u2; a key-terminal fold ranking insert over
+    delete within a commit reproduces the head exactly (exceptAll
+    both ways, asserted) — a replica needs no special MoR handling.
+
+    v3 = compaction: touched buckets rewrite (old minus doomed, plus
+    their post-images), u2 and the DV retire together; carry-forward
+    drops the vector WITH the re-point (asserted gone), and v2 == v3
+    row-for-row (exceptAll both ways) — MoR and COW are two physical
+    encodings of one table state.
+
+    At 100 TB: the UPDATE's cost is the post-image write + two KB of
+    metadata — the table's data files are untouched (asserted by
+    manifest identity); readers pay one broadcast anti-filter until
+    compaction folds it; the feed plans one task per DV'd-or-added
+    bucket. The oracle replays the update arithmetic on raw orders."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_manifest,
+        read_sidecar,
+        read_snapshot,
+        table_history,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+    from financial_data_warehouse_automation_spark.sources.cdfsource import (
+        SnapshotCDFDataSource,
+    )
+
+    n_buckets = 8
+    work = scratch_dir("mordupd_")
+    table = os.path.join(work, "table")
+    os.makedirs(table)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_custkey").alias("ckey")
+    )
+    maxck = o.agg(F.max("ckey").alias("m")).collect()[0].m
+    bucket_of = lambda c: min(n_buckets - 1, c * n_buckets // (maxck + 1))
+    fb = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("ckey") * n_buckets / (maxck + 1)),
+    ).cast("int")
+
+    root = os.path.join(table, "g1")
+    o.withColumn("pb", fb).write.partitionBy("pb").parquet(root)
+    v1_map = {
+        n.split("=", 1)[1]: os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+    assert try_commit(table, 0, v1_map) == 1
+
+    # v2: the MoR UPDATE — DV on the old keys + post-image bucket,
+    # one atomic commit, zero rewritten data files
+    upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
+    upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
+    touched = list(range(bucket_of(upd_lo), bucket_of(upd_hi - 1) + 1))
+    doomed = {
+        str(b): sorted(
+            r.o_orderkey
+            for r in spark.read.parquet(v1_map[str(b)]).where(upd)
+            .select("o_orderkey").collect()
+        )
+        for b in touched
+    }
+    assert any(doomed.values()), "update range selected nothing"
+    d_post = os.path.join(table, "u2")
+    (
+        spark.read.parquet(*[v1_map[str(b)] for b in touched])
+        .where(upd)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .coalesce(1)
+        .write.parquet(d_post)
+    )
+    v2_map = dict(v1_map)
+    v2_map["u2"] = d_post
+    assert try_commit(
+        table, 1, v2_map,
+        sidecars={"deletes": {"column": "o_orderkey", "buckets": doomed}},
+    ) == 2
+    # zero rewrite, by manifest: every v1 bucket byte-identical
+    assert {
+        b: d for b, d in read_manifest(table, 2).items() if b != "u2"
+    } == v1_map
+    h2 = [h for h in table_history(table) if h["version"] == 2][0]
+    assert (h2["added"], h2["removed"], h2["repointed"]) == (
+        ["u2"], [], [],
+    ), h2
+
+    # the DV-aware change feed replays the MoR commit: deletes from
+    # the unchanged buckets' pre-images + inserts from u2; a terminal
+    # fold (insert outranks delete within a commit) rebuilds the head
+    spark.dataSource.register(SnapshotCDFDataSource)
+    out = os.path.join(work, "feed_out")
+    ckpt = os.path.join(work, "ckpt")
+    q = (
+        spark.readStream.format("snapshot_cdf")
+        .option("path", table)
+        .option("keycol", "o_orderkey")
+        .option("startversion", 0)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    feed = spark.read.parquet(out)
+    prio = F.when(
+        F.col("change_type").isin("insert", "update_postimage"), 2
+    ).otherwise(1)
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("commit_version").desc(), prio.desc()
+    )
+    replica = (
+        feed.where(F.col("change_type") != "update_preimage")
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("change_type") != "delete"))
+        .select("o_orderkey", "o_totalprice", "ckey")
+    )
+    head = read_snapshot(spark, table, version=2).select(
+        "o_orderkey", "o_totalprice", "ckey"
+    )
+    assert replica.exceptAll(head).count() == 0
+    assert head.exceptAll(replica).count() == 0
+
+    # v3: compaction folds the update — touched buckets rewrite with
+    # their post-images merged home, u2 and the DV retire together
+    v3_map = dict(v1_map)
+    for b in touched:
+        d3 = os.path.join(table, f"b{b}-g3")
+        (
+            spark.read.parquet(v1_map[str(b)])
+            .where(~upd)
+            .unionByName(
+                spark.read.parquet(d_post).where(fb == F.lit(b))
+            )
+            .write.parquet(d3)
+        )
+        v3_map[str(b)] = d3
+    assert try_commit(table, 2, v3_map) == 3
+    assert read_sidecar(table, 3, "deletes") is None  # folded, gone
+    v2_df = read_snapshot(spark, table, version=2)
+    v3_df = read_snapshot(spark, table, version=3)
+    assert v2_df.exceptAll(v3_df).count() == 0
+    assert v3_df.exceptAll(v2_df).count() == 0
+
+    return read_snapshot(spark, table).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint").alias("cents"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )
+
+
+@query(
+    "orders_evolved_dv_pruned_read",
+    tags=("snapshot", "schema-evolution", "deletion-vector",
+          "scan-planner", "unified-reader", "metadata"),
+    oracle="""
+WITH m AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+base AS (
+  SELECT o_orderkey AS okey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS revenue_cents,
+         CASE WHEN EXTRACT(YEAR FROM o_orderdate) >= 1998
+              THEN o_orderpriority END AS tag,
+         EXTRACT(YEAR FROM o_orderdate) AS yr, m.mk AS mk
+  FROM orders, m
+),
+live AS (
+  SELECT * FROM base
+  WHERE NOT (yr <= 1997 AND okey % 97 = 0
+             AND okey >= (2 * (mk + 1)) // 4
+             AND okey <  (3 * (mk + 1)) // 4)
+)
+SELECT CAST('head' AS VARCHAR) AS probe,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(revenue_cents) AS BIGINT) AS cents,
+       CAST(COUNT(tag) AS BIGINT) AS n_tagged
+FROM live
+UNION ALL
+SELECT 'k2_range', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(revenue_cents) AS BIGINT), CAST(COUNT(tag) AS BIGINT)
+FROM live
+WHERE okey >= (2 * (mk + 1)) // 4 AND okey < (3 * (mk + 1)) // 4
+ORDER BY probe
+""",
+)
+def orders_evolved_dv_pruned_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE UNIFIED READER'S CAPSTONE (the r13 verdict's task 1 done-
+    criterion): one table that has EVOLVED ITS SCHEMA (rename + add
+    column), TAKEN A MERGE-ON-READ DELETE, and CARRIES STATS — the
+    normal state of a long-lived production table — served by the ONE
+    read path (operators/snapshots.read_snapshot: plan_scan pruning →
+    column-mapped read → DV anti-filter), with every commit after v1
+    relying on try_commit's sidecar CARRY-FORWARD rather than
+    re-staging anything.
+
+    Timeline (physical fields f1/f2/f3; logical names live only in
+    the schema sidecar): v1 = pre-1998 history in 4 orderkey-range
+    buckets with schema (okey, cents) + per-bucket okey min/max
+    stats, staged atomically via try_commit's sidecars= param. v2 =
+    RENAME cents -> revenue_cents: a metadata-only commit (manifest
+    asserted identical; stats asserted CARRIED). v3 = DV DELETE of
+    the okey%97==0 keys inside bucket k2 (manifest again identical).
+    v4 = ADD COLUMN tag arriving WITH the 1998+ append (only the new
+    bucket carries f3; old buckets' signatures and the DV are
+    asserted carried — the v3 vector survives the unrelated append,
+    the exact resurrection trap the r13 advisor flagged).
+
+    The k2-range probe then demonstrates the composition: the planner
+    prunes k0/k1/k3 on CARRIED stats (trace asserted == [k2, p98] —
+    the append bucket spans the keyspace and is honestly kept), the
+    mapped read projects two schema generations to logical names, and
+    the DV filters the doomed keys — all through one function call.
+
+    At 100 TB: every layer is metadata arithmetic (KB-scale JSON) or
+    a broadcast anti-filter; a rename/add/delete costs zero data I/O
+    and the probe opens 2 of 5 directories. The oracle replays the
+    rename, the add, the delete, and the range from raw orders."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        plan_scan,
+        read_manifest,
+        read_sidecar,
+        read_snapshot,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    table = scratch_dir("snapevdv_")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("f1"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("f2"),
+        F.col("o_orderpriority").alias("f3"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    mk = o.agg(F.max("f1").alias("m")).collect()[0].m
+    bounds = [(i * (mk + 1)) // 4 for i in range(5)]  # b0..b4, half-open
+
+    kb = (
+        F.when(F.col("f1") < bounds[1], "k0")
+        .when(F.col("f1") < bounds[2], "k1")
+        .when(F.col("f1") < bounds[3], "k2")
+        .otherwise("k3")
+    )
+    root = os.path.join(table, "g1")
+    (
+        o.where(F.col("yr") <= 1997)
+        .select("f1", "f2", kb.alias("pb"))
+        .write.partitionBy("pb").parquet(root)
+    )
+    v1_map = {
+        n.split("=", 1)[1]: os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+    assert sorted(v1_map) == ["k0", "k1", "k2", "k3"], sorted(v1_map)
+    stats = {
+        r.pb: {"okey": [r.mn, r.mx]}
+        for r in o.where(F.col("yr") <= 1997)
+        .groupBy(kb.alias("pb"))
+        .agg(F.min("f1").alias("mn"), F.max("f1").alias("mx"))
+        .collect()
+    }
+    assert try_commit(
+        table, 0, v1_map,
+        sidecars={
+            "schema": {
+                "fields": {"okey": "f1", "cents": "f2"},
+                "buckets": {b: ["f1", "f2"] for b in v1_map},
+            },
+            "stats": stats,
+        },
+    ) == 1
+
+    # v2: RENAME cents -> revenue_cents — metadata only; stats carry
+    assert try_commit(
+        table, 1, v1_map,
+        sidecars={
+            "schema": {
+                "fields": {"okey": "f1", "revenue_cents": "f2"},
+                "buckets": {},
+            },
+        },
+    ) == 2
+    assert read_manifest(table, 2) == v1_map
+    assert read_sidecar(table, 2, "stats") == stats  # carried forward
+
+    # v3: merge-on-read DELETE inside k2 — zero rewrite; schema and
+    # stats carry forward untouched
+    doomed = sorted(
+        r.f1
+        for r in spark.read.parquet(v1_map["k2"])
+        .where(F.col("f1") % 97 == 0).select("f1").collect()
+    )
+    assert doomed, "the delete predicate selected nothing"
+    assert try_commit(
+        table, 2, v1_map,
+        sidecars={"deletes": {"column": "okey", "buckets": {"k2": doomed}}},
+    ) == 3
+    assert read_manifest(table, 3) == v1_map
+    assert read_sidecar(table, 3, "schema")["fields"] == {
+        "okey": "f1", "revenue_cents": "f2",
+    }
+
+    # v4: ADD COLUMN tag WITH the 1998+ append — the unrelated commit
+    # that used to resurrect DV'd rows; everything carries
+    d98 = os.path.join(table, "p98")
+    p98 = o.where(F.col("yr") >= 1998).select("f1", "f2", "f3")
+    p98.write.parquet(d98)
+    mn98, mx98 = p98.agg(F.min("f1"), F.max("f1")).collect()[0]
+    v4_map = dict(v1_map)
+    v4_map["p98"] = d98
+    assert try_commit(
+        table, 3, v4_map,
+        sidecars={
+            "schema": {
+                "fields": {
+                    "okey": "f1", "revenue_cents": "f2", "tag": "f3",
+                },
+                "buckets": {"p98": ["f1", "f2", "f3"]},
+            },
+            "stats": {"p98": {"okey": [mn98, mx98]}},
+        },
+    ) == 4
+    dv4 = read_sidecar(table, 4, "deletes")
+    assert dv4 == {"column": "okey", "buckets": {"k2": doomed}}, \
+        "the delete vector must survive the unrelated append"
+    assert read_sidecar(table, 4, "schema")["buckets"]["k0"] == ["f1", "f2"]
+    assert sorted(read_sidecar(table, 4, "stats")) == [
+        "k0", "k1", "k2", "k3", "p98",
+    ]
+
+    # the composed probe: stats prune k0/k1/k3; k2 + the keyspace-
+    # spanning append survive; mapping + DV apply on top
+    lo2, hi2 = bounds[2], bounds[3]
+    preds = [("range", "okey", lo2, hi2)]
+    _, trace = plan_scan(table, preds, explain=True)
+    assert trace["after_stats"] == ["k2", "p98"], trace
+
+    def agg(df: DataFrame, tag: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("revenue_cents").cast("bigint").alias("cents"),
+            F.count("tag").cast("bigint").alias("n_tagged"),
+        ).select(F.lit(tag).alias("probe"), "n_rows", "cents", "n_tagged")
+
+    ranged = read_snapshot(spark, table, preds).where(
+        (F.col("okey") >= lo2) & (F.col("okey") < hi2)
+    )
+    return (
+        agg(read_snapshot(spark, table), "head")
+        .unionByName(agg(ranged, "k2_range"))
+        .orderBy("probe")
+    )
+
+
+@query(
+    "orders_commit_check_constraints",
+    tags=("snapshot", "check-constraints", "commit", "quality-gate"),
+    oracle="""
+WITH pre AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS c
+  FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) <= 1997
+), full_t AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS c
+  FROM orders
+)
+SELECT CAST('head' AS VARCHAR) AS snapshot,
+       CAST(n AS BIGINT) AS n_rows, CAST(c AS BIGINT) AS cents
+FROM full_t
+UNION ALL
+SELECT 'v1', CAST(n AS BIGINT), CAST(c AS BIGINT) FROM pre
+ORDER BY snapshot
+""",
+)
+def orders_commit_check_constraints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECK CONSTRAINTS AT THE COMMIT BOUNDARY (Delta table CHECK
+    constraints / Iceberg write validation): the writer's protocol is
+    stage -> check_constraints -> try_commit, so a batch violating a
+    table invariant NEVER publishes a manifest — the table's history
+    contains only checked states, which is the commit-time twin of
+    the reference's row-level QA ledger (build_warehouse.py's
+    missing-mapping quarantine flags bad ROWS for later resolution;
+    a CHECK constraint refuses bad COMMITS outright).
+
+    Script: v1 = the pre-1998 history under two checks (positive
+    price, key present) — passes. A poisoned 1998+ batch (negated
+    prices, one NULL key) is staged and CHECKED: the violation raises
+    with per-check counts, the table head is asserted still v1, no
+    v2 manifest exists, and the staged directory is left as ordinary
+    GC food (asserted reclaimed by expire_snapshots). The CLEAN 1998+
+    batch then passes the same checks and commits as v2.
+
+    All checks evaluate in ONE aggregation pass over the STAGED frame
+    (conditional sums, map-side combined), so at 100 TB the gate
+    costs the write's scan, never the table's; NULL check results
+    count as violations (a bare WHERE would silently pass them). The
+    oracle replays v1 and the head from raw orders."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        CommitCheckViolation,
+        check_constraints,
+        expire_snapshots,
+        latest_version,
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    table = scratch_dir("snapcheck_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.year("o_orderdate").alias("yr")
+    )
+    checks = {
+        "positive_price": "o_totalprice > 0",
+        "key_present": "o_orderkey IS NOT NULL",
+    }
+
+    d1 = os.path.join(table, "pre98")
+    pre = o.where(F.col("yr") <= 1997).drop("yr")
+    pre.write.parquet(d1)
+    check_constraints(spark.read.parquet(d1), checks)
+    assert try_commit(table, 0, {"pre98": d1}) == 1
+
+    # the poisoned batch: staged, checked, REFUSED — never published
+    d_bad = os.path.join(table, "late98_bad")
+    bad = o.where(F.col("yr") >= 1998).drop("yr").withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    bad = bad.unionByName(
+        spark.createDataFrame(
+            [(None, 1.0)], "o_orderkey long, o_totalprice double"
+        )
+    )
+    bad.write.parquet(d_bad)
+    try:
+        check_constraints(spark.read.parquet(d_bad), checks)
+        raise AssertionError("poisoned batch passed its checks")
+    except CommitCheckViolation as e:
+        assert "positive_price" in str(e) and "key_present" in str(e)
+    assert latest_version(table) == 1  # nothing published
+    assert not os.path.exists(os.path.join(table, "manifest-v2.json"))
+
+    # the clean batch passes the same gate and commits
+    d2 = os.path.join(table, "late98")
+    o.where(F.col("yr") >= 1998).drop("yr").write.parquet(d2)
+    check_constraints(spark.read.parquet(d2), checks)
+    assert try_commit(table, 1, {"pre98": d1, "late98": d2}) == 2
+
+    # the refused batch's staging is ordinary GC food (keep_from=1
+    # retains all history; GC keys on referenced-by-no-manifest)
+    _, removed_d = expire_snapshots(table, keep_from=1)
+    assert removed_d == 1 and not os.path.exists(d_bad)
+
+    def agg(mapping: dict[str, str], tag: str) -> DataFrame:
+        return spark.read.parquet(*mapping.values()).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint").alias("cents"),
+        ).select(F.lit(tag).alias("snapshot"), "n_rows", "cents")
+
+    return (
+        agg(read_manifest(table), "head")
+        .unionByName(agg(read_manifest(table, 1), "v1"))
+        .orderBy("snapshot")
     )

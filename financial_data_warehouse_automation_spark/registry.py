@@ -54,129 +54,97 @@ REGISTRY: dict[str, QuerySpec] = {}
 # via this tuple so every recorded slot is deliberately chosen. The
 # tuple is EXACTLY 50 entries (r9 advisor: a 59-entry tuple silently
 # gave slots 51+ no record while claiming otherwise).
-# Round 13's prefix:
+# Round 14's prefix:
 #
 # 1. NEW queries first — each needs its first driver record in the
-#    same round it lands (the r6 lesson). This round's theme is the
-#    lakehouse layer finished end-to-end:
-#      ingest_monthly_snapshot_loop — the reference's WHOLE monthly
-#        business loop (S5 chrono files -> A2 MERGE -> A3 ledger)
-#        with each period one atomic warehouse+ledger commit; the
-#        §2.4 statement totals re-derived by timestamp time travel,
-#        including a February restated at head but served original
-#        at v2;
-#      orders_scan_planner_composed — plan_scan, the ONE read path
-#        composing spec -> stats -> Bloom pruning (candidate chain
-#        8 -> 5 -> 1 asserted on the year probe; Bloom the only
-#        effective layer on the mid-keyspace point probe);
-#      orders_deletion_vector_merge_on_read — DELETE as an
-#        equality-delete sidecar with ZERO data rewrite; the shared
-#        read path applies DVs for every reader; compaction folds
-#        them back (v2 == v3 oracle-certified);
-#      orders_schema_evolution_snapshot — RENAME/ADD COLUMN as
-#        metadata-only commits via the column-mapping sidecar; old
-#        buckets read NULL for later fields, history replays under
-#        period-correct schemas;
-#      orders_cdf_stream_subscribe — the CDF as a Spark 4 Python
-#        streaming SOURCE (offsets = snapshot versions): live
-#        subscription across 3 commits, replay no-op, signed deltas
-#        maintain an MV.
-#      orders_branch_wap_fastforward — snapshot BRANCHES (independent
-#        manifest chains over the same CAS): WAP on a branch, main
-#        fast-forwards by one zero-byte commit, a failed line is
-#        dropped and ref-aware GC reclaims exactly its staging;
-#      orders_shallow_clone_divergence — zero-copy shallow clone as a
-#        new table referencing the source's dirs; both diverge COW;
-#        the source's GC is fenced with the clone's live set
-#        (extra_live) so shared history survives.
-#      orders_cdf_replica_pipeline — the capstone: table B maintained
-#        PURELY by subscribing to A's change feed (startversion=0
-#        bootstraps the replica as inserts), each micro-batch folded
-#        into B's versioned state under the per-writer ledger;
-#        exceptAll both ways == A's head; full restart a byte no-op.
-#      orders_snapshot_describe_history — DESCRIBE HISTORY off the
-#        persisted metadata: per-version commit instant, writer, and
-#        manifest diff (added/removed/re-pointed buckets) plus each
-#        version's content audit, all oracle-replayed.
-# 2. PLAN/IMPL-TOUCHED queries whose newest driver record (r12)
-#    predates this round's change: the three prunings re-pointed
-#    through plan_scan, orders_snapshot_as_of moved from manifest
-#    mtimes to persisted _committed_at instants, and
-#    events_stream_snapshot_commit moved to the per-writer txn
-#    ledger (bucket ids now writer-scoped).
+#    same round it lands (the r6 lesson). This round's theme is
+#    closing the r13 verdict's storage gaps:
+#      orders_mor_update — merge-on-read UPDATE: DV on the old keys +
+#        post-image bucket in ONE commit, zero rewritten files
+#        (manifest asserted); the DV-aware change feed replays it and
+#        a terminal fold rebuilds the head; compaction folds it and
+#        v2 == v3 row-for-row;
+#      orders_evolved_dv_pruned_read — the unified reader's capstone:
+#        ONE table that has renamed+added columns, taken a DV delete,
+#        and carries stats, served by the ONE read path with every
+#        sidecar CARRIED FORWARD by try_commit (the resurrection trap
+#        pinned closed) and the pruning trace asserted;
+#      orders_commit_check_constraints — CHECK constraints at the
+#        commit boundary: a poisoned batch is refused before any
+#        manifest publishes; the clean batch passes the same gate.
+# 2. IMPL-TOUCHED queries whose newest driver record predates this
+#    round's storage changes: read_snapshot was unified (pruning ->
+#    column mapping -> per-BUCKET DV filter), try_commit now carries
+#    sidecars forward, sidecars became branch-qualified, the CDF
+#    source went full-row + DV-aware, expire_snapshots gained
+#    per-branch retention + sidecar GC, and the branch query grew
+#    branch as-of + retention probes.
 # 3. Rotation re-checks, oldest last-green first per
-#    tools/next_verify_prefix.py: the r12 queue
-#    (top10_orders_global .. doc_pack_greedy_bins) then the r8 band
-#    through q16_supplier_part_counts. q17_small_quantity_revenue,
-#    q18_large_orders,
-#    q19_disjunctive_revenue,
-#    q20_dominant_suppliers, q21_waiting_suppliers,
-#    q22_idle_rich_customers, q2_min_cost_supplier,
-#    segment_revenue_correlation, set_intersect_all_parts queue for
-#    r14.
+#    tools/next_verify_prefix.py: the r13 queue (q17/q18 + the
+#    q19..set_intersect_all_parts band queued in r13) through
+#    doc_neardup_dropset. doc_neardup_dropset_incremental,
+#    doc_shuffle_order, doc_vocab_top100, embedding_semantic_dedup,
+#    events_asof_* and the events band queue for r15.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
 # takes a slot again. Local ground truth for every query at BOTH scale
 # factors: CORRECTNESS_LOCAL_sf001.json / CORRECTNESS_LOCAL_sf01.json
 # (regenerate with tools/verify_oracle.py --json).
 VERIFY_FIRST: tuple[str, ...] = (
-    # bucket 1: new r13 queries
-    "orders_snapshot_describe_history",
+    # bucket 1: new r14 queries
+    "orders_mor_update",
+    "orders_evolved_dv_pruned_read",
+    "orders_commit_check_constraints",
+    # bucket 2: impl-touched in r14 without a post-change record
     "orders_cdf_replica_pipeline",
     "orders_branch_wap_fastforward",
-    "orders_shallow_clone_divergence",
-    "ingest_monthly_snapshot_loop",
-    "orders_scan_planner_composed",
     "orders_deletion_vector_merge_on_read",
     "orders_schema_evolution_snapshot",
     "orders_cdf_stream_subscribe",
-    # bucket 2: plans/impls touched in r13 without a post-change
-    # driver record: the three prunings re-pointed through plan_scan,
-    # the as-of query moved from mtimes to persisted commit instants,
-    # and the stream commit moved to the per-writer txn ledger
+    "orders_scan_planner_composed",
     "orders_manifest_stats_prune",
     "orders_manifest_bloom_point_lookup",
     "orders_partition_spec_evolution",
+    "orders_shallow_clone_divergence",
     "orders_snapshot_as_of",
+    "orders_snapshot_describe_history",
+    "orders_snapshot_incremental_mv",
     "events_stream_snapshot_commit",
+    "ingest_monthly_snapshot_loop",
+    "warehouse_upsert_snapshot",
     # bucket 3: rotation re-checks, oldest last-green first per
-    # tools/next_verify_prefix.py (r12 queue head onward)
-    "top10_orders_global",
-    "user_state_scd2",
-    "ann_cosine_topk_rhp",
-    "currency_parse_roundtrip",
-    "dedup_cluster_two_phase",
-    "doc_bm25_search",
-    "doc_chunk_sliding",
-    "doc_ngram_novelty",
-    "doc_pack_chunks",
-    "doc_pack_greedy_bins",
-    "doc_pii_scrub",
-    "doc_simhash_sketch",
-    "doc_train_test_split",
-    "doc_unigram_logprob",
-    "doc_zipf_fit",
-    "embedding_gram_matrix",
-    "embedding_label_centroids",
-    "embedding_quality_classifier",
-    "events_rolling_distinct_users",
-    "events_sessionization_30min",
-    "events_stream_dedup",
-    "events_stream_static_enrich",
-    "events_stream_stream_join",
-    "events_variant_extract",
-    "events_zscore_anomalies",
-    "kmeans_lloyd_step",
-    "media_audio_energy",
-    "merge_with_tombstones",
-    "order_price_percentiles",
-    "order_total_reconciliation",
-    "order_value_histogram",
-    "q10_returned_items",
-    "q12_delay_priority",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q16_supplier_part_counts",
+    # tools/next_verify_prefix.py (r13 queue head onward)
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "segment_revenue_correlation",
+    "set_intersect_all_parts",
+    "top3_orders_per_segment",
+    "unpivot_revenue_by_flag",
+    "upsert_keep_last",
+    "ann_cosine_topk_ivf",
+    "ann_cosine_topk_ivf_rerank",
+    "bucketed_join_colocated",
+    "cube_brand_size",
+    "customer_ltv_cohorts",
+    "customer_order_full_outer",
+    "customer_revenue_gini",
+    "customer_rfm_segments",
+    "customers_with_big_orders_semi",
+    "customers_without_orders_anti",
+    "distinct_counts_per_segment",
+    "doc_containment_pairs",
+    "doc_dedup_dropset",
+    "doc_jaccard_incremental_pairs",
+    "doc_jaccard_prefix_filter",
+    "doc_kl_divergence",
+    "doc_length_buckets",
+    "doc_minhash_md5_pairs",
+    "doc_neardup_dropset",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

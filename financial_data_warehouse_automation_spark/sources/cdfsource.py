@@ -43,6 +43,19 @@ Contract:
   while retention keeps every manifest at or above the checkpointed
   offset (Delta's readChangeFeed fails the same way when history is
   vacuumed).
+* DELETION-VECTOR AWARE (r14): each version step also diffs the two
+  versions' ``deletes`` sidecars. A bucket whose directory is
+  unchanged but whose DV gained keys emits those keys as ``delete``
+  rows (pre-image values read from the shared directory); a bucket
+  whose DV lost keys (an un-delete, or a compaction that folded the
+  vector while rewriting) emits nothing spurious because BOTH images
+  are materialized dv-filtered before diffing — the feed always
+  reflects the LOGICAL table a snapshot reader sees, exactly Delta's
+  CDF over deletion vectors. A merge-on-read UPDATE (one commit: DV
+  on the old keys + a post-image bucket) therefore arrives as
+  delete-from-the-old-bucket + insert-from-the-new-bucket pairs; a
+  key-terminal fold must rank insert over delete within one commit
+  (see orders_mor_update).
 * Replays are deterministic: the same (start, end) range plans the
   same partitions over the same immutable directories, so a restarted
   query re-reading a committed range reproduces it byte-for-byte, and
@@ -145,15 +158,38 @@ def _table_columns(table_dir: str) -> list[tuple[str, str]]:
     return [(f.name, _arrow_ddl(f)) for f in schema]
 
 
+def _dv_keys(table_dir: str, version: int, key_col: str) -> dict[str, set]:
+    """bucket -> deleted-key set from the ``deletes`` sidecar of
+    ``version`` (empty when absent). The DV column must be the feed's
+    key column — a vector on any other column cannot be folded into a
+    key-space diff and fails loudly."""
+    if version < 1:
+        return {}
+    path = os.path.join(table_dir, f"deletes-v{version}.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        dv = json.load(f)
+    if dv["column"] != key_col:
+        raise ValueError(
+            f"deletion vector at v{version} is on column "
+            f"{dv['column']!r} but the feed's key column is "
+            f"{key_col!r}; a CDF subscription requires key-column DVs"
+        )
+    return {b: set(ks) for b, ks in dv["buckets"].items()}
+
+
 class _BucketDiff(InputPartition):
     def __init__(self, version: int, pre_dir: str | None,
                  post_dir: str | None, key_col: str,
-                 cols: list[str]):
+                 cols: list[str], pre_dv=(), post_dv=()):
         self.version = version
         self.pre_dir = pre_dir
         self.post_dir = post_dir
         self.key_col = key_col
         self.cols = cols  # full output column list, schema order
+        self.pre_dv = tuple(sorted(pre_dv))    # keys DV'd at v-1
+        self.post_dv = tuple(sorted(post_dv))  # keys DV'd at v
 
 
 class SnapshotCDFStreamReader(DataSourceStreamReader):
@@ -191,22 +227,31 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
             # consumer can build a replica from nothing but the feed
             pre = _buckets(self.table_dir, v - 1) if v > 1 else {}
             post = _buckets(self.table_dir, v)
+            pre_dv = _dv_keys(self.table_dir, v - 1, self.key_col)
+            post_dv = _dv_keys(self.table_dir, v, self.key_col)
             for b in sorted(set(pre) | set(post)):
-                if pre.get(b) != post.get(b):  # manifest diff = churn
+                churn = pre.get(b) != post.get(b)  # manifest diff
+                dv_churn = pre_dv.get(b, set()) != post_dv.get(b, set())
+                if churn or dv_churn:  # data OR delete-vector change
                     out.append(_BucketDiff(
                         v, pre.get(b), post.get(b),
                         self.key_col, self.cols,
+                        pre_dv.get(b, set()), post_dv.get(b, set()),
                     ))
         return out
 
     def read(self, partition: _BucketDiff):
-        def load(d: str | None) -> dict:
+        def load(d: str | None, dv) -> dict:
             """key -> tuple of ALL output column values (schema
-            order); only the feed's columns are read from parquet."""
+            order), with the version's delete vector applied — both
+            images are the LOGICAL bucket a snapshot reader sees, so
+            a DV-only commit diffs as deletes and a compaction that
+            folds the vector diffs as nothing."""
             if d is None:
                 return {}
             import pyarrow.parquet as pq
 
+            dropped = set(dv)
             kv: dict = {}
             for name in sorted(os.listdir(d)):
                 if not name.endswith(".parquet"):
@@ -217,6 +262,8 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                 cols = [t.column(c).to_pylist() for c in partition.cols]
                 key_idx = partition.cols.index(partition.key_col)
                 for row in zip(*cols):
+                    if row[key_idx] in dropped:
+                        continue
                     kv[row[key_idx]] = row
             return kv
 
@@ -231,7 +278,8 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                     return True
             return False
 
-        pre, post = load(partition.pre_dir), load(partition.post_dir)
+        pre = load(partition.pre_dir, partition.pre_dv)
+        post = load(partition.post_dir, partition.post_dv)
         for k in sorted(set(pre) | set(post)):
             if k not in post:
                 yield (partition.version, "delete", *pre[k])

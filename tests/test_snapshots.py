@@ -1264,3 +1264,53 @@ def test_branch_as_of_version(tmp_path):
     assert as_of_version(table, 1e9) == 1  # main's log is its own
     with pytest.raises(ValueError, match="wap"):
         as_of_version(table, 1.0, branch="wap")
+
+
+def test_deletion_vector_is_bucket_scoped(spark, tmp_path):
+    """The DV is scoped per bucket (Iceberg sequence-number analogue):
+    a key deleted from bucket X must NOT delete the same key living in
+    bucket Y — the property that makes the merge-on-read UPDATE
+    (DV old keys + post-image bucket, one commit) expressible."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_snapshot,
+        try_commit,
+    )
+
+    table = str(tmp_path)
+    d_old = os.path.join(table, "old")
+    d_post = os.path.join(table, "post")
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], "k long, v long"
+    ).write.parquet(d_old)
+    spark.createDataFrame([(2, 99)], "k long, v long") \
+        .write.parquet(d_post)
+    try_commit(
+        table, 0, {"old": d_old, "post": d_post},
+        sidecars={"deletes": {"column": "k", "buckets": {"old": [2]}}},
+    )
+    got = sorted(
+        (r.k, r.v) for r in read_snapshot(spark, table).collect()
+    )
+    assert got == [(1, 10), (2, 99)], got  # post-image survives
+
+
+def test_check_constraints_single_pass_and_null_semantics(spark):
+    """check_constraints: all checks in ONE aggregation pass; NULL
+    results count as violations (a bare WHERE would pass them); clean
+    frames pass silently."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        CommitCheckViolation,
+        check_constraints,
+    )
+
+    good = spark.createDataFrame([(1, 5.0), (2, 7.5)], "k long, p double")
+    check_constraints(good, {"pos": "p > 0", "key": "k IS NOT NULL"})
+
+    bad = spark.createDataFrame(
+        [(1, 5.0), (2, None), (None, -1.0)], "k long, p double"
+    )
+    with pytest.raises(CommitCheckViolation) as ei:
+        check_constraints(bad, {"pos": "p > 0", "key": "k IS NOT NULL"})
+    msg = str(ei.value)
+    # p=None is a NULL check result -> violation; p=-1 -> violation
+    assert "pos (2 rows)" in msg and "key (1 rows)" in msg, msg
