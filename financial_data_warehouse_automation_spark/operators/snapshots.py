@@ -574,6 +574,8 @@ def as_of_version(table_dir: str, ts: float, branch: str = "main") -> int:
 #   stats-v<N>.json  {bucket: {column: [min, max]}}                    (inclusive observed bounds)
 #   bloom-v<N>.json  {"column": c, "m": bits, "k": hashes,
 #                     "buckets": {bucket: {word_idx: bits_int}}}       (packed 32-bit words)
+#   filestats-v<N>.json  {bucket: {filename: {column: [min, max]}}}    (per-FILE bounds; r14 —
+#                     the entry must cover ALL of the bucket's files)
 #
 # Predicates are conjunctive tuples:
 #   ("range", column, lo, hi)   — half-open [lo, hi)
@@ -586,12 +588,15 @@ def as_of_version(table_dir: str, ts: float, branch: str = "main") -> int:
 
 Pred = tuple
 
-_SIDECAR_KINDS = ("spec", "stats", "bloom", "deletes", "schema")
+_SIDECAR_KINDS = (
+    "spec", "stats", "bloom", "deletes", "schema", "filestats",
+)
 
 # spec-v<N>.json / stats-mybranch-v<N>.json — branch infix mirrors the
 # manifest's, so a branch's v1 sidecar can never be read as main's v1
 _SIDECAR_RE = re.compile(
-    r"(spec|stats|bloom|deletes|schema)(?:-([A-Za-z0-9_]+))?-v(\d+)\.json$"
+    r"(filestats|spec|stats|bloom|deletes|schema)"
+    r"(?:-([A-Za-z0-9_]+))?-v(\d+)\.json$"
 )
 
 
@@ -673,7 +678,7 @@ def _carry_forward(
     """
     if base is None:
         return staged
-    if kind in ("spec", "stats"):
+    if kind in ("spec", "stats", "filestats"):
         out = {b: e for b, e in base.items() if b in unchanged}
         if staged:
             out.update(staged)
@@ -794,32 +799,20 @@ def _bloom_may_match(side: dict, bucket: str, preds: list[Pred]) -> bool:
     return True
 
 
-def plan_scan(
+def _plan_units(
     table_dir: str,
     predicates: list[Pred],
-    version: int | None = None,
-    explain: bool = False,
+    version: int,
     branch: str = "main",
 ):
-    """THE scan planner: resolve ``version``'s manifest, then prune its
-    buckets through every sidecar layer in order — partition spec →
-    column stats → Bloom — and return the surviving data dirs (sorted
-    by bucket id). With ``explain=True`` also returns the per-layer
-    candidate trace ``{"buckets", "after_spec", "after_stats",
-    "after_bloom"}`` so callers (and tests) can assert WHERE pruning
-    happened, the way Iceberg's scan reports skipped manifests/files.
-
-    Layers a version does not carry are skipped (trace repeats the
-    previous set) — a table with only stats still plans through the
-    one planner; composition is additive, not configured. For an
-    evolved table the sidecars and predicates name columns by the SAME
-    names (the planner is name-agnostic metadata arithmetic); staging
-    stats under the logical names keeps pruning alive across renames."""
-    if version is None:
-        version = latest_version(table_dir, branch)
+    """The planner's core: (manifest, {surviving bucket: [read
+    paths]}, trace). A bucket without file-grain stats reads as its
+    whole directory; one WITH a ``filestats`` sidecar entry reads only
+    the files whose min/max survive the predicates — Iceberg's
+    file-level stats inside split planning, the fourth pruning layer."""
     mani = read_manifest(table_dir, version, branch)
     cand = set(mani)
-    trace: dict[str, list[str]] = {"buckets": sorted(cand)}
+    trace: dict = {"buckets": sorted(cand)}
 
     spec = read_sidecar(table_dir, version, "spec", branch)
     if spec:
@@ -836,7 +829,58 @@ def plan_scan(
         cand = {b for b in cand if _bloom_may_match(bloom, b, predicates)}
     trace["after_bloom"] = sorted(cand)
 
-    dirs = [mani[b] for b in sorted(cand)]
+    fstats = read_sidecar(table_dir, version, "filestats", branch)
+    units: dict[str, list[str]] = {}
+    n_total = n_kept = 0
+    for b in sorted(cand):
+        entry = fstats.get(b) if fstats else None
+        if not entry:
+            units[b] = [mani[b]]
+            continue
+        # contract: a bucket's filestats entry covers ALL its files
+        # (staged by the writer that produced them) — an unlisted
+        # file would otherwise be silently skipped
+        kept = [
+            f for f, st in sorted(entry.items())
+            if _stats_may_match(st, predicates)
+        ]
+        n_total += len(entry)
+        n_kept += len(kept)
+        units[b] = [os.path.join(mani[b], f) for f in kept]
+    if fstats:
+        trace["files_total"] = n_total
+        trace["files_kept"] = n_kept
+    return mani, units, trace
+
+
+def plan_scan(
+    table_dir: str,
+    predicates: list[Pred],
+    version: int | None = None,
+    explain: bool = False,
+    branch: str = "main",
+):
+    """THE scan planner: resolve ``version``'s manifest, then prune its
+    buckets through every sidecar layer in order — partition spec →
+    column stats → Bloom → per-FILE stats (r14) — and return the
+    surviving read paths (whole directories, or individual files for
+    buckets carrying a ``filestats`` sidecar), sorted by bucket id.
+    With ``explain=True`` also returns the per-layer candidate trace
+    ``{"buckets", "after_spec", "after_stats", "after_bloom"}`` (plus
+    ``files_total``/``files_kept`` when file-grain stats exist) so
+    callers (and tests) can assert WHERE pruning happened, the way
+    Iceberg's scan reports skipped manifests/files.
+
+    Layers a version does not carry are skipped (trace repeats the
+    previous set) — a table with only stats still plans through the
+    one planner; composition is additive, not configured. For an
+    evolved table the sidecars and predicates name columns by the SAME
+    names (the planner is name-agnostic metadata arithmetic); staging
+    stats under the logical names keeps pruning alive across renames."""
+    if version is None:
+        version = latest_version(table_dir, branch)
+    _, units, trace = _plan_units(table_dir, predicates, version, branch)
+    dirs = [p for b in sorted(units) for p in units[b]]
     return (dirs, trace) if explain else dirs
 
 
@@ -860,7 +904,7 @@ def _mapped_read(spark, side: dict, buckets: dict[str, str]):
     from pyspark.sql import functions as F
 
     groups: dict[tuple[str, ...], list[str]] = {}
-    for b, d in buckets.items():
+    for b, paths in buckets.items():
         sig = side["buckets"].get(b)
         if sig is None:
             raise ValueError(
@@ -869,7 +913,9 @@ def _mapped_read(spark, side: dict, buckets: dict[str, str]):
                 "fields (try_commit's carry-forward stamps new buckets "
                 "with the current generation automatically)"
             )
-        groups.setdefault(tuple(sorted(sig)), []).append(d)
+        groups.setdefault(tuple(sorted(sig)), []).extend(
+            paths if isinstance(paths, list) else [paths]
+        )
     parts = []
     for sig, dirs in sorted(groups.items()):
         present = set(sig)
@@ -942,22 +988,20 @@ def read_snapshot(
             "an empty manifest: no bucket to derive the schema from — "
             "publish an empty bucket (or keep one) for typed empty reads"
         )
-    _, trace = plan_scan(
-        table_dir, preds, version=version, explain=True, branch=branch
-    )
-    survivors = {b: mani[b] for b in trace["after_bloom"]}
+    _, units, _ = _plan_units(table_dir, preds, version, branch)
+    survivors = {b: paths for b, paths in units.items() if paths}
     side = read_sidecar(table_dir, version, "schema", branch)
 
-    def read_group(buckets: dict[str, str]):
+    def read_group(buckets: dict[str, list[str]]):
         if side is not None:
             return _mapped_read(spark, side, buckets)
         return spark.read.parquet(
-            *[buckets[b] for b in sorted(buckets)]
+            *[p for b in sorted(buckets) for p in buckets[b]]
         )
 
     if not survivors:
         first = sorted(mani)[0]
-        return read_group({first: mani[first]}).limit(0)
+        return read_group({first: [mani[first]]}).limit(0)
 
     dv = read_sidecar(table_dir, version, "deletes", branch) or {}
     dv_map = {

@@ -7472,3 +7472,156 @@ def orders_commit_check_constraints(
         .unionByName(agg(read_manifest(table, 1), "v1"))
         .orderBy("snapshot")
     )
+
+
+@query(
+    "orders_filegrain_skipping_snapshot",
+    tags=("snapshot", "scan-planner", "file-skipping", "filestats",
+          "metadata"),
+    oracle="""
+WITH m AS (SELECT MAX(o_orderkey) AS mk FROM orders),
+b AS (
+  SELECT o_orderkey AS okey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         EXTRACT(YEAR FROM o_orderdate) AS yr, m.mk AS mk
+  FROM orders, m
+),
+r AS (
+  SELECT * FROM b
+  WHERE okey >= (2 * (mk + 1)) // 5
+    AND okey <  (2 * (mk + 1)) // 5 + GREATEST(1, (mk + 1) // 50)
+)
+SELECT CAST('keyband' AS VARCHAR) AS probe,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM r
+UNION ALL
+SELECT 'year_keyband', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(cents) AS BIGINT)
+FROM r WHERE yr = 1996
+ORDER BY probe
+""",
+)
+def orders_filegrain_skipping_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FILE-GRAIN SKIPPING INSIDE THE SCAN PLANNER (r14) — the fourth
+    pruning layer: per-FILE min/max bounds (Iceberg's file-level
+    column stats inside split planning; Delta per-file stats in the
+    log). Bucket-level stats answer 'which directories?'; at 100 TB a
+    bucket is still thousands of files, and a planner that stops at
+    the directory reads all of them. Here each year bucket is written
+    RANGE-PARTITIONED on o_orderkey (repartitionByRange → each file
+    covers a disjoint key range), the per-file bounds are harvested
+    from the PARQUET FOOTERS the write already produced (zero extra
+    data scan — the stats exist; the sidecar just lifts them to the
+    planner), and plan_scan prunes files the way it prunes buckets.
+
+    Probes, both oracle-replayed: (a) a 2% orderkey band — bucket
+    stats CANNOT prune (every year spans the keyspace, trace
+    asserted) but file stats keep at most 2 files per bucket (trace
+    files_kept asserted << files_total); (b) year+band — the spec
+    layer first drops 6 of 7 buckets, then file stats cut within the
+    survivor; composition asserted layer by layer. The unified reader
+    consumes the file-grain plan transparently (read paths are files,
+    not dirs), and a bucket with NO filestats entry still reads whole
+    — the layer is additive, never a correctness gate.
+
+    At 100 TB: the sidecar is O(files) KB-scale JSON per bucket,
+    planning stays driver-side arithmetic, and a needle query opens
+    ~1 file per surviving bucket instead of the bucket — the same
+    10-1000x I/O cut Iceberg gets from manifests' per-file stats."""
+    import pyarrow.parquet as pq
+
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        plan_scan,
+        read_snapshot,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    table = scratch_dir("snapfgs_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        .alias("cents"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    mk = o.agg(F.max("o_orderkey").alias("m")).collect()[0].m
+    years = sorted(r.yr for r in o.select("yr").distinct().collect())
+
+    mapping: dict[str, str] = {}
+    spec: dict[str, dict] = {}
+    fstats: dict[str, dict] = {}
+    for y in years:
+        b = f"y{y}"
+        d = os.path.join(table, b)
+        (
+            o.where(F.col("yr") == y)
+            .repartitionByRange(6, "o_orderkey")
+            .write.parquet(d)
+        )
+        mapping[b] = d
+        spec[b] = {"column": "yr", "value": int(y)}
+        entry: dict[str, dict] = {}
+        for fname in sorted(os.listdir(d)):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, fname)).metadata
+            lo = hi = None
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for c in range(rg.num_columns):
+                    col = rg.column(c)
+                    if col.path_in_schema != "o_orderkey":
+                        continue
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            # a file without footer stats is conservatively unbounded
+            entry[fname] = {} if lo is None else {"okey": [lo, hi]}
+        fstats[b] = entry
+    assert try_commit(
+        table, 0, mapping,
+        sidecars={"spec": spec, "filestats": fstats},
+    ) == 1
+
+    klo = (2 * (mk + 1)) // 5
+    khi = klo + max(1, (mk + 1) // 50)
+    band = [("range", "okey", klo, khi)]
+
+    # probe (a): bucket layers cannot prune a key band (every year
+    # spans the keyspace) — the FILE layer does the work
+    _, tr_a = plan_scan(table, band, explain=True)
+    assert tr_a["after_spec"] == sorted(mapping), tr_a
+    assert tr_a["files_total"] >= 3 * len(years), tr_a
+    assert 1 <= tr_a["files_kept"] <= 2 * len(years), tr_a
+    assert tr_a["files_kept"] <= tr_a["files_total"] // 2, tr_a
+
+    # probe (b): spec drops 6 of 7 buckets FIRST, files cut within
+    yk = band + [("in", "yr", [1996])]
+    _, tr_b = plan_scan(table, yk, explain=True)
+    assert tr_b["after_spec"] == ["y1996"], tr_b
+    assert 1 <= tr_b["files_kept"] <= 2, tr_b
+
+    def agg(preds: list, residual, tag: str) -> DataFrame:
+        return (
+            read_snapshot(spark, table, preds)
+            .where(residual)
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("cents"),
+            )
+            .select(F.lit(tag).alias("probe"), "n_rows", "cents")
+        )
+
+    in_band = (F.col("o_orderkey") >= klo) & (F.col("o_orderkey") < khi)
+    return (
+        agg(band, in_band, "keyband")
+        .unionByName(
+            agg(yk, in_band & (F.col("yr") == 1996), "year_keyband")
+        )
+        .orderBy("probe")
+    )

@@ -71,7 +71,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 #        pinned closed) and the pruning trace asserted;
 #      orders_commit_check_constraints — CHECK constraints at the
 #        commit boundary: a poisoned batch is refused before any
-#        manifest publishes; the clean batch passes the same gate.
+#        manifest publishes; the clean batch passes the same gate;
+#      orders_cdf_replica_bucketed — the replica at scale: the
+#        partitioned derived-state fold re-points ONLY the buckets
+#        a commit churned (asserted via DESCRIBE HISTORY), shares
+#        the rest zero-copy, and restarts as a byte no-op;
+#      orders_cdf_scd2_history — the feed folded into an SCD2
+#        dimension (valid_from/valid_to per value interval); the
+#        is_current slice asserted == the head read;
+#      orders_filegrain_skipping_snapshot — per-FILE min/max from
+#        parquet footers as the planner's fourth layer; a key band
+#        opens ~1 file per bucket (trace asserted).
 # 2. IMPL-TOUCHED queries whose newest driver record predates this
 #    round's storage changes: read_snapshot was unified (pruning ->
 #    column mapping -> per-BUCKET DV filter), try_commit now carries
@@ -93,6 +103,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 VERIFY_FIRST: tuple[str, ...] = (
     # bucket 1: new r14 queries
     "orders_mor_update",
+    "orders_cdf_replica_bucketed",
+    "orders_cdf_scd2_history",
+    "orders_filegrain_skipping_snapshot",
     "orders_evolved_dv_pruned_read",
     "orders_commit_check_constraints",
     # bucket 2: impl-touched in r14 without a post-change record
@@ -142,9 +155,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "doc_jaccard_incremental_pairs",
     "doc_jaccard_prefix_filter",
     "doc_kl_divergence",
-    "doc_length_buckets",
-    "doc_minhash_md5_pairs",
-    "doc_neardup_dropset",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

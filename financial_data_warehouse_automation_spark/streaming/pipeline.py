@@ -867,3 +867,104 @@ def snapshot_state_commit_batch(table_dir: str, merge, writer_id: str = "cdf"):
                 continue
 
     return apply
+
+
+def snapshot_partitioned_state_commit_batch(
+    table_dir: str, merge, bucket_of, writer_id: str = "cdf",
+):
+    """foreachBatch: the PARTITIONED form of
+    :func:`snapshot_state_commit_batch` (r14 — the swap its scale note
+    promised): the derived table is bucketed by key, and each
+    micro-batch rewrites ONLY the buckets its keys touch — untouched
+    buckets are carried into the new manifest as the same directory
+    strings (zero-copy COW sharing, asserted by the registered query),
+    exactly the per-bucket MERGE layout of
+    queries/warehouse.warehouse_upsert_snapshot driven by a stream.
+
+    ``bucket_of(df) -> Column`` — an int bucket id derived from the
+    row's key columns (must be stable across batches: a key's bucket
+    is its home for life, the same contract the CDF source relies on).
+    ``merge(prev: DataFrame | None, batch: DataFrame) -> DataFrame``
+    — receives the previous state OF THE TOUCHED BUCKETS ONLY (None
+    when none exist yet) plus the micro-batch, returns those buckets'
+    full new rows. A touched bucket whose merged content comes back
+    EMPTY is REMOVED from the manifest (a bucket-wide delete must not
+    leave the old directory mapped — that would resurrect its rows).
+
+    Exactly-once: the same per-writer ``_txn`` ledger as the single-
+    bucket form — replays return before any recompute; the CAS retry
+    loop REBASES on the latest mapping (re-pointing only this fold's
+    staged buckets), so maintenance commits on OTHER buckets
+    interleave freely with the subscription.
+
+    Scale: fold cost is one key-shuffle of BATCH size against the
+    touched buckets' rows — churn-proportional, never
+    table-proportional; planning (touched-bucket discovery) is one
+    tiny distinct over the batch; the commit is one manifest create."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        SnapshotConflict,
+        latest_version,
+        read_manifest,
+        read_manifest_meta,
+        try_commit,
+    )
+
+    def committed_through(latest: int) -> int:
+        if latest == 0:
+            return -1
+        meta = read_manifest_meta(table_dir, latest)
+        return meta.get("_txn", {}).get(writer_id, -1)
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        latest = latest_version(table_dir)
+        if committed_through(latest) >= batch_id:
+            return  # replay: already folded into the state
+        spark = batch.sparkSession
+        touched = sorted(
+            r.pb for r in
+            batch.select(bucket_of(batch).alias("pb")).distinct()
+            .collect()
+        )
+        if not touched:
+            return  # empty batch: nothing to fold, nothing to commit
+        mapping = read_manifest(table_dir) if latest > 0 else {}
+        prev_dirs = [
+            mapping[str(b)] for b in touched if str(b) in mapping
+        ]
+        prev = spark.read.parquet(*prev_dirs) if prev_dirs else None
+        root = os.path.join(table_dir, f"{writer_id}-g{batch_id}")
+        new = merge(prev, batch)
+        new.withColumn("pb", bucket_of(new)) \
+            .write.partitionBy("pb").parquet(root)
+        staged = {
+            n.split("=", 1)[1]: os.path.join(root, n)
+            for n in os.listdir(root)
+            if n.startswith("pb=")
+        }
+        unexpected = set(staged) - {str(b) for b in touched}
+        assert not unexpected, (
+            f"merge emitted rows outside the touched buckets: "
+            f"{sorted(unexpected)} — bucket_of must be key-stable"
+        )
+        while True:
+            latest = latest_version(table_dir)
+            if committed_through(latest) >= batch_id:
+                return  # our own replay won the race
+            base = read_manifest(table_dir) if latest > 0 else {}
+            for b in touched:
+                base.pop(str(b), None)  # emptied buckets drop out
+            base.update(staged)
+            txn = dict(
+                read_manifest_meta(table_dir, latest).get("_txn", {})
+            ) if latest > 0 else {}
+            txn[writer_id] = batch_id
+            try:
+                try_commit(
+                    table_dir, latest, base,
+                    meta={"_writer": writer_id, "_txn": txn},
+                )
+                return
+            except SnapshotConflict:
+                continue
+
+    return apply

@@ -1314,3 +1314,127 @@ def test_check_constraints_single_pass_and_null_semantics(spark):
     msg = str(ei.value)
     # p=None is a NULL check result -> violation; p=-1 -> violation
     assert "pos (2 rows)" in msg and "key (1 rows)" in msg, msg
+
+
+def test_partitioned_state_commit_repoints_only_touched(spark, tmp_path):
+    """The partitioned derived-state fold: untouched buckets carry the
+    IDENTICAL directory string across versions (zero-copy sharing), a
+    bucket whose merged content comes back empty is REMOVED from the
+    manifest (no resurrection via a stale mapping), and replays are
+    byte-level no-ops."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        latest_version,
+        read_manifest,
+        read_manifest_meta,
+    )
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        snapshot_partitioned_state_commit_batch,
+    )
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+
+    def bucket_of(df):
+        return (F.col("k") % 2).cast("int")
+
+    def merge(prev, batch):
+        ups = batch.where(F.col("op") != "delete").select("k", "v")
+        if prev is None:
+            return ups
+        return prev.join(
+            batch.select("k").distinct(), "k", "left_anti"
+        ).unionByName(ups)
+
+    fn = snapshot_partitioned_state_commit_batch(
+        table, merge, bucket_of, writer_id="w"
+    )
+    # batch 0: keys 1,3 -> bucket 1; keys 2,4 -> bucket 0
+    b0 = spark.createDataFrame(
+        [(1, 10, "insert"), (2, 20, "insert"),
+         (3, 30, "insert"), (4, 40, "insert")],
+        "k long, v long, op string",
+    )
+    fn(b0, 0)
+    v1 = read_manifest(table)
+    assert sorted(v1) == ["0", "1"]
+
+    # batch 1 touches only bucket 1 (odd keys): bucket 0 must be the
+    # same directory string in v2 — shared, not copied
+    b1 = spark.createDataFrame(
+        [(3, 35, "update_postimage")], "k long, v long, op string"
+    )
+    fn(b1, 1)
+    v2 = read_manifest(table)
+    assert v2["0"] == v1["0"]
+    assert v2["1"] != v1["1"]
+    state = {
+        r.k: r.v
+        for r in spark.read.parquet(*v2.values()).collect()
+    }
+    assert state == {1: 10, 2: 20, 3: 35, 4: 40}
+
+    # batch 2 deletes EVERY key of bucket 0: the bucket must drop out
+    # of the manifest, not keep pointing at its old directory
+    b2 = spark.createDataFrame(
+        [(2, 0, "delete"), (4, 0, "delete")], "k long, v long, op string"
+    )
+    fn(b2, 2)
+    v3 = read_manifest(table)
+    assert sorted(v3) == ["1"]
+    assert {
+        r.k for r in spark.read.parquet(*v3.values()).collect()
+    } == {1, 3}
+
+    # replays: byte-level no-ops before any recompute
+    before = sorted(os.listdir(table))
+    fn(b1, 1)
+    fn(b2, 2)
+    assert sorted(os.listdir(table)) == before
+    assert latest_version(table) == 3
+    assert read_manifest_meta(table)["_txn"] == {"w": 2}
+
+
+def test_filestats_prune_and_carry(tmp_path):
+    """File-grain planning: only files whose bounds survive the
+    predicates are read paths; a file with an EMPTY stats entry is
+    conservatively kept; the sidecar carries forward for unchanged
+    buckets like every per-bucket kind."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        plan_scan,
+        read_sidecar,
+        write_sidecar,
+    )
+
+    table = str(tmp_path)
+    d = _mkdata(table, "b0")
+    for f in ("part-0.parquet", "part-1.parquet", "part-2.parquet"):
+        open(os.path.join(d, f), "w").write("x")
+    write_sidecar(table, 1, "filestats", {"b0": {
+        "part-0.parquet": {"k": [0, 9]},
+        "part-1.parquet": {"k": [10, 19]},
+        "part-2.parquet": {},  # no footer stats: always kept
+    }})
+    try_commit(table, 0, {"b0": d})
+
+    got, tr = plan_scan(table, [("range", "k", 12, 15)],
+                        version=1, explain=True)
+    assert tr["files_total"] == 3 and tr["files_kept"] == 2, tr
+    assert got == [os.path.join(d, "part-1.parquet"),
+                   os.path.join(d, "part-2.parquet")], got
+    # no predicates: every file kept, paths not collapsed to the dir
+    assert len(plan_scan(table, [], version=1)) == 3
+
+    # carry-forward: an unrelated commit inherits the file bounds for
+    # the unchanged bucket
+    d2 = _mkdata(table, "b1")
+    try_commit(table, 1, {"b0": d, "b1": d2})
+    side = read_sidecar(table, 2, "filestats")
+    assert side == {"b0": {
+        "part-0.parquet": {"k": [0, 9]},
+        "part-1.parquet": {"k": [10, 19]},
+        "part-2.parquet": {},
+    }}, side
+    got2 = plan_scan(table, [("range", "k", 12, 15)], version=2)
+    assert got2 == [os.path.join(d, "part-1.parquet"),
+                    os.path.join(d, "part-2.parquet"), d2], got2
