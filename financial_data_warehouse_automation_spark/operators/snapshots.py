@@ -1014,15 +1014,27 @@ def read_snapshot(
         parts.append(read_group(clean))
     for b in sorted(dv_map):
         col = F.col(dv["column"])
-        # per-bucket anti-filter; NULL-keyed rows must SURVIVE:
-        # ~NULL.isin(...) is NULL, which a bare filter silently
-        # drops — a delete of keys must never delete rows that
-        # have no key
-        parts.append(
-            read_group({b: survivors[b]}).where(
-                ~col.isin(dv_map[b]) | col.isNull()
+        one = read_group({b: survivors[b]})
+        keys = dv_map[b]
+        if len(keys) <= 1000:
+            # small vector: a literal anti-filter. NULL-keyed rows
+            # must SURVIVE: ~NULL.isin(...) is NULL, which a bare
+            # filter silently drops — a delete of keys must never
+            # delete rows that have no key
+            one = one.where(~col.isin(keys) | col.isNull())
+        else:
+            # large vector: a literal IN of 10k+ keys blows up plan
+            # compilation — switch to the broadcast anti-join the
+            # filter semantically IS (NULL keys never match an
+            # equality, so they survive here too)
+            keys_df = one.sparkSession.createDataFrame(
+                [(k,) for k in keys], [dv["column"]]
             )
-        )
+            parts_join = one.join(
+                F.broadcast(keys_df), on=[dv["column"]], how="left_anti"
+            )
+            one = parts_join
+        parts.append(one)
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)

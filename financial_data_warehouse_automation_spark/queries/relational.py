@@ -6966,7 +6966,7 @@ WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders),
 head AS (
   SELECT o_orderkey,
          CASE WHEN o_custkey >= m.mx // 4
-               AND o_custkey <  m.mx // 4 + GREATEST(1, m.mx // 20)
+               AND o_custkey <  m.mx // 4 + GREATEST(1, m.mx // 200)
               THEN o_totalprice + 100.0 ELSE o_totalprice END AS p
   FROM orders, m
 )
@@ -7050,7 +7050,11 @@ def orders_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # v2: the MoR UPDATE — DV on the old keys + post-image bucket,
     # one atomic commit, zero rewritten data files
-    upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
+    # a 0.5% custkey band: a DV is by contract SMALL (KBs of keys);
+    # an update of 5%+ of the table should COW its buckets instead —
+    # the writer picks per commit (and the reader switches to a
+    # broadcast anti-join above 1k keys either way)
+    upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 200)
     upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
     touched = list(range(bucket_of(upd_lo), bucket_of(upd_hi - 1) + 1))
     doomed = {
@@ -7123,8 +7127,10 @@ def orders_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = read_snapshot(spark, table, version=2).select(
         "o_orderkey", "o_totalprice", "ckey"
     )
+    # multiset equality = equal counts + one empty difference (the
+    # second exceptAll is implied; half the compare cost at scale)
+    assert replica.count() == head.count()
     assert replica.exceptAll(head).count() == 0
-    assert head.exceptAll(replica).count() == 0
 
     # v3: compaction folds the update — touched buckets rewrite with
     # their post-images merged home, u2 and the DV retire together
@@ -7144,8 +7150,8 @@ def orders_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert read_sidecar(table, 3, "deletes") is None  # folded, gone
     v2_df = read_snapshot(spark, table, version=2)
     v3_df = read_snapshot(spark, table, version=3)
+    assert v2_df.count() == v3_df.count()
     assert v2_df.exceptAll(v3_df).count() == 0
-    assert v3_df.exceptAll(v2_df).count() == 0
 
     return read_snapshot(spark, table).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),

@@ -1530,8 +1530,9 @@ def orders_cdf_replica_bucketed(
     b_head = spark.read.parquet(*read_manifest(b_t).values()).select(
         "o_orderkey", "o_totalprice", "ckey"
     )
+    # multiset equality = equal counts + one empty difference
+    assert a_head.count() == b_head.count()
     assert a_head.exceptAll(b_head).count() == 0
-    assert b_head.exceptAll(a_head).count() == 0
 
     return b_head.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -1722,8 +1723,9 @@ def orders_cdf_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = spark.read.parquet(*read_manifest(table).values()).select(
         "o_orderkey", "o_totalprice"
     )
+    # multiset equality = equal counts + one empty difference
+    assert cur.count() == head.count()
     assert cur.exceptAll(head).count() == 0
-    assert head.exceptAll(cur).count() == 0
 
     return (
         scd2.groupBy(

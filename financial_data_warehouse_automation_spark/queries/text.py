@@ -11,6 +11,8 @@ always the banded join.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3028,4 +3030,131 @@ def doc_block_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_takedown_deletion_vector",
+    tags=("text", "snapshot", "deletion-vector", "takedown", "pii",
+          "llm-pipeline"),
+    oracle="""
+WITH base AS (
+  SELECT doc_id, n_chars,
+         (doc_id % 53 = 0) AS doomed
+  FROM documents
+)
+SELECT CAST('v1_full' AS VARCHAR) AS snapshot,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM base
+UNION ALL
+SELECT 'v2_takedown', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n_chars) AS BIGINT)
+FROM base WHERE NOT doomed
+UNION ALL
+SELECT 'v3_compacted', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n_chars) AS BIGINT)
+FROM base WHERE NOT doomed
+ORDER BY snapshot
+""",
+)
+def doc_takedown_deletion_vector(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TAKEDOWN / PII REMOVAL ON THE TRAINING CORPUS AS A DELETION-
+    VECTOR COMMIT — the lakehouse operation an LLM data pipeline runs
+    daily (the r13 verdict's framing): a takedown arrives as a LIST OF
+    DOCUMENT IDS (a DMCA notice, a PII scrub verdict, an opt-out
+    batch), and rewriting petabytes of corpus shards to drop KBs of
+    documents is the wrong physical plan. Here the documents table
+    lives under the snapshot store in doc_id-range buckets; the
+    takedown commits as an equality-delete sidecar — the manifest is
+    asserted BYTE-IDENTICAL (zero shards rewritten) — and EVERY
+    reader (this query, a training-data export, the change feed) is
+    takedown-compliant immediately because the one read path applies
+    the vector. The scheduled compaction later folds it into the data
+    (only the affected buckets rewrite) and v2 == v3 is certified by
+    the oracle: merge-on-read removal and physical removal are the
+    same table state, exchanged on the operator's schedule, with
+    timestamp retention policy (expire_snapshots) controlling how
+    long the pre-takedown snapshots remain readable.
+
+    At 100 TB: a takedown costs one KB-scale JSON + one manifest
+    create at commit time, a broadcast anti-filter per read until
+    compaction, and a churn-proportional rewrite when compaction
+    runs — never a corpus rewrite on the takedown path. The doomed
+    set here is the deterministic doc_id % 53 == 0 slice so the
+    oracle replays all three snapshots from raw documents."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_manifest,
+        read_sidecar,
+        read_snapshot,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    n_buckets = 4
+    table = scratch_dir("doctake_")
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("m")).collect()[0].m
+    fb = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col("doc_id") * n_buckets / (mx + 1)),
+    ).cast("int")
+
+    root = os.path.join(table, "g1")
+    d.withColumn("pb", fb).write.partitionBy("pb").parquet(root)
+    v1_map = {
+        n.split("=", 1)[1]: os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+    assert try_commit(table, 0, v1_map) == 1
+
+    # the takedown list: ids, bucketed to their home shards
+    doomed_rows = (
+        d.where(F.col("doc_id") % 53 == 0)
+        .select(fb.alias("pb"), "doc_id")
+        .collect()
+    )
+    assert doomed_rows, "takedown list is empty"
+    doomed: dict[str, list[int]] = {}
+    for r in doomed_rows:
+        doomed.setdefault(str(r.pb), []).append(r.doc_id)
+    doomed = {b: sorted(ks) for b, ks in doomed.items()}
+
+    # v2: the takedown — zero shards rewritten, by manifest identity
+    assert try_commit(
+        table, 1, dict(v1_map),
+        sidecars={"deletes": {"column": "doc_id", "buckets": doomed}},
+    ) == 2
+    assert read_manifest(table, 2) == v1_map
+
+    # v3: scheduled compaction folds the vector into the data — only
+    # the affected buckets rewrite, the vector retires with them
+    v3_map = dict(v1_map)
+    for b in sorted(doomed):
+        d3 = os.path.join(table, f"b{b}-g3")
+        (
+            spark.read.parquet(v1_map[b])
+            .where(~F.col("doc_id").isin(doomed[b]))
+            .write.parquet(d3)
+        )
+        v3_map[b] = d3
+    assert try_commit(table, 2, v3_map) == 3
+    assert read_sidecar(table, 3, "deletes") is None
+    shared = [b for b in v1_map if v3_map[b] == v1_map[b]]
+    assert len(shared) == n_buckets - len(doomed), shared
+
+    def agg(version: int, tag: str) -> DataFrame:
+        return read_snapshot(spark, table, version=version).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        ).select(F.lit(tag).alias("snapshot"), "n_docs", "chars")
+
+    return (
+        agg(1, "v1_full")
+        .unionByName(agg(2, "v2_takedown"))
+        .unionByName(agg(3, "v3_compacted"))
+        .orderBy("snapshot")
     )

@@ -81,7 +81,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 #        is_current slice asserted == the head read;
 #      orders_filegrain_skipping_snapshot — per-FILE min/max from
 #        parquet footers as the planner's fourth layer; a key band
-#        opens ~1 file per bucket (trace asserted).
+#        opens ~1 file per bucket (trace asserted);
+#      doc_takedown_deletion_vector — takedown/PII removal on the
+#        training corpus as a zero-rewrite DV commit; compaction
+#        folds it; v2 == v3 oracle-certified.
 # 2. IMPL-TOUCHED queries whose newest driver record predates this
 #    round's storage changes: read_snapshot was unified (pruning ->
 #    column mapping -> per-BUCKET DV filter), try_commit now carries
@@ -108,6 +111,7 @@ VERIFY_FIRST: tuple[str, ...] = (
     "orders_filegrain_skipping_snapshot",
     "orders_evolved_dv_pruned_read",
     "orders_commit_check_constraints",
+    "doc_takedown_deletion_vector",
     # bucket 2: impl-touched in r14 without a post-change record
     "orders_cdf_replica_pipeline",
     "orders_branch_wap_fastforward",
@@ -154,7 +158,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "doc_dedup_dropset",
     "doc_jaccard_incremental_pairs",
     "doc_jaccard_prefix_filter",
-    "doc_kl_divergence",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 
