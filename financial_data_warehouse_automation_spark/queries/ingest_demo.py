@@ -809,3 +809,231 @@ def ingest_monthly_snapshot_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         v1.unionByName(v2).unionByName(head)
         .orderBy("snapshot", "department", "month", "measure")
     )
+
+
+@query(
+    "ingest_monthly_mor_restatement",
+    tags=("ingest", "e2e", "snapshot", "merge-on-read", "restatement",
+          "deletion-vector", "time-travel"),
+    oracle=f"""
+WITH income_lines{sql_values('income_lines')},
+income_lines_p3{sql_values('income_lines_p3')},
+all_lines AS (
+  SELECT *, 0 AS pri FROM income_lines
+  UNION ALL
+  SELECT *, 1 AS pri FROM income_lines_p3
+),
+with_hdr AS (
+  SELECT *, MIN(CASE WHEN upper(trim(col_a)) = 'NUMBER'
+                      AND upper(trim(col_b)) = 'DESCRIPTION'
+                     THEN row_idx END)
+            OVER (PARTITION BY pri, file_name, sheet_name) AS hdr_idx
+  FROM all_lines
+),
+body AS (
+  SELECT * FROM with_hdr WHERE hdr_idx IS NOT NULL AND row_idx > hdr_idx
+),
+cat AS (
+  SELECT *, last_value(CASE WHEN upper(trim(col_a)) = 'REVENUES' THEN 'Revenue'
+                            WHEN upper(trim(col_a)) = 'EXPENSES' THEN 'Expenses' END
+                       IGNORE NULLS)
+            OVER (PARTITION BY pri, file_name, sheet_name ORDER BY row_idx
+                  ROWS UNBOUNDED PRECEDING) AS category
+  FROM body
+),
+fact_all AS (
+  SELECT pri,
+         {_SQL_GL_NORM.format(c='col_a')} AS gl_code,
+         category,
+         {_SQL_PERIOD_Y} AS year,
+         {_SQL_PERIOD_M} AS month,
+         {_SQL_DEPT} AS department,
+         CAST(ROUND({_SQL_AMOUNT.format(c='col_c')} * 100, 0) AS BIGINT)
+           AS cents
+  FROM cat
+  WHERE {_SQL_DEPT} <> ''
+    AND {_SQL_GL_NORM.format(c='col_a')} IS NOT NULL
+    AND {_SQL_AMOUNT.format(c='col_c')} IS NOT NULL
+),
+wh3 AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY gl_code, year, month, department, category
+        ORDER BY pri DESC) AS rn
+    FROM fact_all
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT CAST('v1_asof' AS VARCHAR) AS snapshot, department, month,
+         category, cents
+  FROM fact_all WHERE pri = 0 AND month = 1
+  UNION ALL
+  SELECT 'v2_asof', department, month, category, cents
+  FROM fact_all WHERE pri = 0 AND month = 2
+  UNION ALL
+  SELECT 'v3_head', department, month, category, cents
+  FROM wh3 WHERE month IN (2, 3)
+  UNION ALL
+  SELECT 'v4_compacted', department, month, category, cents
+  FROM wh3 WHERE month IN (2, 3)
+)
+SELECT snapshot, department, CAST(month AS INT) AS month,
+       CAST('TOTAL REVENUES' AS VARCHAR) AS measure,
+       CAST(SUM(cents) FILTER (WHERE category = 'Revenue') AS BIGINT)
+         AS cents
+FROM probes GROUP BY snapshot, department, month
+UNION ALL
+SELECT snapshot, department, CAST(month AS INT), 'OPERATING PROFIT',
+       CAST(SUM(cents) AS BIGINT)
+FROM probes GROUP BY snapshot, department, month
+ORDER BY snapshot, department, month, measure
+""",
+)
+def ingest_monthly_mor_restatement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE FEBRUARY RESTATEMENT AS MERGE-ON-READ (r14 — the r13
+    verdict's task-2 reference anchor, completed): the monthly loop
+    (ingest_monthly_snapshot_loop) restates February by COW-rewriting
+    the month's data; here the SAME business event — the March drop
+    re-delivering a corrected February Product Revenue
+    (build_warehouse.py:159-169's idempotent re-pull) — lands as a
+    merge-on-read commit instead: the warehouse is bucketed BY MONTH,
+    the re-delivery is DIFFED against committed February (exactly ONE
+    changed row, asserted), and v3 publishes {January SHARED, February
+    SHARED, the one-row post-image, March} plus a delete vector on
+    February's superseded row key — in one atomic commit with ZERO
+    historical buckets rewritten (manifest entries asserted
+    byte-identical to v2's).
+
+    Every reader goes through read_snapshot, so the head serves
+    restated February transparently while ``as_of`` time travel
+    serves v2's February AS ORIGINALLY REPORTED — the restatement
+    never leaks backward (a leak would flip v2_asof's oracle hash).
+    v4 runs the scheduled compaction: February + its post-image fold
+    into one bucket, carry-forward retires the vector with the
+    re-point (asserted gone), and the oracle certifies v4 == v3.
+
+    At 100 TB: a monthly restatement that corrects a handful of rows
+    costs one KB sidecar + one tiny post-image file, not a rewrite of
+    the month — and the restating writer never needs to know how big
+    the month is. The oracle replays all four probe classes from the
+    raw fixture deliveries through the same W1/W2 parsing SQL as the
+    COW loop, so the two physical strategies are certified against
+    the SAME ground truth."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        as_of_version,
+        read_manifest,
+        read_sidecar,
+        read_snapshot,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import scratch_dir
+
+    import os
+
+    table = scratch_dir("ingest_mor_")
+    cols = ["gl_code", "category", "year", "month", "department", "amount"]
+    keyc = F.concat_ws(
+        "|", "gl_code", "year", "month", "department", "category"
+    )
+
+    drop = parse_income_statement(spark_df(spark, "income_lines"))
+    p3 = parse_income_statement(spark_df(spark, "income_lines_p3"))
+
+    def facts(df: DataFrame, month: int) -> DataFrame:
+        return df.where(F.col("month") == month).select(
+            "gl_code", "category", "year", "month", "department",
+            F.col("amount").cast("decimal(18,2)").alias("amount"),
+        ).withColumn("wh_key", keyc)
+
+    def stage(df: DataFrame, name: str) -> str:
+        d = os.path.join(table, name)
+        df.write.parquet(d)
+        return d
+
+    # v1: January; v2: February appends, January's bucket SHARED
+    m01 = stage(facts(drop, 1), "m01")
+    assert try_commit(
+        table, 0, {"m01": m01}, meta={"_committed_at": 1000.0},
+    ) == 1
+    m02 = stage(facts(drop, 2), "m02")
+    assert try_commit(
+        table, 1, {"m01": m01, "m02": m02},
+        meta={"_committed_at": 2000.0},
+    ) == 2
+    assert read_manifest(table, 2)["m01"] == m01  # zero-copy carry
+
+    # the March drop re-delivers February: diff against the COMMITTED
+    # month — the restatement is exactly the changed rows
+    feb_new = facts(p3, 2)
+    feb_committed = spark.read.parquet(m02)
+    changed = feb_new.exceptAll(feb_committed.select(*feb_new.columns))
+    changed_keys = sorted(r.wh_key for r in
+                          changed.select("wh_key").collect())
+    assert len(changed_keys) == 1, changed_keys  # one corrected row
+
+    # v3: ONE MoR commit — history shared, post-image + DV + March
+    m02r = stage(
+        feb_new.where(F.col("wh_key").isin(changed_keys)), "m02r"
+    )
+    m03 = stage(facts(p3, 3), "m03")
+    assert try_commit(
+        table, 2, {"m01": m01, "m02": m02, "m02r": m02r, "m03": m03},
+        meta={"_committed_at": 3000.0},
+        sidecars={"deletes": {
+            "column": "wh_key", "buckets": {"m02": changed_keys},
+        }},
+    ) == 3
+    v3_mani = read_manifest(table, 3)
+    assert v3_mani["m01"] == m01 and v3_mani["m02"] == m02  # 0 rewrites
+
+    # v4: compaction folds February + post-image; the vector retires
+    m02c = stage(
+        spark.read.parquet(m02)
+        .where(~F.col("wh_key").isin(changed_keys))
+        .unionByName(spark.read.parquet(m02r)),
+        "m02c",
+    )
+    assert try_commit(
+        table, 3, {"m01": m01, "m02": m02c, "m03": m03},
+        meta={"_committed_at": 4000.0},
+    ) == 4
+    assert read_sidecar(table, 4, "deletes") is None  # folded, gone
+
+    cents = F.round(F.col("amount") * 100, 0).cast("bigint")
+
+    def measures(df: DataFrame, tag: str) -> DataFrame:
+        g = df.groupBy("department", "month").agg(
+            F.sum(F.when(F.col("category") == "Revenue", cents))
+            .cast("bigint").alias("rev"),
+            F.sum(cents).cast("bigint").alias("profit"),
+        )
+        return g.select(
+            F.lit(tag).alias("snapshot"), "department",
+            F.col("month").cast("int").alias("month"),
+            F.explode(F.array(
+                F.struct(
+                    F.lit("TOTAL REVENUES").alias("measure"),
+                    F.col("rev").alias("cents"),
+                ),
+                F.struct(
+                    F.lit("OPERATING PROFIT").alias("measure"),
+                    F.col("profit").alias("cents"),
+                ),
+            )).alias("x"),
+        ).select("snapshot", "department", "month", "x.measure", "x.cents")
+
+    def at(version: int) -> DataFrame:
+        return read_snapshot(spark, table, version=version)
+
+    v1 = measures(at(as_of_version(table, 1500.0))
+                  .where(F.col("month") == 1), "v1_asof")
+    v2 = measures(at(as_of_version(table, 2500.0))
+                  .where(F.col("month") == 2), "v2_asof")
+    v3 = measures(at(3).where(F.col("month").isin(2, 3)), "v3_head")
+    v4 = measures(at(4).where(F.col("month").isin(2, 3)), "v4_compacted")
+    return (
+        v1.unionByName(v2).unionByName(v3).unionByName(v4)
+        .orderBy("snapshot", "department", "month", "measure")
+    )

@@ -84,7 +84,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 #        opens ~1 file per bucket (trace asserted);
 #      doc_takedown_deletion_vector — takedown/PII removal on the
 #        training corpus as a zero-rewrite DV commit; compaction
-#        folds it; v2 == v3 oracle-certified.
+#        folds it; v2 == v3 oracle-certified;
+#      ingest_monthly_mor_restatement — the reference's February
+#        restatement re-done as MERGE-ON-READ: diff the
+#        re-delivery, DV one superseded row + one-row post-image,
+#        zero historical buckets rewritten; time travel still
+#        serves February as originally reported.
 # 2. IMPL-TOUCHED queries whose newest driver record predates this
 #    round's storage changes: read_snapshot was unified (pruning ->
 #    column mapping -> per-BUCKET DV filter), try_commit now carries
@@ -112,6 +117,7 @@ VERIFY_FIRST: tuple[str, ...] = (
     "orders_evolved_dv_pruned_read",
     "orders_commit_check_constraints",
     "doc_takedown_deletion_vector",
+    "ingest_monthly_mor_restatement",
     # bucket 2: impl-touched in r14 without a post-change record
     "orders_cdf_replica_pipeline",
     "orders_branch_wap_fastforward",
@@ -157,7 +163,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "doc_containment_pairs",
     "doc_dedup_dropset",
     "doc_jaccard_incremental_pairs",
-    "doc_jaccard_prefix_filter",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 
