@@ -131,3 +131,73 @@ def test_stream_snapshot_commit_exactly_once_property(
         ).collect()
     )
     assert got == rows, got
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.data())
+def test_dv_carry_forward_never_resurrects_property(tmp_path_factory, data):
+    """3. DELETE DURABILITY (r14): for ANY sequence of commits — each
+    either an unrelated append (new bucket), a re-point of an existing
+    bucket (a compaction, which legitimately folds that bucket's
+    vector), or a fresh DV delete — the set of keys a reader must see
+    per bucket is exactly the model's: a DV'd key stays deleted until
+    ITS bucket is rewritten, no matter how many commits of any kind
+    intervene and none of which re-stage anything."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_sidecar,
+        write_sidecar,
+    )
+
+    table = str(tmp_path_factory.mktemp("dvprop"))
+    mk = 0
+
+    def mkdir(name):
+        d = os.path.join(table, name)
+        os.makedirs(d)
+        with open(os.path.join(d, "p.parquet"), "w") as f:
+            f.write("x")
+        return d
+
+    # model: bucket -> (generation tag, set of deleted keys)
+    mapping = {"b0": mkdir("b0-g0")}
+    model = {"b0": set()}
+    try_commit(table, 0, dict(mapping))
+    version = 1
+
+    n_steps = data.draw(st.integers(min_value=1, max_value=8))
+    for step in range(n_steps):
+        op = data.draw(st.sampled_from(["append", "repoint", "delete"]))
+        if op == "append":
+            b = f"b{len(mapping)}"
+            mapping[b] = mkdir(f"{b}-g{step}")
+            model[b] = set()
+            try_commit(table, version, dict(mapping))
+        elif op == "repoint":
+            b = data.draw(st.sampled_from(sorted(mapping)))
+            mapping[b] = mkdir(f"{b}-r{step}")
+            model[b] = set()  # rewrite folds the bucket's vector
+            try_commit(table, version, dict(mapping))
+        else:
+            b = data.draw(st.sampled_from(sorted(mapping)))
+            ks = set(data.draw(st.lists(
+                st.integers(min_value=0, max_value=9),
+                min_size=1, max_size=3,
+            )))
+            model[b] |= ks
+            write_sidecar(table, version + 1, "deletes", {
+                "column": "k",
+                "buckets": {b: sorted(ks)},
+            })
+            try_commit(table, version, dict(mapping))
+        version += 1
+
+        # the reader's effective vector must equal the model exactly:
+        # no resurrection (missing carried keys) and no stale deletes
+        # (keys surviving a re-point)
+        side = read_sidecar(table, version, "deletes")
+        got = {
+            b: set(ks)
+            for b, ks in (side or {}).get("buckets", {}).items()
+        }
+        want = {b: ks for b, ks in model.items() if ks}
+        assert got == want, (step, op, got, want)
