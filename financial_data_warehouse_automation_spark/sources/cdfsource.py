@@ -158,6 +158,30 @@ def _table_columns(table_dir: str) -> list[tuple[str, str]]:
     return [(f.name, _arrow_ddl(f)) for f in schema]
 
 
+def _sidecar(table_dir: str, version: int, kind: str) -> dict | None:
+    """Manifest-authoritative sidecar resolution (r15, mirroring
+    operators/snapshots.read_sidecar): a manifest carrying the
+    ``_sidecars`` name map serves exactly the token-named files its
+    commit published — a kind it does not list is authoritatively
+    absent; pre-r15 manifests fall back to the deterministic path."""
+    mpath = os.path.join(table_dir, f"manifest-v{version}.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            rec = json.load(f)
+        names = rec.get("_sidecars")
+        if names is not None:
+            name = names.get(kind)
+            if name is None:
+                return None
+            with open(os.path.join(table_dir, name)) as f:
+                return json.load(f)
+    path = os.path.join(table_dir, f"{kind}-v{version}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def _dv_keys(table_dir: str, version: int, key_col: str) -> dict[str, set]:
     """bucket -> deleted-key set from the ``deletes`` sidecar of
     ``version`` (empty when absent). The DV column must be the feed's
@@ -165,11 +189,9 @@ def _dv_keys(table_dir: str, version: int, key_col: str) -> dict[str, set]:
     key-space diff and fails loudly."""
     if version < 1:
         return {}
-    path = os.path.join(table_dir, f"deletes-v{version}.json")
-    if not os.path.exists(path):
+    dv = _sidecar(table_dir, version, "deletes")
+    if dv is None:
         return {}
-    with open(path) as f:
-        dv = json.load(f)
     if dv["column"] != key_col:
         raise ValueError(
             f"deletion vector at v{version} is on column "

@@ -814,10 +814,16 @@ def snapshot_state_commit_batch(table_dir: str, merge, writer_id: str = "cdf"):
     receives the PREVIOUS committed state (None before the first
     commit) and the micro-batch, and returns the full new state. The
     ledger check runs BEFORE any recompute, so replayed batches cost
-    a metadata read and nothing else; the CAS retry loop rebases the
-    ledger on conflict but the state derivation itself assumes ONE
-    state writer per table (two writers folding the same feed would
-    interleave states — use separate derived tables).
+    a metadata read and nothing else. Conflict DETECTION (r15 — the
+    r14 verdict's task 1b): the commit loop re-checks, before every
+    CAS attempt, that the table state the fold READ is still the
+    table's state; if a concurrent commit replaced it, the stale fold
+    is DISCARDED and the merge re-runs against the new state — a
+    rival's effect can no longer be silently clobbered by the last
+    rebaser (Iceberg/Delta validate exactly this overlap at commit
+    time). Two writers folding the same feed still interleave their
+    STATES nondeterministically — use separate derived tables for
+    separate folds — but neither can erase the other's commit.
 
     Scale note: "replace the state bucket" is the DEMO layout; a
     large derived table would stage a partitioned write and commit
@@ -839,32 +845,43 @@ def snapshot_state_commit_batch(table_dir: str, merge, writer_id: str = "cdf"):
         return meta.get("_txn", {}).get(writer_id, -1)
 
     def apply(batch: DataFrame, batch_id: int) -> None:
-        latest = latest_version(table_dir)
-        if committed_through(latest) >= batch_id:
+        if committed_through(latest_version(table_dir)) >= batch_id:
             return  # replay: already folded into the state
         spark = batch.sparkSession
-        prev = (
-            spark.read.parquet(*read_manifest(table_dir).values())
-            if latest > 0 else None
-        )
-        d = os.path.join(table_dir, f"{writer_id}-state-{batch_id}")
-        merge(prev, batch).write.mode("overwrite").parquet(d)
-        while True:
+        while True:  # (re-)fold loop: runs again when the base moved
             latest = latest_version(table_dir)
-            if committed_through(latest) >= batch_id:
-                return  # our own replay won the race
-            txn = dict(
-                read_manifest_meta(table_dir, latest).get("_txn", {})
-            ) if latest > 0 else {}
-            txn[writer_id] = batch_id
-            try:
-                try_commit(
-                    table_dir, latest, {"state": d},
-                    meta={"_writer": writer_id, "_txn": txn},
-                )
-                return
-            except SnapshotConflict:
-                continue
+            fold_base = (
+                read_manifest(table_dir) if latest > 0 else {}
+            )
+            prev = (
+                spark.read.parquet(*fold_base.values())
+                if fold_base else None
+            )
+            d = os.path.join(table_dir, f"{writer_id}-state-{batch_id}")
+            merge(prev, batch).write.mode("overwrite").parquet(d)
+            while True:
+                latest = latest_version(table_dir)
+                if committed_through(latest) >= batch_id:
+                    return  # our own replay won the race
+                base = read_manifest(table_dir) if latest > 0 else {}
+                if base != fold_base:
+                    # conflict DETECTED: a concurrent commit changed
+                    # the state our merge read — the staged fold is
+                    # stale; recompute against the new state instead
+                    # of clobbering the rival's effect
+                    break
+                txn = dict(
+                    read_manifest_meta(table_dir, latest).get("_txn", {})
+                ) if latest > 0 else {}
+                txn[writer_id] = batch_id
+                try:
+                    try_commit(
+                        table_dir, latest, {"state": d},
+                        meta={"_writer": writer_id, "_txn": txn},
+                    )
+                    return
+                except SnapshotConflict:
+                    continue
 
     return apply
 
@@ -897,6 +914,17 @@ def snapshot_partitioned_state_commit_batch(
     staged buckets), so maintenance commits on OTHER buckets
     interleave freely with the subscription.
 
+    Conflict DETECTION (r15 — the r14 verdict's task 1b): before
+    every CAS attempt the loop re-checks that no concurrent commit
+    re-pointed, removed, or created one of THIS fold's touched
+    buckets since the fold read its ``prev``. If one did, the staged
+    fold is stale — ``base.update(staged)`` would silently erase the
+    rival's effect (last-rebaser-wins, the r14 verdict's #1 latent
+    trap) — so the merge RE-RUNS against the new state of exactly
+    those buckets and re-stages before retrying, the same
+    commit-time overlap validation Iceberg/Delta perform. Commits
+    that touch only OTHER buckets never trigger a re-fold.
+
     Scale: fold cost is one key-shuffle of BATCH size against the
     touched buckets' rows — churn-proportional, never
     table-proportional; planning (touched-bucket discovery) is one
@@ -927,44 +955,73 @@ def snapshot_partitioned_state_commit_batch(
         )
         if not touched:
             return  # empty batch: nothing to fold, nothing to commit
-        mapping = read_manifest(table_dir) if latest > 0 else {}
-        prev_dirs = [
-            mapping[str(b)] for b in touched if str(b) in mapping
-        ]
-        prev = spark.read.parquet(*prev_dirs) if prev_dirs else None
-        root = os.path.join(table_dir, f"{writer_id}-g{batch_id}")
-        new = merge(prev, batch)
-        new.withColumn("pb", bucket_of(new)) \
-            .write.partitionBy("pb").parquet(root)
-        staged = {
-            n.split("=", 1)[1]: os.path.join(root, n)
-            for n in os.listdir(root)
-            if n.startswith("pb=")
-        }
-        unexpected = set(staged) - {str(b) for b in touched}
-        assert not unexpected, (
-            f"merge emitted rows outside the touched buckets: "
-            f"{sorted(unexpected)} — bucket_of must be key-stable"
-        )
-        while True:
-            latest = latest_version(table_dir)
-            if committed_through(latest) >= batch_id:
-                return  # our own replay won the race
-            base = read_manifest(table_dir) if latest > 0 else {}
-            for b in touched:
-                base.pop(str(b), None)  # emptied buckets drop out
-            base.update(staged)
-            txn = dict(
-                read_manifest_meta(table_dir, latest).get("_txn", {})
-            ) if latest > 0 else {}
-            txn[writer_id] = batch_id
-            try:
-                try_commit(
-                    table_dir, latest, base,
-                    meta={"_writer": writer_id, "_txn": txn},
-                )
-                return
-            except SnapshotConflict:
+        attempt = 0
+        while True:  # (re-)fold loop: runs again when a touched
+            # bucket moved under us between fold and commit
+            mapping = (
+                read_manifest(table_dir)
+                if latest_version(table_dir) > 0 else {}
+            )
+            # the exact (bucket -> dir) state this fold reads; the
+            # commit loop refuses to publish if it changed
+            fold_base = {str(b): mapping.get(str(b)) for b in touched}
+            prev_dirs = [d for d in fold_base.values() if d]
+            prev = spark.read.parquet(*prev_dirs) if prev_dirs else None
+            # attempt-suffixed root: a re-fold must not overwrite a
+            # directory a rival's manifest could meanwhile reference
+            suffix = f"-r{attempt}" if attempt else ""
+            root = os.path.join(
+                table_dir, f"{writer_id}-g{batch_id}{suffix}"
+            )
+            new = merge(prev, batch)
+            # overwrite (r15 advisor): a crash between this staged
+            # write and the manifest commit replays the batch into the
+            # SAME path — errorifexists would kill the stream instead
+            # of recovering; the path is ours alone and unreferenced
+            new.withColumn("pb", bucket_of(new)) \
+                .write.mode("overwrite").partitionBy("pb").parquet(root)
+            staged = {
+                n.split("=", 1)[1]: os.path.join(root, n)
+                for n in os.listdir(root)
+                if n.startswith("pb=")
+            }
+            unexpected = set(staged) - {str(b) for b in touched}
+            assert not unexpected, (
+                f"merge emitted rows outside the touched buckets: "
+                f"{sorted(unexpected)} — bucket_of must be key-stable"
+            )
+            refold = False
+            while True:
+                latest = latest_version(table_dir)
+                if committed_through(latest) >= batch_id:
+                    return  # our own replay won the race
+                base = read_manifest(table_dir) if latest > 0 else {}
+                if any(
+                    base.get(b) != fold_base[b] for b in fold_base
+                ):
+                    # conflict DETECTED on a bucket this fold read:
+                    # the staged merge is stale — discard and re-fold
+                    # against the new state instead of clobbering the
+                    # concurrent commit's effect
+                    attempt += 1
+                    refold = True
+                    break
+                for b in touched:
+                    base.pop(str(b), None)  # emptied buckets drop out
+                base.update(staged)
+                txn = dict(
+                    read_manifest_meta(table_dir, latest).get("_txn", {})
+                ) if latest > 0 else {}
+                txn[writer_id] = batch_id
+                try:
+                    try_commit(
+                        table_dir, latest, base,
+                        meta={"_writer": writer_id, "_txn": txn},
+                    )
+                    return
+                except SnapshotConflict:
+                    continue
+            if refold:
                 continue
 
     return apply

@@ -621,7 +621,8 @@ def test_plan_scan_composes_spec_stats_bloom(tmp_path):
 
     table = str(tmp_path)
     dirs = {str(b): _mkdata(table, f"b{b}") for b in range(4)}
-    try_commit(table, 0, dirs)
+    # stage-then-publish (r15: reads are manifest-authoritative, so
+    # sidecars must be staged BEFORE the commit that publishes them)
     # spec: buckets 0/1 range-partitioned on k, 2 identity on year,
     # 3 undeclared (kept by every spec probe)
     write_sidecar(table, 1, "spec", {
@@ -644,6 +645,7 @@ def test_plan_scan_composes_spec_stats_bloom(tmp_path):
         "column": "pk", "m": m, "k": kh,
         "buckets": {"0": {}, "1": words, "2": {}},  # 3 missing: kept
     })
+    try_commit(table, 0, dirs)
 
     preds = [("range", "k", 90, 110), ("in", "pk", [7])]
     got, trace = plan_scan(table, preds, version=1, explain=True)
@@ -1183,9 +1185,11 @@ def test_expire_reclaims_sidecars_and_branch_retention(tmp_path):
     try_commit(table, 2, {"0": d3})                   # main v3
 
     # expire main below v3: main's old sidecars go with the manifests
-    assert os.path.exists(os.path.join(table, "stats-v1.json"))
+    assert read_sidecar(table, 1, "stats") == {"0": {"k": [0, 1]}}
     expire_snapshots(table, keep_from=3)
-    assert not os.path.exists(os.path.join(table, "stats-v1.json"))
+    assert not [
+        n for n in os.listdir(table) if n.startswith("stats-v1")
+    ]  # both staged and published (token-named) forms reclaimed
     assert read_sidecar(table, 3, "stats") == {}  or \
         read_sidecar(table, 3, "stats") is None
     # the unpromoted branch's history fully survives main's retention
@@ -1438,3 +1442,231 @@ def test_filestats_prune_and_carry(tmp_path):
     got2 = plan_scan(table, [("range", "k", 12, 15)], version=2)
     assert got2 == [os.path.join(d, "part-1.parquet"),
                     os.path.join(d, "part-2.parquet"), d2], got2
+
+
+def test_crashed_writer_staging_never_adopted(tmp_path):
+    """The r14 verdict's task 1a, pinned: writer A stages a delete
+    vector for version N+1 and DIES (simulated: the staging file is
+    on disk but no live writer's registry owns it). Writer B's commit
+    of N+1 must provably NOT inherit A's delete keys — it refuses
+    with a clear error until B either removes the orphan or stages
+    its own intent explicitly."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        _STAGED,
+        _staged_key,
+        read_sidecar,
+        sidecar_path,
+        write_sidecar,
+    )
+
+    table = str(tmp_path)
+    d1 = _mkdata(table, "g1")
+    try_commit(table, 0, {"0": d1})
+
+    # writer A stages a DV for v2 ... and the process "dies": the
+    # file survives, the in-memory ownership does not
+    write_sidecar(table, 2, "deletes", {
+        "column": "k", "buckets": {"0": [1, 2, 3]},
+    })
+    _STAGED.pop(_staged_key(table, 2, "deletes", "main"))
+
+    # writer B commits v2 knowing nothing of A: refused, not adopted
+    d2 = _mkdata(table, "g2")
+    with pytest.raises(ValueError, match="orphaned staged sidecar"):
+        try_commit(table, 1, {"0": d1, "1": d2})
+    assert latest_version(table) == 1  # nothing published
+
+    # B resolves the orphan (removes it) and commits: no DV leaks in
+    os.remove(sidecar_path(table, 2, "deletes"))
+    assert try_commit(table, 1, {"0": d1, "1": d2}) == 2
+    assert read_sidecar(table, 2, "deletes") is None
+
+
+def test_cas_loser_cannot_delete_winners_published_sidecar(tmp_path):
+    """The r14 advisor's TOCTOU, pinned: the winner publishes v2 WITH
+    a delete vector; a loser racing for v2 with its own metadata must
+    fail WITHOUT touching the winner's published files (token-named
+    sidecars make the loser's cleanup provably its own)."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_sidecar,
+    )
+
+    table = str(tmp_path)
+    d1 = _mkdata(table, "g1")
+    try_commit(table, 0, {"0": d1})
+    dv = {"column": "k", "buckets": {"0": [7]}}
+    try_commit(table, 1, {"0": d1}, sidecars={"deletes": dv})
+    assert read_sidecar(table, 2, "deletes") == dv
+
+    # loser on the same base, with its own staged metadata
+    with pytest.raises(SnapshotConflict):
+        try_commit(table, 1, {"0": d1}, sidecars={
+            "stats": {"0": {"k": [0, 9]}},
+            "deletes": {"column": "k", "buckets": {"0": [99]}},
+        })
+    # the winner's published vector is byte-for-byte intact
+    assert read_sidecar(table, 2, "deletes") == dv
+    assert read_sidecar(table, 2, "stats") is None
+
+
+def test_expire_sweeps_orphaned_sidecars(tmp_path):
+    """The r15 advisor's reclamation finding, pinned: (a) a token
+    file no surviving manifest references and (b) a dead writer's
+    staging below the retention horizon are both swept; (c) staging
+    for a version ABOVE head (an in-flight writer) survives."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_sidecar,
+    )
+
+    table = str(tmp_path)
+    d1 = _mkdata(table, "g1")
+    d2 = _mkdata(table, "g2")
+    d3 = _mkdata(table, "g3")
+    try_commit(table, 0, {"0": d1})
+    try_commit(table, 1, {"0": d2},
+               sidecars={"stats": {"0": {"k": [0, 9]}}})
+    try_commit(table, 2, {"0": d2, "1": d3})  # "0" unchanged: carries
+
+    # (a) an unreferenced token file at a published version (a CAS
+    # loser that crashed before its own cleanup)
+    orphan_tok = os.path.join(table, "deletes-v2.deadbeefdeadbeef.json")
+    with open(orphan_tok, "w") as f:
+        json.dump({"column": "k", "buckets": {"0": [1]}}, f)
+    # (b) a dead writer's deterministic staging for an EXPIRED version
+    orphan_stage = os.path.join(table, "bloom-v1.json")
+    with open(orphan_stage, "w") as f:
+        json.dump({"column": "k", "m": 8, "k": 1, "buckets": {}}, f)
+    # (c) in-flight staging for head+1
+    inflight = os.path.join(table, "stats-v4.json")
+    with open(inflight, "w") as f:
+        json.dump({"0": {"k": [0, 1]}}, f)
+
+    expire_snapshots(table, keep_from=2)
+    assert not os.path.exists(orphan_tok)
+    assert not os.path.exists(orphan_stage)
+    assert os.path.exists(inflight)
+    # the carried, referenced stats of v2/v3 are untouched
+    assert read_sidecar(table, 3, "stats") == {"0": {"k": [0, 9]}}
+
+
+def test_partitioned_fold_refolds_on_same_bucket_conflict(
+    spark, tmp_path
+):
+    """The r14 verdict's task 1b, pinned: while writer A's fold is
+    in flight, a concurrent commit re-points one of the SAME buckets
+    A read. A must detect it, DISCARD the stale fold, and re-merge
+    against the new state — both effects survive, and the merge
+    provably ran twice."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_manifest,
+        try_commit as _tc,
+    )
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        snapshot_partitioned_state_commit_batch,
+    )
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    # v1: bucket 0 holds keys {0: 10.0, 2: 20.0}
+    b0 = os.path.join(table, "seed-b0")
+    spark.createDataFrame(
+        [(0, 10.0), (2, 20.0)], "key bigint, value double"
+    ).write.parquet(b0)
+    _tc(table, 0, {"0": b0})
+
+    calls = {"n": 0}
+
+    def merge(prev, batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # the deterministic interleaving: AFTER this fold read
+            # prev, a rival commits a new image of the SAME bucket
+            # (key 2 bumped to 99.0)
+            rb = os.path.join(table, "rival-b0")
+            spark.createDataFrame(
+                [(0, 10.0), (2, 99.0)], "key bigint, value double"
+            ).write.parquet(rb)
+            _tc(table, 1, {"0": rb})
+        src = batch.select("key", "value")
+        if prev is not None:
+            src = prev.select("key", "value").unionByName(src)
+        # keep-last by key: the batch row wins over prev
+        return (
+            src.withColumn(
+                "rn",
+                F.row_number().over(
+                    __import__("pyspark").sql.Window
+                    .partitionBy("key").orderBy(F.monotonically_increasing_id())
+                ),
+            )
+            .groupBy("key").agg(F.last("value").alias("value"))
+        )
+
+    fn = snapshot_partitioned_state_commit_batch(
+        table, merge, lambda df: F.lit(0), writer_id="w"
+    )
+    batch = spark.createDataFrame(
+        [(5, 50.0)], "key bigint, value double"
+    )
+    fn(batch, 0)
+
+    assert calls["n"] == 2, "stale fold must be re-run, not committed"
+    final = {
+        r.key: r.value
+        for r in spark.read.parquet(
+            *read_manifest(table).values()
+        ).collect()
+    }
+    # both the rival's bump (2 -> 99) AND our batch row survive
+    assert final == {0: 10.0, 2: 99.0, 5: 50.0}, final
+
+
+def test_dv_read_plan_bounded_across_many_buckets(spark, tmp_path):
+    """The r14 verdict's task 2, pinned: deletion vectors spread
+    across 120 buckets read as ONE broadcast anti-join — no Union
+    branch per DV'd bucket (the r14 shape), so plan size is O(1) in
+    DV'd-bucket count. Values exact, NULL-keyed rows survive."""
+    import contextlib
+    import io
+
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_snapshot,
+    )
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    n_b = 120
+    rows = [
+        (b * 10 + j, b, float(j)) for b in range(n_b) for j in range(5)
+    ] + [(None, 7, 42.0)]  # a NULL-keyed row in a DV'd bucket
+    root = os.path.join(table, "g1")
+    spark.createDataFrame(
+        rows, "key bigint, pb int, v double"
+    ).repartition(8).write.partitionBy("pb").parquet(root)
+    mapping = {
+        str(b): os.path.join(root, f"pb={b}") for b in range(n_b)
+    }
+    # every bucket carries a vector: keys j=0,1 die in each
+    dv = {
+        "column": "key",
+        "buckets": {str(b): [b * 10, b * 10 + 1] for b in range(n_b)},
+    }
+    try_commit(table, 0, mapping, sidecars={"deletes": dv})
+
+    df = read_snapshot(spark, table)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Union" not in plan, "per-DV'd-bucket plan branches are back"
+    # one anti-join, and a plan whose size does not scale with the
+    # 120 DV'd buckets (the r14 shape produced 120 branches)
+    assert plan.count("BroadcastHashJoin LeftAnti") == 1, plan
+    assert len(plan) < 20_000, len(plan)
+
+    got = {r.key for r in df.collect()}
+    want = {b * 10 + j for b in range(n_b) for j in (2, 3, 4)} | {None}
+    assert got == want
+    assert df.count() == n_b * 3 + 1  # NULL-keyed row survived
