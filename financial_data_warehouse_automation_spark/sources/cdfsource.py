@@ -29,14 +29,26 @@ Contract:
   one task per changed bucket with zero shuffle.
 * FULL-ROW feeds (r14 — the r13 verdict's task 3): by default the
   feed carries EVERY column of the table (Delta's ``readChangeFeed``
-  row shape) — the schema is derived once, driver-side, from the head
-  manifest's first bucket's parquet footer; pre-image rows carry the
-  pre-image values of every column. Passing ``valcol`` selects the
-  legacy single-value mode (schema ``key bigint, value double``),
-  which the r13 consumers use. Full-row mode requires a stable
-  physical schema across the subscribed range — a column-mapping
-  (schema-evolved) table should be consumed through its snapshot
-  reader instead.
+  row shape); pre-image rows carry the pre-image values of every
+  column. Passing ``valcol`` selects the legacy single-value mode
+  (schema ``key bigint, value double``), which the r13 consumers use.
+* SCHEMA-EVOLUTION AWARE (r15 — the r14 verdict's task 3): a table
+  carrying a ``schema`` sidecar (column mapping) feeds under its
+  LOGICAL column names as of the subscription head: the feed's
+  columns are the head's logical fields, each bound to its stable
+  physical field id, so a RENAME mid-subscription is invisible (the
+  field id never changes — Iceberg field-id semantics) and an ADD
+  COLUMN feeds NULL for rows replayed from buckets that predate the
+  field. Executors intersect each bucket file's footer with the
+  requested physical fields, so pre-evolution buckets replay
+  correctly instead of failing mid-read (the r14 advisor's
+  unenforced-limitation finding). A physical field present in no
+  bucket, or a bucket file lacking the KEY field, raises a clear
+  plan-time / read-time error naming the field.
+* BRANCH AWARE (r15): ``.option("branch", name)`` subscribes to a
+  named branch's own version chain — offsets resolve that branch's
+  manifests and branch-qualified sidecars, exactly like
+  ``as_of_version(branch=)`` on the snapshot reader.
 * RETENTION vs CHECKPOINT (r13 advisor): planning a range whose
   manifests ``expire_snapshots`` has already reclaimed raises a clear
   error naming the interaction — the replay guarantee holds only
@@ -86,33 +98,42 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-_MANIFEST_RE = re.compile(r"manifest-v(\d+)\.json$")
+_MANIFEST_RE = re.compile(r"manifest(?:-([A-Za-z0-9_]+))?-v(\d+)\.json$")
 
 
-def _latest_version(table_dir: str) -> int:
+def _infix(branch: str) -> str:
+    return "" if branch == "main" else f"-{branch}"
+
+
+def _latest_version(table_dir: str, branch: str = "main") -> int:
     best = 0
     for name in os.listdir(table_dir):
         m = _MANIFEST_RE.fullmatch(name)
-        if m:
-            best = max(best, int(m.group(1)))
+        if m and (m.group(1) or "main") == branch:
+            best = max(best, int(m.group(2)))
     return best
 
 
-def _buckets(table_dir: str, version: int) -> dict[str, str]:
-    path = os.path.join(table_dir, f"manifest-v{version}.json")
+def _buckets(
+    table_dir: str, version: int, branch: str = "main"
+) -> dict[str, str]:
+    path = os.path.join(
+        table_dir, f"manifest{_infix(branch)}-v{version}.json"
+    )
     try:
         with open(path) as f:
             record = json.load(f)
     except FileNotFoundError:
         raise ValueError(
-            f"CDF planning needs manifest-v{version}.json of {table_dir} "
-            "but retention (expire_snapshots) has reclaimed it. The "
-            "byte-for-byte replay guarantee holds only while the table's "
-            "retention horizon stays at or below every subscriber's "
-            "checkpointed offset — keep keep_from <= the oldest "
-            "checkpoint + 1, or restart the subscriber from a fresh "
-            "checkpoint (Delta's readChangeFeed fails the same way when "
-            "history is vacuumed)."
+            f"CDF planning needs {os.path.basename(path)} of "
+            f"{table_dir} but retention (expire_snapshots) has "
+            "reclaimed it. The byte-for-byte replay guarantee holds "
+            "only while the table's retention horizon stays at or "
+            "below every subscriber's checkpointed offset — keep "
+            "keep_from <= the oldest checkpoint + 1, or restart the "
+            "subscriber from a fresh checkpoint (Delta's "
+            "readChangeFeed fails the same way when history is "
+            "vacuumed)."
         ) from None
     return {k: v for k, v in record.items() if not k.startswith("_")}
 
@@ -140,31 +161,74 @@ def _arrow_ddl(field) -> str:
     )
 
 
-def _table_columns(table_dir: str) -> list[tuple[str, str]]:
-    """(name, spark_ddl_type) for every column of the table, from the
-    head manifest's first bucket's parquet footer — one metadata read,
-    driver-side, at source construction."""
+def _resolve_columns(
+    table_dir: str, branch: str = "main"
+) -> list[tuple[str, str, str]]:
+    """(logical_name, physical_field, spark_ddl_type) for every column
+    of the table AT THE SUBSCRIPTION HEAD — driver-side metadata reads
+    at source construction.
+
+    A table with a ``schema`` sidecar (column mapping) feeds under its
+    logical names: each logical name is bound to its stable physical
+    field, and the type comes from the footer of the first bucket
+    whose signature materializes that field (an added column's type is
+    defined by the bucket that introduced it). Without a sidecar the
+    physical footer of the head's first bucket IS the schema, exactly
+    the r14 behavior."""
     import pyarrow.parquet as pq
 
-    head = _latest_version(table_dir)
+    head = _latest_version(table_dir, branch)
     if head == 0:
-        raise ValueError(f"no manifest in {table_dir}")
-    buckets = _buckets(table_dir, head)
-    first = buckets[sorted(buckets)[0]]
-    files = sorted(
-        n for n in os.listdir(first) if n.endswith(".parquet")
-    )
-    schema = pq.read_schema(os.path.join(first, files[0]))
-    return [(f.name, _arrow_ddl(f)) for f in schema]
+        raise ValueError(
+            f"no manifest on branch {branch!r} in {table_dir}"
+        )
+    buckets = _buckets(table_dir, head, branch)
+    schemas: dict[str, object] = {}
+
+    def bucket_schema(d: str):
+        if d not in schemas:
+            files = sorted(
+                n for n in os.listdir(d) if n.endswith(".parquet")
+            )
+            schemas[d] = pq.read_schema(os.path.join(d, files[0]))
+        return schemas[d]
+
+    side = _sidecar(table_dir, head, "schema", branch)
+    if side is None:
+        first = buckets[sorted(buckets)[0]]
+        sch = bucket_schema(first)
+        return [(f.name, f.name, _arrow_ddl(f)) for f in sch]
+    sigs = side.get("buckets", {})
+    out: list[tuple[str, str, str]] = []
+    for logical, phys in side["fields"].items():
+        ddl = None
+        for b in sorted(buckets):
+            if phys in (sigs.get(b) or []):
+                sch = bucket_schema(buckets[b])
+                if phys in sch.names:
+                    ddl = _arrow_ddl(sch.field(phys))
+                    break
+        if ddl is None:
+            raise ValueError(
+                f"column {logical!r} (physical field {phys!r}) is "
+                f"materialized by no bucket of {table_dir} at head "
+                f"v{head} on branch {branch!r}: cannot derive its type"
+            )
+        out.append((logical, phys, ddl))
+    return out
 
 
-def _sidecar(table_dir: str, version: int, kind: str) -> dict | None:
+def _sidecar(
+    table_dir: str, version: int, kind: str, branch: str = "main"
+) -> dict | None:
     """Manifest-authoritative sidecar resolution (r15, mirroring
     operators/snapshots.read_sidecar): a manifest carrying the
     ``_sidecars`` name map serves exactly the token-named files its
     commit published — a kind it does not list is authoritatively
     absent; pre-r15 manifests fall back to the deterministic path."""
-    mpath = os.path.join(table_dir, f"manifest-v{version}.json")
+    mpath = os.path.join(
+        table_dir, f"manifest{_infix(branch)}-v{version}.json"
+    )
     if os.path.exists(mpath):
         with open(mpath) as f:
             rec = json.load(f)
@@ -175,21 +239,25 @@ def _sidecar(table_dir: str, version: int, kind: str) -> dict | None:
                 return None
             with open(os.path.join(table_dir, name)) as f:
                 return json.load(f)
-    path = os.path.join(table_dir, f"{kind}-v{version}.json")
+    path = os.path.join(
+        table_dir, f"{kind}{_infix(branch)}-v{version}.json"
+    )
     if not os.path.exists(path):
         return None
     with open(path) as f:
         return json.load(f)
 
 
-def _dv_keys(table_dir: str, version: int, key_col: str) -> dict[str, set]:
+def _dv_keys(
+    table_dir: str, version: int, key_col: str, branch: str = "main"
+) -> dict[str, set]:
     """bucket -> deleted-key set from the ``deletes`` sidecar of
     ``version`` (empty when absent). The DV column must be the feed's
     key column — a vector on any other column cannot be folded into a
     key-space diff and fails loudly."""
     if version < 1:
         return {}
-    dv = _sidecar(table_dir, version, "deletes")
+    dv = _sidecar(table_dir, version, "deletes", branch)
     if dv is None:
         return {}
     if dv["column"] != key_col:
@@ -203,13 +271,16 @@ def _dv_keys(table_dir: str, version: int, key_col: str) -> dict[str, set]:
 
 class _BucketDiff(InputPartition):
     def __init__(self, version: int, pre_dir: str | None,
-                 post_dir: str | None, key_col: str,
-                 cols: list[str], pre_dv=(), post_dv=()):
+                 post_dir: str | None, key_phys: str,
+                 phys: list[str], pre_dv=(), post_dv=()):
         self.version = version
         self.pre_dir = pre_dir
         self.post_dir = post_dir
-        self.key_col = key_col
-        self.cols = cols  # full output column list, schema order
+        self.key_phys = key_phys  # the key's PHYSICAL field
+        # physical field per output column, feed-schema order; a
+        # bucket file lacking a field feeds NULL for it (pre-ADD
+        # COLUMN replays), exactly the mapped snapshot read
+        self.phys = phys
         self.pre_dv = tuple(sorted(pre_dv))    # keys DV'd at v-1
         self.post_dv = tuple(sorted(post_dv))  # keys DV'd at v
 
@@ -219,27 +290,37 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
         self.table_dir = options.get("path")
         if not self.table_dir:
             raise ValueError("snapshot_cdf requires a 'path' option")
+        self.branch = options.get("branch", "main")
         self.key_col = options.get("keycol", "key")
         self.start_version = int(options.get("startversion", 1))
         val_col = options.get("valcol")
         if val_col is not None:
-            # legacy single-value mode: (key, value) rows
+            # legacy single-value mode: (key, value) rows, physical
+            # names (a valcol table carries no column mapping)
             self.cols = [self.key_col, val_col]
+            self.phys = list(self.cols)
         else:
-            # full-row mode: every table column, footer order
-            self.cols = [c for c, _ in _table_columns(self.table_dir)]
+            # full-row mode: the head's logical columns, each bound
+            # to its stable physical field (r15: schema-evolution
+            # aware — see module docstring)
+            cols3 = _resolve_columns(self.table_dir, self.branch)
+            self.cols = [c for c, _, _ in cols3]
+            self.phys = [p for _, p, _ in cols3]
         if self.key_col not in self.cols:
             raise ValueError(
                 f"key column {self.key_col!r} not in table columns "
                 f"{self.cols}"
             )
+        self.key_phys = self.phys[self.cols.index(self.key_col)]
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
-        return {"version": max(_latest_version(self.table_dir),
-                               self.start_version)}
+        return {"version": max(
+            _latest_version(self.table_dir, self.branch),
+            self.start_version,
+        )}
 
     def partitions(self, start: dict, end: dict):
         out = []
@@ -247,42 +328,60 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
             # startversion=0 bootstraps: the v0 -> v1 step has no pre
             # image, so the whole base snapshot arrives as inserts — a
             # consumer can build a replica from nothing but the feed
-            pre = _buckets(self.table_dir, v - 1) if v > 1 else {}
-            post = _buckets(self.table_dir, v)
-            pre_dv = _dv_keys(self.table_dir, v - 1, self.key_col)
-            post_dv = _dv_keys(self.table_dir, v, self.key_col)
+            pre = (
+                _buckets(self.table_dir, v - 1, self.branch)
+                if v > 1 else {}
+            )
+            post = _buckets(self.table_dir, v, self.branch)
+            pre_dv = _dv_keys(
+                self.table_dir, v - 1, self.key_col, self.branch
+            )
+            post_dv = _dv_keys(
+                self.table_dir, v, self.key_col, self.branch
+            )
             for b in sorted(set(pre) | set(post)):
                 churn = pre.get(b) != post.get(b)  # manifest diff
                 dv_churn = pre_dv.get(b, set()) != post_dv.get(b, set())
                 if churn or dv_churn:  # data OR delete-vector change
                     out.append(_BucketDiff(
                         v, pre.get(b), post.get(b),
-                        self.key_col, self.cols,
+                        self.key_phys, self.phys,
                         pre_dv.get(b, set()), post_dv.get(b, set()),
                     ))
         return out
 
     def read(self, partition: _BucketDiff):
         def load(d: str | None, dv) -> dict:
-            """key -> tuple of ALL output column values (schema
+            """key -> tuple of ALL output column values (feed-schema
             order), with the version's delete vector applied — both
             images are the LOGICAL bucket a snapshot reader sees, so
             a DV-only commit diffs as deletes and a compaction that
-            folds the vector diffs as nothing."""
+            folds the vector diffs as nothing. Fields a file's footer
+            lacks read NULL (pre-evolution buckets — r15); a file
+            lacking the KEY field fails loudly: it cannot be keyed."""
             if d is None:
                 return {}
             import pyarrow.parquet as pq
 
             dropped = set(dv)
             kv: dict = {}
+            key_idx = partition.phys.index(partition.key_phys)
             for name in sorted(os.listdir(d)):
                 if not name.endswith(".parquet"):
                     continue
-                t = pq.read_table(
-                    os.path.join(d, name), columns=partition.cols,
-                )
-                cols = [t.column(c).to_pylist() for c in partition.cols]
-                key_idx = partition.cols.index(partition.key_col)
+                full = os.path.join(d, name)
+                avail = set(pq.read_schema(full).names)
+                if partition.key_phys not in avail:
+                    raise ValueError(
+                        f"bucket file {full} lacks the feed's key "
+                        f"field {partition.key_phys!r}: this bucket "
+                        "cannot be diffed by key"
+                    )
+                want = [p for p in partition.phys if p in avail]
+                t = pq.read_table(full, columns=want)
+                data = {p: t.column(p).to_pylist() for p in want}
+                none_col = [None] * t.num_rows
+                cols = [data.get(p, none_col) for p in partition.phys]
                 for row in zip(*cols):
                     if row[key_idx] in dropped:
                         continue
@@ -324,9 +423,11 @@ class SnapshotCDFDataSource(DataSource):
     ``spark.dataSource.register(SnapshotCDFDataSource)``.
 
     Default schema is FULL-ROW: ``commit_version int, change_type
-    string`` followed by every table column at its parquet type.
+    string`` followed by every table column at its parquet type —
+    LOGICAL names when the table carries a column mapping (r15).
     ``.option("valcol", c)`` selects the legacy two-column feed
-    (``key bigint, value double``) the r13 consumers use."""
+    (``key bigint, value double``) the r13 consumers use;
+    ``.option("branch", b)`` subscribes to a named branch's chain."""
 
     @classmethod
     def name(cls) -> str:
@@ -336,8 +437,11 @@ class SnapshotCDFDataSource(DataSource):
         head = "commit_version int, change_type string"
         if self.options.get("valcol") is not None:
             return f"{head}, key bigint, value double"
-        cols = _table_columns(self.options.get("path"))
-        body = ", ".join(f"{n} {t}" for n, t in cols)
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("snapshot_cdf requires a 'path' option")
+        cols = _resolve_columns(path, self.options.get("branch", "main"))
+        body = ", ".join(f"{n} {t}" for n, _, t in cols)
         return f"{head}, {body}"
 
     def streamReader(self, schema) -> SnapshotCDFStreamReader:
