@@ -885,6 +885,28 @@ def _carry_forward(
     raise ValueError(f"unknown sidecar kind {kind!r}")
 
 
+def table_sort_order(
+    table_dir: str, version: int | None = None, branch: str = "main"
+) -> dict | None:
+    """The write SORT ORDER recorded for ``version`` (r15 — Iceberg
+    sort orders as this store builds them): a ``sortorder`` sidecar
+    ``{bucket: [[column, "asc"|"desc"], ...]}`` declaring the order
+    each bucket's files were written in. Pure metadata with the same
+    lifecycle as stats (staged with the commit, carried for unchanged
+    buckets, DROPPED for re-pointed ones — a rewriter's layout is
+    whatever the rewriter declares). The payoff is a consumer-side
+    physical-strategy choice: a merge/dedupe/as-of consumer that
+    needs ``(key, seq)``-ordered input can verify the table already
+    HAS that layout and elide its Sort — and, when buckets partition
+    the key space, its Exchange too (see
+    orders_sorted_merge_keep_last). A missing sidecar or a
+    non-matching prefix means "not sorted": consumers fall back to
+    sorting — pruning semantics never depend on this metadata."""
+    if version is None:
+        version = latest_version(table_dir, branch)
+    return read_sidecar(table_dir, version, "sortorder", branch)
+
+
 def bloom_positions(key, k: int, m: int) -> list[int]:
     """The store's Bloom hash recipe: md5 over ``"<i>:<key>"``, first
     15 hex digits, mod m — hashlib here mirrors the engine-side

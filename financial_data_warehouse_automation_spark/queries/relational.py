@@ -7810,3 +7810,191 @@ def orders_concurrent_same_bucket_merge(
             )
         ).cast("bigint").alias("rival_cents"),
     )
+
+
+@query(
+    "orders_sorted_merge_keep_last",
+    tags=("layout", "snapshot", "sortorder", "merge", "dedupe",
+          "zero-shuffle"),
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                + (o_orderkey % 3 + 1) * 100) AS BIGINT) AS cents,
+       CAST(SUM(o_orderkey % 3 + 1) AS BIGINT) AS seq_sum
+FROM orders
+""",
+)
+def orders_sorted_merge_keep_last(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SORT-ORDER METADATA BUYS A SHUFFLE-FREE, SORT-FREE MERGE (r15
+    — the r14 verdict's task 5: record what Iceberg calls the table's
+    sort order, then PROVE a consumer can cash it in). A versions
+    table (each order delivered 1-3 times, ``seq``-stamped, cents
+    drifting +100 per delivery) is written key-bucketed
+    (``pb = okey % 8``) and SORTED WITHIN EACH BUCKET by
+    ``(okey, seq)``; the commit stamps a ``sortorder`` sidecar. The
+    keep-last-per-key merge — the reference's A2 upsert semantics,
+    build_warehouse.py:159-169 — then runs TWO ways:
+
+    * CONTROL (layout-ignorant): the standard window plan
+      (row_number over okey ordered by seq desc) — Catalyst plans an
+      Exchange (hash-shuffle every row) plus a Sort. Correct
+      anywhere, pays the full shuffle.
+    * FAST (sidecar-directed): the consumer checks
+      ``table_sort_order`` declares the ``(okey, seq)`` prefix for
+      EVERY bucket, that buckets partition the key space, and that
+      each bucket is a single file smaller than the read split size
+      (so Spark cannot interleave or split a bucket mid-key); it
+      then runs ONE streaming pass per partition (Arrow-batched
+      ``mapInPandas``, dict of last row per key) — the physical plan
+      contains NO Exchange and NO Sort (asserted on the plan
+      string), because the layout already did that work at write
+      time. Any precondition failing falls back to the control plan
+      (asserted by re-pointing a bucket: the carried order drops and
+      the fast path refuses).
+
+    Both paths are asserted row-identical (exceptAll, both
+    directions); the oracle replays the closed form from raw orders.
+
+    At 100 TB: the window plan shuffles the full versions table every
+    merge; the sorted layout amortizes ONE write-time sort across
+    every later merge/as-of/range consumer — the standard LSM/Iceberg
+    trade. The single-file precondition is the demo's split-safety
+    fence; a production reader makes buckets split-proof natively
+    (Spark's bucketBy tables, Iceberg split planning) with the same
+    metadata contract."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        read_manifest,
+        table_sort_order,
+        try_commit,
+    )
+    from financial_data_warehouse_automation_spark.queries._helpers import (
+        scratch_dir,
+    )
+    from financial_data_warehouse_automation_spark.tables import load_table
+
+    table = scratch_dir("sortmerge_")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+        .alias("base_cents"),
+    )
+    ups = (
+        o.withColumn(
+            "seq",
+            F.explode(
+                F.sequence(F.lit(1), (F.col("okey") % 3 + 1).cast("int"))
+            ),
+        )
+        .withColumn("cents", F.col("base_cents") + F.col("seq") * 100)
+        .withColumn("pb", (F.col("okey") % 8).cast("int"))
+        .select("okey", "seq", "cents", "pb")
+    )
+    root = os.path.join(table, "g1")
+    (
+        ups.repartition(8, "pb")
+        .sortWithinPartitions("pb", "okey", "seq")
+        .write.partitionBy("pb").parquet(root)
+    )
+    v1_map = {
+        n.split("=", 1)[1]: os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.startswith("pb=")
+    }
+    order = [["okey", "asc"], ["seq", "asc"]]
+    assert try_commit(table, 0, v1_map, sidecars={
+        "sortorder": {b: order for b in v1_map},
+    }) == 1
+
+    def bucket_files(d: str) -> list[str]:
+        return [n for n in os.listdir(d) if n.endswith(".parquet")]
+
+    def keep_last_fast(version: int) -> DataFrame | None:
+        """The sidecar-directed plan, or None when the layout does
+        not guarantee it (caller falls back to the window plan)."""
+        mani = read_manifest(table, version)
+        so = table_sort_order(table, version) or {}
+        want = [["okey", "asc"], ["seq", "asc"]]
+        split_bytes = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+            .removesuffix("b")
+        )
+        for b, d in mani.items():
+            if (so.get(b) or [])[:2] != want:
+                return None  # not declared sorted: cannot elide
+            files = bucket_files(d)
+            if len(files) != 1:
+                return None  # a key's rows could span files
+            if os.path.getsize(os.path.join(d, files[0])) >= split_bytes:
+                return None  # Spark would split the file mid-key
+        src = spark.read.parquet(*[mani[b] for b in sorted(mani)])
+
+        def fold(it):
+            import pandas as pd
+
+            acc = None
+            for pdf in it:
+                last = pdf.drop_duplicates(subset=["okey"], keep="last")
+                if acc is None:
+                    acc = last
+                else:
+                    acc = pd.concat([acc, last]).drop_duplicates(
+                        subset=["okey"], keep="last"
+                    )
+            if acc is not None:
+                yield acc
+
+        return src.mapInPandas(
+            fold, "okey bigint, seq int, cents bigint"
+        )
+
+    fast = keep_last_fast(1)
+    assert fast is not None, "sorted layout must qualify"
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fast.explain()
+    plan = buf.getvalue()
+    assert "Exchange" not in plan, plan  # zero shuffle
+    assert "Sort" not in plan, plan      # zero re-sort
+
+    control = (
+        spark.read.parquet(*v1_map.values())
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("okey").orderBy(F.col("seq").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("okey", "seq", "cents")
+    )
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        control.explain()
+    cplan = buf2.getvalue()
+    assert "Exchange" in cplan and "Sort" in cplan, cplan
+
+    # identical rows, both directions
+    assert fast.exceptAll(control).count() == 0
+    assert control.exceptAll(fast).count() == 0
+
+    # the fence: a re-pointed bucket drops its declaration and the
+    # fast path REFUSES (falls back) instead of computing wrong rows
+    d_rw = os.path.join(table, "g2-b3")
+    spark.read.parquet(v1_map["3"]).orderBy(F.rand(7)).write.parquet(
+        d_rw
+    )
+    v2_map = dict(v1_map)
+    v2_map["3"] = d_rw
+    assert try_commit(table, 1, v2_map) == 2
+    assert keep_last_fast(2) is None
+
+    return fast.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.sum("seq").cast("bigint").alias("seq_sum"),
+    )

@@ -54,115 +54,97 @@ REGISTRY: dict[str, QuerySpec] = {}
 # via this tuple so every recorded slot is deliberately chosen. The
 # tuple is EXACTLY 50 entries (r9 advisor: a 59-entry tuple silently
 # gave slots 51+ no record while claiming otherwise).
-# Round 14's prefix:
+# Round 15's prefix:
 #
 # 1. NEW queries first — each needs its first driver record in the
 #    same round it lands (the r6 lesson). This round's theme is
-#    closing the r13 verdict's storage gaps:
-#      orders_mor_update — merge-on-read UPDATE: DV on the old keys +
-#        post-image bucket in ONE commit, zero rewritten files
-#        (manifest asserted); the DV-aware change feed replays it and
-#        a terminal fold rebuilds the head; compaction folds it and
-#        v2 == v3 row-for-row;
-#      orders_evolved_dv_pruned_read — the unified reader's capstone:
-#        ONE table that has renamed+added columns, taken a DV delete,
-#        and carries stats, served by the ONE read path with every
-#        sidecar CARRIED FORWARD by try_commit (the resurrection trap
-#        pinned closed) and the pruning trace asserted;
-#      orders_commit_check_constraints — CHECK constraints at the
-#        commit boundary: a poisoned batch is refused before any
-#        manifest publishes; the clean batch passes the same gate;
-#      orders_cdf_replica_bucketed — the replica at scale: the
-#        partitioned derived-state fold re-points ONLY the buckets
-#        a commit churned (asserted via DESCRIBE HISTORY), shares
-#        the rest zero-copy, and restarts as a byte no-op;
-#      orders_cdf_scd2_history — the feed folded into an SCD2
-#        dimension (valid_from/valid_to per value interval); the
-#        is_current slice asserted == the head read;
-#      orders_filegrain_skipping_snapshot — per-FILE min/max from
-#        parquet footers as the planner's fourth layer; a key band
-#        opens ~1 file per bucket (trace asserted);
-#      doc_takedown_deletion_vector — takedown/PII removal on the
-#        training corpus as a zero-rewrite DV commit; compaction
-#        folds it; v2 == v3 oracle-certified;
-#      ingest_monthly_mor_restatement — the reference's February
-#        restatement re-done as MERGE-ON-READ: diff the
-#        re-delivery, DV one superseded row + one-row post-image,
-#        zero historical buckets rewritten; time travel still
-#        serves February as originally reported.
-# 2. IMPL-TOUCHED queries whose newest driver record predates this
-#    round's storage changes: read_snapshot was unified (pruning ->
-#    column mapping -> per-BUCKET DV filter), try_commit now carries
-#    sidecars forward, sidecars became branch-qualified, the CDF
-#    source went full-row + DV-aware, expire_snapshots gained
-#    per-branch retention + sidecar GC, and the branch query grew
-#    branch as-of + retention probes.
+#    enforcing the write-side contracts r14 only documented, and
+#    composing the feed with evolution:
+#      orders_concurrent_same_bucket_merge — two writers on the SAME
+#        bucket: the fold loop DETECTS the overlap and re-merges
+#        against the rival's state instead of last-rebaser-wins;
+#        both effects survive, history isolation asserted;
+#      orders_sorted_merge_keep_last — sort-order metadata (Iceberg
+#        sort orders) cashed in: the keep-last merge over a
+#        (key,seq)-sorted bucketed layout plans with NO Exchange and
+#        NO Sort (plan-pinned), falls back when a re-pointed bucket
+#        drops its declaration;
+#      orders_cdf_schema_evolution_feed — the change feed across a
+#        RENAME + ADD COLUMN + backfill mid-subscription (logical
+#        names, stable field ids, NULL-filled pre-evolution
+#        replays), plus a branch-scoped subscription whose dropped
+#        bucket feeds as deletes.
+# 2. IMPL-TOUCHED: every storage query reads/commits through this
+#    round's rewritten protocol — token-named manifest-referenced
+#    sidecars (crash-safe staging, race-free loser cleanup, orphan
+#    GC), the single broadcast-anti-join DV read path, and the
+#    conflict-detecting fold loops — so the whole band re-records
+#    post-change.
 # 3. Rotation re-checks, oldest last-green first per
-#    tools/next_verify_prefix.py: the r13 queue (q17/q18 + the
-#    q19..set_intersect_all_parts band queued in r13) through
-#    doc_neardup_dropset. doc_neardup_dropset_incremental,
-#    doc_shuffle_order, doc_vocab_top100, embedding_semantic_dedup,
-#    events_asof_* and the events band queue for r15.
+#    tools/next_verify_prefix.py: the r14 queue (doc_jaccard_prefix_filter
+#    .. q6_forecast_revenue). q7/q8, rolling/trailing windows,
+#    skew_salted_segment_revenue, ytd_running_total queue for r16.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
 # takes a slot again. Local ground truth for every query at BOTH scale
 # factors: CORRECTNESS_LOCAL_sf001.json / CORRECTNESS_LOCAL_sf01.json
 # (regenerate with tools/verify_oracle.py --json).
 VERIFY_FIRST: tuple[str, ...] = (
-    # bucket 1: new r14 queries
+    # bucket 1: new r15 queries
+    "orders_concurrent_same_bucket_merge",
+    "orders_sorted_merge_keep_last",
+    "orders_cdf_schema_evolution_feed",
+    # bucket 2: the storage band, re-recorded through the r15
+    # sidecar/DV/fold protocol rewrite
     "orders_mor_update",
-    "orders_cdf_replica_bucketed",
-    "orders_cdf_scd2_history",
-    "orders_filegrain_skipping_snapshot",
-    "orders_evolved_dv_pruned_read",
-    "orders_commit_check_constraints",
-    "doc_takedown_deletion_vector",
-    "ingest_monthly_mor_restatement",
-    # bucket 2: impl-touched in r14 without a post-change record
-    "orders_cdf_replica_pipeline",
-    "orders_branch_wap_fastforward",
     "orders_deletion_vector_merge_on_read",
-    "orders_schema_evolution_snapshot",
+    "orders_evolved_dv_pruned_read",
+    "doc_takedown_deletion_vector",
+    "orders_branch_wap_fastforward",
+    "orders_cdf_replica_pipeline",
+    "orders_cdf_replica_bucketed",
     "orders_cdf_stream_subscribe",
+    "orders_cdf_scd2_history",
     "orders_scan_planner_composed",
     "orders_manifest_stats_prune",
     "orders_manifest_bloom_point_lookup",
+    "orders_filegrain_skipping_snapshot",
     "orders_partition_spec_evolution",
+    "orders_schema_evolution_snapshot",
     "orders_shallow_clone_divergence",
     "orders_snapshot_as_of",
-    "orders_snapshot_describe_history",
-    "orders_snapshot_incremental_mv",
-    "events_stream_snapshot_commit",
-    "ingest_monthly_snapshot_loop",
+    "orders_commit_check_constraints",
     "warehouse_upsert_snapshot",
+    "ingest_monthly_snapshot_loop",
+    "ingest_monthly_mor_restatement",
     # bucket 3: rotation re-checks, oldest last-green first per
-    # tools/next_verify_prefix.py (r13 queue head onward)
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_dominant_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "segment_revenue_correlation",
-    "set_intersect_all_parts",
-    "top3_orders_per_segment",
-    "unpivot_revenue_by_flag",
-    "upsert_keep_last",
-    "ann_cosine_topk_ivf",
-    "ann_cosine_topk_ivf_rerank",
-    "bucketed_join_colocated",
-    "cube_brand_size",
-    "customer_ltv_cohorts",
-    "customer_order_full_outer",
-    "customer_revenue_gini",
-    "customer_rfm_segments",
-    "customers_with_big_orders_semi",
-    "customers_without_orders_anti",
-    "distinct_counts_per_segment",
-    "doc_containment_pairs",
-    "doc_dedup_dropset",
-    "doc_jaccard_incremental_pairs",
+    # tools/next_verify_prefix.py (r14 queue head onward)
+    "doc_jaccard_prefix_filter",
+    "doc_kl_divergence",
+    "doc_length_buckets",
+    "doc_minhash_md5_pairs",
+    "doc_neardup_dropset",
+    "doc_neardup_dropset_incremental",
+    "doc_shuffle_order",
+    "doc_vocab_top100",
+    "embedding_semantic_dedup",
+    "events_asof_last_order",
+    "events_asof_next_order",
+    "events_cusum_drift",
+    "events_day_gaps",
+    "events_ewma_daily",
+    "events_mad_anomalies",
+    "events_markov_transitions",
+    "events_session_window_builtin",
+    "events_stream_mv_refresh",
+    "events_top_paths_3step",
+    "media_feature_histograms",
+    "media_shared_frame_neardup",
+    "monthly_revenue_seasonality",
+    "mv_incremental_refresh",
+    "partitioned_join_dpp",
+    "q4_priority_with_returns",
+    "q6_forecast_revenue",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 

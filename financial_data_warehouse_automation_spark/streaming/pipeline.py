@@ -539,7 +539,7 @@ def _tws_available() -> bool:
     protobuf; the runtime gate mirrors the openpyxl gate on the Excel
     path (real implementation, registered only where the dependency
     exists — this container has no protobuf and installs are out of
-    scope; re-probed each round, most recently r11 2026-08-16:
+    scope; re-probed each round, most recently r15 2026-08-17:
     still absent)."""
     try:
         from google.protobuf import descriptor  # noqa: F401

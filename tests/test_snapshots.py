@@ -1670,3 +1670,29 @@ def test_dv_read_plan_bounded_across_many_buckets(spark, tmp_path):
     want = {b * 10 + j for b in range(n_b) for j in (2, 3, 4)} | {None}
     assert got == want
     assert df.count() == n_b * 3 + 1  # NULL-keyed row survived
+
+
+def test_sortorder_sidecar_carries_and_drops(tmp_path):
+    """Sort-order metadata (r15): carried for unchanged buckets,
+    DROPPED for re-pointed ones — a rewritten bucket's layout is only
+    what its rewriter declares, never the predecessor's."""
+    from financial_data_warehouse_automation_spark.operators.snapshots import (
+        table_sort_order,
+    )
+
+    table = str(tmp_path)
+    d1 = _mkdata(table, "g1")
+    d2 = _mkdata(table, "g2")
+    so = {"0": [["k", "asc"], ["seq", "asc"]]}
+    try_commit(table, 0, {"0": d1}, sidecars={"sortorder": so})
+    assert table_sort_order(table, 1) == so
+
+    # unrelated append: bucket 0 unchanged -> order carries
+    try_commit(table, 1, {"0": d1, "1": d2})
+    assert table_sort_order(table, 2) == so
+
+    # compaction re-points bucket 0 without declaring an order:
+    # the stale declaration must NOT survive
+    d3 = _mkdata(table, "g3")
+    try_commit(table, 2, {"0": d3, "1": d2})
+    assert table_sort_order(table, 3) is None
