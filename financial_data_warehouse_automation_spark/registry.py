@@ -73,7 +73,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 #        RENAME + ADD COLUMN + backfill mid-subscription (logical
 #        names, stable field ids, NULL-filled pre-evolution
 #        replays), plus a branch-scoped subscription whose dropped
-#        bucket feeds as deletes.
+#        bucket feeds as deletes;
+#      doc_takedown_feed_propagation — right-to-be-forgotten end to
+#        end: the corpus takedown DV commit propagates through the
+#        DV-aware feed into a subscription-maintained derived index
+#        with zero rewrites at either layer; a later delivery cannot
+#        resurrect the docs (carry asserted).
 # 2. IMPL-TOUCHED: every storage query reads/commits through this
 #    round's rewritten protocol — token-named manifest-referenced
 #    sidecars (crash-safe staging, race-free loser cleanup, orphan
@@ -82,8 +87,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 #    post-change.
 # 3. Rotation re-checks, oldest last-green first per
 #    tools/next_verify_prefix.py: the r14 queue (doc_jaccard_prefix_filter
-#    .. q6_forecast_revenue). q7/q8, rolling/trailing windows,
-#    skew_salted_segment_revenue, ytd_running_total queue for r16.
+#    .. q4_priority_with_returns). q6/q7/q8, rolling/trailing
+#    windows, skew_salted_segment_revenue, ytd_running_total queue
+#    for r16.
 #
 # The rows-only quartet got its one deliberate record in r7 and never
 # takes a slot again. Local ground truth for every query at BOTH scale
@@ -94,6 +100,7 @@ VERIFY_FIRST: tuple[str, ...] = (
     "orders_concurrent_same_bucket_merge",
     "orders_sorted_merge_keep_last",
     "orders_cdf_schema_evolution_feed",
+    "doc_takedown_feed_propagation",
     # bucket 2: the storage band, re-recorded through the r15
     # sidecar/DV/fold protocol rewrite
     "orders_mor_update",
@@ -144,7 +151,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "mv_incremental_refresh",
     "partitioned_join_dpp",
     "q4_priority_with_returns",
-    "q6_forecast_revenue",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 
