@@ -261,7 +261,8 @@ def events_sessionization_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.unix_micros("ts")).alias("session_end"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id", "session_id")
+        # no final ORDER BY (r15): order-insensitive gate; the global
+        # sort was a range exchange + sampling pass (guide §2.4).
     )
 
 
@@ -422,7 +423,7 @@ def events_asof_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("probe_ts").alias("probe_epoch"),
         "last_orderkey",
         "last_orderdate",
-    ).orderBy("event_id")
+    )  # no final ORDER BY (r15): order-insensitive gate (guide §2.4)
 
 
 @query(

@@ -311,7 +311,7 @@ def ingest_warehouse_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return enriched.withColumn(
         "ytd", F.sum("amount").over(w).cast("double")
-    ).orderBy("gl_code", "year", "month", "department", "category")
+    )  # no final ORDER BY (r15): order-insensitive gate (guide §2.4)
 
 
 @query(

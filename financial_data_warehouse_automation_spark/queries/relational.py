@@ -90,7 +90,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(rate("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # no final ORDER BY (r15): the driver gate hashes rows
+        # order-insensitively, and the global sort was a range exchange
+        # + sampling pass over the result (guide §2.4 — "an orderBy
+        # used only to make output deterministic").
     )
 
 
@@ -150,7 +153,8 @@ def monthly_segment_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("order_rev").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .orderBy("year", "month", "segment")
+        # no final ORDER BY (r15): order-insensitive gate; see
+        # pricing_summary.
     )
 
 
@@ -198,7 +202,8 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("year"),
         )
         .agg(F.sum("order_rev").cast("double").alias("revenue"))
-        .orderBy("region", "year")
+        # no final ORDER BY (r15): order-insensitive gate; see
+        # pricing_summary.
     )
 
 

@@ -95,7 +95,7 @@ def ann_cosine_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return brute_force_topk(probes, e, k=5).select(
         "qid", "rank", "vec_id", "cos"
-    ).orderBy("qid", "rank")
+    )  # no final ORDER BY (r15): order-insensitive gate (guide §2.4)
 
 
 def _sql_rhp_oracle() -> str:

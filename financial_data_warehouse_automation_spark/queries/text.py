@@ -223,7 +223,8 @@ def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .drop("rn")
-        .orderBy("doc_id")
+        # no final ORDER BY (r15): order-insensitive gate; the global
+        # sort was a range exchange + sampling pass (guide §2.4).
     )
 
 
@@ -369,7 +370,9 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", jaccard(F.col("sa"), F.col("sb")).alias("jac"))
         .where(F.col("jac") >= 0.5)
     )
-    result = verified.orderBy("id_a", "id_b")
+    # no final ORDER BY (r15): order-insensitive gate; the global sort
+    # was a range exchange + sampling pass (guide §2.4).
+    result = verified
     result.lsh_cap_observation = obs
     return result
 
@@ -562,7 +565,7 @@ def doc_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("tok_in_chunk").alias("chunk_tokens"),
         )
-        .orderBy("shard", "chunk_id")
+        # no final ORDER BY (r15): order-insensitive gate (guide §2.4).
     )
 
 
@@ -948,7 +951,7 @@ def doc_decontaminate_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("shingle").alias("n_shared_shingles"),
             F.countDistinct("train_doc").alias("n_contaminating_docs"),
         )
-        .orderBy("doc_id")
+        # no final ORDER BY (r15): order-insensitive gate (guide §2.4).
     )
 
 

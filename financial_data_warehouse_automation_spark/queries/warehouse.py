@@ -86,7 +86,9 @@ def upsert_keep_last_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = _monthly_spend(o.where(F.year("o_orderdate") >= 1995), "new")
     merged = upsert_keep_last(existing, updates, ["custkey", "year", "month"])
-    return merged.orderBy("custkey", "year", "month")
+    # no final ORDER BY (r15): order-insensitive gate; the global sort
+    # was a range exchange + sampling pass (guide §2.4).
+    return merged
 
 
 @query(

@@ -73,7 +73,8 @@ def ytd_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         monthly.withColumn("ytd_spend", F.sum("month_spend").over(w).cast("double"))
         .where(F.col("custkey") % 100 == 0)
-        .orderBy("custkey", "year", "month")
+        # no final ORDER BY (r15): order-insensitive gate; the global
+        # sort was a range exchange + sampling pass (guide §2.4).
     )
 
 
@@ -257,7 +258,8 @@ def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
         )
         .where(F.col("rn") <= 3)
-        .orderBy("segment", "rn")
+        # no final ORDER BY (r15): the top-k semantics live in the
+        # WindowGroupLimit + rn filter; the gate is order-insensitive.
     )
 
 
