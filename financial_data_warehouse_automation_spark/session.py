@@ -47,6 +47,24 @@ def get_spark(app_name: str = "financial_data_warehouse_automation_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # InferFiltersFromGenerate copies each explode's input expression
+        # into a `size(e) > 0 AND e IS NOT NULL` filter that predicate
+        # pushdown then sinks below the spread_by exchange — for this
+        # engine's explodes the input is always a DERIVED array (split /
+        # shingle / band / sequence), so the "filter" re-evaluates the
+        # full array construction once per row in the narrowest stage of
+        # the plan (the single-row-group scan) and prunes nothing: a
+        # size() predicate on a computed array cannot reach parquet as a
+        # PushedFilter at any scale. Measured at sf0.1:
+        # doc_minhash_lsh_pairs 2.2-2.9s -> 1.7s (the shingle expression
+        # had been evaluated twice, once serialized on the scan task);
+        # every other text query flat-to-faster. Rule exclusion is
+        # semantics-preserving by contract (only excludable optimizer
+        # rules honor this conf).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
