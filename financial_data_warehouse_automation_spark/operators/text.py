@@ -138,35 +138,25 @@ def minhash_signatures(
     """
     ex = (
         df.select(F.col(id_col), F.explode(shingle_arr).alias("_sh"))
-        .select(F.col(id_col), F.xxhash64("_sh").alias("_h64"))
-        .select(
-            F.col(id_col),
-            F.col("_h64"),
-            F.pmod(F.col("_h64"), F.lit(1 << 31)).alias("_h31"),
-        )
+        .selectExpr(id_col, "xxhash64(_sh) AS _h64")
+        .selectExpr(id_col, "_h64", f"pmod(_h64, {1 << 31}) AS _h31")
     )
-    # one F.expr per min (SQL parsed JVM-side) instead of composing
-    # ~6 Column objects each: the k-wide loop was ~400 py4j round
-    # trips ≈ 0.4s of pure DataFrame CONSTRUCTION per build at k=64
-    # (profiled round 5; execution unchanged — same parsed expression)
-    mins = [
-        F.expr(
-            f"min(_h31 * {2 * i + 1} + "
-            f"{(0x9E3779B97F4A7C15 * (i + 1)) % (1 << 60)}) AS _m{i}"
-        )
+    # the whole k-wide signature as ONE parsed expression —
+    # array(min(...), ..., min(...)) nested inside the aggregate — so
+    # construction is a single py4j round trip instead of k (r5 had
+    # already collapsed each min to one F.expr; r15 collapses the loop
+    # itself: 64 expr parses + the re-array select were ~0.25s of
+    # build per call at k=64). Identical SQL semantics: the final
+    # aggregate's result projection array()s the k mins either way.
+    mins_csv = ", ".join(
+        f"min(_h31 * {2 * i + 1} + "
+        f"{(0x9E3779B97F4A7C15 * (i + 1)) % (1 << 60)})"
         for i in range(k)
-    ]
-    aggs = list(mins)
+    )
+    aggs = [F.expr(f"array({mins_csv})").alias("signature")]
     if include_set:
         aggs.append(F.collect_set("_h64").alias("shingle_set"))
-    agg = ex.groupBy(id_col).agg(*aggs)
-    out = [
-        F.col(id_col),
-        F.array(*[f"_m{i}" for i in range(k)]).alias("signature"),
-    ]
-    if include_set:
-        out.append(F.col("shingle_set"))
-    return agg.select(*out)
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -222,50 +212,46 @@ def lsh_candidate_pairs(
         + ")) AS band_hash)"
         for i in range(bands)
     )
-    b = sig_df.select(
-        F.col(id_col),
-        F.explode(F.expr(f"array({band_parts})")).alias("band"),
-    ).select(id_col, "band.band_idx", "band.band_hash")
+    # construction is parsed-SQL throughout (r15): the Column-composed
+    # band explode + pair-expansion lambdas were ~700 py4j round trips
+    # (~0.2-0.3s of build under load); inline() + one CASE expression
+    # emit the identical plan in a handful of calls.
+    b = sig_df.selectExpr(id_col, f"inline(array({band_parts}))")
     buckets = (
         b.groupBy("band_idx", "band_hash")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .where(F.size("ids") >= 2)
+        .agg(F.expr(f"array_sort(collect_list({id_col}))").alias("ids"))
+        .where("size(ids) >= 2")
     )
-    n = F.size("ids")
-    hot = n > max_bucket
+    hot_sql = f"size(ids) > {max_bucket}"
     if observation is not None:
         # pairs_capped = intra-bucket edges a hot bucket does NOT emit:
         # n*(n-1)/2 all-pairs minus the n-1 star edges
         buckets = buckets.observe(
             observation,
-            F.coalesce(F.sum(hot.cast("long")), F.lit(0)).alias("hot_buckets"),
-            F.coalesce(
-                F.sum(F.when(hot, (n * (n - 1) / 2 - (n - 1)).cast("long"))),
-                F.lit(0),
+            F.expr(
+                f"coalesce(sum(cast(({hot_sql}) as long)), 0)"
+            ).alias("hot_buckets"),
+            F.expr(
+                f"coalesce(sum(case when {hot_sql} then "
+                "cast(size(ids) * (size(ids) - 1) / 2 - (size(ids) - 1) "
+                "as long) end), 0)"
             ).alias("pairs_capped"),
         )
     # All ordered pairs within a sub-cap bucket: for each ids[i], pair
     # with every later element. Bucket = one shared band hash, i.e. a
     # near-dup group, so sizes stay small in a deduplicated corpus; a
     # hot (over-cap) bucket degrades to the linear star instead.
-    all_pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    star_pairs = F.transform(
-        F.slice(F.col("ids"), 2, F.size(F.col("ids"))),
-        lambda y: F.struct(
-            F.element_at(F.col("ids"), 1).alias("id_a"), y.alias("id_b")
-        ),
-    )
-    pairs = F.when(hot, star_pairs).otherwise(all_pairs)
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        buckets.selectExpr(
+            f"""explode(CASE WHEN {hot_sql}
+              THEN transform(slice(ids, 2, size(ids)),
+                             y -> named_struct('id_a', element_at(ids, 1),
+                                               'id_b', y))
+              ELSE flatten(transform(ids, (x, i) ->
+                     transform(slice(ids, i + 2, size(ids)),
+                               y -> named_struct('id_a', x, 'id_b', y))))
+              END) AS p"""
+        )
         .select("p.id_a", "p.id_b")
         .distinct()
     )
