@@ -13,13 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from financial_data_warehouse_automation_spark.functions.scalars import (
-    clean_amount,
-    dept_from_sheet_name,
-    normalize_gl_code,
-    period_from_filename,
-)
-
 _SHEET_PART = ("file_name", "sheet_name")
 
 
@@ -78,6 +71,49 @@ def balance_section_category(df: DataFrame, desc_col: str = "col_c") -> DataFram
     )
 
 
+# SQL-string equivalents of the F1-F4 scalar helpers, for the hot parse
+# pipelines below. Construction cost finding (r15): the Column-composed
+# parsers were ~600 py4j round trips per build (~0.3s under load, paid
+# per bench rep); chained selectExpr/where strings emit the identical
+# expression trees in ~10 calls. The Column helpers in
+# functions/scalars.py remain the library API (property-tested); these
+# templates are pinned to them by the ingest fixtures and the two-SF
+# DuckDB oracle gate, which hash-check every branch (currency quirks,
+# zero-pad, en-dash, header depth, sentinels).
+_SQL_TRIMS = "trim(cast({c} as string))"
+_SQL_GL = (
+    "CASE WHEN regexp_extract(" + _SQL_TRIMS + r", '^(\\d{{1,4}})(?:\\.0+)?$', 1) != '' "
+    "THEN lpad(regexp_extract(" + _SQL_TRIMS + r", '^(\\d{{1,4}})(?:\\.0+)?$', 1), 4, '0') END"
+)
+_SQL_AMT = (
+    "CASE WHEN trim(regexp_replace(" + _SQL_TRIMS + r", '[$,]', '')) RLIKE '^\\(.*\\)$' "
+    "THEN -try_cast(trim(regexp_replace(trim(regexp_replace(" + _SQL_TRIMS
+    + r", '[$,]', '')), '^\\((.*)\\)$', '$1')) AS DECIMAL(18,2)) "
+    "ELSE try_cast(trim(regexp_replace(" + _SQL_TRIMS
+    + r", '[$,]', '')) AS DECIMAL(18,2)) END"
+)
+_SQL_MONTH = (
+    r"CASE WHEN try_cast(regexp_extract(file_name, '(\\d{2})\\.(\\d{4})', 1) AS INT) "
+    r"BETWEEN 1 AND 12 "
+    r"THEN try_cast(regexp_extract(file_name, '(\\d{2})\\.(\\d{4})', 1) AS INT) END"
+)
+_SQL_YEAR = (
+    "CASE WHEN " + _SQL_MONTH + " IS NOT NULL "
+    r"THEN try_cast(regexp_extract(file_name, '(\\d{2})\\.(\\d{4})', 2) AS INT) END"
+)
+_SQL_DEPT = (
+    "CASE WHEN regexp_extract(" + _SQL_TRIMS.format(c="sheet_name")
+    + r", '(?i)^DEPARTMENT\\s+(\\d+)[-–—]F$', 1) != '' "
+    "THEN regexp_extract(" + _SQL_TRIMS.format(c="sheet_name")
+    + r", '(?i)^DEPARTMENT\\s+(\\d+)[-–—]F$', 1) END"
+)
+_SQL_SHEET_W = "PARTITION BY file_name, sheet_name"
+_SQL_RUN_W = (
+    _SQL_SHEET_W + " ORDER BY row_idx ROWS BETWEEN UNBOUNDED PRECEDING"
+    " AND CURRENT ROW"
+)
+
+
 def parse_income_statement(lines: DataFrame) -> DataFrame:
     """Full income-statement parse (build_warehouse.py:86-105 +
     Code.gs:168-204): header discovery → category forward-fill → GL-row
@@ -85,23 +121,36 @@ def parse_income_statement(lines: DataFrame) -> DataFrame:
     drop → period/department stamping.
 
     Output grain: (gl_code, year, month, department, category) facts.
+    Emits the same expression trees as the W1/W2 + F1-F4 Column helpers
+    (discover_header_rows / forward_fill_category / scalars.py), via
+    parsed SQL — see the construction-cost note above.
     """
-    month, year = period_from_filename("file_name")
-    dept = dept_from_sheet_name("sheet_name")
-    body = forward_fill_category(discover_header_rows(lines))
     return (
-        body.withColumn("department", dept)
-        .where(F.col("department").isNotNull())  # skip non-dept sheets
-        .withColumn("gl_code", normalize_gl_code("col_a"))
-        .where(F.col("gl_code").isNotNull())     # P2: data rows only
-        .withColumn("amount", clean_amount("col_c"))
-        .where(F.col("amount").isNotNull())      # P3 (+ quarantine-able)
-        .withColumn("month", month)
-        .withColumn("year", year)
-        .select(
-            "gl_code",
-            F.trim("col_b").alias("description_raw"),
-            "category", "year", "month", "department", "amount",
+        lines.selectExpr(
+            "*",
+            "min(CASE WHEN upper(trim(col_a)) = 'NUMBER'"
+            " AND upper(trim(col_b)) = 'DESCRIPTION' THEN row_idx END)"
+            f" OVER ({_SQL_SHEET_W}) AS _hdr_idx",
+        )
+        .where("_hdr_idx IS NOT NULL AND row_idx > _hdr_idx")
+        .selectExpr(
+            "*",
+            "last(CASE WHEN upper(trim(col_a)) = 'REVENUES' THEN 'Revenue'"
+            " WHEN upper(trim(col_a)) = 'EXPENSES' THEN 'Expenses' END, true)"
+            f" OVER ({_SQL_RUN_W}) AS category",
+        )
+        .selectExpr(
+            _SQL_GL.format(c="col_a") + " AS gl_code",
+            "trim(col_b) AS description_raw",
+            "category",
+            _SQL_YEAR + " AS year",
+            _SQL_MONTH + " AS month",
+            _SQL_DEPT + " AS department",
+            _SQL_AMT.format(c="col_c") + " AS amount",
+        )
+        .where(
+            "department IS NOT NULL AND gl_code IS NOT NULL"
+            " AND amount IS NOT NULL"
         )
     )
 
@@ -109,27 +158,30 @@ def parse_income_statement(lines: DataFrame) -> DataFrame:
 def parse_balance_sheet(lines: DataFrame) -> DataFrame:
     """Balance-sheet parse (Code.gs:211-235): section state machine →
     subtotal/blank-description skip (P5, Code.gs:224) → GL/amount parse.
-    Department is the empty string (Code.gs:231)."""
-    month, year = period_from_filename("file_name")
-    desc = F.trim("col_c")
-    sectioned = balance_section_category(lines)
+    Department is the empty string (Code.gs:231). Same expression trees
+    as the W3 + F1/F2 Column helpers, via parsed SQL (see the
+    construction-cost note above)."""
     return (
-        sectioned.where(
-            desc.isNotNull()
-            & (desc != "")
-            & ~F.upper(desc).startswith("TOTAL ")
+        lines.selectExpr(
+            "*",
+            "sum(CASE WHEN upper(trim(col_c)) IN"
+            " ('TOTAL ASSETS', 'TOTAL LIABILITIES') THEN 1 ELSE 0 END)"
+            f" OVER ({_SQL_RUN_W}) AS _n_bounds",
         )
-        .withColumn("gl_code", normalize_gl_code("col_b"))
-        .where(F.col("gl_code").isNotNull())
-        .withColumn("amount", clean_amount("col_e"))
-        .where(F.col("amount").isNotNull())
-        .withColumn("month", month)
-        .withColumn("year", year)
-        .select(
-            "gl_code",
-            desc.alias("description_raw"),
-            "category", "year", "month",
-            F.lit("").alias("department"),
-            "amount",
+        .where(
+            "trim(col_c) IS NOT NULL AND trim(col_c) != ''"
+            " AND NOT startswith(upper(trim(col_c)), 'TOTAL ')"
         )
+        .selectExpr(
+            _SQL_GL.format(c="col_b") + " AS gl_code",
+            "trim(col_c) AS description_raw",
+            "CASE WHEN _n_bounds = 0 THEN 'Assets'"
+            " WHEN _n_bounds = 1 THEN 'Liability'"
+            " ELSE 'Equity' END AS category",
+            _SQL_YEAR + " AS year",
+            _SQL_MONTH + " AS month",
+            "'' AS department",
+            _SQL_AMT.format(c="col_e") + " AS amount",
+        )
+        .where("gl_code IS NOT NULL AND amount IS NOT NULL")
     )
