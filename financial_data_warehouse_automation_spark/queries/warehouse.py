@@ -76,16 +76,52 @@ def upsert_keep_last_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: 'existing' warehouse (loads through 1995) upserted with a
     re-delivered 1995+ batch — overlapping keys (year 1995) must come
     out with src='new', proving last-write-wins; the src column is in
-    the hash so a wrong survivor fails loudly. ``spread_by`` on
-    custkey: hash(custkey) satisfies the (custkey, year, month)
-    clustering, so both branch aggregates run partition-local on the
-    harness's single-row-group scan (plan no-op on a split table)."""
+    the hash so a wrong survivor fails loudly.
+
+    Plan shape (r15): in this harness both "deliveries" are overlapping
+    filters of the SAME fact table, so the union + row_number form
+    scanned and shuffled orders twice (the per-branch pushed filters
+    make the two exchanges non-reusable) and then sorted the union for
+    the keep-last window. One conditional aggregate computes both
+    branch sums in a single scan + single shuffle and picks the A2
+    survivor per key — optimization-guide §2.3 (aggregate before you
+    shuffle) + §8 (use what you know: the deliveries share a source).
+    Oracle-identical to the union+window form (verified exact at both
+    SFs); the generic ``upsert_keep_last`` OPERATOR (union + W4 window
+    over genuinely distinct frames) remains the A2 anchor in
+    warehouse_upsert_snapshot, both monthly loops, and
+    tests/test_warehouse_ops.py. ``spread_by`` on custkey: hash(custkey)
+    satisfies the (custkey, year, month) clustering, so the aggregate
+    runs partition-local on the harness's single-row-group scan (plan
+    no-op on a split table)."""
     o = load_table(spark, sf_dir, "orders", spread_by=("o_custkey",))
-    existing = _monthly_spend(
-        o.where(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")), "old"
+    merged = (
+        o.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            F.year("o_orderdate").cast("long").alias("year"),
+            F.month("o_orderdate").cast("long").alias("month"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"),
+                    money("o_totalprice"),
+                )
+            ).cast("double").alias("_amt_old"),
+            F.sum(
+                F.when(F.year("o_orderdate") >= 1995, money("o_totalprice"))
+            ).cast("double").alias("_amt_new"),
+        )
+        # a key has an update iff ANY of its rows lies in the re-delivered
+        # range; the exact-decimal branch sums make either survivor
+        # bit-identical to the union+window form's
+        .selectExpr(
+            "custkey", "year", "month",
+            "CASE WHEN _amt_new IS NOT NULL THEN _amt_new ELSE _amt_old END"
+            " AS amount",
+            "CASE WHEN _amt_new IS NOT NULL THEN 'new' ELSE 'old' END AS src",
+        )
     )
-    updates = _monthly_spend(o.where(F.year("o_orderdate") >= 1995), "new")
-    merged = upsert_keep_last(existing, updates, ["custkey", "year", "month"])
     # no final ORDER BY (r15): order-insensitive gate; the global sort
     # was a range exchange + sampling pass (guide §2.4).
     return merged
