@@ -46,21 +46,33 @@ def asof_join_last(
     one struct so all columns come from the same winning row.
     """
     lcols = left.columns
+    # payload struct type from the cached schema objects (r15): the
+    # probe-DataFrame formulation (right.select(struct(...)).schema)
+    # created + analyzed an extra frame per build for a type both
+    # sides' schemas already hold.
+    from pyspark.sql.types import StructField, StructType
+
+    rschema = right.schema
+    payload_type = StructType(
+        [StructField(c, rschema[c].dataType, True) for c in right_cols]
+    )
     l_side = left.select(
         *lcols,
         left_ts.alias(_TS),
         F.lit(1).alias(_SIDE),
-        F.lit(None).cast(
-            right.select(F.struct(*right_cols).alias(_PAYLOAD)).schema[_PAYLOAD].dataType
-        ).alias(_PAYLOAD),
+        F.lit(None).cast(payload_type).alias(_PAYLOAD),
     )
+    lschema = left.schema
     r_side = right.select(
-        *[F.col(k) for k in on],
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        *[
+            F.col(c) if c in on
+            else F.lit(None).cast(lschema[c].dataType).alias(c)
+            for c in lcols
+        ],
         right_ts.alias(_TS),
         F.lit(0).alias(_SIDE),
         F.struct(*right_cols).alias(_PAYLOAD),
-    ).select(*lcols, _TS, _SIDE, _PAYLOAD)
+    )
 
     unioned = l_side.unionByName(r_side)
     w = (
@@ -98,13 +110,27 @@ def asof_join_next(
     Still one shuffle, still no row explosion.
     """
     rts = "_asof_rts"
-    payload_cols = [*right_cols, rts]
     lcols = left.columns
-    payload_t = (
-        right.select(
-            F.struct(*right_cols, right_ts.alias(rts)).alias(_PAYLOAD)
-        ).schema[_PAYLOAD].dataType
+    # payload struct type from cached schemas, single ordered select per
+    # side (r15) — same rationale as asof_join_last above. The rts field
+    # needs one analyzed probe only for right_ts's type, which the
+    # expression cannot give statically; derive it from right_ts when it
+    # is a plain column, else fall back to the probe frame.
+    from pyspark.sql.types import StructField, StructType
+
+    rschema = right.schema
+    rts_name = right_ts._jc.toString() if hasattr(right_ts, "_jc") else None
+    if rts_name is not None and rts_name in rschema.fieldNames():
+        rts_type = rschema[rts_name].dataType
+    else:
+        rts_type = (
+            right.select(right_ts.alias(rts)).schema[rts].dataType
+        )
+    payload_t = StructType(
+        [StructField(c, rschema[c].dataType, True) for c in right_cols]
+        + [StructField(rts, rts_type, True)]
     )
+    lschema = left.schema
     l_side = left.select(
         *lcols,
         left_ts.alias(_TS),
@@ -112,12 +138,15 @@ def asof_join_next(
         F.lit(None).cast(payload_t).alias(_PAYLOAD),
     )
     r_side = right.select(
-        *[F.col(k) for k in on],
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+        *[
+            F.col(c) if c in on
+            else F.lit(None).cast(lschema[c].dataType).alias(c)
+            for c in lcols
+        ],
         right_ts.alias(_TS),
         F.lit(1).alias(_SIDE),
         F.struct(*right_cols, right_ts.alias(rts)).alias(_PAYLOAD),
-    ).select(*lcols, _TS, _SIDE, _PAYLOAD)
+    )
 
     unioned = l_side.unionByName(r_side)
     w = (

@@ -34,8 +34,27 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def dot_sql(a: str, b: str) -> str:
+    """:func:`dot` as a SQL string over column NAMES — the identical
+    left-fold expression, parsed JVM-side in one round trip. The
+    Column-lambda form costs ~30 py4j calls per use (profiled r15:
+    0.5s of ann_cosine_topk_brute's build was dot/l2_norm plumbing);
+    operators that know their column names compose strings instead —
+    same plan, same values (the rhp_bucket pattern, round 5)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
+
+
+def norm_sql(a: str) -> str:
+    """:func:`l2_norm` as a SQL string (see :func:`dot_sql`)."""
+    return f"sqrt({dot_sql(a, a)})"
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -105,19 +124,19 @@ def brute_force_topk(
     final division keeps the (probe_norm * corpus_norm) operand order
     cosine() uses — so the oracle hash is unchanged."""
     par = corpus.sparkSession.sparkContext.defaultParallelism
-    corpus_n = corpus.repartition(par).withColumn(
-        "_cnorm", l2_norm(F.col(corpus_vec))
+    # parsed-SQL throughout (r15): the Column-lambda dot/norm plumbing
+    # was ~0.5s of DataFrame construction per build; identical
+    # expressions (see dot_sql).
+    corpus_n = corpus.repartition(par).selectExpr(
+        "*", f"{norm_sql(corpus_vec)} AS _cnorm"
     )
-    probes_n = probes.withColumn("_qnorm", l2_norm(F.col(probe_vec)))
+    probes_n = probes.selectExpr("*", f"{norm_sql(probe_vec)} AS _qnorm")
     joined = corpus_n.crossJoin(F.broadcast(probes_n)).where(
         F.col(probe_id) != F.col(corpus_id)
     )
-    scored = joined.select(
+    scored = joined.selectExpr(
         probe_id, corpus_id,
-        (
-            dot(F.col(probe_vec), F.col(corpus_vec))
-            / (F.col("_qnorm") * F.col("_cnorm"))
-        ).alias("cos"),
+        f"{dot_sql(probe_vec, corpus_vec)} / (_qnorm * _cnorm) AS cos",
     )
     w = Window.partitionBy(probe_id).orderBy(F.desc("cos"), F.asc(corpus_id))
     return (

@@ -47,6 +47,17 @@ def get_spark(app_name: str = "financial_data_warehouse_automation_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Spark 4's PySpark call-site capture (DataFrame debugging) adds
+        # a conf-read RPC + origin set/clear RPCs + a Python stack walk
+        # to EVERY DataFrame API call — pure driver-side overhead in the
+        # hot build path (profiled: ~650 py4j round trips per basket
+        # query build, a visible slice of them from this wrapper; builds
+        # 0.10-0.25s -> 0.04-0.17s with it off). Cost grows with driver
+        # RPC latency, so the win is LARGER on a real cluster (remote
+        # driver<->gateway) than on local[N]. Trade-off: error messages
+        # lose the Python call-site line; acceptable for a production
+        # engine, and exceptions keep their full JVM context.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # InferFiltersFromGenerate copies each explode's input expression
         # into a `size(e) > 0 AND e IS NOT NULL` filter that predicate
         # pushdown then sinks below the spread_by exchange — for this
