@@ -353,8 +353,19 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
     docs = d.select("doc_id", tokens("text").alias("toks"))
     shingled = docs.select("doc_id", word_shingles(F.col("toks"), 3).alias("sh"))
-    sigs = minhash_signatures(
-        shingled, "doc_id", F.col("sh"), k=64, include_set=True
+    # cut() below: sigs feeds THREE consumers (banding + both verify
+    # join sides); un-cut, Spark plans each reference independently and
+    # the scan+shingle+signature subtree runs 3× (r15 plan audit: 3
+    # parquet scans, the whole shingle_set table broadcast for the
+    # second join). The localCheckpoint evaluates it once — the same
+    # idiom every other verify-join in this module already uses
+    # (_prefix_filter_pairs etc.). Measured at 10× (testdata_sf1,
+    # interleaved min-of-6): e2e median 4.39 → 3.07 s, and the gap
+    # widens with corpus size because the saved work is two full
+    # corpus re-shingles.
+    sigs = cut(
+        minhash_signatures(shingled, "doc_id", F.col("sh"), k=64, include_set=True),
+        eager=False,
     )
     obs = Observation("lsh_cap_metrics")
     global last_lsh_cap_observation
