@@ -52,6 +52,40 @@ def sql_rate(c: str) -> str:
     return SQL_RATE.format(c=c)
 
 
+def assert_multiset_equal(a, b, what: str = "frames") -> None:
+    """Assert two DataFrames are multiset-equal (same rows, same
+    multiplicities) in ONE Spark action.
+
+    The protocol demos' original idiom —
+    ``assert a.count() == b.count()`` plus one or two
+    ``a.exceptAll(b).count() == 0`` — costs two to four actions, each
+    re-evaluating its input's whole lineage (a snapshot read, a feed
+    fold). The signed-count form computes the identical predicate in a
+    single pass: tag every ``a`` row +1 and every ``b`` row −1, group
+    by the full row, and any group whose weights don't cancel is a
+    difference. One union, one aggregation, one action; map-side
+    partial aggregation collapses duplicates before the only shuffle,
+    and NULL grouping keys compare equal (as exceptAll treats them) —
+    a null-safe full-outer-join formulation would need per-column
+    ``<=>`` plumbing to get that right (guide §2.4: fewer passes; §5:
+    the driver orchestrates one job instead of three).
+
+    ``b`` is projected to ``a``'s columns, so column ORDER may differ;
+    types must match as they must for exceptAll.
+    """
+    cols = a.columns
+    tagged = a.select(*cols).withColumn("_w", F.lit(1)).unionByName(
+        b.select(*cols).withColumn("_w", F.lit(-1))
+    )
+    n_diff = (
+        tagged.groupBy(*cols)
+        .agg(F.sum("_w").alias("_d"))
+        .where(F.col("_d") != 0)
+        .count()
+    )
+    assert n_diff == 0, f"{what}: {n_diff} row-groups differ in multiplicity"
+
+
 def scratch_dir(prefix: str) -> str:
     """Per-run /tmp scratch dir, removed at process exit — for queries
     that demonstrate a WRITE-side capability (compaction, schema

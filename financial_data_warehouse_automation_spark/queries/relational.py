@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from financial_data_warehouse_automation_spark.functions.scalars import md5_prefix_int
 from financial_data_warehouse_automation_spark.lineage import cut
 from financial_data_warehouse_automation_spark.queries._helpers import (
+    assert_multiset_equal,
     davg,
     dsum,
     money,
@@ -7132,10 +7133,9 @@ def orders_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = read_snapshot(spark, table, version=2).select(
         "o_orderkey", "o_totalprice", "ckey"
     )
-    # multiset equality = equal counts + one empty difference (the
-    # second exceptAll is implied; half the compare cost at scale)
-    assert replica.count() == head.count()
-    assert replica.exceptAll(head).count() == 0
+    # one-action signed-count multiset equality (was counts+exceptAll,
+    # 3 actions each re-folding the feed / re-reading the snapshot)
+    assert_multiset_equal(replica, head, "CDF replica vs MoR head")
 
     # v3: compaction folds the update — touched buckets rewrite with
     # their post-images merged home, u2 and the DV retire together
@@ -7155,8 +7155,7 @@ def orders_mor_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert read_sidecar(table, 3, "deletes") is None  # folded, gone
     v2_df = read_snapshot(spark, table, version=2)
     v3_df = read_snapshot(spark, table, version=3)
-    assert v2_df.count() == v3_df.count()
-    assert v2_df.exceptAll(v3_df).count() == 0
+    assert_multiset_equal(v2_df, v3_df, "MoR v2 vs compacted v3")
 
     return read_snapshot(spark, table).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -7983,9 +7982,9 @@ def orders_sorted_merge_keep_last(
     cplan = buf2.getvalue()
     assert "Exchange" in cplan and "Sort" in cplan, cplan
 
-    # identical rows, both directions
-    assert fast.exceptAll(control).count() == 0
-    assert control.exceptAll(fast).count() == 0
+    # identical rows (one-action signed-count multiset equality; was
+    # exceptAll in both directions = 2 actions × 2 evaluations each)
+    assert_multiset_equal(fast, control, "sorted fast path vs control")
 
     # the fence: a re-pointed bucket drops its declaration and the
     # fast path REFUSES (falls back) instead of computing wrong rows

@@ -30,7 +30,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from financial_data_warehouse_automation_spark.queries._helpers import money
+from financial_data_warehouse_automation_spark.queries._helpers import (
+    assert_multiset_equal,
+    money,
+)
 from financial_data_warehouse_automation_spark.registry import query
 from financial_data_warehouse_automation_spark.streaming.pipeline import sessionize_stream
 
@@ -1281,8 +1284,9 @@ def orders_cdf_replica_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_head = spark.read.parquet(*read_manifest(b_t).values()).select(
         "o_orderkey", "o_totalprice", "ckey"
     )
-    assert a_head.exceptAll(b_head).count() == 0
-    assert b_head.exceptAll(a_head).count() == 0
+    # one-action signed-count multiset equality (was exceptAll both
+    # directions: 2 actions, each re-reading both heads)
+    assert_multiset_equal(a_head, b_head, "replica B vs source A head")
 
     # exactly-once: a full restart from the same checkpoint is a
     # byte-level no-op on B
@@ -1530,9 +1534,9 @@ def orders_cdf_replica_bucketed(
     b_head = spark.read.parquet(*read_manifest(b_t).values()).select(
         "o_orderkey", "o_totalprice", "ckey"
     )
-    # multiset equality = equal counts + one empty difference
-    assert a_head.count() == b_head.count()
-    assert a_head.exceptAll(b_head).count() == 0
+    # one-action signed-count multiset equality (was counts +
+    # exceptAll: 3 actions, each re-reading both heads)
+    assert_multiset_equal(a_head, b_head, "replica B vs source A head")
 
     return b_head.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
@@ -1723,9 +1727,9 @@ def orders_cdf_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = spark.read.parquet(*read_manifest(table).values()).select(
         "o_orderkey", "o_totalprice"
     )
-    # multiset equality = equal counts + one empty difference
-    assert cur.count() == head.count()
-    assert cur.exceptAll(head).count() == 0
+    # one-action signed-count multiset equality (was counts +
+    # exceptAll: 3 actions, each re-folding the SCD2 window)
+    assert_multiset_equal(cur, head, "SCD2 current slice vs head")
 
     return (
         scd2.groupBy(
@@ -1966,8 +1970,9 @@ def orders_cdf_schema_evolution_feed(
     b_head = spark.read.parquet(
         *read_manifest(b_t).values()
     ).select("okey", "revenue_cents", "priority")
-    assert a_head.exceptAll(b_head).count() == 0
-    assert b_head.exceptAll(a_head).count() == 0
+    # one-action signed-count multiset equality (was exceptAll both
+    # directions: 2 actions)
+    assert_multiset_equal(a_head, b_head, "evolved feed replica vs head")
 
     # ---- the branch subscription: pre-evolution schema, drop feeds
     # as deletes

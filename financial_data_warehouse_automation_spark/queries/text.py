@@ -3239,6 +3239,7 @@ def doc_takedown_feed_propagation(
         try_commit,
     )
     from financial_data_warehouse_automation_spark.queries._helpers import (
+        assert_multiset_equal,
         scratch_dir,
     )
     from financial_data_warehouse_automation_spark.sources.cdfsource import (
@@ -3356,8 +3357,9 @@ def doc_takedown_feed_propagation(
         *read_manifest(b_t).values()
     ).select(*idx_cols)
     a_proj = head.select(*idx_cols)
-    assert b_head.exceptAll(a_proj).count() == 0
-    assert a_proj.exceptAll(b_head).count() == 0
+    # one-action signed-count multiset equality (was exceptAll both
+    # directions: 2 actions, each re-reading both heads)
+    assert_multiset_equal(b_head, a_proj, "index replica vs corpus head")
 
     return b_head.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
