@@ -161,12 +161,111 @@ def _arrow_ddl(field) -> str:
     )
 
 
+def _pa_type(s: str):
+    """pyarrow type for a footer type string — the types the Arrow
+    fast path of ``read()`` supports. Timestamps are deliberately
+    EXCLUDED (tz/unit semantics are handled by the row path's Python
+    datetime conversion; a mismatch here would silently shift values),
+    so timestamp-bearing tables take the legacy row path. Raises
+    ValueError for anything unsupported — the caller falls back."""
+    import pyarrow as pa
+
+    m = {
+        "int64": pa.int64(), "int32": pa.int32(),
+        "int16": pa.int16(), "int8": pa.int8(),
+        "double": pa.float64(), "float": pa.float32(),
+        "string": pa.string(), "large_string": pa.string(),
+        "bool": pa.bool_(), "date32[day]": pa.date32(),
+        "binary": pa.binary(),
+    }
+    if s in m:
+        return m[s]
+    dm = re.fullmatch(r"decimal(?:128)?\((\d+),\s*(-?\d+)\)", s)
+    if dm:
+        return pa.decimal128(int(dm.group(1)), int(dm.group(2)))
+    raise ValueError(f"no Arrow fast-path type for {s!r}")
+
+
+def _load_arrow(partition, types, d: str | None, dv):
+    """One bucket directory -> Arrow table with columns ``c0..cN-1``
+    (feed-schema order, cast to the head's footer types, typed NULL
+    for fields a pre-evolution file lacks), ``__k`` (join-key copy)
+    and a presence marker — the version's delete vector applied as a
+    single vectorized ``is_in`` filter and keep-last-per-key dedup
+    applied only when duplicate keys actually exist (grouped
+    ``max(row_index)`` over the (sorted file, row) order — the same
+    survivor the r14 dict loop kept). Both images are the LOGICAL
+    bucket a snapshot reader sees. A file lacking the KEY field fails
+    loudly: it cannot be keyed."""
+    if d is None:
+        return None
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    key_idx = partition.phys.index(partition.key_phys)
+    names = [f"c{i}" for i in range(len(partition.phys))]
+    tabs = []
+    for name in sorted(os.listdir(d)):
+        if not name.endswith(".parquet"):
+            continue
+        full = os.path.join(d, name)
+        avail = set(pq.read_schema(full).names)
+        if partition.key_phys not in avail:
+            raise ValueError(
+                f"bucket file {full} lacks the feed's key "
+                f"field {partition.key_phys!r}: this bucket "
+                "cannot be diffed by key"
+            )
+        want = [p for p in partition.phys if p in avail]
+        t = pq.read_table(full, columns=want)
+        arrs = []
+        for i, p in enumerate(partition.phys):
+            if p in avail:
+                c = t.column(p)
+                if c.type != types[i]:
+                    c = pc.cast(c, types[i])
+            else:
+                c = pa.nulls(t.num_rows, types[i])
+            arrs.append(c)
+        tabs.append(pa.table(arrs, names=names))
+    if not tabs:
+        tabs = [pa.table([pa.nulls(0, ty) for ty in types], names=names)]
+    t = pa.concat_tables(tabs)
+    keys = t[f"c{key_idx}"]
+    if t.num_rows and pc.count_distinct(keys).as_py() != t.num_rows:
+        idx = pa.array(range(t.num_rows), pa.int64())
+        ti = t.append_column("__i", idx)
+        last = ti.group_by(f"c{key_idx}", use_threads=False).aggregate(
+            [("__i", "max")]
+        )
+        t = ti.take(last["__i_max"]).drop_columns(["__i"])
+        keys = t[f"c{key_idx}"]
+    if dv:
+        t = t.filter(
+            pc.invert(
+                pc.is_in(
+                    keys,
+                    value_set=pa.array(list(dv), type=keys.type),
+                )
+            )
+        )
+    t = t.append_column("__k", t[f"c{key_idx}"])
+    t = t.append_column(
+        "__m", pa.repeat(pa.scalar(True), t.num_rows)
+    )
+    return t
+
+
 def _resolve_columns(
     table_dir: str, branch: str = "main"
-) -> list[tuple[str, str, str]]:
-    """(logical_name, physical_field, spark_ddl_type) for every column
-    of the table AT THE SUBSCRIPTION HEAD — driver-side metadata reads
-    at source construction.
+) -> list[tuple[str, str, str, str]]:
+    """(logical_name, physical_field, spark_ddl_type, arrow_type) for
+    every column of the table AT THE SUBSCRIPTION HEAD — driver-side
+    metadata reads at source construction. ``arrow_type`` is the
+    footer's pyarrow type string; executors use it to build typed
+    Arrow output batches (and typed NULL columns for pre-evolution
+    files) without re-deriving types per file.
 
     A table with a ``schema`` sidecar (column mapping) feeds under its
     logical names: each logical name is bound to its stable physical
@@ -197,16 +296,19 @@ def _resolve_columns(
     if side is None:
         first = buckets[sorted(buckets)[0]]
         sch = bucket_schema(first)
-        return [(f.name, f.name, _arrow_ddl(f)) for f in sch]
+        return [
+            (f.name, f.name, _arrow_ddl(f), str(f.type)) for f in sch
+        ]
     sigs = side.get("buckets", {})
-    out: list[tuple[str, str, str]] = []
+    out: list[tuple[str, str, str, str]] = []
     for logical, phys in side["fields"].items():
         ddl = None
         for b in sorted(buckets):
             if phys in (sigs.get(b) or []):
                 sch = bucket_schema(buckets[b])
                 if phys in sch.names:
-                    ddl = _arrow_ddl(sch.field(phys))
+                    fld = sch.field(phys)
+                    ddl, atype = _arrow_ddl(fld), str(fld.type)
                     break
         if ddl is None:
             raise ValueError(
@@ -214,7 +316,7 @@ def _resolve_columns(
                 f"materialized by no bucket of {table_dir} at head "
                 f"v{head} on branch {branch!r}: cannot derive its type"
             )
-        out.append((logical, phys, ddl))
+        out.append((logical, phys, ddl, atype))
     return out
 
 
@@ -272,7 +374,8 @@ def _dv_keys(
 class _BucketDiff(InputPartition):
     def __init__(self, version: int, pre_dir: str | None,
                  post_dir: str | None, key_phys: str,
-                 phys: list[str], pre_dv=(), post_dv=()):
+                 phys: list[str], pre_dv=(), post_dv=(),
+                 arrow_types: tuple[str, ...] = ()):
         self.version = version
         self.pre_dir = pre_dir
         self.post_dir = post_dir
@@ -283,6 +386,13 @@ class _BucketDiff(InputPartition):
         self.phys = phys
         self.pre_dv = tuple(sorted(pre_dv))    # keys DV'd at v-1
         self.post_dv = tuple(sorted(post_dv))  # keys DV'd at v
+        # pyarrow type string per output column (from the head's
+        # footers) — lets read() build typed Arrow batches and typed
+        # NULL columns without guessing
+        self.arrow_types = tuple(arrow_types)
+        # output (logical) column names for Arrow batches — Spark
+        # validates returned batch names against the declared schema
+        self.out_cols: tuple[str, ...] = ()
 
 
 class SnapshotCDFStreamReader(DataSourceStreamReader):
@@ -299,13 +409,18 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
             # names (a valcol table carries no column mapping)
             self.cols = [self.key_col, val_col]
             self.phys = list(self.cols)
+            self.arrow_types = ("int64", "double")
+            # the DECLARED legacy schema names the columns key/value
+            self.out_cols = ("key", "value")
         else:
             # full-row mode: the head's logical columns, each bound
             # to its stable physical field (r15: schema-evolution
             # aware — see module docstring)
-            cols3 = _resolve_columns(self.table_dir, self.branch)
-            self.cols = [c for c, _, _ in cols3]
-            self.phys = [p for _, p, _ in cols3]
+            cols4 = _resolve_columns(self.table_dir, self.branch)
+            self.cols = [c for c, _, _, _ in cols4]
+            self.phys = [p for _, p, _, _ in cols4]
+            self.arrow_types = tuple(t for _, _, _, t in cols4)
+            self.out_cols = tuple(self.cols)
         if self.key_col not in self.cols:
             raise ValueError(
                 f"key column {self.key_col!r} not in table columns "
@@ -343,14 +458,147 @@ class SnapshotCDFStreamReader(DataSourceStreamReader):
                 churn = pre.get(b) != post.get(b)  # manifest diff
                 dv_churn = pre_dv.get(b, set()) != post_dv.get(b, set())
                 if churn or dv_churn:  # data OR delete-vector change
-                    out.append(_BucketDiff(
+                    p = _BucketDiff(
                         v, pre.get(b), post.get(b),
                         self.key_phys, self.phys,
                         pre_dv.get(b, set()), post_dv.get(b, set()),
-                    ))
+                        self.arrow_types,
+                    )
+                    p.out_cols = tuple(self.out_cols)
+                    out.append(p)
         return out
 
     def read(self, partition: _BucketDiff):
+        """Diff one bucket's pre/post images and emit typed change
+        rows. VECTORIZED (r15, guide §4.2): the r14 implementation
+        pulled every column through ``to_pylist`` and diffed rows in a
+        Python dict loop — per-row interpreter work proportional to
+        the bucket, i.e. the one Python loop in the feed's hot path
+        (a full-table bootstrap pushed the whole table through it).
+        Now the images load as Arrow tables, the delete vector applies
+        as one ``is_in`` filter, keep-last-per-key dedup is a grouped
+        ``max(row_index)`` + ``take`` (only when duplicate keys exist),
+        the pre/post diff is ONE full-outer Arrow join with vectorized
+        NaN-safe column compares, and the result leaves as Arrow
+        RecordBatches — Spark 4's Python data sources accept them
+        directly, so no per-row pickling either. Rows are the same
+        multiset as the r14 loop (pinned by the oracle-checked CDF
+        band); only their order within a partition differs. NULL join
+        keys cannot use the join fast path and fall back to the exact
+        r14 row loop (``_read_rows``)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        try:
+            types = (
+                [_pa_type(t) for t in partition.arrow_types]
+                if partition.arrow_types else None
+            )
+        except ValueError:
+            types = None
+        if types is None:
+            # unshipped or exotic column types (e.g. timestamps, whose
+            # tz semantics the tuple path already handles): legacy path
+            yield from self._read_rows(partition)
+            return
+
+        key_idx = partition.phys.index(partition.key_phys)
+        pre = _load_arrow(
+            partition, types, partition.pre_dir, partition.pre_dv
+        )
+        post = _load_arrow(
+            partition, types, partition.post_dir, partition.post_dv
+        )
+        if (pre is not None and pre["__k"].null_count) or (
+            post is not None and post["__k"].null_count
+        ):
+            # NULL keys: Arrow join semantics (null != null) diverge
+            # from the dict diff; keep the exact legacy behavior
+            yield from self._read_rows(partition)
+            return
+
+        ver = pa.scalar(partition.version, pa.int32())
+        ncols = len(partition.phys)
+        out_names = ["commit_version", "change_type"] + list(
+            partition.out_cols or partition.phys
+        )
+
+        def emit(kind: str, columns):
+            n = len(columns[0]) if columns else 0
+            if n == 0:
+                return
+            t = pa.table(
+                [pa.repeat(ver, n), pa.repeat(pa.scalar(kind), n)]
+                + list(columns),
+                names=out_names,
+            )
+            yield from t.to_batches()
+
+        if pre is None or post is None:
+            # whole-bucket add or drop: every surviving row is one
+            # insert (or delete); no join needed
+            side, kind = (
+                (post, "insert") if pre is None else (pre, "delete")
+            )
+            if side is not None and side.num_rows:
+                yield from emit(
+                    kind, [side[f"c{i}"] for i in range(ncols)]
+                )
+            return
+
+        pre = pre.rename_columns(
+            [f"a{i}" for i in range(ncols)] + ["__k", "__inpre"]
+        )
+        post = post.rename_columns(
+            [f"b{i}" for i in range(ncols)] + ["__k", "__inpost"]
+        )
+        j = pre.join(post, "__k", join_type="full outer")
+        inpre = pc.is_valid(j["__inpre"])
+        inpost = pc.is_valid(j["__inpost"])
+
+        deletes = j.filter(pc.and_(inpre, pc.invert(inpost)))
+        inserts = j.filter(pc.and_(inpost, pc.invert(inpre)))
+        both = j.filter(pc.and_(inpre, inpost))
+        differ = None
+        for i, ty in enumerate(types):
+            a, b = both[f"a{i}"], both[f"b{i}"]
+            # NaN-safe, NULL-safe per-column "same": both null, both
+            # NaN (floats), or equal — anything else is a change
+            # (exactly the tuple path's `changed()` per-cell logic)
+            same = pc.and_(pc.is_null(a), pc.is_null(b))
+            same = pc.or_(same, pc.fill_null(pc.equal(a, b), False))
+            if pa.types.is_floating(ty):
+                nn = pc.and_(
+                    pc.fill_null(pc.is_nan(a), False),
+                    pc.fill_null(pc.is_nan(b), False),
+                )
+                same = pc.or_(same, nn)
+            d = pc.invert(same)
+            differ = d if differ is None else pc.or_(differ, d)
+        upd = both.filter(differ) if differ is not None else both[:0]
+
+        def side_cols(tbl, prefix):
+            # the full-outer join leaves one-sided rows' a{i}/b{i}
+            # NULL; the key survives in the coalesced __k column
+            return [
+                tbl["__k"] if i == key_idx else tbl[f"{prefix}{i}"]
+                for i in range(ncols)
+            ]
+
+        for kind, tbl, prefix in (
+            ("delete", deletes, "a"),
+            ("insert", inserts, "b"),
+            ("update_preimage", upd, "a"),
+            ("update_postimage", upd, "b"),
+        ):
+            if tbl.num_rows:
+                yield from emit(kind, side_cols(tbl, prefix))
+
+    def _read_rows(self, partition: _BucketDiff):
+        """The r14 row-at-a-time diff, kept verbatim as the fallback
+        for shapes the Arrow fast path refuses (NULL join keys,
+        unshipped/exotic column types)."""
+
         def load(d: str | None, dv) -> dict:
             """key -> tuple of ALL output column values (feed-schema
             order), with the version's delete vector applied — both
@@ -441,7 +689,7 @@ class SnapshotCDFDataSource(DataSource):
         if not path:
             raise ValueError("snapshot_cdf requires a 'path' option")
         cols = _resolve_columns(path, self.options.get("branch", "main"))
-        body = ", ".join(f"{n} {t}" for n, _, t in cols)
+        body = ", ".join(f"{n} {t}" for n, _, t, _ in cols)
         return f"{head}, {body}"
 
     def streamReader(self, schema) -> SnapshotCDFStreamReader:
