@@ -108,23 +108,71 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def _drain_to_memory(df: DataFrame, name: str, mode: str) -> DataFrame:
+def _stream_state_partitions(spark, sf_dir: str, table: str = "events") -> int:
+    """Shuffle/state-store partition count for a bounded stateful
+    stream, sized to the stream's INPUT BYTES (~32 MB of source per
+    partition), clamped to [2, defaultParallelism].
+
+    A stateful operator creates one state-store instance per shuffle
+    partition per operator (a stream-stream join creates FOUR), and
+    every micro-batch commits every instance to the checkpoint — AQE
+    never coalesces streaming stateful shuffles, so the session
+    default (= core count) is pure commit overhead on a small stream:
+    measured on events_stream_stream_join at sf0.1, 32 partitions ran
+    6.3–8.1 s vs 2.4–2.9 s at 4 (same 183 rows) — state-store
+    checkpoint I/O, not compute. The BYTES-DERIVED count is the
+    scale-adaptive form: a 100 TB feed saturates the cluster cap, a
+    10 MB demo stream gets 2. Env override
+    ``SPARK_GRAFT_STREAM_SHUFFLE`` pins it for experiments."""
+    import os as _os
+
+    env = _os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        return int(env)
+    try:
+        size = _os.path.getsize(f"{sf_dir}/{table}.parquet")
+    except OSError:
+        return spark.sparkContext.defaultParallelism
+    return max(2, min(
+        spark.sparkContext.defaultParallelism,
+        -(-size // (32 << 20)),
+    ))
+
+
+def _drain_to_memory(
+    df: DataFrame, name: str, mode: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Run the bounded stream to a memory sink and return the sink table.
     availableNow processes every file then terminates; a previous run's
-    terminated query under the same name is replaced."""
+    terminated query under the same name is replaced.
+
+    ``state_partitions`` (see ``_stream_state_partitions``) scopes
+    ``spark.sql.shuffle.partitions`` to this stream's lifetime: the
+    value is captured by the streaming query at start (recorded in the
+    checkpoint's offset metadata), so batch queries built after the
+    drain are unaffected."""
     spark = df.sparkSession
     for q in spark.streams.active:
         if q.name == name:
             q.stop()
             q.awaitTermination()
-    handle = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    handle.awaitTermination()
+    prior = None
+    if state_partitions is not None:
+        prior = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        handle = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        handle.awaitTermination()
+    finally:
+        if prior is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
     return spark.table(name)
 
 
@@ -160,7 +208,10 @@ def events_stream_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    out = _drain_to_memory(agg, "strm_tumbling15", "complete")
+    out = _drain_to_memory(
+        agg, "strm_tumbling15", "complete",
+        state_partitions=_stream_state_partitions(spark, sf_dir),
+    )
     return out.orderBy("bucket_start")
 
 
@@ -199,6 +250,13 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     winning ties — identical to the batch result because the state
     merge IS the batch recurrence."""
     sessions = sessionize_stream(_events_stream(spark, sf_dir), gap_minutes=30)
+    # NO state_partitions here (r15): unlike the JVM-stateful streams,
+    # the sessionizer's per-batch work is the Python
+    # applyInPandasWithState fold — cutting partitions to the
+    # state-sizing target serialized that compute and DOUBLED the
+    # query (2.3 -> 4.7 s measured); the session default keeps the
+    # Python workers parallel, and its state-commit overhead is
+    # amortized by the compute it overlaps.
     emitted = _drain_to_memory(sessions, "strm_sessions", "update")
     w = Window.partitionBy("user_id", "session_start").orderBy(
         F.desc("n_events"), F.desc("closed")
@@ -246,7 +304,10 @@ def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(money("value")).cast("double").alias("total_value"),
         )
     )
-    out = _drain_to_memory(agg, "strm_static_enrich", "complete")
+    out = _drain_to_memory(
+        agg, "strm_static_enrich", "complete",
+        state_partitions=_stream_state_partitions(spark, sf_dir),
+    )
     return out.orderBy("segment")
 
 
@@ -286,7 +347,10 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(money("value")).cast("double").alias("total_value"),
         )
     )
-    out = _drain_to_memory(deduped, "strm_dedup", "complete")
+    out = _drain_to_memory(
+        deduped, "strm_dedup", "complete",
+        state_partitions=_stream_state_partitions(spark, sf_dir),
+    )
     return out.orderBy("event_type")
 
 
@@ -353,7 +417,10 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_us"
         ),
     )
-    out = _drain_to_memory(joined, "strm_ss_join", "append")
+    out = _drain_to_memory(
+        joined, "strm_ss_join", "append",
+        state_partitions=_stream_state_partitions(spark, sf_dir),
+    )
     return out.orderBy("click_id", "purchase_id")
 
 
@@ -554,7 +621,10 @@ def events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFram
             "gap_us"
         ),
     )
-    out = _drain_to_memory(joined, "strm_ss_left_join", "append")
+    out = _drain_to_memory(
+        joined, "strm_ss_left_join", "append",
+        state_partitions=_stream_state_partitions(spark, sf_dir),
+    )
     # terminal-watermark threshold from the batch twin of the source
     from financial_data_warehouse_automation_spark.tables import load_table
 
