@@ -86,6 +86,46 @@ def assert_multiset_equal(a, b, what: str = "frames") -> None:
     assert n_diff == 0, f"{what}: {n_diff} row-groups differ in multiplicity"
 
 
+def _bucketed_dirs_via_one_write(
+    df, bucket_col: str, n_buckets: int, root: str, name_fmt: str,
+) -> dict[str, str]:
+    """Write ``df`` into ``n_buckets`` per-bucket TOP-LEVEL directories
+    (``root/<name_fmt.format(b=i)>``) with ONE Spark job.
+
+    The snapshot demos' original per-bucket loop
+    (``df.where(bucket == b).write...`` × n) re-scanned the source
+    once per bucket — n jobs for one job's work (guide §2.4). A single
+    ``partitionBy`` write produces the same per-bucket file sets
+    (``partitionBy`` drops the bucket column from the data files,
+    exactly as the loop's ``.drop()`` did); the partition dirs then
+    RENAME into the flat per-bucket layout the demos' manifest + GC
+    asserts rely on (GC granularity is top-level entries — a nested
+    ``pb=*/`` layout would change what expire_snapshots counts).
+    Renames are same-filesystem metadata ops. Returns {bucket:int ->
+    dir}. A bucket with zero rows raises: the demos' later per-bucket
+    COW rewrites read these dirs unconditionally, and the loop form
+    produced an unreadable _SUCCESS-only dir in that case anyway —
+    loud beats silent."""
+    import os
+    import shutil
+
+    stage = os.path.join(root, "_stage_" + name_fmt.format(b="x"))
+    df.write.partitionBy(bucket_col).mode("overwrite").parquet(stage)
+    out: dict[int, str] = {}
+    for b in range(n_buckets):
+        src = os.path.join(stage, f"{bucket_col}={b}")
+        if not os.path.isdir(src):
+            raise AssertionError(
+                f"bucket {b} of {n_buckets} got zero rows — the demo's "
+                "bucket math assumes a populated key range"
+            )
+        dst = os.path.join(root, name_fmt.format(b=b))
+        os.rename(src, dst)
+        out[b] = dst
+    shutil.rmtree(stage)  # _SUCCESS marker and the emptied stage root
+    return out
+
+
 def scratch_dir(prefix: str) -> str:
     """Per-run /tmp scratch dir, removed at process exit — for queries
     that demonstrate a WRITE-side capability (compaction, schema

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from financial_data_warehouse_automation_spark.functions.scalars import md5_prefix_int
 from financial_data_warehouse_automation_spark.lineage import cut
 from financial_data_warehouse_automation_spark.queries._helpers import (
+    _bucketed_dirs_via_one_write,
     assert_multiset_equal,
     davg,
     dsum,
@@ -4136,14 +4137,15 @@ def orders_snapshot_cow_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_buckets - 1),
         F.floor(F.col("ckey") * n_buckets / (maxck + 1)),
     ).cast("int")
-    v1_dirs = {}
+    # ONE partitioned write builds every bucket (r15: the per-bucket
+    # loop re-scanned orders n_buckets times — 8 jobs for 1 job's
+    # work); the partition dirs then RENAME into the same per-bucket
+    # top-level layout the manifest/GC asserts rely on (partitionBy
+    # drops fb from the data files exactly as .drop("fb") did)
     base = o.withColumn("fb", fb)
-    for b in range(n_buckets):
-        d = os.path.join(work, f"b{b}-v1")
-        base.where(F.col("fb") == b).drop("fb").write.mode(
-            "overwrite"
-        ).parquet(d)
-        v1_dirs[b] = d
+    v1_dirs = _bucketed_dirs_via_one_write(
+        base, "fb", n_buckets, work, "b{b}-v1"
+    )
     manifest_v1 = os.path.join(work, "manifest-v1.json")
     with open(manifest_v1, "w") as f:
         json.dump({str(b): d for b, d in v1_dirs.items()}, f)
@@ -4316,13 +4318,13 @@ def orders_snapshot_concurrent_commit(
         F.floor(F.col("ckey") * n_buckets / (maxck + 1)),
     ).cast("int")
     base = o.withColumn("fb", fb)
-    v1_map = {}
-    for b in range(n_buckets):
-        d = os.path.join(table, f"b{b}-g1")
-        base.where(F.col("fb") == b).drop("fb").write.mode(
-            "overwrite"
-        ).parquet(d)
-        v1_map[str(b)] = d
+    # ONE partitioned write + renames (r15): was an 8-scan loop
+    v1_map = {
+        str(b): d
+        for b, d in _bucketed_dirs_via_one_write(
+            base, "fb", n_buckets, table, "b{b}-g1"
+        ).items()
+    }
     assert try_commit(table, 0, v1_map) == 1
 
     bucket_of = lambda c: min(n_buckets - 1, c * n_buckets // (maxck + 1))
@@ -4501,14 +4503,24 @@ def orders_compaction_snapshot_commit(
         F.floor(F.col("o_custkey") * n_buckets / (maxck + 1)),
     ).cast("int")
     base = o.withColumn("fb", fb)
-    v1_map = {}
-    for b in range(n_buckets):
+
+    # The per-bucket jobs in this demo are independent; overlapping
+    # them from a small driver pool back-fills the tail of one job
+    # with the next (guide §2.6) — the fragmentation construction
+    # itself (exactly n_frag files per bucket via per-bucket
+    # repartition) is the demo's subject and stays per-bucket.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def frag_write(b: int) -> tuple[str, str]:
         d = os.path.join(table, f"b{b}-frag")
         base.where(F.col("fb") == b).drop("fb").repartition(
             n_frag
         ).write.mode("overwrite").parquet(d)
         assert len(_parquet_parts(d)) == n_frag, d
-        v1_map[str(b)] = d
+        return str(b), d
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        v1_map = dict(pool.map(frag_write, range(n_buckets)))
     assert try_commit(table, 0, v1_map) == 1
 
     def agg(version: int, tag: str) -> DataFrame:
@@ -4528,14 +4540,20 @@ def orders_compaction_snapshot_commit(
 
     v1_before = agg(1, "v1_fragmented").collect()
 
-    # OPTIMIZE: copy-on-write compaction of every bucket, one commit
-    v2_map = {}
-    frag_total = comp_total = 0
-    for b in range(n_buckets):
+    # OPTIMIZE: copy-on-write compaction of every bucket, one commit;
+    # bucket compactions are independent maintenance jobs — overlapped
+    # from the same small pool (guide §2.6)
+    def compact_one(b: int) -> tuple[str, str, int, int]:
         src, dst = v1_map[str(b)], os.path.join(table, f"b{b}-compact")
-        frag_total += len(_parquet_parts(src))
-        comp_total += compact_parquet_dir(spark, src, dst)
-        v2_map[str(b)] = dst
+        n_src = len(_parquet_parts(src))
+        n_dst = compact_parquet_dir(spark, src, dst)
+        return str(b), dst, n_src, n_dst
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        compacted = list(pool.map(compact_one, range(n_buckets)))
+    v2_map = {b: dst for b, dst, _, _ in compacted}
+    frag_total = sum(n for _, _, n, _ in compacted)
+    comp_total = sum(n for _, _, _, n in compacted)
     assert try_commit(table, 1, v2_map) == 2
     assert comp_total < frag_total, (comp_total, frag_total)
 
@@ -5237,8 +5255,11 @@ def orders_manifest_bloom_point_lookup(
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", F.col("o_custkey").alias("ckey")
     )
-    maxck, n_total = o.agg(
-        F.max("ckey"), F.count(F.lit(1))
+    # ONE scan for every whole-table scalar this script needs (r15:
+    # was two — maxck/count here, key max/min again further down)
+    maxck, n_total, kmax, kmin = o.agg(
+        F.max("ckey"), F.count(F.lit(1)),
+        F.max("o_orderkey"), F.min("o_orderkey"),
     ).collect()[0]
     # size the filter to the data, as any real per-file bloom does:
     # ~16 bits per expected key per bucket (k=3 -> ~0.5% FP). A FIXED
@@ -5283,20 +5304,22 @@ def orders_manifest_bloom_point_lookup(
                 "bit_or(shiftleft(1L, cast(pos % 32 as int)))"
             ).alias("bits")
         )
-        .collect()
+        # Arrow transfer (r15): the word table is ~100k rows at sf0.1
+        # and row-based collect() materialized every one as a py4j Row;
+        # toPandas rides the session's Arrow path (guide §6) and the
+        # dict build below iterates C-backed tuples
+        .toPandas()
     )
     blooms: dict[str, dict[str, int]] = {str(b): {} for b in range(n_buckets)}
-    for r in words:
-        blooms[str(r.pb)][str(r.w)] = r.bits
+    for pb, w, bits in words.itertuples(index=False):
+        blooms[str(pb)][str(w)] = int(bits)
     write_sidecar(table, 1, "bloom", {
         "column": "o_orderkey", "m": m, "k": k_hashes, "buckets": blooms,
     })
     assert try_commit(table, 0, v1_map) == 1
 
-    # deterministic target keys (each replayed as an oracle subquery)
-    kmax, kmin = o.agg(
-        F.max("o_orderkey"), F.min("o_orderkey")
-    ).collect()[0]
+    # deterministic target keys (each replayed as an oracle subquery;
+    # kmax/kmin came from the single scalar scan above)
     kmid = (
         o.where(F.col("o_orderkey") <= kmax // 2)
         .agg(F.max("o_orderkey"))
@@ -5828,7 +5851,11 @@ def orders_scan_planner_composed(
         F.col("o_custkey").alias("ckey"),
         F.year("o_orderdate").cast("int").alias("oyear"),
     )
-    maxck, n_total = o.agg(F.max("ckey"), F.count(F.lit(1))).collect()[0]
+    # ONE scan for every whole-table scalar the script needs (r15:
+    # kmax was a separate agg further down)
+    maxck, n_total, kmax = o.agg(
+        F.max("ckey"), F.count(F.lit(1)), F.max("o_orderkey")
+    ).collect()[0]
     ck_width = (maxck + 1) / n_ck
     fb = F.least(
         F.lit(n_ck - 1), F.floor(F.col("ckey") * n_ck / (maxck + 1))
@@ -5839,29 +5866,29 @@ def orders_scan_planner_composed(
         F.col("oyear") <= 1997, F.concat(F.lit("c"), fb.cast("string"))
     ).otherwise(F.concat(F.lit("y"), F.col("oyear").cast("string")))
 
-    root_a = os.path.join(table, "specA")
-    o.where(F.col("oyear") <= 1997).withColumn("pb", fb) \
-        .write.partitionBy("pb").parquet(root_a)
-    root_b = os.path.join(table, "specB")
-    o.where(F.col("oyear") >= 1998).withColumn("py", F.col("oyear")) \
-        .write.partitionBy("py").parquet(root_b)
+    # ONE partitioned write on the mixed-spec bucket id builds both
+    # spec families' dirs (r15: was two writes = two full scans; the
+    # bid partition column is the dropped copy, so data files keep
+    # ckey AND oyear exactly as the two-write form did)
+    root = os.path.join(table, "data")
+    o.withColumn("bid", bid).write.partitionBy("bid").parquet(root)
 
     mapping: dict[str, str] = {}
     spec: dict[str, dict] = {}
-    for n in os.listdir(root_a):
-        if n.startswith("pb="):
-            b = int(n.split("=", 1)[1])
-            mapping[f"c{b}"] = os.path.join(root_a, n)
-            spec[f"c{b}"] = {
+    for n in os.listdir(root):
+        if not n.startswith("bid="):
+            continue
+        b_id = n.split("=", 1)[1]
+        mapping[b_id] = os.path.join(root, n)
+        if b_id.startswith("c"):
+            b = int(b_id[1:])
+            spec[b_id] = {
                 "column": "ckey",
                 "lo": int(b * ck_width),
                 "hi": int((b + 1) * ck_width) if b < n_ck - 1 else maxck + 1,
             }
-    for n in os.listdir(root_b):
-        if n.startswith("py="):
-            y = int(n.split("=", 1)[1])
-            mapping[f"y{y}"] = os.path.join(root_b, n)
-            spec[f"y{y}"] = {"column": "oyear", "value": y}
+        else:
+            spec[b_id] = {"column": "oyear", "value": int(b_id[1:])}
 
     # stats sidecar: ONE grouped agg -> per-bucket observed bounds for
     # every prunable column (a real writer folds these out of its
@@ -5896,7 +5923,7 @@ def orders_scan_planner_composed(
         F.lit(m),
     )
     blooms: dict[str, dict[str, int]] = {b: {} for b in mapping}
-    for r in (
+    for bid_v, w, bits in (
         o.withColumn("bid", bid)
         .select("bid", "o_orderkey", hashes)
         .withColumn("pos", pos)
@@ -5904,9 +5931,11 @@ def orders_scan_planner_composed(
         .agg(F.expr(
             "bit_or(shiftleft(1L, cast(pos % 32 as int)))"
         ).alias("bits"))
-        .collect()
+        # Arrow transfer of the ~100k-row word table (r15; same as
+        # orders_manifest_bloom_point_lookup)
+        .toPandas().itertuples(index=False)
     ):
-        blooms[r.bid][str(r.w)] = r.bits
+        blooms[bid_v][str(w)] = int(bits)
 
     write_sidecar(table, 1, "spec", spec)
     write_sidecar(table, 1, "stats", stats)
@@ -5928,7 +5957,7 @@ def orders_scan_planner_composed(
 
     # POINT probe: a mid-keyspace orderkey — spec prunes nothing,
     # stats prune (at most) the tails, Bloom collapses the fan-out
-    kmax = o.agg(F.max("o_orderkey")).collect()[0][0]
+    # (kmax came from the single scalar scan above)
     kmid = (
         o.where(F.col("o_orderkey") <= kmax // 2)
         .agg(F.max("o_orderkey"))
