@@ -89,7 +89,12 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        new_labels = cut(new_labels, eager=True)
+        # LAZY cut (r15): the convergence probe below is the round's
+        # first action and materializes the checkpoint inside its own
+        # job — one Spark job per round instead of two (the eager form
+        # ran a materialization job AND the probe job). Identical
+        # semantics: every later reference reads the checkpoint.
+        new_labels = cut(new_labels, eager=False)
         if not audit:
             changed = (
                 new_labels.alias("n")
@@ -215,7 +220,13 @@ def connected_components_two_phase(
     prev_sig = None
     converged = False
     for _ in range(max_iters):
-        e = cut(small_star(large_star(e)), eager=True)
+        # LAZY cut (r15): the signature probe is the round's first
+        # action and materializes the checkpoint in the same job —
+        # halves the per-round job count vs the eager form. The next
+        # round's plan builds on the (by then materialized)
+        # checkpoint, so star contraction's ~16 references per round
+        # still read blocks, never lineage.
+        e = cut(small_star(large_star(e)), eager=False)
         # 31-bit mask before the sum: ANSI mode (Spark 4 default)
         # makes a raw sum of xxhash64 values a job-killing overflow
         sig = e.agg(
