@@ -1046,52 +1046,67 @@ def orders_cdf_stream_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(work, "feed_out")
     ckpt = os.path.join(work, "ckpt")
 
-    def run_once() -> None:
-        q = feed_stream.writeStream.format("parquet") \
+    def start():
+        return feed_stream.writeStream.format("parquet") \
             .option("path", out) \
             .option("checkpointLocation", ckpt) \
             .start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            q.awaitTermination()
 
-    run_once()  # table is at v1: subscription drains ZERO change rows
+    # ONE live query drains successive commits via processAllAvailable
+    # (r15): the per-drain stop/start of the old form re-paid stream
+    # init + the Python data source's schema/planner worker spawn on
+    # every drain — and a subscription that STAYS RUNNING while the
+    # table commits is the live-consumer shape the docstring describes.
+    # The exactly-once replay probe below still stops and RESTARTS the
+    # query from the same checkpoint (that assert needs a fresh start).
+    live = start()
+    try:
+        live.processAllAvailable()  # at v1: ZERO change rows
 
-    # v2 commit: +100 update on one range, delete a disjoint range
-    upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
-    del_lo, del_hi = (3 * maxck) // 5, (3 * maxck) // 5 + max(1, maxck // 50)
-    upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
-    dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
-    upd_buckets = set(range(bucket_of(upd_lo), bucket_of(upd_hi - 1) + 1))
-    del_buckets = set(range(bucket_of(del_lo), bucket_of(del_hi - 1) + 1))
-    assert not (upd_buckets & del_buckets), "CDC buckets must be disjoint"
-    v2_map = dict(v1_map)
-    for b in sorted(upd_buckets | del_buckets):
-        d2 = os.path.join(table, f"b{b}-g2")
-        (
-            spark.read.parquet(v1_map[str(b)])
-            .where(~dele)
-            .withColumn(
-                "o_totalprice",
-                F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
-                    F.col("o_totalprice")
-                ),
-            )
-            .write.parquet(d2)
+        # v2 commit: +100 update on one range, delete a disjoint range
+        upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
+        del_lo, del_hi = (
+            (3 * maxck) // 5, (3 * maxck) // 5 + max(1, maxck // 50)
         )
-        v2_map[str(b)] = d2
-    assert try_commit(table, 1, v2_map) == 2
-    run_once()  # the subscriber picks up v2 as its own micro-batch
+        upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
+        dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
+        upd_buckets = set(
+            range(bucket_of(upd_lo), bucket_of(upd_hi - 1) + 1)
+        )
+        del_buckets = set(
+            range(bucket_of(del_lo), bucket_of(del_hi - 1) + 1)
+        )
+        assert not (upd_buckets & del_buckets), \
+            "CDC buckets must be disjoint"
+        v2_map = dict(v1_map)
+        for b in sorted(upd_buckets | del_buckets):
+            d2 = os.path.join(table, f"b{b}-g2")
+            (
+                spark.read.parquet(v1_map[str(b)])
+                .where(~dele)
+                .withColumn(
+                    "o_totalprice",
+                    F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
+                        F.col("o_totalprice")
+                    ),
+                )
+                .write.parquet(d2)
+            )
+            v2_map[str(b)] = d2
+        assert try_commit(table, 1, v2_map) == 2
+        live.processAllAvailable()  # picks up v2 as its own micro-batch
 
-    # v3 commit: zero-copy re-insert — deleted buckets point back at
-    # their v1 dirs (metadata-only; the feed still sees the inserts)
-    v3_map = dict(v2_map)
-    for b in sorted(del_buckets):
-        v3_map[str(b)] = v1_map[str(b)]
-    assert try_commit(table, 2, v3_map) == 3
-    run_once()  # ...and v3
+        # v3 commit: zero-copy re-insert — deleted buckets point back
+        # at their v1 dirs (metadata-only; the feed still sees the
+        # inserts)
+        v3_map = dict(v2_map)
+        for b in sorted(del_buckets):
+            v3_map[str(b)] = v1_map[str(b)]
+        assert try_commit(table, 2, v3_map) == 3
+        live.processAllAvailable()  # ...and v3
+    finally:
+        live.stop()
+        live.awaitTermination()
 
     # >= 2 non-empty micro-batches actually landed, commit by commit
     n_offsets = len([
@@ -1103,7 +1118,14 @@ def orders_cdf_stream_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed = spark.read.parquet(out)
     n_rows_before = feed.count()
 
-    run_once()  # replay: offsets at head -> MUST be a no-op
+    # replay: a FRESH start from the same checkpoint sits at head and
+    # MUST be a no-op (this probe is the one that needs a restart)
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination()
     assert spark.read.parquet(out).count() == n_rows_before
 
     # incremental-MV composition: signed deltas off the feed maintain
@@ -1288,63 +1310,70 @@ def orders_cdf_replica_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     }, feed.columns
     ckpt = os.path.join(work, "ckpt")
 
-    def drain() -> None:
-        q = feed.writeStream.foreachBatch(
+    def start():
+        return feed.writeStream.foreachBatch(
             snapshot_state_commit_batch(b_t, merge)
         ).option("checkpointLocation", ckpt).start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            q.awaitTermination()
 
-    drain()  # bootstrap: A v1 arrives as pure inserts
-    assert latest_version(b_t) == 1
+    # ONE live subscription folds successive commits (r15): repeated
+    # processAllAvailable on a running query replaces the old
+    # stop/start-per-drain form, which re-paid stream init + the
+    # Python source's planner worker each time. The exactly-once
+    # restart probe below still starts FRESH from the checkpoint.
+    live = start()
+    try:
+        live.processAllAvailable()  # bootstrap: A v1 as pure inserts
+        assert latest_version(b_t) == 1
 
-    # A v2: +100 update on one range, delete a disjoint range
-    upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
-    del_lo, del_hi = (3 * maxck) // 5, (3 * maxck) // 5 + max(1, maxck // 50)
-    upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
-    dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
-    touched = sorted(
-        set(range(bucket_of(upd_lo), bucket_of(upd_hi - 1) + 1))
-        | set(range(bucket_of(del_lo), bucket_of(del_hi - 1) + 1))
-    )
-    v2_map = dict(v1_map)
-    for b in touched:
-        d2 = os.path.join(a_t, f"b{b}-g2")
-        (
-            spark.read.parquet(v1_map[str(b)])
-            .where(~dele)
-            .withColumn(
-                "o_totalprice",
-                F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
-                    F.col("o_totalprice")
-                ),
-            )
-            .write.parquet(d2)
+        # A v2: +100 update on one range, delete a disjoint range
+        upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
+        del_lo, del_hi = (
+            (3 * maxck) // 5, (3 * maxck) // 5 + max(1, maxck // 50)
         )
-        v2_map[str(b)] = d2
-    assert try_commit(a_t, 1, v2_map) == 2
-    drain()
-
-    # A v3: zero-copy re-insert of the deleted buckets
-    v3_map = dict(v2_map)
-    for b in range(bucket_of(del_lo), bucket_of(del_hi - 1) + 1):
-        d3 = os.path.join(a_t, f"b{b}-g3")
-        (
-            spark.read.parquet(v1_map[str(b)])
-            .withColumn(
-                "o_totalprice",
-                F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
-                    F.col("o_totalprice")
-                ),
-            )
-            .write.parquet(d3)
+        upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
+        dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
+        touched = sorted(
+            set(range(bucket_of(upd_lo), bucket_of(upd_hi - 1) + 1))
+            | set(range(bucket_of(del_lo), bucket_of(del_hi - 1) + 1))
         )
-        v3_map[str(b)] = d3
-    assert try_commit(a_t, 2, v3_map) == 3
-    drain()
+        v2_map = dict(v1_map)
+        for b in touched:
+            d2 = os.path.join(a_t, f"b{b}-g2")
+            (
+                spark.read.parquet(v1_map[str(b)])
+                .where(~dele)
+                .withColumn(
+                    "o_totalprice",
+                    F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
+                        F.col("o_totalprice")
+                    ),
+                )
+                .write.parquet(d2)
+            )
+            v2_map[str(b)] = d2
+        assert try_commit(a_t, 1, v2_map) == 2
+        live.processAllAvailable()
+
+        # A v3: zero-copy re-insert of the deleted buckets
+        v3_map = dict(v2_map)
+        for b in range(bucket_of(del_lo), bucket_of(del_hi - 1) + 1):
+            d3 = os.path.join(a_t, f"b{b}-g3")
+            (
+                spark.read.parquet(v1_map[str(b)])
+                .withColumn(
+                    "o_totalprice",
+                    F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
+                        F.col("o_totalprice")
+                    ),
+                )
+                .write.parquet(d3)
+            )
+            v3_map[str(b)] = d3
+        assert try_commit(a_t, 2, v3_map) == 3
+        live.processAllAvailable()
+    finally:
+        live.stop()
+        live.awaitTermination()
 
     # exact replication: A head == B head, both directions, over the
     # FULL wide row (all three columns, not a key-value projection)
@@ -1362,7 +1391,12 @@ def orders_cdf_replica_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte-level no-op on B
     b_ver = latest_version(b_t)
     listing = sorted(os.listdir(b_t))
-    drain()
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination()
     assert latest_version(b_t) == b_ver
     assert sorted(os.listdir(b_t)) == listing
     assert read_manifest_meta(b_t).get("_txn", {}).get("cdf") is not None
@@ -1510,89 +1544,101 @@ def orders_cdf_replica_bucketed(
     )
     ckpt = os.path.join(work, "ckpt")
 
-    def drain() -> None:
-        q = feed.writeStream.foreachBatch(
+    def start():
+        return feed.writeStream.foreachBatch(
             snapshot_partitioned_state_commit_batch(
                 b_t, merge, bucket_of, writer_id="cdf"
             )
         ).option("checkpointLocation", ckpt).start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            q.awaitTermination()
 
-    drain()  # bootstrap: all 8 buckets arrive as inserts
-    assert latest_version(b_t) == 1
-    b_v1 = read_manifest(b_t)
-    assert sorted(b_v1) == [str(b) for b in range(n_buckets)], sorted(b_v1)
+    # ONE live subscription folds successive commits (r15; see
+    # orders_cdf_replica_pipeline — same restructure, the restart
+    # probe below still starts fresh)
+    live = start()
 
-    # A v2: +100 update on one range, delete a disjoint range
-    upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
-    del_lo, del_hi = (3 * maxck) // 5, (3 * maxck) // 5 + max(1, maxck // 50)
-    upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
-    dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
-    touched = sorted(
-        set(range(bucket_of_val(upd_lo), bucket_of_val(upd_hi - 1) + 1))
-        | set(range(bucket_of_val(del_lo), bucket_of_val(del_hi - 1) + 1))
-    )
-    assert len(touched) < n_buckets, "churn must be partial"
-    v2_map = dict(v1_map)
-    for b in touched:
-        d2 = os.path.join(a_t, f"b{b}-g2")
-        (
-            spark.read.parquet(v1_map[str(b)])
-            .where(~dele)
-            .withColumn(
-                "o_totalprice",
-                F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
-                    F.col("o_totalprice")
-                ),
-            )
-            .write.parquet(d2)
+    def drain() -> None:
+        live.processAllAvailable()
+
+    try:
+        drain()  # bootstrap: all 8 buckets arrive as inserts
+        assert latest_version(b_t) == 1
+        b_v1 = read_manifest(b_t)
+        assert sorted(b_v1) == [str(b) for b in range(n_buckets)], sorted(b_v1)
+
+        # A v2: +100 update on one range, delete a disjoint range
+        upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
+        del_lo, del_hi = (3 * maxck) // 5, (3 * maxck) // 5 + max(1, maxck // 50)
+        upd = (F.col("ckey") >= upd_lo) & (F.col("ckey") < upd_hi)
+        dele = (F.col("ckey") >= del_lo) & (F.col("ckey") < del_hi)
+        touched = sorted(
+            set(range(bucket_of_val(upd_lo), bucket_of_val(upd_hi - 1) + 1))
+            | set(range(bucket_of_val(del_lo), bucket_of_val(del_hi - 1) + 1))
         )
-        v2_map[str(b)] = d2
-    assert try_commit(a_t, 1, v2_map) == 2
-    drain()
-
-    # THE scale assert: the fold re-pointed exactly A's churned
-    # buckets; every untouched bucket is the SAME directory string
-    # (zero-copy sharing across replica versions)
-    b_v2 = read_manifest(b_t)
-    hist = {h["version"]: h for h in table_history(b_t)}
-    assert hist[2]["repointed"] == [str(b) for b in touched], hist[2]
-    assert hist[2]["added"] == [] and hist[2]["removed"] == []
-    for b in range(n_buckets):
-        if b not in touched:
-            assert b_v2[str(b)] == b_v1[str(b)]  # shared, not copied
-
-    # A v3: zero-copy re-insert of the deleted buckets
-    del_buckets = sorted(
-        range(bucket_of_val(del_lo), bucket_of_val(del_hi - 1) + 1)
-    )
-    v3_map = dict(v2_map)
-    for b in del_buckets:
-        d3 = os.path.join(a_t, f"b{b}-g3")
-        (
-            spark.read.parquet(v1_map[str(b)])
-            .withColumn(
-                "o_totalprice",
-                F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
-                    F.col("o_totalprice")
-                ),
+        assert len(touched) < n_buckets, "churn must be partial"
+        v2_map = dict(v1_map)
+        for b in touched:
+            d2 = os.path.join(a_t, f"b{b}-g2")
+            (
+                spark.read.parquet(v1_map[str(b)])
+                .where(~dele)
+                .withColumn(
+                    "o_totalprice",
+                    F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
+                        F.col("o_totalprice")
+                    ),
+                )
+                .write.parquet(d2)
             )
-            .write.parquet(d3)
+            v2_map[str(b)] = d2
+        assert try_commit(a_t, 1, v2_map) == 2
+        drain()
+
+        # THE scale assert: the fold re-pointed exactly A's churned
+        # buckets; every untouched bucket is the SAME directory string
+        # (zero-copy sharing across replica versions)
+        b_v2 = read_manifest(b_t)
+        hist = {h["version"]: h for h in table_history(b_t)}
+        assert hist[2]["repointed"] == [str(b) for b in touched], hist[2]
+        assert hist[2]["added"] == [] and hist[2]["removed"] == []
+        for b in range(n_buckets):
+            if b not in touched:
+                assert b_v2[str(b)] == b_v1[str(b)]  # shared, not copied
+
+        # A v3: zero-copy re-insert of the deleted buckets
+        del_buckets = sorted(
+            range(bucket_of_val(del_lo), bucket_of_val(del_hi - 1) + 1)
         )
-        v3_map[str(b)] = d3
-    assert try_commit(a_t, 2, v3_map) == 3
-    drain()
+        v3_map = dict(v2_map)
+        for b in del_buckets:
+            d3 = os.path.join(a_t, f"b{b}-g3")
+            (
+                spark.read.parquet(v1_map[str(b)])
+                .withColumn(
+                    "o_totalprice",
+                    F.when(upd, F.col("o_totalprice") + 100.0).otherwise(
+                        F.col("o_totalprice")
+                    ),
+                )
+                .write.parquet(d3)
+            )
+            v3_map[str(b)] = d3
+        assert try_commit(a_t, 2, v3_map) == 3
+        drain()
+    finally:
+        live.stop()
+        live.awaitTermination()
     hist = {h["version"]: h for h in table_history(b_t)}
     assert hist[3]["repointed"] == [str(b) for b in del_buckets], hist[3]
 
     # exactly-once: full restart from the same checkpoint = byte no-op
     b_ver = latest_version(b_t)
     listing = sorted(os.listdir(b_t))
-    drain()
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+        q2.awaitTermination()
     assert latest_version(b_t) == b_ver
     assert sorted(os.listdir(b_t)) == listing
     assert read_manifest_meta(b_t).get("_txn", {}).get("cdf") is not None
