@@ -4043,7 +4043,16 @@ def orders_zorder_fileskip_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_rows = o.count()
     z_scan = _scan_output_rows(cust_agg(z_p))
     d_scan = _scan_output_rows(cust_agg(d_p))
-    assert d_scan == total_rows, (d_scan, total_rows)
+    # The linear layout must give NO USEFUL custkey pruning. File-level
+    # that is exact (dc_files == n_files above); at ROW-GROUP grain a
+    # multi-row-group file can skip a tail group whose custkey min/max
+    # happens to miss the probe by luck (r15: the 10x sweep's
+    # regenerated multi-row-group sf1 input skipped one 80-row group
+    # of 1.5M — 0.005%). Tolerate <0.1% statistical luck; the Z-order
+    # contrast below stays orders of magnitude apart.
+    assert d_scan >= total_rows - max(1, total_rows // 1000), (
+        d_scan, total_rows,
+    )
     assert z_scan <= zc_rows < total_rows, (z_scan, zc_rows, total_rows)
 
     return cust_agg(z_p)
