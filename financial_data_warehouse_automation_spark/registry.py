@@ -124,8 +124,28 @@ VERIFY_FIRST: tuple[str, ...] = (
     "warehouse_upsert_snapshot",
     "ingest_monthly_snapshot_loop",
     "ingest_monthly_mor_restatement",
+    # bucket 2b (r15 optimization round): builders whose INTERNALS the
+    # optimization pass restructured — one-write bucket builds, pooled
+    # compaction, input-sized streaming state partitions, the
+    # row-group-luck tolerance — re-recorded post-change (the CDF band
+    # above re-records the Arrow diff + live-subscription rewrites)
+    "orders_snapshot_cow_read",
+    "orders_snapshot_concurrent_commit",
+    "orders_compaction_snapshot_commit",
+    "orders_zorder_fileskip_2d",
+    "events_stream_stream_join",
+    "events_stream_stream_left_join",
+    "events_stream_dedup",
+    "events_stream_tumbling_15min",
+    "events_stream_static_enrich",
     # bucket 3: rotation re-checks, oldest last-green first per
-    # tools/next_verify_prefix.py (r14 queue head onward)
+    # tools/next_verify_prefix.py (r14 queue head onward; the queue
+    # tail displaced by bucket 2b — events_top_paths_3step,
+    # media_feature_histograms, media_shared_frame_neardup,
+    # monthly_revenue_seasonality, mv_incremental_refresh,
+    # partitioned_join_dpp, q4_priority_with_returns,
+    # events_stream_mv_refresh, events_session_window_builtin —
+    # re-queues for r16; all green in CORRECTNESS_LOCAL at both SFs)
     "doc_jaccard_prefix_filter",
     "doc_kl_divergence",
     "doc_length_buckets",
@@ -142,15 +162,6 @@ VERIFY_FIRST: tuple[str, ...] = (
     "events_ewma_daily",
     "events_mad_anomalies",
     "events_markov_transitions",
-    "events_session_window_builtin",
-    "events_stream_mv_refresh",
-    "events_top_paths_3step",
-    "media_feature_histograms",
-    "media_shared_frame_neardup",
-    "monthly_revenue_seasonality",
-    "mv_incremental_refresh",
-    "partitioned_join_dpp",
-    "q4_priority_with_returns",
 )
 assert len(VERIFY_FIRST) == 50, len(VERIFY_FIRST)
 
