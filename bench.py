@@ -48,7 +48,11 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     from financial_data_warehouse_automation_spark.registry import REGISTRY, load_all
-    from financial_data_warehouse_automation_spark.session import get_spark, sf_dir
+    from financial_data_warehouse_automation_spark.session import (
+        cpu_count,
+        get_spark,
+        sf_dir,
+    )
 
     # 5 timed reps (was 3): this box shows ±15% run-to-run swings under
     # background load, and the driver records a single bench invocation
@@ -168,6 +172,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # scaling self-documentation (r16, additive only): the core
+        # count and master string this run actually used, so a reader
+        # of two artifacts at different $SPARK_GRAFT_CPUS can anchor
+        # per-query ratios on ground truth instead of guessing — the
+        # r15 scaling heuristic mis-read "serial" because sub-second
+        # sf0.1 queries are driver/latency-bound, and the artifact
+        # carried nothing to say what N even was.
+        "cpus": cpu_count(),
+        "master": spark.sparkContext.master,
         # self-adjudication fields (see module docstring): ambient
         # load before any Spark work, the gate + wait applied, and the
         # end-of-run load (self-inclusive — our own executor threads)

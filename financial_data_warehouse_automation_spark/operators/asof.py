@@ -94,7 +94,7 @@ def asof_join_next(
     right: DataFrame,
     on: Sequence[str],
     left_ts: Column,
-    right_ts: Column,
+    right_ts: str | Column,
     right_cols: Sequence[str],
     tolerance: Column | None = None,
     right_tie_break: Sequence[Column] = (),
@@ -113,15 +113,18 @@ def asof_join_next(
     lcols = left.columns
     # payload struct type from cached schemas, single ordered select per
     # side (r15) — same rationale as asof_join_last above. The rts field
-    # needs one analyzed probe only for right_ts's type, which the
-    # expression cannot give statically; derive it from right_ts when it
-    # is a plain column, else fall back to the probe frame.
+    # needs one analyzed probe only for right_ts's type, which a Column
+    # expression cannot give statically; when the caller passes a plain
+    # column NAME (r16, advisor: the r15 form string-matched the private
+    # Column._jc rendering against field names, which an expression
+    # whose rendered form coincides with a field could spoof) the type
+    # reads straight off the schema, any Column falls back to the probe.
     from pyspark.sql.types import StructField, StructType
 
     rschema = right.schema
-    rts_name = right_ts._jc.toString() if hasattr(right_ts, "_jc") else None
-    if rts_name is not None and rts_name in rschema.fieldNames():
-        rts_type = rschema[rts_name].dataType
+    if isinstance(right_ts, str):
+        rts_type = rschema[right_ts].dataType
+        right_ts = F.col(right_ts)
     else:
         rts_type = (
             right.select(right_ts.alias(rts)).schema[rts].dataType

@@ -34,13 +34,28 @@ def dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _ident(name: str) -> str:
+    """Precondition gate for the parsed-SQL helpers (r16, advisor): the
+    templates interpolate raw column names, so a name needing backticks
+    (space, dash, dot) would break parsing or bind to the wrong
+    expression. All engine callers pass plain identifiers; fail loudly
+    rather than emit a mis-binding template."""
+    assert name.isidentifier(), (
+        f"dot_sql/norm_sql require a plain-identifier column name, "
+        f"got {name!r} — quote/rename the column before calling"
+    )
+    return name
+
+
 def dot_sql(a: str, b: str) -> str:
     """:func:`dot` as a SQL string over column NAMES — the identical
     left-fold expression, parsed JVM-side in one round trip. The
     Column-lambda form costs ~30 py4j calls per use (profiled r15:
     0.5s of ann_cosine_topk_brute's build was dot/l2_norm plumbing);
     operators that know their column names compose strings instead —
-    same plan, same values (the rhp_bucket pattern, round 5)."""
+    same plan, same values (the rhp_bucket pattern, round 5). Names
+    must be plain identifiers (asserted)."""
+    a, b = _ident(a), _ident(b)
     return (
         f"aggregate(zip_with({a}, {b}, "
         f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -126,7 +141,9 @@ def brute_force_topk(
     par = corpus.sparkSession.sparkContext.defaultParallelism
     # parsed-SQL throughout (r15): the Column-lambda dot/norm plumbing
     # was ~0.5s of DataFrame construction per build; identical
-    # expressions (see dot_sql).
+    # expressions (see dot_sql). Interpolated names must be plain
+    # identifiers (r16, advisor — see _ident).
+    _ident(probe_id), _ident(corpus_id)
     corpus_n = corpus.repartition(par).selectExpr(
         "*", f"{norm_sql(corpus_vec)} AS _cnorm"
     )

@@ -71,9 +71,17 @@ def assert_multiset_equal(a, b, what: str = "frames") -> None:
     the driver orchestrates one job instead of three).
 
     ``b`` is projected to ``a``'s columns, so column ORDER may differ;
-    types must match as they must for exceptAll.
+    types must match as they must for exceptAll. Column SETS must match
+    exactly (r16, advisor): the projection would silently drop an extra
+    ``b`` column before comparing, so a replica that gained a column
+    would pass the gate on the projected subset — exceptAll failed
+    loudly on that drift, and so does this.
     """
     cols = a.columns
+    assert set(cols) == set(b.columns), (
+        f"{what}: column sets differ — a-only={sorted(set(cols) - set(b.columns))} "
+        f"b-only={sorted(set(b.columns) - set(cols))}"
+    )
     tagged = a.select(*cols).withColumn("_w", F.lit(1)).unionByName(
         b.select(*cols).withColumn("_w", F.lit(-1))
     )

@@ -627,7 +627,7 @@ def events_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         quotes.withColumn("next_orderdate", F.col("ots").cast("date")),
         on=["user_id"],
         left_ts=F.col("probe_ts"),
-        right_ts=F.col("ots"),
+        right_ts="ots",
         right_cols=["next_orderkey", "next_orderdate"],
         tolerance=F.expr("INTERVAL 90 DAYS"),
     )

@@ -129,8 +129,19 @@ def _stream_state_partitions(spark, sf_dir: str, table: str = "events") -> int:
     env = _os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
     if env:
         return int(env)
+    path = f"{sf_dir}/{table}.parquet"
     try:
-        size = _os.path.getsize(f"{sf_dir}/{table}.parquet")
+        if _os.path.isdir(path):
+            # directory layout (r16, advisor): getsize on a dir returns
+            # the inode size, silently pinning every stream to the
+            # 2-partition floor — sum the member data files instead
+            size = sum(
+                e.stat().st_size
+                for e in _os.scandir(path)
+                if e.is_file() and not e.name.startswith(("_", "."))
+            )
+        else:
+            size = _os.path.getsize(path)
     except OSError:
         return spark.sparkContext.defaultParallelism
     return max(2, min(
@@ -1059,10 +1070,13 @@ def orders_cdf_stream_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table commits is the live-consumer shape the docstring describes.
     # The exactly-once replay probe below still stops and RESTARTS the
     # query from the same checkpoint (that assert needs a fresh start).
+    # r16: no drain at v1 — the subscription starts AT v1, so there is
+    # nothing to wait for (zero change rows by startingVersion
+    # semantics); the engine's own poll loop keeps the query live and
+    # the first processAllAvailable below synchronizes on v2. One
+    # fewer ~1s drain of pure stream machinery (guide §1.2).
     live = start()
     try:
-        live.processAllAvailable()  # at v1: ZERO change rows
-
         # v2 commit: +100 update on one range, delete a disjoint range
         upd_lo, upd_hi = maxck // 4, maxck // 4 + max(1, maxck // 20)
         del_lo, del_hi = (
@@ -1116,45 +1130,67 @@ def orders_cdf_stream_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert n_offsets >= 2, n_offsets
 
     feed = spark.read.parquet(out)
-    n_rows_before = feed.count()
 
     # replay: a FRESH start from the same checkpoint sits at head and
-    # MUST be a no-op (this probe is the one that needs a restart)
+    # MUST be a no-op (this probe is the one that needs a restart).
+    # r16: proven at the BYTE level — the sink directory's exact data
+    # file listing (name, size) is unchanged — which is a strictly
+    # stronger claim than the old row-count equality and costs zero
+    # Spark jobs instead of two full sink scans (guide §5).
+    def sink_listing():
+        return sorted(
+            (n, os.path.getsize(os.path.join(out, n)))
+            for n in os.listdir(out)
+            if not n.startswith(("_", "."))
+        )
+
+    listing_before = sink_listing()
     q2 = start()
     try:
         q2.processAllAvailable()
     finally:
         q2.stop()
         q2.awaitTermination()
-    assert spark.read.parquet(out).count() == n_rows_before
+    assert sink_listing() == listing_before, "replay wrote to the sink"
 
     # incremental-MV composition: signed deltas off the feed maintain
-    # a (count, cents) aggregate from v1 to v3 exactly
+    # a (count, cents) aggregate from v1 to v3 exactly. r16: ONE
+    # collected union instead of three separate collect jobs (delta,
+    # v1 totals, v3 totals) — same three aggregates, one job's fixed
+    # latency (guide §5, the assert_multiset_equal pattern).
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
     sign = F.when(
         F.col("change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
     drow = F.when(F.col("change_type") == "insert", 1) \
         .when(F.col("change_type") == "delete", -1).otherwise(0)
-    delta = feed.agg(
-        F.coalesce(F.sum(drow), F.lit(0)).alias("dn"),
-        F.coalesce(F.sum(sign * cents), F.lit(0)).alias("dc"),
-    ).collect()[0]
 
-    def totals(version: int):
-        r = spark.read.parquet(
+    def totals(version: int, tag: str) -> DataFrame:
+        return spark.read.parquet(
             *read_manifest(table, version).values()
         ).agg(
-            F.count(F.lit(1)).alias("n"),
+            F.lit(tag).alias("t"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum(
                 F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
-            ).alias("c"),
-        ).collect()[0]
-        return r.n, r.c
+            ).cast("bigint").alias("c"),
+        )
 
-    n1, c1 = totals(1)
-    n3, c3 = totals(3)
-    assert (n1 + delta.dn, c1 + delta.dc) == (n3, c3), \
+    probe = {
+        r.t: (r.n, r.c)
+        for r in feed.agg(
+            F.lit("delta").alias("t"),
+            F.coalesce(F.sum(drow), F.lit(0)).cast("bigint").alias("n"),
+            F.coalesce(F.sum(sign * cents), F.lit(0)).cast("bigint")
+            .alias("c"),
+        )
+        .unionByName(totals(1, "v1"))
+        .unionByName(totals(3, "v3"))
+        .collect()
+    }
+    dn, dc = probe["delta"]
+    (n1, c1), (n3, c3) = probe["v1"], probe["v3"]
+    assert (n1 + dn, c1 + dc) == (n3, c3), \
         "feed deltas failed to maintain the MV"
 
     return feed.select(
@@ -1199,15 +1235,16 @@ def orders_cdf_replica_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer), so B is a faithful WIDE-table mirror, not a key-value
     projection (the r13 verdict's task 3).
 
-    Timeline, drained after each source commit (a live subscription,
-    not a replayed log): A v1 (the 8-bucket base) -> B bootstraps the
-    full row set; A v2 (+100 update on one custkey range AND a
-    disjoint delete, one commit) -> B applies post-images and removes
-    doomed keys; A v3 (zero-copy re-insert of the deleted buckets) ->
-    B restores them. The merge folds ONLY each key's terminal change
-    (highest commit version, pre-images discarded), so a batch
-    spanning several source commits — a catching-up replica — folds
-    correctly, not just the one-commit-per-batch happy path.
+    Timeline (a live subscription, not a replayed log): A v1 (the
+    8-bucket base) -> drained, B bootstraps the full row set; A v2
+    (+100 update on one custkey range AND a disjoint delete, one
+    commit) and A v3 (zero-copy re-insert of the deleted buckets)
+    land while the replica lags, then ONE catching-up drain folds
+    both commits in a single micro-batch (r16). The merge folds ONLY
+    each key's terminal change (highest commit version, pre-images
+    discarded), so that multi-commit batch — a catching-up replica —
+    is folded correctly, and this demo now EXERCISES that path
+    rather than only the one-commit-per-batch happy case.
 
     Proofs: (1) EXACT replication — A's head and B's head are
     compared with exceptAll in BOTH directions (zero rows, asserted);
@@ -1352,7 +1389,15 @@ def orders_cdf_replica_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             v2_map[str(b)] = d2
         assert try_commit(a_t, 1, v2_map) == 2
-        live.processAllAvailable()
+        # r16: NO drain between v2 and v3 — the next drain catches up
+        # BOTH commits in one micro-batch, which finally exercises the
+        # multi-commit catching-up fold the merge has always claimed
+        # (terminal change per key, pre-images discarded) instead of
+        # only the one-commit-per-batch happy path. The source plans
+        # per-commit diffs inside any offset range
+        # (cdfsource.partitions iterates versions), so the change rows
+        # are identical — one fewer ~1s drain AND one fewer full fold
+        # + B-version write (guide §1.2).
 
         # A v3: zero-copy re-insert of the deleted buckets
         v3_map = dict(v2_map)
@@ -2116,19 +2161,50 @@ def orders_cdf_schema_evolution_feed(
     ).start()
     bq.awaitTermination()
     bdf = spark.sql(f"SELECT * FROM {sink}")
-    n_ins = bdf.where(F.col("change_type") == "insert").count()
-    dels = bdf.where(F.col("change_type") == "delete")
-    n_del = dels.count()
-    base_n = sum(
-        spark.read.parquet(d).count() for d in v1b.values()
+    # r16: ONE collected union instead of ~9 tail jobs (insert count,
+    # delete count, a PER-BUCKET Python count loop, c2 count, two
+    # key-sum collects) — the same three aggregates, one job's fixed
+    # latency (guide §5; the assert_multiset_equal pattern).
+    nul = F.lit(None).cast("bigint")
+    probe = {
+        r.t: r
+        for r in bdf.agg(
+            F.lit("feed").alias("t"),
+            F.sum(
+                F.when(F.col("change_type") == "insert", 1).otherwise(0)
+            ).cast("bigint").alias("a"),
+            F.sum(
+                F.when(F.col("change_type") == "delete", 1).otherwise(0)
+            ).cast("bigint").alias("b"),
+            F.sum(
+                F.when(F.col("change_type") == "delete", F.col("okey"))
+            ).cast("bigint").alias("c"),
+        )
+        .unionByName(
+            spark.read.parquet(*v1b.values()).agg(
+                F.lit("base").alias("t"),
+                F.count(F.lit(1)).cast("bigint").alias("a"),
+                nul.alias("b"), nul.alias("c"),
+            )
+        )
+        .unionByName(
+            spark.read.parquet(v1b["c2"]).agg(
+                F.lit("c2").alias("t"),
+                F.count(F.lit(1)).cast("bigint").alias("a"),
+                nul.alias("b"),
+                F.sum("f1").cast("bigint").alias("c"),
+            )
+        )
+        .collect()
+    }
+    n_ins, n_del, del_sum = (
+        probe["feed"].a, probe["feed"].b, probe["feed"].c
     )
-    c2_n = spark.read.parquet(v1b["c2"]).count()
+    base_n, c2_n, c2_sum = (
+        probe["base"].a, probe["c2"].a, probe["c2"].c
+    )
     assert n_ins == base_n and n_del == c2_n, (n_ins, base_n, n_del)
     # the deletes are EXACTLY bucket 2's keys, by key-sum
-    del_sum = dels.agg(F.sum("okey")).collect()[0][0]
-    c2_sum = (
-        spark.read.parquet(v1b["c2"]).agg(F.sum("f1")).collect()[0][0]
-    )
     assert del_sum == c2_sum, (del_sum, c2_sum)
 
     return b_head.agg(
