@@ -336,6 +336,27 @@ def allpairs_prefix_candidates(
     (the fallback; final verified pairs are identical either way,
     pinned by test_positional_filter_final_pairs_unchanged)."""
     pre = _allpairs_prefix_arrays(sets, id_col, set_col, tau)
+    return allpairs_candidates_from_prefix(
+        pre, id_col, tau=tau, positional=positional
+    )
+
+
+def allpairs_candidates_from_prefix(
+    pre: DataFrame, id_col: str = "doc_id",
+    tau: float = 0.5, positional: bool = True,
+) -> DataFrame:
+    """:func:`allpairs_prefix_candidates` from a PREBUILT prefix frame
+    (the ``(id, ks, sz, dup)`` output of ``_allpairs_prefix_arrays``) —
+    split out (r16, guide §1.2) so the incremental dedup pipeline can
+    run the explode → df aggregate → join-back → per-doc sort chain
+    ONCE over the full corpus and feed both its base and delta
+    candidate generators from the same frame. Correctness: the prefix
+    theorem only requires ONE global total order over elements shared
+    by both join sides (see the order-invariance note above), so
+    restricting a full-corpus prefix frame to the base docs yields a
+    complete candidate set for base-vs-base pairs even though the
+    prior epoch's literal run ordered by base-only df — the VERIFIED
+    pair set is identical, which is the invariant the oracle pins."""
     ka = pre.select(
         F.col(id_col).alias("id_a"),
         F.col("sz").alias("sz_a"),
@@ -505,6 +526,18 @@ def allpairs_prefix_candidates_delta(
     pre = _allpairs_prefix_arrays(
         sets, id_col, set_col, tau, carry=(delta_col,)
     )
+    return allpairs_delta_candidates_from_prefix(
+        pre, id_col, delta_col, tau=tau, positional=positional
+    )
+
+
+def allpairs_delta_candidates_from_prefix(
+    pre: DataFrame, id_col: str = "doc_id", delta_col: str = "is_new",
+    tau: float = 0.5, positional: bool = True,
+) -> DataFrame:
+    """:func:`allpairs_prefix_candidates_delta` from a PREBUILT prefix
+    frame carrying ``delta_col`` — the sharing seam of r16 (see
+    :func:`allpairs_candidates_from_prefix`)."""
     kd = pre.where(F.col(delta_col)).select(
         F.col(id_col).alias("id_d"),
         F.col("sz").alias("sz_d"),

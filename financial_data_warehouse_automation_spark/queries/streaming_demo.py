@@ -1235,16 +1235,15 @@ def orders_cdf_replica_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     footer), so B is a faithful WIDE-table mirror, not a key-value
     projection (the r13 verdict's task 3).
 
-    Timeline (a live subscription, not a replayed log): A v1 (the
-    8-bucket base) -> drained, B bootstraps the full row set; A v2
-    (+100 update on one custkey range AND a disjoint delete, one
-    commit) and A v3 (zero-copy re-insert of the deleted buckets)
-    land while the replica lags, then ONE catching-up drain folds
-    both commits in a single micro-batch (r16). The merge folds ONLY
-    each key's terminal change (highest commit version, pre-images
-    discarded), so that multi-commit batch — a catching-up replica —
-    is folded correctly, and this demo now EXERCISES that path
-    rather than only the one-commit-per-batch happy case.
+    Timeline, drained after each source commit (a live subscription,
+    not a replayed log): A v1 (the 8-bucket base) -> B bootstraps the
+    full row set; A v2 (+100 update on one custkey range AND a
+    disjoint delete, one commit) -> B applies post-images and removes
+    doomed keys; A v3 (zero-copy re-insert of the deleted buckets) ->
+    B restores them. The merge folds ONLY each key's terminal change
+    (highest commit version, pre-images discarded), so a batch
+    spanning several source commits — a catching-up replica — folds
+    correctly, not just the one-commit-per-batch happy path.
 
     Proofs: (1) EXACT replication — A's head and B's head are
     compared with exceptAll in BOTH directions (zero rows, asserted);
@@ -1389,15 +1388,15 @@ def orders_cdf_replica_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             v2_map[str(b)] = d2
         assert try_commit(a_t, 1, v2_map) == 2
-        # r16: NO drain between v2 and v3 — the next drain catches up
-        # BOTH commits in one micro-batch, which finally exercises the
-        # multi-commit catching-up fold the merge has always claimed
-        # (terminal change per key, pre-images discarded) instead of
-        # only the one-commit-per-batch happy path. The source plans
-        # per-commit diffs inside any offset range
-        # (cdfsource.partitions iterates versions), so the change rows
-        # are identical — one fewer ~1s drain AND one fewer full fold
-        # + B-version write (guide §1.2).
+        # r16 NEGATIVE RESULT, kept as the r15 explicit drain: removing
+        # this drain to get a "single catching-up micro-batch" over
+        # v2+v3 does not actually merge anything — the continuous-
+        # trigger engine polls v2 the moment it commits and folds it
+        # CONCURRENTLY with the driver's v3 bucket writes, so the
+        # "merge" is a race that usually still runs two folds, now
+        # with job contention on top; isolated re-measures showed no
+        # win over this form. Guide §1.1: measure, don't assume.
+        live.processAllAvailable()
 
         # A v3: zero-copy re-insert of the deleted buckets
         v3_map = dict(v2_map)

@@ -1382,12 +1382,33 @@ def _incremental_tagged_pairs(sets: DataFrame) -> DataFrame:
     candidates over the full corpus, one verify join — unordered
     ``(id_a, id_b, jac, found_in)`` with found_in ∈ {base, incr}
     naming the run that found the pair."""
-    base = sets.where(~F.col("is_new")).select("doc_id", "s")
-    cand = allpairs_prefix_candidates(base, "doc_id", "s", tau=0.5).select(
+    from financial_data_warehouse_automation_spark.operators.text import (
+        _allpairs_prefix_arrays,
+        allpairs_candidates_from_prefix,
+        allpairs_delta_candidates_from_prefix,
+    )
+
+    # ONE prefix-array pass over the full corpus (r16, guide §1.2):
+    # the base and delta candidate generators used to each run the
+    # explode → df aggregate → join-back → per-doc sort chain (the
+    # pipeline's dominant pre-join cost) — the base one over base docs
+    # under base-only df order, the delta one over everything. Any
+    # SINGLE global element order yields the identical VERIFIED pair
+    # set (operators/text.py order-invariance note), so both now read
+    # one shared, lazily checkpointed full-corpus frame; the base
+    # generator just restricts it to base rows. The oracle pins the
+    # verified pairs + found_in attribution, both unchanged.
+    pre = cut(
+        _allpairs_prefix_arrays(sets, "doc_id", "s", 0.5, carry=("is_new",)),
+        eager=False,
+    )
+    cand = allpairs_candidates_from_prefix(
+        pre.where(~F.col("is_new")).drop("is_new"), "doc_id", tau=0.5
+    ).select(
         "id_a", "id_b", F.lit("base").alias("found_in")
     ).unionByName(
-        allpairs_prefix_candidates_delta(
-            sets, "doc_id", "s", "is_new", tau=0.5
+        allpairs_delta_candidates_from_prefix(
+            pre, "doc_id", "is_new", tau=0.5
         ).select("id_a", "id_b", F.lit("incr").alias("found_in"))
     )
     sa = sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
@@ -1712,12 +1733,25 @@ def _neardup_dropset_incremental(d: DataFrame) -> DataFrame:
             nodes, pairs, id_col="doc_id", src_col="id_a", dst_col="id_b"
         )
 
+    # r16 (guide §2.6): the two CC ladders are independent consumers of
+    # the same eagerly-materialized pair frame, and each ladder's cost
+    # at this data size is dominated by fixed per-job driver latency
+    # (r15's d0739e0 finding) — overlap them from two driver threads
+    # (the relational.py compaction-pool precedent) instead of paying
+    # the two ladders' job chains back to back. CC is pure DataFrame
+    # algebra over `verified` (no session-conf mutation), so the
+    # threads share the session safely.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_base = pool.submit(_components, base_pairs)
+        f_all = pool.submit(_components, all_pairs)
+        base_comp, comp = f_base.result(), f_all.result()
     base_dropped = (
-        _components(base_pairs)
+        base_comp
         .where(F.col("doc_id") != F.col("component"))
         .select("doc_id", F.lit(True).alias("dropped_base"))
     )
-    comp = _components(all_pairs)
     sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size")
     )
