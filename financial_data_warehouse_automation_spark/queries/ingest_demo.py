@@ -771,8 +771,18 @@ def ingest_monthly_snapshot_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("gl_code", "status", "last_seen")
         wh_d = os.path.join(table, f"wh-g{version}")
         led_d = os.path.join(table, f"led-g{version}")
-        wh.write.parquet(wh_d)
-        ledger.write.parquet(led_d)
+        # r16 (guide §2.6/§5): the month's warehouse and ledger writes
+        # are independent jobs over tiny frames dominated by fixed
+        # per-job latency — overlap them from two driver threads (the
+        # compaction-pool precedent); the COMMIT stays one atomic
+        # manifest publishing both, and months remain sequential (each
+        # merge reads the previous committed snapshot).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fw = pool.submit(wh.write.parquet, wh_d)
+            fl = pool.submit(ledger.write.parquet, led_d)
+            fw.result(), fl.result()
         # ONE commit publishes the month's warehouse + ledger together
         assert try_commit(
             table, version - 1, {"warehouse": wh_d, "ledger": led_d},
@@ -780,12 +790,22 @@ def ingest_monthly_snapshot_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) == version
 
     # QA lifecycle across the committed chain (content-level checks;
-    # the income side is oracle-hashed below)
-    led = {
-        v: {r.gl_code: (r.status, str(r.last_seen))
-            for r in read_bucket(v, "ledger", led_schema).collect()}
-        for v in (1, 2, 3)
-    }
+    # the income side is oracle-hashed below). r16: ONE collected
+    # union over the three committed ledger versions instead of three
+    # collect jobs — same rows, one job's fixed latency (guide §5).
+    led_rows = (
+        read_bucket(1, "ledger", led_schema).withColumn("v", F.lit(1))
+        .unionByName(
+            read_bucket(2, "ledger", led_schema).withColumn("v", F.lit(2))
+        )
+        .unionByName(
+            read_bucket(3, "ledger", led_schema).withColumn("v", F.lit(3))
+        )
+        .collect()
+    )
+    led: dict[int, dict] = {1: {}, 2: {}, 3: {}}
+    for r in led_rows:
+        led[r.v][r.gl_code] = (r.status, str(r.last_seen))
     assert led[1] == {"2999": ("Open", "2024-01-15")}, led[1]
     assert led[2] == {"2999": ("Open", "2024-02-15")}, led[2]
     assert led[3] == {"2998": ("Open", "2024-03-15"),
@@ -972,12 +992,20 @@ def ingest_monthly_mor_restatement(
         df.write.parquet(d)
         return d
 
-    # v1: January; v2: February appends, January's bucket SHARED
-    m01 = stage(facts(drop, 1), "m01")
+    # v1: January; v2: February appends, January's bucket SHARED.
+    # r16 (guide §2.6/§5): the two monthly stage writes are
+    # independent jobs over tiny frames dominated by fixed per-job
+    # latency — overlap them from two driver threads; the COMMITS
+    # stay strictly sequential (v2 appends to committed v1).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f01 = pool.submit(stage, facts(drop, 1), "m01")
+        f02 = pool.submit(stage, facts(drop, 2), "m02")
+        m01, m02 = f01.result(), f02.result()
     assert try_commit(
         table, 0, {"m01": m01}, meta={"_committed_at": 1000.0},
     ) == 1
-    m02 = stage(facts(drop, 2), "m02")
     assert try_commit(
         table, 1, {"m01": m01, "m02": m02},
         meta={"_committed_at": 2000.0},
@@ -985,19 +1013,24 @@ def ingest_monthly_mor_restatement(
     assert read_manifest(table, 2)["m01"] == m01  # zero-copy carry
 
     # the March drop re-delivers February: diff against the COMMITTED
-    # month — the restatement is exactly the changed rows
+    # month — the restatement is exactly the changed rows. The March
+    # stage write is independent of the diff chain: overlap them too.
     feb_new = facts(p3, 2)
     feb_committed = spark.read.parquet(m02)
     changed = feb_new.exceptAll(feb_committed.select(*feb_new.columns))
-    changed_keys = sorted(r.wh_key for r in
-                          changed.select("wh_key").collect())
-    assert len(changed_keys) == 1, changed_keys  # one corrected row
 
-    # v3: ONE MoR commit — history shared, post-image + DV + March
-    m02r = stage(
-        feb_new.where(F.col("wh_key").isin(changed_keys)), "m02r"
-    )
-    m03 = stage(facts(p3, 3), "m03")
+    def _diff_and_stage_restatement() -> tuple[list, str]:
+        keys = sorted(r.wh_key for r in
+                      changed.select("wh_key").collect())
+        assert len(keys) == 1, keys  # one corrected row
+        return keys, stage(
+            feb_new.where(F.col("wh_key").isin(keys)), "m02r"
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_r = pool.submit(_diff_and_stage_restatement)
+        f_03 = pool.submit(stage, facts(p3, 3), "m03")
+        (changed_keys, m02r), m03 = f_r.result(), f_03.result()
     assert try_commit(
         table, 2, {"m01": m01, "m02": m02, "m02r": m02r, "m03": m03},
         meta={"_committed_at": 3000.0},

@@ -562,9 +562,14 @@ def part_freq_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth, width = 4, 1024
     l = load_table(spark, sf_dir, "lineitem")
 
-    def cells(key_col) -> Column:
-        # codegen CSE evaluates the shared md5 once per row
-        h = F.md5(key_col.cast("string").cast("binary"))
+    def cells(h) -> Column:
+        # four disjoint 32-bit slices of ONE digest attribute — h must
+        # already be a projected column, NOT the md5 expression: the
+        # r7 comment claimed codegen CSE shares an inline md5 across
+        # the array elements, but the Generate node does not CSE
+        # (measured r16, interleaved noop A/B at sf0.1: sketch build
+        # 2.07 -> 1.41 s min-of-4 with the digest projected first,
+        # and the after-plan carries exactly one md5)
         return F.array(*[
             F.pmod(
                 F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long"),
@@ -573,8 +578,12 @@ def part_freq_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(depth)
         ])
 
+    def digest(key_col) -> Column:
+        return F.md5(key_col.cast("string").cast("binary"))
+
     sketch = (
-        l.select(F.posexplode(cells(F.col("l_partkey"))).alias("j", "cell"))
+        l.select(digest(F.col("l_partkey")).alias("h"))
+        .select(F.posexplode(cells(F.col("h"))).alias("j", "cell"))
         .groupBy("j", "cell")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -584,9 +593,11 @@ def part_freq_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("true_cnt"))
     )
     pc = probes.select(
+        "partkey", "true_cnt", digest(F.col("partkey")).alias("h")
+    ).select(
         "partkey",
         "true_cnt",
-        F.posexplode(cells(F.col("partkey"))).alias("j", "cell"),
+        F.posexplode(cells(F.col("h"))).alias("j", "cell"),
     )
     return (
         pc.join(F.broadcast(sketch), ["j", "cell"])
