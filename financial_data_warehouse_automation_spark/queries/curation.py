@@ -88,7 +88,6 @@ def doc_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rnk").alias("sum_rank"),
             F.min("hkey").alias("min_hkey"),
         )
-        .orderBy("slot")
     )
 
 
@@ -151,7 +150,6 @@ def doc_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(w, 6).alias("weight"),
             F.round(w / nat, 4).alias("boost"),
         )
-        .orderBy("source")
     )
 
 
@@ -300,5 +298,4 @@ def doc_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.col("kept"), F.col("doc_id"))), F.lit(0)
             ).alias("kept_checksum"),
         )
-        .orderBy("source")
     )

@@ -53,7 +53,6 @@ def events_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
             F.sum(money("value")).cast("double").alias("total_value"),
         )
-        .orderBy("day", "event_type")
     )
 
 
@@ -84,7 +83,6 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(k).cast("long").alias("sum_k"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -127,7 +125,6 @@ def events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(money("value")).cast("double").alias("total_value"),
         )
-        .orderBy("event_type", "k_decade")
     )
 
 
@@ -170,7 +167,6 @@ def order_interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.add_months(F.max("o_orderdate"), 6).alias("max_plus_6m"),
             F.date_sub(F.min("o_orderdate").cast("date"), 7).alias("min_minus_1w"),
         )
-        .orderBy("priority")
     )
 
 
@@ -203,7 +199,6 @@ def events_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("bucket_start")
     )
 
 
@@ -367,7 +362,6 @@ def events_sessionization_two_phase(spark: SparkSession, sf_dir: str) -> DataFra
             F.max("end").alias("session_end"),
             F.sum("n").alias("n_events"),
         )
-        .orderBy("user_id", "session_id")
     )
 
 
@@ -457,7 +451,6 @@ def order_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.date_add(F.col("o_orderdate").cast("date"), 90)).alias("min_due"),
             F.max(F.date_trunc("month", "o_orderdate").cast("date")).alias("max_month_start"),
         )
-        .orderBy("year", "quarter", "dow")
     )
 
 
@@ -519,7 +512,6 @@ def events_range_join_quarters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
         )
-        .orderBy("year", "quarter")
     )
 
 
@@ -564,7 +556,6 @@ def events_sliding_30m_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
             "event_type", "n_events", "total_value",
         )
-        .orderBy("bucket_start", "event_type")
     )
 
 
@@ -637,7 +628,7 @@ def events_asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("probe_ts").alias("probe_epoch"),
         "next_orderkey",
         "next_orderdate",
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -690,7 +681,6 @@ def user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.lead("ts").over(w2)).alias("valid_to"),
             F.row_number().over(w2).alias("version"),
         )
-        .orderBy("user_id", "version")
     )
 
 
@@ -821,7 +811,6 @@ def events_map_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
             total.alias("total_events"),
             F.array_max(F.map_values("m")).cast("long").alias("peak_day_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -880,7 +869,6 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "retention"
             ),
         )
-        .orderBy("cohort_day", "day_offset")
     )
 
 
@@ -956,7 +944,6 @@ def events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                       variance.alias("_var"), z.alias("_z"))
         .where((F.col("_var") > 0.0) & (F.abs(F.col("_z")) > 2.0))
         .drop("_var", "_z")
-        .orderBy("day", "event_type")
     )
 
 
@@ -992,7 +979,6 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("k").cast("long").alias("n_k"),
             F.count(F.lit(1)).cast("long").alias("n"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1052,7 +1038,6 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     return (
         contrib.groupBy("event_type", "day")
         .agg(F.count(F.lit(1)).alias("wau"))
-        .orderBy("event_type", "day")
     )
 
 
@@ -1142,7 +1127,6 @@ def events_mad_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", "value", "med", "mad",
             F.round(F.col("adev") / F.col("mad"), 6).alias("mad_ratio"),
         )
-        .orderBy("event_type", "event_id")
     )
 
 
@@ -1209,7 +1193,6 @@ def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(w * F.col("p.cents")).alias("wsum"),
             F.sum(w).alias("wtot"),
         )
-        .orderBy("event_type", "day")
     )
 
 
@@ -1267,7 +1250,6 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "p_trans"
             ),
         )
-        .orderBy("prev_type", "event_type")
     )
 
 
@@ -1348,7 +1330,6 @@ def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("run") - F.least(min_prev, F.lit(0)), F.lit(0)
             ).cast("long").alias("cusum_cents"),
         )
-        .orderBy("event_type", "day")
     )
 
 
@@ -1399,7 +1380,6 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
             F.unix_micros(F.col("w.start")).alias("session_start"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -1523,7 +1503,6 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).alias("n_purchases"),
             F.sum("cents").alias("cents"),
         )
-        .orderBy("click_day")
     )
 
 
@@ -1619,7 +1598,6 @@ def events_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
             F.sum("cents").alias("cents"),
         )
-        .orderBy("state")
     )
 
 
@@ -1817,7 +1795,6 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit").cast("bigint").alias("credited_cents"),
             F.count(F.lit(1)).alias("n_credits"),
         )
-        .orderBy("click_day")
     )
 
 
@@ -1918,7 +1895,6 @@ def events_kmv_weekly_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             kth.cast("long").alias("kth_hash"),
             F.round(est, 4).cast("double").alias("est_users"),
         )
-        .orderBy("week")
     )
 
 
@@ -1988,7 +1964,6 @@ def events_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("bigint")
             .alias("cents"),
         )
-        .orderBy("v")
     )
 
 
@@ -2130,7 +2105,7 @@ def events_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(sel50, F.col("value"))).alias("exact_p50"),
         F.max(F.when(sel90, F.col("value"))).alias("exact_p90"),
     )
-    return est.join(exact, "week").orderBy("week")
+    return est.join(exact, "week")
 
 
 @query(

@@ -200,7 +200,6 @@ def ingest_gl_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dedupe_keep_first(sel, ["gl_code"], [F.asc("row_idx")])
         .drop("row_idx")
-        .orderBy("gl_code")
     )
 
 
@@ -221,9 +220,7 @@ def ingest_income_statement(spark: SparkSession, sf_dir: str) -> DataFrame:
     varying depth, sentinel forward-fill, dept-sheet regex (en-dash
     tolerant), zero-padded GL codes, currency/negative/junk amounts."""
     facts = parse_income_statement(spark_df(spark, "income_lines"))
-    return facts.withColumn("amount", F.col("amount").cast("double")).orderBy(
-        "year", "month", "department", "gl_code"
-    )
+    return facts.withColumn("amount", F.col("amount").cast("double"))
 
 
 @query(
@@ -242,9 +239,7 @@ def ingest_balance_sheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Balance-sheet parse: Assets→Liability→Equity section state
     machine with subtotal-row skipping."""
     facts = parse_balance_sheet(spark_df(spark, "balance_lines"))
-    return facts.withColumn("amount", F.col("amount").cast("double")).orderBy(
-        "gl_code"
-    )
+    return facts.withColumn("amount", F.col("amount").cast("double"))
 
 
 @query(
@@ -399,7 +394,7 @@ def ingest_missing_gl_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         seen_col=F.lit("2024-02-15").cast("date"),
         resolve_backfill=dim_v2,
     )
-    return merged.orderBy("gl_code")
+    return merged
 
 
 @query(
@@ -449,7 +444,6 @@ def ingest_file_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "file_name", "year", "month", "mtime",
             (F.col("mtime") == F.max("mtime").over(w)).alias("is_newest"),
         )
-        .orderBy("year", "month", "file_name")
     )
 
 
@@ -482,7 +476,6 @@ def ingest_dept_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dept").isNull().alias("dept_unmapped"),
             F.col("amount").cast("double").alias("amount"),
         )
-        .orderBy("year", "month", "department", "gl_code")
     )
 
 
@@ -534,7 +527,6 @@ def ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "file_name", "sheet_name", "row_idx", "gl_code",
             F.col("col_c").alias("raw_amount"),
         )
-        .orderBy("file_name", "sheet_name", "row_idx")
     )
 
 
@@ -585,7 +577,6 @@ def currency_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("o_orderkey") % 2 == 1, 1).otherwise(0)
             ).cast("long").alias("n_negatives"),
         )
-        .orderBy("priority")
     )
 
 
@@ -847,7 +838,6 @@ def ingest_monthly_snapshot_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         v1.unionByName(v2).unionByName(head)
-        .orderBy("snapshot", "department", "month", "measure")
     )
 
 
@@ -1088,5 +1078,4 @@ def ingest_monthly_mor_restatement(
     v4 = measures(at(4).where(F.col("month").isin(2, 3)), "v4_compacted")
     return (
         v1.unionByName(v2).unionByName(v3).unionByName(v4)
-        .orderBy("snapshot", "department", "month", "measure")
     )

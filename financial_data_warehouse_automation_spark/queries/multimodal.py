@@ -56,7 +56,6 @@ def media_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("meta.width").cast("long").alias("max_width"),
             F.min("meta.height").cast("long").alias("min_height"),
         )
-        .orderBy("media_type")
     )
 
 
@@ -81,7 +80,6 @@ def media_decode_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         decode_features(m)
         .select("media_id", "n_bytes", "checksum")
-        .orderBy("media_id")
     )
 
 
@@ -122,7 +120,6 @@ def media_feature_histograms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("f") * F.col("n_bytes")).cast("long").alias("n"),
         )
         .where(F.col("n") > 0)
-        .orderBy("media_id", "bin")
     )
 
 
@@ -152,7 +149,7 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     against DuckDB slicing the same bytes."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     m = synth_media_table(d).where(F.col("media_type") == "video")
-    return sample_frames(m, frame_bytes=256).orderBy("media_id", "frame_idx")
+    return sample_frames(m, frame_bytes=256)
 
 
 @query(
@@ -210,7 +207,6 @@ def media_grouped_stats_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select("media_type", "payload")
         .groupBy("media_type")
         .applyInPandas(agg, schema)
-        .orderBy("media_type")
     )
 
 
@@ -250,7 +246,7 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "media_id", "new_width", "new_height", "n_bytes",
         digest.alias("resized_md5"),
-    ).orderBy("media_id")
+    )
 
 
 @query(
@@ -291,9 +287,7 @@ def media_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     m = synth_media_table(d).where(F.col("media_type") == "audio")
-    return audio_energy_windows(m, window_bytes=256).orderBy(
-        "media_id", "window_idx"
-    )
+    return audio_energy_windows(m, window_bytes=256)
 
 
 @query(
@@ -374,5 +368,4 @@ def media_shared_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("ph_a").bitwiseXOR(F.col("ph_b"))
             ).cast("long").alias("payload_hamming"),
         )
-        .orderBy("id_a", "id_b")
     )

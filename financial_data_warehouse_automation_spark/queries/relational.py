@@ -233,7 +233,6 @@ def customers_with_big_orders_semi(spark: SparkSession, sf_dir: str) -> DataFram
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
-        .orderBy("custkey")
     )
 
 
@@ -264,7 +263,6 @@ def customers_without_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("c_name").alias("name"),
             F.col("c_mktsegment").alias("segment"),
         )
-        .orderBy("custkey")
     )
 
 
@@ -304,7 +302,6 @@ def customer_order_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
             F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
         )
-        .orderBy("custkey")
     )
 
 
@@ -339,7 +336,6 @@ def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price",
             "n_rows",
         )
-        .orderBy("returnflag", "linestatus")
     )
 
 
@@ -372,7 +368,6 @@ def cube_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_retail",
             "n_parts",
         )
-        .orderBy("brand", "size_mod")
     )
 
 
@@ -401,7 +396,6 @@ def distinct_counts_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_nationkey").alias("n_nations"),
             F.count(F.lit(1)).alias("n_customers"),
         )
-        .orderBy("segment")
     )
 
 
@@ -417,7 +411,6 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
             F.countDistinct("l_partkey").alias("exact_parts"),
         )
-        .orderBy("returnflag")
     )
 
 
@@ -507,7 +500,6 @@ def approx_distinct_parts_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("kmv_estimate"),
         )
-        .orderBy("returnflag")
     )
 
 
@@ -606,7 +598,6 @@ def part_freq_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("true_cnt").cast("long").alias("true_cnt"),
             F.min("c").cast("long").alias("cms_est"),
         )
-        .orderBy("partkey")
     )
 
 
@@ -761,7 +752,6 @@ def orders_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bk").isNotNull().alias("exact_member"), "bloom_positive"
         )
         .agg(F.count(F.lit(1)).alias("n_keys"))
-        .orderBy("exact_member", "bloom_positive")
     )
 
 
@@ -827,7 +817,6 @@ def order_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.select("price_cents", F.col("rnk").alias("sample_rank"))
         .join(F.broadcast(targets), "sample_rank")  # 3-row probe broadcast
         .select("p", "sample_rank", "price_cents", F.col("n_s").alias("sample_n"))
-        .orderBy("p")
     )
 
 
@@ -849,7 +838,7 @@ def set_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     y95 = o.where(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
     y96 = o.where(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
-    return y95.intersect(y96).orderBy("custkey")
+    return y95.intersect(y96)
 
 
 @query(
@@ -867,7 +856,7 @@ def set_except_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     y95 = o.where(F.year("o_orderdate") == 1995).select(F.col("o_custkey").alias("custkey"))
     y96 = o.where(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
-    return y95.subtract(y96).orderBy("custkey")
+    return y95.subtract(y96)
 
 
 # ---------------------------------------------------------------------------
@@ -931,7 +920,6 @@ def pivot_returnflag_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("N").alias("flag_n"),
             F.col("R").alias("flag_r"),
         )
-        .orderBy("year")
     )
 
 
@@ -997,7 +985,10 @@ ORDER BY returnflag, shipyear
 )
 def grouping_sets_flag_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither pure rollup nor cube): per-flag
-    totals and per-shipyear totals in one shuffle."""
+    totals and per-shipyear totals in one shuffle. (No final ORDER BY:
+    the r16 registry-wide §2.4 sort sweep — the gate hashes
+    order-insensitively, and this SQL string is not oracle-shared, so
+    the trailing sort was purely presentational.)"""
     l = load_table(spark, sf_dir, "lineitem")
     l.createOrReplaceTempView("lineitem")
     return spark.sql(f"""
@@ -1008,7 +999,6 @@ def grouping_sets_flag_year(spark: SparkSession, sf_dir: str) -> DataFrame:
           COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (YEAR(l_shipdate)))
-        ORDER BY returnflag, shipyear
     """)
 
 
@@ -1029,7 +1019,7 @@ def set_except_all_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     a = l.where(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("partkey"))
     r = l.where(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("partkey"))
-    return a.exceptAll(r).orderBy("partkey")
+    return a.exceptAll(r)
 
 
 @query(
@@ -1062,7 +1052,6 @@ def minmax_by_order_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
             F.min("o_totalprice").alias("min_price"),
         )
-        .orderBy("segment")
     )
 
 
@@ -1091,7 +1080,6 @@ def price_percentiles_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("status")
     )
 
 
@@ -1121,7 +1109,6 @@ def part_name_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").alias("dist"),
         )
         .where(F.col("dist") <= 2)
-        .orderBy("key_a", "key_b")
     )
 
 
@@ -1187,7 +1174,6 @@ def null_safe_join_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.join(F.broadcast(dim), keyed.prio_key.eqNullSafe(dim.prio_key), "left")
         .groupBy(F.coalesce("label", F.lit("other")).alias("label"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("label")
     )
 
 
@@ -1207,7 +1193,7 @@ def set_intersect_all_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     a = l.where(F.col("l_returnflag") == "A").select(F.col("l_partkey").alias("partkey"))
     r = l.where(F.col("l_returnflag") == "R").select(F.col("l_partkey").alias("partkey"))
-    return a.intersectAll(r).orderBy("partkey")
+    return a.intersectAll(r)
 
 
 @query(
@@ -1239,7 +1225,6 @@ def profile_customer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         profile_table(c, ["c_custkey", "c_mktsegment", "c_nationkey"])
         .withColumnRenamed("column", "col_name")
-        .orderBy("col_name")
     )
 
 
@@ -1283,7 +1268,6 @@ def conditional_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0).cast("decimal(12,2)"),
             ).cast("double").alias("urgent_total"),
         )
-        .orderBy("segment")
     )
 
 
@@ -1319,7 +1303,6 @@ def unpivot_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         wide.unpivot(["year"], ["A", "N", "R"], "returnflag", "revenue")
-        .orderBy("year", "returnflag")
     )
 
 
@@ -1453,7 +1436,6 @@ def skew_salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(money("o_totalprice")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .orderBy("segment")
     )
 
 
@@ -1489,7 +1471,6 @@ def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.sum(money("o_totalprice")).cast("double").alias("total_value"),
         )
-        .orderBy("bucket")
     )
 
 
@@ -1546,7 +1527,6 @@ def top_customers_concat_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
                 ",",
             ).alias("top3_names"),
         )
-        .orderBy("nation")
     )
 
 
@@ -1630,7 +1610,6 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             # (same 1-ulp path as pricing_summary.sum_charge, r1 #4).
             F.round(F.sum("line_total"), 2).cast("double").alias("line_sum"),
         )
-        .orderBy("band")
     )
 
 
@@ -1699,7 +1678,6 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             at_rank(F.floor((9 * n + 9) / 10)).alias("p90"),
             at_rank(F.floor((99 * n + 99) / 100)).alias("p99"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -1859,7 +1837,6 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("chi2_term"),
         )
-        .orderBy("digit")
     )
 
 
@@ -1961,7 +1938,6 @@ def part_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("cents").cast("double") / F.max("total"), 6
             ).alias("revenue_share"),
         )
-        .orderBy("abc_class")
     )
 
 
@@ -2021,7 +1997,6 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_suppliers").cast("long").alias("n_suppliers"),
             F.round(F.sum(term).cast("double"), 6).alias("hhi"),
         )
-        .orderBy("p_type")
     )
 
 
@@ -2095,7 +2070,7 @@ def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
         ).alias("intercept_cents"),
-    ).orderBy("segment")
+    )
 
 
 @query(
@@ -2151,7 +2126,6 @@ def source_linegen_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("i").alias("min_i"),
             F.max("i").alias("max_i"),
         )
-        .orderBy("bucket")
     )
 
 
@@ -2182,8 +2156,6 @@ def source_linegen_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     one hash. Exactly-once here means the drained union of micro-batch
     appends is exactly [0, 20000): a duplicated or dropped batch shifts
     every bucket count. (sf_dir unused: the relation is synthesized.)"""
-    import time
-
     from financial_data_warehouse_automation_spark.sources.linegen import LineGenDataSource
 
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
@@ -2208,20 +2180,22 @@ def source_linegen_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if spark.table("linegen_drain").count() >= 20000:
-                break
-            time.sleep(0.25)
+        # r16: processAllAvailable replaces the 0.25s count-polling
+        # loop — every poll was a full Spark job over the growing
+        # memory sink (up to ~10 per drain). The source is BOUNDED
+        # (maxrows caps latestOffset at 20000), so the engine-side
+        # wait returns exactly when the sink holds the full relation;
+        # the exactly-once row-count gate below still runs once.
+        handle.processAllAvailable()
     finally:
         handle.stop()
         handle.awaitTermination()
     drained = spark.table("linegen_drain").count()
-    if drained < 20000:
+    if drained != 20000:
         raise RuntimeError(
-            f"linegen stream drained only {drained}/20000 rows before the "
-            "120s deadline — refusing to return a partial aggregate "
-            "(it would surface as a confusing oracle hash mismatch)"
+            f"linegen stream drained {drained}/20000 rows — refusing to "
+            "return a partial aggregate (it would surface as a confusing "
+            "oracle hash mismatch)"
         )
     return (
         spark.table("linegen_drain")
@@ -2234,7 +2208,6 @@ def source_linegen_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("i").alias("min_i"),
             F.max("i").alias("max_i"),
         )
-        .orderBy("bucket")
     )
 
 
@@ -2297,7 +2270,7 @@ def orders_installments_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(F.col("o_orderdate"), F.col("due_month_offset"))
         .cast("date")
         .alias("due_date"),
-    ).orderBy("orderkey", "installment_no")
+    )
 
 
 @query(
@@ -2350,7 +2323,6 @@ def part_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_b").alias("part_b"),
             F.col("t_c").alias("part_c"),
         )
-        .orderBy("part_a", "part_b", "part_c")
     )
 
 
@@ -2547,7 +2519,6 @@ def monthly_revenue_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "seasonal_cents"
             ),
         )
-        .orderBy("cal_month")
     )
 
 
@@ -2607,7 +2578,6 @@ def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("o_custkey").alias("n_active"),
             F.sum("cents").alias("revenue_cents"),
         )
-        .orderBy("cohort_m", "age_m")
     )
 
 
@@ -2697,7 +2667,6 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy("r_score", "f_score", "m_score")
     )
 
 
@@ -2757,7 +2726,6 @@ def orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(base_tot))
         .groupBy("year")
         .agg(F.sum(term).cast("double").alias("psi"))
-        .orderBy("year")
     )
 
 
@@ -2881,7 +2849,6 @@ def order_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
             F.sum("cents").alias("sum_cents"),
         )
-        .orderBy("bin")
     )
 
 
@@ -2987,7 +2954,6 @@ def orders_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_day"),
             F.sum("cents").alias("sum_cents"),
         )
-        .orderBy("zbucket")
     )
 
 
@@ -3107,7 +3073,6 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
             dsum(revenue).alias("revenue"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -3208,7 +3173,6 @@ def partitioned_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
             ).alias("cents"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -3269,7 +3233,6 @@ def source_linegen_pushdown_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("i").alias("min_i"),
             F.max("i").alias("max_i"),
         )
-        .orderBy("bucket")
     )
 
 
@@ -3465,7 +3428,6 @@ def order_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(clamped).cast("double") / F.first("n_orders"), 2
             ).alias("mean_winsorized"),
         )
-        .orderBy("priority")
     )
 
 
@@ -3629,7 +3591,6 @@ def source_rowsink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.sum("cents").cast("bigint").alias("cents"),
         )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -3743,7 +3704,7 @@ def orders_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return stats(comp_p, "compacted").unionByName(
         stats(frag_p, "fragmented")
-    ).orderBy("layout")
+    )
 
 
 def parquet_range_candidates(
@@ -3907,7 +3868,6 @@ def orders_sorted_fileskip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("cents"),
             )
-            .orderBy("o_orderpriority")
         )
 
     total_rows = o.count()
@@ -4048,7 +4008,6 @@ def orders_zorder_fileskip_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("cents"),
             )
-            .orderBy("o_orderpriority")
         )
 
     total_rows = o.count()
@@ -4229,7 +4188,6 @@ def orders_snapshot_cow_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg(read_snapshot(manifest_v1), "v1")
         .unionByName(agg(read_snapshot(manifest_v2), "v2"))
-        .orderBy("snapshot")
     )
 
 
@@ -4451,7 +4409,7 @@ def orders_snapshot_concurrent_commit(
     ), expected_gone
     assert agg(2, "v2").collect() and agg(3, "v3").collect()
 
-    return spark.createDataFrame(rows, result.schema).orderBy("snapshot")
+    return spark.createDataFrame(rows, result.schema)
 
 
 @query(
@@ -4590,7 +4548,7 @@ def orders_compaction_snapshot_commit(
     assert not any(os.path.exists(p) for p in v1_map.values())
     assert agg(2, "v2_compacted").collect()  # current snapshot survives
 
-    return spark.createDataFrame(rows, result.schema).orderBy("snapshot")
+    return spark.createDataFrame(rows, result.schema)
 
 
 @query(
@@ -4758,7 +4716,7 @@ def orders_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.change_type").alias("change_type"),
         "o_orderkey",
         F.col("c.cents").alias("cents"),
-    ).orderBy("o_orderkey", "change_type")
+    )
 
 
 @query(
@@ -5071,7 +5029,6 @@ def orders_snapshot_incremental_mv(
     return (
         tag(base_mv, "v1_base")
         .unionByName(tag(mv2, "v2_incremental"))
-        .orderBy("mv", "o_orderpriority")
     )
 
 
@@ -5216,7 +5173,7 @@ def orders_wap_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(tag).alias("snapshot"), "n_rows", "cents")
         )
 
-    return agg(1, "v1").unionByName(agg(2, "v2")).orderBy("snapshot")
+    return agg(1, "v1").unionByName(agg(2, "v2"))
 
 
 @query(
@@ -5374,7 +5331,7 @@ def orders_manifest_bloom_point_lookup(
     )
     rows = result.collect()
     assert len(rows) == len(targets), (len(rows), targets)
-    return spark.createDataFrame(rows, result.schema).orderBy("o_orderkey")
+    return spark.createDataFrame(rows, result.schema)
 
 
 @query(
@@ -5527,7 +5484,7 @@ def orders_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.exists(os.path.join(table, n)) for n in cdc_dirs
     )
 
-    return spark.createDataFrame(rows, result.schema).orderBy("snapshot")
+    return spark.createDataFrame(rows, result.schema)
 
 
 @query(
@@ -5652,7 +5609,6 @@ def warehouse_mv_atomic_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tagged(1, "v1")
         .unionByName(tagged(2, "v2"))
-        .orderBy("version", "o_orderpriority")
     )
 
 
@@ -5798,7 +5754,6 @@ def orders_partition_spec_evolution(
         agg(ck_dirs, (F.col("ckey") >= lo) & (F.col("ckey") < hi),
             "ckey_probe")
         .unionByName(agg(year_dirs, F.col("oyear") == 1999, "year_probe"))
-        .orderBy("probe")
     )
 
 
@@ -6006,7 +5961,7 @@ def orders_scan_planner_composed(
         .agg(n_rows, cents)
         .select(F.lit("point_probe").alias("probe"), "n_rows", "cents")
     )
-    return point_probe.unionByName(year_probe).orderBy("probe")
+    return point_probe.unionByName(year_probe)
 
 
 @query(
@@ -6138,7 +6093,6 @@ def orders_deletion_vector_merge_on_read(
         agg(1, "v1_full")
         .unionByName(agg(2, "v2_dv"))
         .unionByName(agg(3, "v3_compacted"))
-        .orderBy("snapshot")
     )
 
 
@@ -6297,7 +6251,7 @@ def orders_schema_evolution_snapshot(
         .select(F.lit("v3_added").alias("snapshot"), "priority", "n_rows",
                 "cents")
     )
-    return v2_rows.unionByName(v3_rows).orderBy("snapshot", "priority")
+    return v2_rows.unionByName(v3_rows)
 
 
 @query(
@@ -6513,7 +6467,6 @@ def orders_branch_wap_fastforward(
         agg(read_manifest(table, branch="etl"), "branch_head")
         .unionByName(agg(read_manifest(table, 1), "main_v1"))
         .unionByName(agg(read_manifest(table, 2), "main_v2"))
-        .orderBy("snapshot")
     )
 
 
@@ -6669,7 +6622,6 @@ def orders_shallow_clone_divergence(
     return (
         agg(src_t, "source_head")
         .unionByName(agg(clone_t, "clone_head"))
-        .orderBy("snapshot")
     )
 
 
@@ -6847,7 +6799,7 @@ def orders_snapshot_describe_history(
     out = parts[0]
     for pt in parts[1:]:
         out = out.unionByName(pt)
-    return out.orderBy("version")
+    return out
 
 
 @query(
@@ -7002,7 +6954,6 @@ def orders_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg(1500.0, "t1")
         .unionByName(agg(2500.0, "t2"))
         .unionByName(agg(9999.0, "t3"))
-        .orderBy("probe")
     )
 
 
@@ -7414,7 +7365,6 @@ def orders_evolved_dv_pruned_read(
     return (
         agg(read_snapshot(spark, table), "head")
         .unionByName(agg(ranged, "k2_range"))
-        .orderBy("probe")
     )
 
 
@@ -7529,7 +7479,6 @@ def orders_commit_check_constraints(
     return (
         agg(read_manifest(table), "head")
         .unionByName(agg(read_manifest(table, 1), "v1"))
-        .orderBy("snapshot")
     )
 
 
@@ -7682,7 +7631,6 @@ def orders_filegrain_skipping_snapshot(
         .unionByName(
             agg(yk, in_band & (F.col("yr") == 1996), "year_keyband")
         )
-        .orderBy("probe")
     )
 
 

@@ -59,7 +59,7 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label",
         F.size("embedding").alias("dim"),
         l2_norm(F.col("embedding")).alias("l2"),
-    ).orderBy("vec_id")
+    )
 
 
 @query(
@@ -216,7 +216,6 @@ def ann_cosine_topk_rhp(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
         .select("qid", "rank", "vec_id", "cos")
-        .orderBy("qid", "rank")
     )
 
 
@@ -342,7 +341,6 @@ def ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
         .select("qid", "rank", "vec_id", "cos")
-        .orderBy("qid", "rank")
     )
 
 
@@ -389,7 +387,6 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
         .where(F.col("cos") >= 0.35)
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -442,7 +439,6 @@ def ann_cosine_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
         .select("qid", "rank", "vec_id", "cos")
-        .orderBy("qid", "rank")
     )
 
 
@@ -483,7 +479,7 @@ def embedding_hof_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exists(c, lambda x: x > 2).alias("any_gt2"),
         F.array_max(F.transform(c, lambda x: F.abs(x))).cast("double").alias("max_abs"),
         rev_dot.alias("rev_dot"),
-    ).orderBy("vec_id")
+    )
 
 
 _SQL_Q = (
@@ -605,7 +601,6 @@ def ann_cosine_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= 5)
         .select("qid", "rank", "vec_id", "cos")
-        .orderBy("qid", "rank")
     )
 
 
@@ -738,7 +733,6 @@ def ann_cosine_topk_ivf_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= 5)
         .select("qid", "rank", "vec_id", "cos")
-        .orderBy("qid", "rank")
     )
 
 
@@ -780,7 +774,6 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact decimal sum, one double conversion on both sides
             F.sum("v").cast("double").alias("dim_sum"),
         )
-        .orderBy("label", "dim")
     )
 
 
@@ -861,7 +854,6 @@ def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact decimal sum, one double conversion on both sides
             F.sum("v").cast("double").alias("dim_sum"),
         )
-        .orderBy("cid", "dim")
     )
 
 
@@ -917,7 +909,6 @@ def embedding_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum("s").cast("double").alias("sum_score"),
         )
-        .orderBy("label", "keep")
     )
 
 
@@ -981,7 +972,6 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_vecs"),
             F.sum("prod").alias("gram_milli"),
         )
-        .orderBy("dim_i", "dim_j")
     )
 
 
@@ -1125,7 +1115,6 @@ def embedding_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             ).alias("drop_checksum"),
         )
-        .orderBy("label")
     )
 
 
@@ -1208,5 +1197,4 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("t_milli").cast("double") / F.col("mx").cast("double"), 6
             ).alias("v_next"),
         )
-        .orderBy("dim_idx")
     )

@@ -223,7 +223,7 @@ def events_stream_tumbling_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg, "strm_tumbling15", "complete",
         state_partitions=_stream_state_partitions(spark, sf_dir),
     )
-    return out.orderBy("bucket_start")
+    return out
 
 
 @query(
@@ -276,7 +276,6 @@ def events_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         emitted.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("user_id", "session_start", "session_end", "n_events")
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -319,7 +318,7 @@ def events_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg, "strm_static_enrich", "complete",
         state_partitions=_stream_state_partitions(spark, sf_dir),
     )
-    return out.orderBy("segment")
+    return out
 
 
 @query(
@@ -362,7 +361,7 @@ def events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped, "strm_dedup", "complete",
         state_partitions=_stream_state_partitions(spark, sf_dir),
     )
-    return out.orderBy("event_type")
+    return out
 
 
 @query(
@@ -432,7 +431,7 @@ def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined, "strm_ss_join", "append",
         state_partitions=_stream_state_partitions(spark, sf_dir),
     )
-    return out.orderBy("click_id", "purchase_id")
+    return out
 
 
 @query(
@@ -484,7 +483,7 @@ def events_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows).orderBy("event_type", "day")
+    return spark.createDataFrame(rows)
 
 
 @query(
@@ -547,7 +546,6 @@ def doc_stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.parquet(f"{work}/state")
         .select("dedup_key", "kept_doc_id", "n_copies")
-        .orderBy("dedup_key")
     )
 
 
@@ -660,7 +658,6 @@ def events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFram
             )
         )
         .select("click_id", "purchase_id", "user_id", "gap_us")
-        .orderBy("click_id", "purchase_id")
     )
 
 
@@ -718,7 +715,6 @@ def source_rowsink_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum("cents").cast("bigint").alias("cents"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -834,7 +830,6 @@ def events_stream_kmv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             kth.cast("long").alias("kth_hash"),
             F.round(est, 4).cast("double").alias("est_users"),
         )
-        .orderBy("week")
     )
 
 
@@ -938,7 +933,6 @@ def events_stream_snapshot_commit(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             F.countDistinct("user_id").cast("long").alias("n_users"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -1198,7 +1192,7 @@ def orders_cdf_stream_subscribe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "change_type",
         F.col("key").alias("o_orderkey"),
         cents.alias("cents"),
-    ).orderBy("commit_version", "o_orderkey", "change_type")
+    )
 
 
 @query(
@@ -1903,7 +1897,6 @@ def orders_cdf_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
             ).cast("bigint").alias("cents"),
         )
-        .orderBy("valid_from", "valid_to")
     )
 
 

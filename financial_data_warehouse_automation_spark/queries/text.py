@@ -77,7 +77,6 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nu").alias("total_unique_tokens"),
             F.max("n_chars").alias("max_chars"),
         )
-        .orderBy("source")
     )
 
 
@@ -155,7 +154,7 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_tokens") >= 10, "review")
         .otherwise("drop")
         .alias("bucket"),
-    ).orderBy("doc_id")
+    )
 
 
 @query(
@@ -186,7 +185,6 @@ def doc_lang_id_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("lang", guess.alias("guess"))
         .groupBy("lang", "guess")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("lang", "guess")
     )
 
 
@@ -267,7 +265,6 @@ def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
         .where(F.col("n_docs") > 1)
-        .orderBy("fingerprint")
     )
 
 
@@ -303,7 +300,6 @@ def doc_jaccard_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", jac.alias("jac"))
         .where(F.col("jac") >= 0.5)
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -415,7 +411,6 @@ def doc_simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     return (
         d.select("doc_id", simhash_md5(tokens("text"), bits=32).alias("simhash"))
-        .orderBy("doc_id")
     )
 
 
@@ -444,7 +439,6 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(n).alias("max_bpe_tokens"),
             F.count(F.lit(1)).alias("n_docs"),
         )
-        .orderBy("source")
     )
 
 
@@ -481,7 +475,6 @@ def doc_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("id_a") < F.col("id_b"))
         .distinct()
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -526,7 +519,6 @@ def doc_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
         )
-        .orderBy("split", "lang")
     )
 
 
@@ -632,7 +624,6 @@ def doc_pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.count(F.lit(1)) * 1024)
             ).alias("utilization"),
         )
-        .orderBy("shard")
     )
 
 
@@ -756,7 +747,6 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
             (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
         )
-        .orderBy("split", "lang")
     )
 
 
@@ -811,7 +801,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(
         t.select("doc_id"), edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
     )
-    return comp.orderBy("doc_id")
+    return comp
 
 
 @query(
@@ -874,7 +864,7 @@ def dedup_cluster_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components_two_phase(
         t.select("doc_id"), edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
     )
-    return comp.orderBy("doc_id")
+    return comp
 
 
 @query(
@@ -1011,7 +1001,6 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats.withColumn("rep_ratio", F.round(rep, 6))
         .where(rep >= 0.08)
         .select("doc_id", "n_grams", "n_distinct", "rep_ratio")
-        .orderBy("doc_id")
     )
 
 
@@ -1108,7 +1097,6 @@ def doc_shingle_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id_b")
         .where(window & (jac >= 0.5))
         .select("id_a", "id_b", F.round(jac, 6).alias("jac"))
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -1247,7 +1235,7 @@ def doc_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~30-char strings: 8.15 → 4.28s interleaved min at the 10x scale
     point, same 2,560 pairs."""
     d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
-    return _prefix_filter_pairs(d).orderBy("id_a", "id_b")
+    return _prefix_filter_pairs(d)
 
 
 def _prefix_filter_pairs(d: DataFrame) -> DataFrame:
@@ -1353,7 +1341,7 @@ def doc_jaccard_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     full-rebuild oracle still computes string Jaccard."""
     d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
     sets = _tagged_shingle_sets(d)
-    return _incremental_tagged_pairs(sets).orderBy("id_a", "id_b")
+    return _incremental_tagged_pairs(sets)
 
 
 def _tagged_shingle_sets(d: DataFrame) -> DataFrame:
@@ -1511,7 +1499,7 @@ def doc_neardup_dropset(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match is a cross-engine proof of the whole pipeline, not one
     stage."""
     d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
-    return _neardup_dropset(d).orderBy("doc_id")
+    return _neardup_dropset(d)
 
 
 def _neardup_dropset(d: DataFrame) -> DataFrame:
@@ -1687,7 +1675,7 @@ def doc_neardup_dropset_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     tagged = d.select(
         "doc_id", "text", nibble.isin("c", "d", "e", "f").alias("is_new")
     )
-    return _neardup_dropset_incremental(tagged).orderBy("doc_id")
+    return _neardup_dropset_incremental(tagged)
 
 
 def _neardup_dropset_incremental(d: DataFrame) -> DataFrame:
@@ -1799,7 +1787,6 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(cnt), "lang")
         .where(u * F.col("cnt") < F.lit(256 * 64))
         .select("doc_id", "lang")
-        .orderBy("doc_id")
     )
 
 
@@ -1870,7 +1857,6 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
-        .orderBy("doc_id", "rk")
     )
 
 
@@ -2015,7 +2001,6 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             # exact decimal sum, then one double conversion on both sides
             F.sum("lp").cast("double").alias("sum_logprob"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -2093,7 +2078,6 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("residual_pii_docs"),
             F.sum(F.length("clean")).alias("total_clean_chars"),
         )
-        .orderBy("source")
     )
 
 
@@ -2146,7 +2130,6 @@ def doc_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("chunk_len"),
         )
-        .orderBy("doc_id", "chunk_idx")
     )
 
 
@@ -2222,7 +2205,6 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty",
             F.round(F.col("n_novel").cast("double") / F.col("n_grams"), 6),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -2352,7 +2334,6 @@ def doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("total_tokens"),
             F.max("n_tok").cast("long").alias("max_tokens"),
         )
-        .orderBy("source", "len_bucket")
     )
 
 
@@ -2468,7 +2449,6 @@ def doc_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_s").cast("long").alias("n_tokens"),
             F.sum(term).cast("double").alias("kl_nats"),
         )
-        .orderBy("source")
     )
 
 
@@ -2600,7 +2580,6 @@ def doc_minhash_md5_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("id_a", "id_b")
         .distinct()
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -2658,7 +2637,6 @@ def doc_dedup_dropset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_size").cast("long").alias("cluster_size"),
             F.col("n_chars").cast("long").alias("chars_reclaimed"),
         )
-        .orderBy("drop_doc_id")
     )
 
 
@@ -2765,7 +2743,6 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "id_a", "id_b", "n_shared", F.round(cont, 6).alias("containment")
         )
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -2831,7 +2808,7 @@ def doc_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return simhash_block_pairs(
         sig, "doc_id", "simhash", bits=32, max_hamming=1
-    ).orderBy("id_a", "id_b")
+    )
 
 
 _SQL_SPAN_ISLANDS = r"""
@@ -2881,9 +2858,7 @@ def doc_duplicate_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with corpus size². See operators/text.py:duplicate_kgram_spans for
     the maximality proof and the 100 TB df-cap note."""
     d = load_table(spark, sf_dir, "documents", spread_by=("doc_id",))
-    return duplicate_kgram_spans(d, k=8, min_span=10).orderBy(
-        "id_a", "id_b", "start_a", "start_b"
-    )
+    return duplicate_kgram_spans(d, k=8, min_span=10)
 
 
 @query(
@@ -2985,7 +2960,6 @@ def doc_span_dedup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
             ).alias("dup_ratio"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -3077,7 +3051,6 @@ def doc_block_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             ).alias("clean_text"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -3204,7 +3177,6 @@ def doc_takedown_deletion_vector(
         agg(1, "v1_full")
         .unionByName(agg(2, "v2_takedown"))
         .unionByName(agg(3, "v3_compacted"))
-        .orderBy("snapshot")
     )
 
 

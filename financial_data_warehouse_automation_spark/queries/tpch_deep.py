@@ -106,7 +106,6 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").alias("year"),
         )
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "year")
     )
 
 
@@ -179,7 +178,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(nation_rev).cast("double")
              / F.sum(_disc_price()).cast("double")).alias("mkt_share")
         )
-        .orderBy("year")
     )
 
 
@@ -487,7 +485,6 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_custs"),
             F.sum(money("c_acctbal")).cast("double").alias("total_bal"),
         )
-        .orderBy("segment")
     )
 
 
@@ -524,7 +521,6 @@ def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(l, o.o_orderkey == l.l_orderkey, "leftsemi")
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy("priority")
     )
 
 
@@ -577,7 +573,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
-        .orderBy("nation")
     )
 
 
@@ -674,7 +669,6 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("long").alias("year"),
         )
         .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
-        .orderBy("nation", "year")
     )
 
 
@@ -726,7 +720,6 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("partkey"),
             F.col("rev").cast("double").alias("revenue"),
         )
-        .orderBy(F.desc("revenue"), "partkey")
     )
 
 
@@ -764,7 +757,6 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("n_orders")
         .agg(F.count(F.lit(1)).alias("n_customers"))
-        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
     )
 
 
@@ -816,7 +808,6 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_name").alias("name"),
             F.col("total_revenue").cast("double").alias("total_revenue"),
         )
-        .orderBy("suppkey")
     )
 
 
@@ -962,7 +953,6 @@ def q12_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(high, 1)).alias("high_line_count"),
             F.count(F.when(~high, 1)).alias("low_line_count"),
         )
-        .orderBy("delay_band")
     )
 
 
@@ -1012,7 +1002,6 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pf, F.col("l_partkey") == pf.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
 
@@ -1082,7 +1071,6 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_suppkey").alias("suppkey"), "s_name", "n_name"
         )
         .agg(F.count(F.lit(1)).alias("n_dominant_parts"))
-        .orderBy("s_name")
     )
 
 
@@ -1159,5 +1147,4 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(asia_nk), s.s_nationkey == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.desc("numwait"), "s_name")
     )

@@ -304,7 +304,6 @@ def warehouse_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg(1, "v1")
         .unionByName(agg(2, "v2"))
         .unionByName(agg(3, "v3"))
-        .orderBy("snapshot", "year", "src")
     )
 
 
@@ -430,7 +429,6 @@ def qa_ledger_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged(1, "v1")
         .unionByName(tagged(2, "v2"))
         .unionByName(tagged(3, "v3"))
-        .orderBy("version", "custkey")
     )
 
 
@@ -462,7 +460,7 @@ def dim_dedupe_first_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedupe_keep_first(
         p, ["brand", "container"], [F.asc("partkey")]
-    ).orderBy("brand", "container")
+    )
 
 
 @query(
@@ -512,7 +510,7 @@ def qa_ledger_transitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ledger, misses, ["custkey"],
         seen_col=F.lit("1997-01-01").cast("date"),
     )
-    return merged.orderBy("custkey")
+    return merged
 
 
 @query(
@@ -566,7 +564,6 @@ def merge_with_tombstones_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         merged.where(F.col("op") != "D")
         .select("custkey", "year", "month", "amount", "src")
-        .orderBy("custkey", "year", "month")
     )
 
 
@@ -652,7 +649,6 @@ def warehouse_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("delta_cents"),
         )
-        .orderBy("custkey")
     )
 
 
@@ -704,7 +700,6 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").alias("n_orders"),
             (F.sum("c") / F.lit(100.0)).alias("revenue"),
         )
-        .orderBy("year", "month")
     )
 
 
@@ -808,7 +803,7 @@ def warehouse_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
-    return out.orderBy("relationship")
+    return out
 
 
 @query(
@@ -851,4 +846,4 @@ def events_day_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_day").alias("gap_start"),
         F.col("day").alias("gap_end"),
         (F.datediff("day", "prev_day") - 1).cast("long").alias("missing_days"),
-    ).orderBy("event_type", "gap_start")
+    )

@@ -111,7 +111,6 @@ def rank_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.rank().over(w).alias("rnk"),
             F.dense_rank().over(w).alias("drnk"),
         )
-        .orderBy("custkey", "rn")
     )
 
 
@@ -161,7 +160,6 @@ def lag_lead_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("revenue").over(w).alias("next_revenue"),
             (F.col("revenue") - F.coalesce(F.lag("revenue").over(w), F.lit(0.0))).alias("mom_delta"),
         )
-        .orderBy("segment", "year", "month")
     )
 
 
@@ -216,7 +214,6 @@ def moving_avg_3m_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("revenue_dec").over(w).cast("double")
              / F.count(F.lit(1)).over(w)).alias("avg_3m"),
         )
-        .orderBy("segment", "year", "month")
     )
 
 
@@ -300,7 +297,6 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") == 1)
         .drop("rn")
-        .orderBy("custkey")
     )
 
 
@@ -351,7 +347,6 @@ def ntile_acctbal_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("prank").alias("max_prank"),
             F.max("cdist").alias("max_cdist"),
         )
-        .orderBy("segment", "quartile")
     )
 
 
@@ -429,7 +424,6 @@ def gap_fill_pending_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_ffill"),
             F.col("revenue_raw").isNull().alias("is_gap"),
         )
-        .orderBy("month", "priority")
     )
 
 
@@ -485,7 +479,6 @@ def pctrank_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cd", 6).alias("cume_dist"),
             "third_richest",
         )
-        .orderBy("segment", "pct_rank", "c_custkey")
     )
 
 
@@ -593,7 +586,7 @@ def interpolate_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue_raw",
         interp.alias("revenue_interp"),
         F.col("revenue_raw").isNull().alias("is_gap"),
-    ).orderBy("month")
+    )
 
 
 @query(
@@ -644,7 +637,7 @@ def trailing_30d_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         "day",
         F.col("day_rev").cast("double").alias("day_rev"),
         F.sum("day_rev").over(w).cast("double").alias("rev_30d"),
-    ).orderBy("custkey", "day")
+    )
 
 
 @query(
@@ -694,4 +687,4 @@ def rolling_median_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     return monthly.select(
         "segment", "mkey", "rev",
         F.expr("percentile(rev, 0.5)").over(w).alias("median_6m"),
-    ).orderBy("segment", "mkey")
+    )

@@ -648,7 +648,18 @@ def kmv_state_merge_batch(state_path: str, k: int = 32):
                 F.col("user_id").cast("string").cast("binary")
             ).alias("h"),
         ).distinct()
-        days = [r.day for r in partial.select("day").distinct().collect()]
+        # touched-day probe straight off the batch (r16): going through
+        # ``partial`` made the probe job compute the full distinct
+        # (day, md5-hash) pairs just to list distinct days — the hash
+        # work is repaid NOTHING here and is recomputed anyway by the
+        # merged write below (guide §2.3: shuffle/aggregate only the
+        # columns the answer needs)
+        days = [
+            r.day
+            for r in batch.select(
+                F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+            ).distinct().collect()
+        ]
         if not days:
             return
         try:

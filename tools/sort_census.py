@@ -25,7 +25,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-_RANGE_RE = re.compile(r"Exchange rangepartitioning")
+# formatted-mode plans print the exchange as "(N) Exchange" with a
+# separate "Arguments: rangepartitioning(...)" detail line — match the
+# partitioning itself, not the adjacent-words simple-mode rendering
+_RANGE_RE = re.compile(r"rangepartitioning\(")
 _TAKE_RE = re.compile(r"TakeOrderedAndProject|CollectLimit|GlobalLimit")
 
 

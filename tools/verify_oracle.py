@@ -207,11 +207,32 @@ def main() -> None:
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     if json_out:
         import json
+        import subprocess
+        import time as _time
 
+        # stamp the artifact with the exact tree it certifies (r15
+        # verdict finding 3: identical-pass regenerations leave no
+        # diff, so "regenerated at final HEAD" was unauditable)
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"], cwd=REPO,
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip()
+            dirty = bool(subprocess.run(
+                ["git", "status", "--porcelain", "--untracked-files=no"],
+                cwd=REPO, capture_output=True, text=True, timeout=10,
+            ).stdout.strip())
+        except Exception:  # noqa: BLE001 - stamping must not fail the gate
+            head, dirty = "unknown", True
         with open(json_out, "w") as f:
             json.dump(
                 {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
-                 "n_rows_only": n_rowsonly, "queries": record},
+                 "n_rows_only": n_rowsonly,
+                 "head_sha": head, "tree_dirty": dirty,
+                 "generated_at": _time.strftime(
+                     "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+                 ),
+                 "queries": record},
                 f, indent=1,
             )
         print(f"wrote {json_out}")
